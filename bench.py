@@ -1,0 +1,84 @@
+"""Benchmark runner: executes the headline query set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Queries execute via the noop sink (full execution, no driver collect) so
+timings measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mit_6_5840_mapreduce_with_go_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+# Headline set: one per operator family (full inventory runs in the
+# driver's correctness sweep; bench tracks the perf-representative core).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "window_top3_orders_per_customer",
+    "window_running_supplier_revenue",
+    "agg_distinct_parts_per_supplier",
+    "topk_expensive_orders",
+    "events_hourly_type_counts",
+    "mr_wordcount",
+    "mr_inverted_index",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "kv_cas_replay",
+    "kv_last_writer_wins",
+    "text_quality_score",
+    "text_fingerprint",
+    "mm_decode_frames",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    # warm the JVM/catalog once (session startup excluded from per-query time)
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,314 @@
+"""Deduplication operators for training-data pipelines over ``documents``
+and ``embeddings``: exact (hash groupBy), normalized-exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+No reference counterpart — north-star LLM-pipeline additions
+(BASELINE.json). Scale design:
+
+- exact dedup is ONE shuffle keyed on a 128-bit content hash — the only
+  formulation that survives 100 TB (never compare full texts pairwise);
+- n-gram Jaccard avoids the O(n^2) cross join by exploding shingles and
+  self-joining on the shingle (candidate pairs only materialize for docs
+  that share >= 1 shingle), then computes |A∩B| / |A∪B| from group counts;
+- MinHash+LSH replaces the shingle join with a banded-signature bucket
+  join: candidates only for docs agreeing on one full band — the standard
+  sub-quadratic near-dup pipeline (Broder '97 / MMDS ch.3);
+- SimHash is a 64-bit per-doc fingerprint (Charikar '02): near-dup
+  candidates share prefix buckets; here computed entirely with native
+  expressions over xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_PRIME, minhash_perm_params
+from ..registry import query
+from ..sources import load_table
+
+N_PERM = 32
+BAND_SIZE = 4  # 8 bands x 4 rows
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + distinct word n-gram shingles (array<string>).
+
+    Tokens are materialized as a column FIRST — inlining split() into the
+    transform lambda would re-split the text once per shingle (quadratic
+    per document)."""
+    return (
+        df.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(toks) - {n}, 0)),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                )
+            ).alias("shingles"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on content hash, keep lowest doc_id as
+    canonical. One shuffle on a 16-byte key regardless of document size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return docs.groupBy(F.md5(normalized).alias("norm_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS shingles
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for candidate pairs, via shingle
+    self-join (NOT a cross join): pairs only materialize for docs sharing
+    a shingle, and |A∪B| = |A| + |B| - |A∩B| comes from group counts.
+    Restricted to doc_id < 200 to bound the oracle's work; the plan shape
+    is the scale path (shingle join ≈ inverted index join)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = _shingles(docs)
+    sizes = sh.select("doc_id", F.col("n_shingles").alias("n"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh")  # engine-specific hash (xxhash64) → rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → xxhash64 → N_PERM
+    universal-hash minima → 8 banded signatures → bucket join → verified
+    estimated Jaccard (signature agreement rate).
+
+    Everything is native expressions (xxhash64, transform, array_min) —
+    the signature build is a single narrow pass; the only shuffle is the
+    band-bucket groupBy. At 100 TB: bands partition the candidate space so
+    no executor ever sees more than one bucket's docs; skewed buckets
+    (boilerplate docs) would be salted or capped.
+
+    Not SQL-expressible in DuckDB (xxhash64 differs) → rows-only check;
+    correctness is covered by planted-duplicate tests
+    (tests/test_dedup.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).filter(F.col("n_shingles") > 0)
+    hashed = sh.select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes")
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                "hashes",
+                # reduce to 32 bits first so a*x + b stays inside int64
+                lambda h: (F.lit(a) * F.pmod(h, F.lit(1 << 32)) + F.lit(b))
+                % F.lit(MERSENNE_PRIME),
+            )
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_perm_params(N_PERM))
+    ]
+    # sigs feeds three consumers (band explode + both sides of the verify
+    # join) — persist so the shingle+signature pass runs once. Tiny:
+    # N_PERM longs per doc (~256 B/doc, ~25 GB per 100M docs across a
+    # cluster — the standard materialize-signatures step).
+    sigs = hashed.select("doc_id", F.array(*sig_cols).alias("sig")).persist()
+    n_bands = N_PERM // BAND_SIZE
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.hash(F.slice("sig", band * BAND_SIZE + 1, BAND_SIZE)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", "b.band_id", "b.bucket")
+    # Candidate generation: group each (band, bucket) and emit intra-bucket
+    # pairs from the collected id list — one shuffle keyed on the bucket,
+    # no skew-prone self-join. MAX_BUCKET caps degenerate buckets
+    # (boilerplate/empty docs): a bucket of B docs yields B^2/2 pairs, so
+    # at 100 TB an uncapped hot bucket is the failure mode; capped buckets
+    # lose only candidates that other bands still recover.
+    MAX_BUCKET = 200
+    pairs = (
+        bands.groupBy("band_id", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, y -> "
+                    "struct(least(x, y) AS a, greatest(x, y) AS b)))), "
+                    "p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est_jaccard = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(N_PERM)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est_jaccard, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@query("dedup_simhash")  # engine-specific hash (xxhash64) → rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprint per doc, fully JVM-side: token →
+    xxhash64 → per-bit +/-1 vote → sign → bit assembly. Emits the
+    fingerprint plus a 16-bit prefix bucket (the LSH probe key for
+    hamming-near candidates). Rows-only check (xxhash64 is
+    engine-specific); planted-duplicate behavior covered in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+    return votes.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.shiftrightunsigned(simhash, 48).alias("prefix16"),
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 500
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold. Brute-force pair
+    enumeration bounded to vec_id < 500 for the oracle; the scale path is
+    the LSH/IVF bucketing in operators/similarity.py (this query is the
+    verifier those candidates feed)."""
+    from ..functions.vector import cosine
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,198 @@
+"""Versioned-KV semantics (reference Labs 2-5 declared surface) as batch
+deterministic replay over the ``events`` table.
+
+Reference model — a key maps to (value, version); ``Put(key, value, ver)``
+applies iff ``ver`` equals the key's current version (version 0 creates),
+then bumps version by 1; mismatches return ErrVersion (semantics fixed by
+src/kvsrv1/server.go:34-44 doc contract and the linearizability model
+src/models1/kv.go:49-67; version==numOps invariant per
+src/kvraft1/kvraft_test.go:149-153).
+
+Batch translation: an ops log ordered by (ts, event_id) per key, folded
+through the CAS transition. Raft/labrpc are NOT ported — a deterministic
+total order per key replaces consensus, which is the idiomatic
+batch-engine answer (SURVEY.md §1.3).
+
+Scale notes: the fold is applyInPandas over groupBy(key) — one shuffle on
+the key, per-key state is O(1), per-key op lists are bounded by per-user
+event counts (heavily skewed keys would get AQE skew-split; the fold
+itself is streaming-friendly and moves to applyInPandasWithState in
+streaming/kv_state.py). The last-writer and shard queries are pure
+window/expression plans, fully JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import key2shard_col
+from ..registry import query
+from ..sources import load_table
+
+
+def _ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpret events as a KV ops log: key=user_id, value=event_id,
+    client-supplied expected version = event_id % 4 (deterministic, so
+    both engines derive the identical op stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").cast("string").alias("value"),
+        (F.col("event_id") % 4).alias("expected"),
+        "ts",
+        "event_id",
+    )
+
+
+CAS_ORACLE = """
+WITH RECURSIVE numbered AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         CAST(event_id AS VARCHAR) AS value,
+         event_id % 4 AS expected,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+fold AS (
+  SELECT key, 0 AS rn, CAST(NULL AS VARCHAR) AS value, CAST(0 AS BIGINT) AS version,
+         CAST(0 AS BIGINT) AS n_ok, CAST(0 AS BIGINT) AS n_errversion
+  FROM (SELECT DISTINCT key FROM numbered)
+  UNION ALL
+  SELECT f.key, f.rn + 1,
+         CASE WHEN n.expected = f.version THEN n.value ELSE f.value END,
+         CASE WHEN n.expected = f.version THEN f.version + 1 ELSE f.version END,
+         f.n_ok + CASE WHEN n.expected = f.version THEN 1 ELSE 0 END,
+         f.n_errversion + CASE WHEN n.expected = f.version THEN 0 ELSE 1 END
+  FROM fold f JOIN numbered n ON n.key = f.key AND n.rn = f.rn + 1
+)
+SELECT key, value, version, n_ok, n_errversion
+FROM fold
+WHERE rn = (SELECT count(*) FROM numbered n2 WHERE n2.key = fold.key)
+"""
+
+
+@query("kv_cas_replay", oracle=CAS_ORACLE)
+def kv_cas_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CAS fold per key — the models1/kv.go state transition applied
+    over the deterministic op order. ErrVersion ops leave state unchanged
+    and are counted (the batch analog of the error reply)."""
+    ops = _ops(spark, sf_dir)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        version, value, n_ok, n_err = 0, None, 0, 0
+        for expected, v in zip(pdf["expected"], pdf["value"]):
+            if expected == version:  # models1/kv.go Step: version match → apply
+                value, version, n_ok = v, version + 1, n_ok + 1
+            else:  # ErrVersion: reject, state unchanged
+                n_err += 1
+        return pd.DataFrame(
+            [
+                {
+                    "key": pdf["key"].iloc[0],
+                    "value": value,
+                    "version": version,
+                    "n_ok": n_ok,
+                    "n_errversion": n_err,
+                }
+            ]
+        )
+
+    return ops.groupBy("key").applyInPandas(
+        fold, schema="key string, value string, version long, n_ok long, n_errversion long"
+    )
+
+
+@query(
+    "kv_last_writer_wins",
+    oracle="""
+    SELECT key, value, version FROM (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             CAST(event_id AS VARCHAR) AS value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS version
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def kv_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unconditional-put replay: every put succeeds in (ts, event_id)
+    order, so final value = last write and version = op count (the
+    version==numOps invariant, kvraft_test.go:149-153). Pure window plan —
+    no Python, one shuffle."""
+    ops = _ops(spark, sf_dir)
+    w = W.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .withColumn("version", F.count(F.lit(1)).over(W.partitionBy("key")))
+        .filter(F.col("rn") == 1)
+        .select("key", "value", "version")
+    )
+
+
+@query(
+    "kv_shard_distribution",
+    oracle="""
+    SELECT shard, count(*) AS n_keys FROM (
+      SELECT (list_reduce(
+                list_prepend(CAST(2166136261 AS BIGINT),
+                             list_transform(string_split(key, ''),
+                                            c -> CAST(ord(c) AS BIGINT))),
+                (h, b) -> (xor(h, b) * 16777619) % 4294967296)) % 12 AS shard
+      FROM (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events))
+    GROUP BY shard
+    """,
+)
+def kv_shard_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key2Shard parity: FNV-32a % 12 (shardcfg.go:29-34) as a JVM-side
+    expression fold, grouped into the per-shard key census the shard
+    controller's balance logic consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").cast("string").alias("key")).distinct()
+    return (
+        keys.select(key2shard_col(F.col("key")).alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Shard config management (reference: shardcfg.go Rebalance/Join/Leave) —
+# cluster-control logic, not a query; pure functions, property-tested.
+# --------------------------------------------------------------------------
+def rebalance(shards: list[int | None], groups: list[int]) -> list[int]:
+    """Greedy shard rebalance to the reference's declared invariant:
+    max load ≤ min load + 1, unassigned shards to the least-loaded group
+    (semantics per src/shardkv1/shardcfg/shardcfg.go:122-154; implemented
+    from the spec, not the code). ``shards[i]`` is the owning group id or
+    None; ``groups`` is the live group list. Deterministic: ties break by
+    lowest group id."""
+    if not groups:
+        raise ValueError("no groups")
+    live = sorted(set(groups))
+    load: dict[int, list[int]] = {g: [] for g in live}
+    unassigned: list[int] = []
+    for i, g in enumerate(shards):
+        if g in load:
+            load[g].append(i)
+        else:
+            unassigned.append(i)
+
+    def least() -> int:
+        return min(live, key=lambda g: (len(load[g]), g))
+
+    def most() -> int:
+        return max(live, key=lambda g: (len(load[g]), -g))
+
+    for i in unassigned:
+        load[least()].append(i)
+    while len(load[most()]) > len(load[least()]) + 1:
+        src, dst = most(), least()
+        load[dst].append(load[src].pop(0))
+    out: list[int] = [0] * len(shards)
+    for g, idxs in load.items():
+        for i in idxs:
+            out[i] = g
+    return out

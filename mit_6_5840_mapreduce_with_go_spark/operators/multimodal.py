@@ -1,0 +1,106 @@
+"""Multimodal column handling: opaque ``binary`` payloads + typed
+metadata, with decode / feature-extract as Arrow-batched ``mapInPandas``.
+
+No reference counterpart — north-star LLM-pipeline additions. The
+container has no image/audio libraries, so the actual byte decode is a
+clearly-marked deterministic STUB (``decode_image_stub``); everything
+around it — binary column construction, schema, Arrow batching, the
+mapInPandas signature and partitioning — is the real 100 TB plumbing
+(payloads never hit the driver; each task decodes its own Arrow batches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model a multimodal table: utf-8 bytes of ``text`` stand in for an
+    image/audio payload, with typed metadata alongside."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB decode: real image decoding (PIL/opencv) is unavailable in
+    this container. Derives deterministic fake dimensions from the byte
+    length so the pipeline around it is fully testable. A real deployment
+    replaces ONLY this function body.
+    """
+    n = len(payload)
+    return {"width": 64 + n % 1024, "height": 64 + (n * 7) % 768, "n_frames": 1 + n % 30}
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - by design
+    raise NotImplementedError(
+        "image decode requires PIL/opencv, not present in this container; "
+        "use decode_image_stub (deterministic fake) instead"
+    )
+
+
+@query(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS content_md5,
+           ord(substr(text, 1, 1))    AS head_byte
+    FROM documents
+    """,
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata extraction over the binary payload — native expressions
+    only (octet_length/md5 run on the JVM against the bytes)."""
+    mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.ascii(F.decode(F.substring("payload", 1, 1), "UTF-8")).alias("head_byte"),
+    )
+
+
+@query(
+    "mm_decode_frames",
+    oracle="""
+    SELECT doc_id,
+           64 + octet_length(encode(text)) % 1024       AS width,
+           64 + (octet_length(encode(text)) * 7) % 768  AS height,
+           1 + octet_length(encode(text)) % 30          AS n_frames
+    FROM documents
+    """,
+)
+def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched mapInPandas: each task
+    pulls its Arrow batches, runs the (stubbed) decoder per payload, and
+    emits a typed frame-metadata row. The oracle checks the stub's
+    arithmetic end-to-end through the Python boundary, proving batch
+    shape + schema + decode plumbing."""
+    mm = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image_stub(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return mm.mapInPandas(
+        decode_batches, schema="doc_id long, width long, height long, n_frames long"
+    )

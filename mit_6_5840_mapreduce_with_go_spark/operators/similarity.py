@@ -1,0 +1,185 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (the correctness baseline) and an IVF-bucketed approximate variant
+(the scale path).
+
+No reference counterpart — north-star LLM-pipeline additions.
+
+Scale design: brute-force is O(Q x N) — fine when the query set Q is
+small and broadcast (the plan below broadcasts Q, so the N side never
+shuffles). IVF cuts candidate N by the bucket fraction: assign every
+vector to its nearest coarse centroid once (a narrow pass against a
+broadcast centroid table), then probe only the query's bucket. All dot
+products are JVM-side ``zip_with``/``aggregate`` folds — no Python in
+the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+from ..registry import query
+from ..sources import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # query set: vec_id < 10
+CENTROID_STRIDE = 97  # coarse centroids: vec_id % 97 == 0 (deterministic stand-in
+# for a k-means codebook; the plumbing — assignment + bucketed probe — is real)
+
+DUCK_COS = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  {DUCK_COS.format(a='qv', b='cv')} AS cos_raw
+           FROM q JOIN c ON query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 4) AS cos_sim
+    FROM (SELECT query_id, neighbor_id, cos_raw,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector. Queries are
+    broadcast; candidates stream through one narrow stage + a per-query
+    top-k window (k-row heap per partition under AQE)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+                  WHERE vec_id % {CENTROID_STRIDE} = 0),
+         assign AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, cent.centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {DUCK_COS.format(a='e.embedding', b='cent.centv')} DESC,
+                               cent.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN cent)
+           WHERE rn = 1),
+         q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, a.centroid_id
+               FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+               WHERE e.vec_id < {N_QUERIES}),
+         cand AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.centroid_id
+                  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  {DUCK_COS.format(a='qv', b='cv')} AS cos_raw
+           FROM q JOIN cand ON q.centroid_id = cand.centroid_id
+                           AND query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 4) AS cos_sim
+    FROM (SELECT query_id, neighbor_id, cos_raw,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest coarse centroid (broadcast codebook, one narrow pass), then
+    probe only the query's cell. Recall vs. brute force is measured in
+    tests/test_similarity.py. At 100 TB the assignment is written once as
+    a bucketed table and probes touch 1/n_cells of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+    )
+    aw = W.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("centroid_id")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", cosine(F.col("embedding"), F.col("centv")))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "centroid_id",
+    )
+    cand = assign.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "centroid_id",
+    )
+    scored = (
+        cand.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "sim_label_cohesion",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 300)
+    SELECT (a.label = b.label) AS same_label,
+           count(*) AS n_pairs,
+           round(avg(list_cosine_similarity(a.v, b.v)), 4) AS avg_cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    GROUP BY 1
+    """,
+)
+def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space sanity analytics: average intra-label vs
+    inter-label cosine (bounded subset). avg is order-sensitive in the
+    last float ulps, so round to 4."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "label", "embedding")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            (F.col("la") == F.col("lb")).alias("same_label"),
+            cosine(F.col("va"), F.col("vb")).alias("cos_raw"),
+        )
+        .groupBy("same_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cos_raw"), 4).alias("avg_cos"),
+        )
+    )

@@ -1,0 +1,169 @@
+"""Text-analysis operators for training-data pipelines over ``documents``:
+token statistics, quality scoring, language-ID heuristic, fingerprinting,
+BPE-ish token counting.
+
+No reference counterpart (the reference's only text op is wc's tokenizer,
+src/mrapps/wc.go:19-24) — these are the north-star LLM-pipeline additions.
+
+All hot-path logic is native Catalyst expressions (split / filter /
+transform / md5) — zero Python UDFs, so the plans stay inside
+whole-stage codegen and scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                    AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))     AS n_distinct,
+           round(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')), 4)        AS ttr,
+           length(replace(text, ' ', ''))                  AS n_letter_chars,
+           length(text)                                    AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_letter_chars"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, stop_ratio,
+           round(least(1.0, n_tokens / 100.0) * (1 - stop_ratio), 4) AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(len(list_filter(string_split(text, ' '),
+                                   t -> t IN {STOPWORDS!r})) * 1.0
+                   / len(string_split(text, ' ')), 4) AS stop_ratio
+      FROM documents)
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc-quality score: length saturation x (1 - stopword
+    ratio). The exact formula is arbitrary but deterministic — what
+    matters is the shape (per-row expression, no shuffle)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tokens, 4
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        F.round(F.least(F.lit(1.0), n_tokens / 100.0) * (1 - stop_ratio), 4).alias(
+            "quality_score"
+        ),
+    )
+
+
+@query(
+    "text_lang_guess",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+                WHEN contains(' ' || text || ' ', ' le ')  THEN 'fr'
+                WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+                WHEN contains(' ' || text || ' ', ' el ')  THEN 'es'
+                ELSE 'und' END AS lang_guess,
+           (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+                 WHEN contains(' ' || text || ' ', ' le ')  THEN 'fr'
+                 WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+                 WHEN contains(' ' || text || ' ', ' el ')  THEN 'es'
+                 ELSE 'und' END) = lang AS guess_matches
+    FROM documents
+    """,
+)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic (the classic n-gram/stopword
+    approach collapsed to its deterministic core). On the synthetic corpus
+    the markers rarely fire — the operator contract (per-row CASE over
+    contains()) is what's exercised; a real model would slot into the same
+    per-row shape."""
+    docs = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    guess = (
+        F.when(padded.contains(" the "), "en")
+        .when(padded.contains(" le "), "fr")
+        .when(padded.contains(" der "), "de")
+        .when(padded.contains(" el "), "es")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("guess_matches"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (lowercase, collapse whitespace,
+    md5) — the exact-dedup key. Per-row expression; at 100 TB this is the
+    map side of a dedup shuffle keyed on fp_md5."""
+    docs = _docs(spark, sf_dir)
+    normalized = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fp_md5"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count: letter runs | digit runs | single
+    punctuation — the standard byte-pair pre-segmentation regex family."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("n_bpe_tokens"),
+    )

@@ -1,0 +1,77 @@
+"""Parquet sources for the driver-generated testdata tables.
+
+The reference's only source is whole text files read one-per-map-task
+(reference: src/mr/worker.go:87-97, src/mr/coordinator.go:191-207). Our
+engine's primary sources are splittable parquet scans — Catalyst pushes
+filters and prunes columns into the scan, which is what survives a 100 TB
+scale-up (a whole-file text source does not).
+
+``read_whole_text_files`` is kept for exact MapReduce-parity semantics
+(Map sees the entire file contents as one record).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Schema comes from parquet footer metadata —
+    no inference pass, no full scan."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the parquet reader
+        # rejects outright. Set the legacy session conf HERE (not only in
+        # our session factory) because the caller may pass any session —
+        # the verify driver builds its own.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
+    # nanoseconds — integral-divide (never float: 1e18 ns exceeds double
+    # precision) down to micros and rebuild the timestamp. DuckDB's
+    # ns→us truncation matches this floor division.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators can use spark.sql."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_whole_text_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """MapReduce-parity source: one row per file, (file, content).
+
+    Mirrors the reference's one-file-per-map-task input contract
+    (reference: src/mr/coordinator.go:202-207 — task granularity is the
+    whole file). Only used by the generic MapReduce surface; native
+    operators use splittable reads.
+    """
+    rdd = spark.sparkContext.wholeTextFiles(path_glob)
+    return spark.createDataFrame(rdd, schema="file string, content string")

@@ -1,0 +1,99 @@
+"""Structured Streaming twins of the batch event analytics.
+
+The reference has no streaming surface; its KV ops stream (Get/Put
+arriving over RPC — src/kvsrv1/client.go) is the natural streaming
+workload (SURVEY.md §2.D). Here: file-source stream over the events
+parquet, tumbling-window aggregation with watermarked late-data handling.
+Correctness is established in tests/test_streaming.py by equivalence with
+the batch query ``events_hourly_type_counts``.
+
+Scale notes: a watermark bounds state (windows older than watermark are
+evicted); the shuffle key is (window, event_type) so state partitions
+evenly; at 100 TB/day the same plan runs against a Kafka source with no
+code change (swap ``readStream.parquet`` for ``readStream.format("kafka")``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        # parquet TIMESTAMP(NANOS): read as long (see session config
+        # spark.sql.legacy.parquet.nanosAsLong), converted below
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema pinned — file
+    streams cannot infer; the source needs a directory, so glob-filter
+    the single table file). Matches sources/tables.py ts conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window per-type counts + value sums with late-data
+    eviction after ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window distinct-ish user activity (approx_count_distinct —
+    the streaming-safe sketch; exact distinct is unbounded state)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming DF into an in-memory sink (tests); returns the
+    StreamingQuery — caller does processAllAvailable() + stop()."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Dedup operators: planted-duplicate detection for the rows-only
+(engine-hash) pipelines, plus structural sanity on the oracle-checked
+ones."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators import dedup as D
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _minhash_pairs(spark, df):
+    """Run the minhash pipeline against an arbitrary docs frame by
+    monkey-free injection: reuse the internals via temp view swap."""
+    import mit_6_5840_mapreduce_with_go_spark.operators.dedup as dd
+
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda s, d, n: df  # noqa: ARG005
+        return dd.dedup_minhash_lsh(spark, "ignored").collect()
+    finally:
+        dd.load_table = orig
+
+
+def test_minhash_finds_planted_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("lazy", "sleepy")  # one token differs
+    other = "completely different words about spark shuffles and parquet columnar scans"
+    rows = [(1, base), (2, base), (3, near), (4, other)]
+    pairs = _minhash_pairs(spark, _docs_df(spark, rows))
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup must always collide in every band
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(1, 2)] == 1.0
+    assert all((4 not in p) for p in found)  # unrelated doc never pairs
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta")]
+    import mit_6_5840_mapreduce_with_go_spark.operators.dedup as dd
+
+    orig = dd.load_table
+    try:
+        dd.load_table = lambda s, d, n: _docs_df(spark, rows)  # noqa: ARG005
+        out = {r["doc_id"]: r["simhash"] for r in dd.dedup_simhash(spark, "x").collect()}
+    finally:
+        dd.load_table = orig
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    out = D.dedup_exact(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    agg = out.agg(F.sum("n_copies").alias("s")).collect()[0]["s"]
+    assert agg == docs
+
+
+def test_ngram_jaccard_range(spark, sf_dir):
+    rows = D.dedup_ngram_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.05 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_embedding_cosine_pairs_bounded(spark, sf_dir):
+    rows = D.dedup_embedding_cosine(spark, sf_dir).collect()
+    for r in rows:
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+        assert r["vec_a"] < r["vec_b"]

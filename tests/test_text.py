@@ -1,0 +1,38 @@
+"""Text-analysis operators: structural sanity (oracle equivalence is the
+driver's sweep; these pin invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators import text as T
+
+
+def test_token_stats_invariants(spark, sf_dir):
+    rows = T.text_token_stats(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_distinct"] <= r["n_tokens"]
+        assert 0 < r["ttr"] <= 1.0
+        assert r["n_letter_chars"] <= r["n_chars"]
+
+
+def test_quality_score_range(spark, sf_dir):
+    rows = T.text_quality_score(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+
+
+def test_fingerprint_is_stable_and_distinct(spark, sf_dir):
+    a = {r["doc_id"]: r["fp_md5"] for r in T.text_fingerprint(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["fp_md5"] for r in T.text_fingerprint(spark, sf_dir).collect()}
+    assert a == b
+    assert all(len(v) == 32 for v in a.values())
+
+
+def test_bpe_count_at_least_wordcount(spark, sf_dir):
+    bpe = T.text_bpe_token_count(spark, sf_dir)
+    ws = T.text_token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    joined = bpe.join(ws, "doc_id").collect()
+    for r in joined:
+        assert r["n_bpe_tokens"] >= r["n_tokens"] - 1
