@@ -158,6 +158,48 @@ def kv_shard_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kv_get_lookup",
+    oracle="""
+    WITH state AS (
+      SELECT key, value, version FROM (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CAST(event_id AS VARCHAR) AS value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS version
+        FROM events)
+      WHERE rn = 1),
+    req AS (SELECT * FROM (VALUES ('1'), ('7'), ('42'), ('no-such-key')) r(key))
+    SELECT req.key AS key, state.value AS value,
+           coalesce(state.version, 0) AS version,
+           CASE WHEN state.key IS NULL THEN 'ErrNoKey' ELSE 'OK' END AS err
+    FROM req LEFT JOIN state ON req.key = state.key
+    """,
+)
+def kv_get_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Get(key) -> (value, version, err) point lookups against the
+    replayed store: present keys return OK, absent keys ErrNoKey with
+    version 0 (rpc.go:31-39 error algebra). Batch form of the clerk's
+    read path; the requested-keys side broadcasts."""
+    state = kv_last_writer_wins(spark, sf_dir)
+    req = spark.createDataFrame(
+        [("1",), ("7",), ("42",), ("no-such-key",)], "key string"
+    )
+    s = state.select(
+        F.col("key").alias("skey"), "value", F.col("version").alias("sversion")
+    )
+    return (
+        F.broadcast(req)
+        .join(s, req.key == s.skey, "left")
+        .select(
+            "key",
+            "value",
+            F.coalesce("sversion", F.lit(0)).alias("version"),
+            F.when(F.col("skey").isNull(), "ErrNoKey").otherwise("OK").alias("err"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Shard config management (reference: shardcfg.go Rebalance/Join/Leave) —
 # cluster-control logic, not a query; pure functions, property-tested.

@@ -1,0 +1,387 @@
+"""Advanced relational surface: join breadth (full outer / cross / range /
+as-of), grouping sets, statistical aggregates, exact percentiles,
+deterministic hash sampling, string/datetime function breadth, scalar
+subqueries, boolean aggregates.
+
+None of this exists in the reference (SURVEY.md §2.D: its only "query
+API" is the Map/Reduce pair) — this is the Catalyst-native breadth a
+user of a real analytics engine expects, each piece oracle-checked.
+
+Scale notes: the as-of join is the classic event-enrichment pattern —
+implemented as join + per-left-row top-1 window, which Spark executes as
+one shuffle on the join key; the range self-join carries a coarse
+bucket key (hour) so the theta condition only runs within hour-adjacent
+pairs rather than as a cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "join_full_outer_nation_balance",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, round(sum(c_acctbal), 2) AS cust_total
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, round(sum(s_acctbal), 2) AS supp_total
+               FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, cust_total, supp_total
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_total"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_total"))
+    )
+    return c.join(s, c.nk == s.nk, "full_outer").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"), "cust_total", "supp_total"
+    )
+
+
+@query(
+    "join_cross_region_nation",
+    oracle="""
+    SELECT r_name, n_name, (r_regionkey = n_regionkey) AS is_home
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit tiny cross join (5 x 25) — the one place a cartesian is fine
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select(
+        "r_name", "n_name", (F.col("r_regionkey") == F.col("n_regionkey")).alias("is_home")
+    )
+
+
+@query(
+    "range_join_error_context",
+    oracle="""
+    SELECT e.event_id,
+           count(c.event_id) AS n_prior_events,
+           round(coalesce(sum(c.value), 0), 4) AS prior_value
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: for every error event, aggregate the same user's
+    events in the preceding hour. The equi-key (user_id) bounds the theta
+    range condition, so the join shuffles on user_id and the time
+    predicate evaluates only within a user's rows — no cartesian."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("user_id").alias("euid"), F.col("ts").alias("ets")
+    )
+    c = ev.select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"), F.col("value").alias("cval"),
+    )
+    joined = e.join(
+        c,
+        (F.col("cuid") == F.col("euid"))
+        & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("ets")),
+        "left",
+    )
+    return joined.groupBy(F.col("eid").alias("event_id")).agg(
+        F.count("cid").alias("n_prior_events"),
+        F.round(F.coalesce(F.sum("cval"), F.lit(0.0)), 4).alias("prior_value"),
+    )
+
+
+@query(
+    "asof_join_last_order_before_event",
+    oracle="""
+    SELECT event_id, user_id, last_orderkey, last_orderdate FROM (
+      SELECT e.event_id, e.user_id,
+             o.o_orderkey AS last_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      WHERE e.event_id < 2000)
+    WHERE rn = 1
+    """,
+)
+def asof_join_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time enrichment): each event picks the most
+    recent order of the same key at-or-before its timestamp. Join on the
+    equi-key + inequality, then top-1 per left row — one shuffle on the
+    key; at scale the inequality prunes via partition-level min/max when
+    the right side is date-partitioned."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    orders = _t(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (orders.o_custkey == ev.user_id) & (orders.o_orderdate <= ev.ts),
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+        )
+    )
+
+
+@query(
+    "groupingsets_flag_status",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def groupingsets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "stats_price_moments",
+    oracle="""
+    SELECT o_orderpriority,
+           round(stddev_samp(o_totalprice), 4) AS price_stddev,
+           round(var_samp(o_totalprice), 4)    AS price_var,
+           round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr,
+           round(min(o_totalprice), 2)         AS price_min,
+           round(max(o_totalprice), 2)         AS price_max
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def stats_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("price_var"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("price_cust_corr"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+    )
+
+
+@query(
+    "percentile_prices_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_prices_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact continuous percentile (not approx_percentile) so both engines
+    # compute the same interpolation
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
+    "sample_hash_orders",
+    oracle="""
+    SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS sample_value
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 hash sample (md5 prefix) — unlike TABLESAMPLE,
+    reproducible across engines and runs; the standard trick for stable
+    data-pipeline sampling at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sample_value"),
+        )
+    )
+
+
+@query(
+    "scalar_string_breadth",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')                  AS brand_padded,
+           translate(p_name, 'ae', 'AE')           AS name_translated,
+           levenshtein(p_brand, 'Brand#11')        AS brand_editdist,
+           split_part(p_type, ' ', 1)              AS type_head,
+           reverse(p_brand)                        AS brand_rev,
+           repeat(left(p_name, 2), 2)              AS name_echo
+    FROM part
+    """,
+)
+def scalar_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.translate("p_name", "ae", "AE").alias("name_translated"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("brand_editdist"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_name", 1, 2), 2).alias("name_echo"),
+    )
+
+
+@query(
+    "scalar_datetime_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INTEGER)   AS order_quarter,
+           CAST(week(o_orderdate) AS INTEGER)      AS order_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS order_doy,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+)
+def scalar_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.weekofyear("o_orderdate").alias("order_week"),
+        F.dayofyear("o_orderdate").alias("order_doy"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 90), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+@query(
+    "window_ntile_rank_lead",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER)  AS price_quartile,
+           CAST(rank() OVER w AS BIGINT)     AS price_rank,
+           CAST(dense_rank() OVER (ORDER BY o_orderpriority) AS BIGINT) AS priority_rank,
+           lead(o_orderkey) OVER w           AS next_orderkey
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ntile_rank_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global (unpartitioned) window: fine at this scale, single-partition
+    # sort at 100 TB — a real deployment would partition by a bucket key.
+    orders = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wp = W.orderBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(wp).cast("long").alias("priority_rank"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "bool_agg_discount_profile",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1) AS all_low_discount,
+           bool_or(l_discount = 0.0)   AS any_zero_discount,
+           count(CASE WHEN l_discount = 0.0 THEN 1 END) AS n_zero_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def bool_agg_discount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_discount"),
+        F.bool_or(F.col("l_discount") == 0.0).alias("any_zero_discount"),
+        F.count(F.when(F.col("l_discount") == 0.0, 1)).alias("n_zero_discount"),
+    )
+
+
+@query(
+    "scalar_subquery_near_max",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_near_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar subquery against max (exact double — unlike avg, no
+    # summation-order ambiguity at the comparison boundary)
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM sq_orders
+        WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM sq_orders)
+        """
+    )
+
+
+@query(
+    "array_agg_supplier_profile",
+    oracle="""
+    SELECT l_suppkey,
+           string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def array_agg_supplier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

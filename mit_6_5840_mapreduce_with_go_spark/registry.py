@@ -43,6 +43,7 @@ def load_all() -> None:
         kv,
         multimodal,
         relational,
+        relational2,
         similarity,
         text,
     )

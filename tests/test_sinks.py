@@ -1,0 +1,73 @@
+"""Sinks & sources: reference format parity (text '%v %v', NDJSON
+Key/Value), whole-text-file source, partitioned parquet with pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.plans.explain import physical_plan
+from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+from mit_6_5840_mapreduce_with_go_spark.sources.sinks import (
+    read_kv_json,
+    read_kv_text,
+    write_kv_json,
+    write_kv_text,
+    write_parquet_partitioned,
+)
+from mit_6_5840_mapreduce_with_go_spark.sources.tables import read_whole_text_files
+
+
+def _kv_df(spark):
+    return spark.createDataFrame(
+        [("apple", "3"), ("banana", "1 2 3"), ("c", "")],
+        "key string, value string",
+    )
+
+
+def test_kv_text_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out_text")
+    write_kv_text(_kv_df(spark), path)
+    # format parity: every line is "<key> <value>" (worker.go:206)
+    raw = sorted(r["value"] for r in spark.read.text(path).collect())
+    assert raw == ["apple 3", "banana 1 2 3", "c "]
+    back = {r["key"]: r["value"] for r in read_kv_text(spark, path).collect()}
+    assert back == {"apple": "3", "banana": "1 2 3", "c": ""}
+
+
+def test_kv_json_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out_json")
+    write_kv_json(_kv_df(spark), path)
+    # field-name parity with the Go struct encoding (worker.go:121-132)
+    a_file = next(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".json")
+    )
+    first = open(a_file).readline()
+    assert '"Key":' in first and '"Value":' in first
+    back = {r["key"]: r["value"] for r in read_kv_json(spark, path).collect()}
+    assert back == {"apple": "3", "banana": "1 2 3", "c": ""}
+
+
+def test_whole_text_files_source(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("hello world")
+    (tmp_path / "b.txt").write_text("goodbye\nworld")
+    df = read_whole_text_files(spark, str(tmp_path / "*.txt"))
+    rows = {os.path.basename(r["file"]): r["content"] for r in df.collect()}
+    # one record per file, full contents (coordinator.go:202-207 granularity)
+    assert rows == {"a.txt": "hello world", "b.txt": "goodbye\nworld"}
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_part")
+    orders = load_table(spark, sf_dir, "orders")
+    write_parquet_partitioned(orders, path, ["o_orderstatus"])
+    statuses = {r["o_orderstatus"] for r in orders.select("o_orderstatus").distinct().collect()}
+    assert sorted(os.listdir(path))[:1]  # hive dirs exist
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("o_orderstatus") == sorted(statuses)[0])
+    plan = physical_plan(one)
+    # partition filter reaches the scan: only one hive partition is read
+    assert "PartitionFilters" in plan
+    assert one.count() == orders.filter(F.col("o_orderstatus") == sorted(statuses)[0]).count()
+    assert back.count() == orders.count()

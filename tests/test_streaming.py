@@ -40,6 +40,72 @@ def test_tumbling_counts_equal_batch(spark, sf_dir):
         assert gn == n and math.isclose(gs, s, rel_tol=1e-9)
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling: with watermark 0s, a row older than the
+    observed max event time is dropped; windows close once the watermark
+    passes their end (append mode emits them exactly once)."""
+    import datetime as dt
+
+    src = str(tmp_path / "stream_src")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    write(
+        [
+            (1, t(10, 0), 1, "click", 1.0, "{}"),
+            (2, t(10, 30), 1, "click", 1.0, "{}"),
+            (3, t(12, 5), 1, "click", 1.0, "{}"),  # advances watermark past 11:00
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = tumbling_counts(stream, window="1 hour", watermark="0 seconds")
+    q = agg.writeStream.format("memory").queryName("t_late").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        write(
+            [
+                (4, t(10, 15), 1, "click", 5.0, "{}"),  # LATE: behind watermark
+                (5, t(12, 10), 1, "click", 1.0, "{}"),  # on time, open window
+            ]
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["hour"], r["event_type"]): r["n_events"]
+            for r in spark.table("t_late").collect()
+        }
+    finally:
+        q.stop()
+    # the 10:00 window finalized with only the two on-time rows; the late
+    # 10:15 row (event 4) was evicted by the watermark
+    assert rows[("2024-01-01 10:00:00", "click")] == 2
+
+
+def test_sliding_window_smoke(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        sliding_user_activity,
+    )
+
+    q = run_to_memory(
+        sliding_user_activity(stream_events(spark, sf_dir)), "t_sliding", "complete"
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table("t_sliding").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["approx_users"] >= 1 and r["n_events"] >= 1
+
+
 def test_kv_cas_stream_equals_batch_replay(spark, sf_dir):
     stream = stream_events(spark, sf_dir)
     q = run_to_memory(kv_cas_stream(stream), "t_cas", "update")
