@@ -44,6 +44,11 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "mm_decode_frames",
+    "asof_join_last_order_before_event",
+    "range_join_error_context",
+    "events_sessionization",
+    "sim_tfidf_topk",
+    "percentile_prices_by_status",
 ]
 
 

@@ -296,16 +296,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration bounded to vec_id < 500 for the oracle; the scale path is
     the LSH/IVF bucketing in operators/similarity.py (this query is the
     verifier those candidates feed)."""
-    from ..functions.vector import cosine
+    from ..functions.vector import dot, norm
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 500)
-        .select("vec_id", "embedding")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    # norms precomputed per side: 1 fold per pair (dot) instead of 3
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim_raw", cos)

@@ -1,0 +1,157 @@
+"""Sessionization and TF-IDF similarity — two classic large-scale
+pipeline operators with non-obvious Spark-native formulations.
+
+No reference counterpart (SURVEY.md §2.D) — north-star additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "events_sessionization",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec,
+           round(sum(value), 4) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``
+    (gap = {gap} min): consecutive events of a user merge while the gap
+    is < the threshold. The oracle derives identical sessions with the
+    classic lag()+cumulative-sum construction — the two formulations
+    agree because session_window's merge window is end-exclusive
+    (an event exactly `gap` after the last one starts a new session).
+
+    Scale: session_window is a single shuffle on user_id and works
+    unchanged in Structured Streaming (state = open sessions).
+    """.format(gap=SESSION_GAP_MIN)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")).alias(
+                "duration_sec"
+            ),
+            "session_value",
+        )
+    )
+
+
+@query(
+    "sim_tfidf_topk",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, word, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    idf AS (
+      SELECT word, ln((SELECT n FROM n_docs) / count(*)) + 1.0 AS idf
+      FROM terms GROUP BY word),
+    weighted AS (
+      SELECT t.doc_id, t.word, t.tf * i.idf AS w
+      FROM terms t JOIN idf i ON t.word = i.word),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM weighted GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dp
+      FROM weighted a JOIN weighted b ON a.word = b.word AND a.doc_id < b.doc_id
+      WHERE a.doc_id < 100
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_a, doc_b, dp / (na.nrm * nb.nrm) AS cos_raw
+      FROM dots JOIN norms na ON na.doc_id = doc_a
+                JOIN norms nb ON nb.doc_id = doc_b)
+    SELECT doc_a, doc_b, rank, round(cos_raw, 4) AS cos_sim
+    FROM (SELECT doc_a, doc_b, cos_raw,
+                 CAST(row_number() OVER (PARTITION BY doc_a
+                                    ORDER BY cos_raw DESC, doc_b) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document similarity, top-3 neighbors per query doc
+    (doc_id < 100), computed the scalable way: dot products via the TERM
+    inverted-index join (docs only pair where they share a term — the
+    sparse-vector formulation), never a dense cross join. idf = ln(N/df)+1.
+
+    Scale: the term join shuffles on the word; stop-word-like hot terms
+    (huge postings) would be capped or dropped by df-threshold — at this
+    corpus size the full join is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.count()  # scalar dimension of the corpus, driver-side once
+    idf = terms.groupBy("word").agg(
+        (F.log(F.lit(float(n_docs)) / F.count(F.lit(1))) + 1.0).alias("idf")
+    )
+    weighted = terms.join(idf, "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = weighted.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa")
+    )
+    b = weighted.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("cos_raw", F.col("dp") / (F.col("na") * F.col("nb")))
+    )
+    w = W.partitionBy("doc_a").orderBy(F.col("cos_raw").desc(), F.col("doc_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_a", "doc_b", "rank", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine
+from ..functions.vector import dot, norm
 from ..registry import query
 from ..sources import load_table
 
@@ -53,14 +53,22 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; candidates stream through one narrow stage + a per-query
     top-k window (k-row heap per partition under AQE)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Precompute each side's norm ONCE (cosine() would refold the query
+    # norm for every candidate row — 3 array folds per pair instead of 1).
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
     return (
@@ -107,34 +115,45 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe only the query's cell. Recall vs. brute force is measured in
     tests/test_similarity.py. At 100 TB the assignment is written once as
     a bucketed table and probes touch 1/n_cells of the data."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centv")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centv"),
+        F.col("nrm").alias("centn"),
     )
     aw = W.partitionBy("vec_id").orderBy(
         F.col("cent_cos").desc(), F.col("centroid_id")
     )
     assign = (
         emb.crossJoin(F.broadcast(cent))
-        .withColumn("cent_cos", cosine(F.col("embedding"), F.col("centv")))
+        .withColumn(
+            "cent_cos",
+            dot(F.col("embedding"), F.col("centv")) / (F.col("nrm") * F.col("centn")),
+        )
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id", "embedding", "nrm", "centroid_id")
     )
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
         "centroid_id",
     )
     cand = assign.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
         "centroid_id",
     )
     scored = (
         cand.join(F.broadcast(q), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
     return (
@@ -163,19 +182,21 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 300)
-        .select("vec_id", "label", "embedding")
+        .select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
     )
     a = emb.select(
-        F.col("vec_id").alias("ida"), F.col("label").alias("la"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("ida"), F.col("label").alias("la"),
+        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("idb"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("idb"), F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, F.col("ida") < F.col("idb"))
         .select(
             (F.col("la") == F.col("lb")).alias("same_label"),
-            cosine(F.col("va"), F.col("vb")).alias("cos_raw"),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_raw"),
         )
         .groupBy("same_label")
         .agg(

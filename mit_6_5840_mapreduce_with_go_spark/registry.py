@@ -44,6 +44,7 @@ def load_all() -> None:
         multimodal,
         relational,
         relational2,
+        sessions,
         similarity,
         text,
     )
