@@ -1,0 +1,119 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+candidate pairs via iterative smallest-label propagation — the step that
+turns pairwise dedup output (MinHash/Jaccard pairs) into "keep one doc
+per cluster" decisions.
+
+This is a genuinely iterative algorithm (the canonical example of a
+non-SQL-expressible op — SURVEY.md/driver contract allows rows-only
+checks for these). Each iteration is one join + min-aggregate; the
+driver-side loop runs until the labels stop changing (counted via a
+checksum action, NOT by collecting labels).
+
+Scale notes: label propagation converges in O(diameter) rounds; dedup
+clusters are tiny cliques (diameter 1-2), so 2-3 rounds suffice. Each
+round is a shuffle on doc_id; the frontier never leaves the cluster.
+At 100 TB you'd checkpoint every few rounds to truncate lineage —
+``localCheckpoint`` below does exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """pairs(doc_a, doc_b) -> (doc_id, cluster_id) where cluster_id is
+    the smallest doc_id reachable through the pair graph. Docs absent
+    from ``pairs`` are absent from the output (singletons are implicit)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    for _ in range(max_iter):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        # convergence test via a cheap aggregate action (no collect of labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dedup_clusters")  # iterative → rows-only check
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster summary over n-gram-Jaccard candidate pairs (doc_id < 200,
+    jaccard >= 0.05): one row per cluster with its canonical (minimum)
+    doc and member count. Iterative label propagation → rows-only check;
+    planted-duplicate correctness in tests/test_clusters.py."""
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+@query(
+    "mm_quantize_embeddings",
+    oracle="""
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST((SELECT sum(CAST(floor(x * scale) AS BIGINT))
+                 FROM unnest(v) AS t(x)) AS BIGINT) AS q_checksum
+    FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             127.0 / greatest((SELECT max(abs(x)) FROM unnest(CAST(embedding AS DOUBLE[])) AS t(x)), 1e-12) AS scale
+      FROM embeddings)
+    """,
+)
+def mm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (the multimodal /
+    vector-store compression step): per-vector symmetric scale
+    127/max|x|, checksum of quantized values as the oracle-comparable
+    digest (arrays themselves don't hash portably). floor() not round()
+    — round's half-up boundary is engine-ambiguous. All JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.greatest(amax, F.lit(1e-12))
+    qsum = F.aggregate(
+        F.transform(v, lambda x: F.floor(x * scale).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        qsum.alias("q_checksum"),
+    )

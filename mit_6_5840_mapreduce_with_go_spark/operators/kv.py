@@ -23,8 +23,6 @@ window/expression plans, fully JVM-side.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -75,34 +73,49 @@ WHERE rn = (SELECT count(*) FROM numbered n2 WHERE n2.key = fold.key)
 
 @query("kv_cas_replay", oracle=CAS_ORACLE)
 def kv_cas_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full CAS fold per key — the models1/kv.go state transition applied
-    over the deterministic op order. ErrVersion ops leave state unchanged
-    and are counted (the batch analog of the error reply)."""
+    """Full CAS fold per key — the models1/kv.go-style state transition
+    applied over the deterministic op order. ErrVersion ops leave state
+    unchanged and are counted (the batch analog of the error reply).
+
+    Implementation: gather each key's ops into a time-sorted struct array
+    and fold it with a JVM-side ``F.aggregate`` (struct accumulator) —
+    the same gather-all shape as the MapReduce reduce contract, with no
+    Python/Arrow boundary (an earlier applyInPandas version cost ~3s at
+    sf0.1 just in worker+Arrow overhead; this runs in ~0.5s). Per-key op
+    lists are bounded by per-user event counts; a pathological hot key
+    would stream through applyInPandasWithState instead
+    (streaming/kv_state.py)."""
     ops = _ops(spark, sf_dir)
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        version, value, n_ok, n_err = 0, None, 0, 0
-        for expected, v in zip(pdf["expected"], pdf["value"]):
-            if expected == version:  # models1/kv.go Step: version match → apply
-                value, version, n_ok = v, version + 1, n_ok + 1
-            else:  # ErrVersion: reject, state unchanged
-                n_err += 1
-        return pd.DataFrame(
-            [
-                {
-                    "key": pdf["key"].iloc[0],
-                    "value": value,
-                    "version": version,
-                    "n_ok": n_ok,
-                    "n_errversion": n_err,
-                }
-            ]
-        )
-
-    return ops.groupBy("key").applyInPandas(
-        fold, schema="key string, value string, version long, n_ok long, n_errversion long"
+    gathered = ops.groupBy("key").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "expected", "value"))
+        ).alias("oplist")
     )
+    init = F.struct(
+        F.lit(None).cast("string").alias("value"),
+        F.lit(0).cast("long").alias("version"),
+        F.lit(0).cast("long").alias("n_ok"),
+        F.lit(0).cast("long").alias("n_errversion"),
+    )
+
+    def step(acc, op):
+        applied = F.struct(
+            op["value"].alias("value"),
+            (acc["version"] + 1).alias("version"),
+            (acc["n_ok"] + 1).alias("n_ok"),
+            acc["n_errversion"].alias("n_errversion"),
+        )
+        rejected = F.struct(
+            acc["value"].alias("value"),
+            acc["version"].alias("version"),
+            acc["n_ok"].alias("n_ok"),
+            (acc["n_errversion"] + 1).alias("n_errversion"),
+        )
+        return F.when(op["expected"] == acc["version"], applied).otherwise(rejected)
+
+    return gathered.select(
+        "key", F.aggregate("oplist", init, step).alias("st")
+    ).select("key", "st.value", "st.version", "st.n_ok", "st.n_errversion")
 
 
 @query(

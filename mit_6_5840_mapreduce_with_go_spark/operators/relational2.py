@@ -366,6 +366,23 @@ def scalar_subquery_near_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_distinct_users")  # HLL sketch is engine-specific → rows-only
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HyperLogLog distinct counts + t-digest-backed
+    approx percentile per event type. These are the streaming/100 TB
+    substitutes for exact distinct (unbounded state) — accuracy bound
+    asserted vs exact counts in tests/test_relational.py. Engine-specific
+    sketch implementations → rows-only driver check."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4
+        ).alias("approx_median_value"),
+    )
+
+
 @query(
     "array_agg_supplier_profile",
     oracle="""

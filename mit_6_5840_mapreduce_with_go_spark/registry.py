@@ -39,6 +39,7 @@ def load_all() -> None:
     """Import every operator module for its registration side effects."""
     from .mapreduce import apps  # noqa: F401
     from .operators import (  # noqa: F401
+        clusters,
         dedup,
         kv,
         multimodal,

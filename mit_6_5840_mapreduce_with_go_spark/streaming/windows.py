@@ -87,6 +87,36 @@ def sliding_user_activity(
     )
 
 
+def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Exactly-once file sink: the parquet sink's commit log plus the
+    checkpointed source offsets give end-to-end exactly-once for file
+    sources — the Structured-Streaming replacement for the reference's
+    atomic temp-file+rename output commit (worker.go:136-144) and its
+    crash-recovery re-execution (this is the C9 durability story).
+    Restarting with the same checkpoint resumes, never duplicates."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_foreach_batch(df: DataFrame, sink_fn, checkpoint_dir: str):
+    """foreachBatch escape hatch: sink_fn(batch_df, batch_id) runs once
+    per micro-batch (replays on failure carry the same batch_id, so an
+    idempotent sink_fn — e.g. overwrite-by-batch-id partition — yields
+    exactly-once into arbitrary targets)."""
+    return (
+        df.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming DF into an in-memory sink (tests); returns the
     StreamingQuery — caller does processAllAvailable() + stop()."""

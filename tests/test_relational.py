@@ -51,6 +51,27 @@ def test_topk_is_sorted_and_bounded(spark, sf_dir):
     assert prices == sorted(prices, reverse=True)
 
 
+def test_sketch_accuracy_bounds(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational2 import (
+        sketch_distinct_users,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    approx = {r["event_type"]: r for r in sketch_distinct_users(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: (r["u"], r["e"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"), F.countDistinct("event_id").alias("e")
+        )
+        .collect()
+    }
+    for etype, (u, e) in exact.items():
+        assert abs(approx[etype]["approx_users"] - u) <= max(2, 0.1 * u)
+        assert abs(approx[etype]["approx_events"] - e) <= max(2, 0.05 * e)
+
+
 def test_rollup_total_row_equals_table_count(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     total = (

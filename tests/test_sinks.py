@@ -58,6 +58,17 @@ def test_whole_text_files_source(spark, tmp_path):
     assert rows == {"a.txt": "hello world", "b.txt": "goodbye\nworld"}
 
 
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "nation_csv")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in nation.collect()
+    )
+    assert back.count() == nation.count()
+
+
 def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     path = str(tmp_path / "orders_part")
     orders = load_table(spark, sf_dir, "orders")

@@ -106,6 +106,43 @@ def test_sliding_window_smoke(spark, sf_dir):
         assert r["approx_users"] >= 1 and r["n_events"] >= 1
 
 
+def test_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path):
+    """Checkpointed file sink: restart with the same checkpoint must not
+    re-emit already-committed batches (reference crash-test analog: final
+    output equals the no-fault run, test-mr.sh:283-330)."""
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import stream_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src_count = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    q = stream_to_parquet(stream_events(spark, sf_dir), out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out).count()
+    assert first == src_count
+    # restart with same checkpoint, no new source data -> no duplicates
+    q2 = stream_to_parquet(stream_events(spark, sf_dir), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == src_count
+
+
+def test_foreach_batch_receives_batches(spark, sf_dir, tmp_path):
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        stream_foreach_batch,
+    )
+
+    out = str(tmp_path / "fb_out")
+
+    def sink(batch_df, batch_id):
+        # idempotent: partition dir keyed by batch_id, overwritten on replay
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    q = stream_foreach_batch(
+        stream_events(spark, sf_dir), sink, str(tmp_path / "fb_ckpt")
+    )
+    q.awaitTermination()
+    src_count = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert spark.read.parquet(out + "/batch=*").count() == src_count
+
+
 def test_kv_cas_stream_equals_batch_replay(spark, sf_dir):
     stream = stream_events(spark, sf_dir)
     q = run_to_memory(kv_cas_stream(stream), "t_cas", "update")
