@@ -366,6 +366,64 @@ def scalar_subquery_near_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_trailing_hour_stats",
+    oracle="""
+    SELECT event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+           round(avg(value) OVER w, 4)     AS avg_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs ROWS): trailing 1-hour count/avg per user —
+    the moving-average shape. Spark's rangeBetween needs a numeric order
+    key, so the frame runs over unix seconds; DuckDB's INTERVAL RANGE
+    frame is semantically identical (events have sub-second distinct ts,
+    so peer rows cannot differ between the two formulations)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.avg("value").over(w), 4).alias("avg_trailing"),
+    )
+
+
+@query(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_custkey, metric, round(val, 4) AS val
+    FROM (SELECT c_custkey,
+                 c_acctbal            AS balance,
+                 CAST(c_nationkey AS DOUBLE) AS nation,
+                 CAST(length(c_name) AS DOUBLE) AS name_len
+          FROM customer)
+    UNPIVOT (val FOR metric IN (balance, nation, name_len))
+    """,
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide metric columns to long (metric, val) rows —
+    F.unpivot compiles to Expand (each input row emits k rows; no
+    shuffle)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_nationkey").cast("double").alias("nation"),
+        F.length("c_name").cast("double").alias("name_len"),
+    )
+    return (
+        cust.unpivot("c_custkey", ["balance", "nation", "name_len"], "metric", "val")
+        .select("c_custkey", "metric", F.round("val", 4).alias("val"))
+    )
+
+
 @query("sketch_distinct_users")  # HLL sketch is engine-specific → rows-only
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates: HyperLogLog distinct counts + t-digest-backed
