@@ -424,6 +424,73 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "setop_multiset_lineflags",
+    oracle="""
+    SELECT l_orderkey FROM (
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+      EXCEPT ALL
+      SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+    """,
+)
+def setop_multiset_lineflags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics: occurrences subtract, not
+    vanish) — the counterpart of the distinct set ops in relational.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    f = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    return n.exceptAll(f)
+
+
+@query(
+    "window_first_last_ignore_nulls",
+    oracle="""
+    SELECT event_id,
+           first_value(big_val IGNORE NULLS) OVER w AS first_big,
+           last_value(big_val IGNORE NULLS)  OVER w AS last_big
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN value > 100 THEN value END AS big_val
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last_value with IGNORE NULLS over a full frame: each event
+    sees its user's first and last 'big' (value>100) reading — the
+    fill-forward/backward building block."""
+    ev = _t(spark, sf_dir, "events")
+    big = F.when(F.col("value") > 100, F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.withColumn("big_val", big).select(
+        "event_id",
+        F.first("big_val", ignorenulls=True).over(w).alias("first_big"),
+        F.last("big_val", ignorenulls=True).over(w).alias("last_big"),
+    )
+
+
+@query(
+    "posexplode_doc_tokens",
+    oracle="""
+    SELECT doc_id, pos, toks[pos] AS word FROM
+      (SELECT doc_id, string_split(text, ' ') AS toks
+       FROM documents WHERE doc_id < 50),
+      unnest(generate_series(1, len(toks))) AS t(pos)
+    """,
+)
+def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UDTF shape with ordinality): token + 1-based
+    position per document — the tokenize-with-offsets primitive."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
 @query("sketch_distinct_users")  # HLL sketch is engine-specific → rows-only
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates: HyperLogLog distinct counts + t-digest-backed

@@ -115,6 +115,33 @@ def test_fnv32a_golden():
     assert fnv32a("a") == h & 0x7FFFFFFF
 
 
+def test_randomized_corpus_differential(spark):
+    """Seeded random corpus (mixed case, unicode letters, punctuation,
+    digits, empty docs): distributed output == sequential oracle for all
+    three data apps — the test-mr-many.sh flake-sweep analog, determinized."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["Alpha", "beta", "Gamma", "δέλτα", "epsilon-7", "zeta_9", "η", "THE", "the"]
+    seps = [" ", "  ", ", ", ".\n", "42", "_", "--"]
+    files = []
+    for i in range(24):
+        n = rng.randint(0, 60)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(vocab))
+            parts.append(rng.choice(seps))
+        files.append((f"rnd-{i}", "".join(parts)))
+    for map_fn, reduce_fn in [
+        (wc_map, wc_reduce),
+        (indexer_map, indexer_reduce),
+        (nocrash_map, nocrash_reduce),
+    ]:
+        got = run_mapreduce(spark, map_fn, reduce_fn, files)
+        want = run_mapreduce_sequential(map_fn, reduce_fn, files)
+        assert got == want
+
+
 def test_on_documents_corpus(spark, sf_dir):
     """wc over the real documents corpus: distributed == sequential."""
     files = documents_as_files(spark, sf_dir, limit=50)
