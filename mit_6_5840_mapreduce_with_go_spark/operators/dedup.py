@@ -172,22 +172,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = sh.select(
         "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes")
     )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                "hashes",
-                # reduce to 32 bits first so a*x + b stays inside int64
-                lambda h: (F.lit(a) * F.pmod(h, F.lit(1 << 32)) + F.lit(b))
-                % F.lit(MERSENNE_PRIME),
-            )
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_perm_params(N_PERM))
-    ]
+    # Signature build as ONE fold over the hash array with an N_PERM-wide
+    # accumulator (zip_with against the literal perm table), instead of
+    # N_PERM separate array_min(transform(...)) passes — same arithmetic,
+    # one pass over the data and a 2-lambda expression tree instead of 32
+    # (cuts both runtime and codegen compile time).
+    perm_arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_perm_params(N_PERM)
+        ]
+    )
+    init = F.array_repeat(F.lit(MERSENNE_PRIME).cast("long"), N_PERM)
+    sig_fold = F.aggregate(
+        "hashes",
+        init,
+        # reduce h to 32 bits first so a*x + b stays inside int64
+        lambda acc, h: F.zip_with(
+            acc,
+            perm_arr,
+            lambda m, p: F.least(
+                m, (p["a"] * F.pmod(h, F.lit(1 << 32)) + p["b"]) % F.lit(MERSENNE_PRIME)
+            ),
+        ),
+    )
     # sigs feeds three consumers (band explode + both sides of the verify
     # join) — persist so the shingle+signature pass runs once. Tiny:
     # N_PERM longs per doc (~256 B/doc, ~25 GB per 100M docs across a
     # cluster — the standard materialize-signatures step).
-    sigs = hashed.select("doc_id", F.array(*sig_cols).alias("sig")).persist()
+    sigs = hashed.select("doc_id", sig_fold.alias("sig")).persist()
     n_bands = N_PERM // BAND_SIZE
     bands = sigs.select(
         "doc_id",

@@ -425,6 +425,37 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_user_event_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the manual skew-mitigation pattern
+    (AQE's skew-join split handles joins; salting handles skewed GROUP BY
+    keys): phase 1 aggregates (key, salt) so a hot key's rows spread over
+    N_SALT reducers; phase 2 merges the partials per key. Result is
+    identical to the direct groupBy (the oracle), which is the point —
+    the rewrite only changes the shuffle shape. Partial counts/sums are
+    exact under re-aggregation (and partial doubles re-sum in a
+    deterministic two-level order, so rounding at the end is stable)."""
+    N_SALT = 16
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(N_SALT)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        # exact decimal partials: double re-summation order across the two
+        # phases would differ from the oracle's single-phase sum
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pc").alias("n_events"),
+        F.round(F.sum("pv"), 4).cast("double").alias("total_value"),
+    )
+
+
+@query(
     "setop_multiset_lineflags",
     oracle="""
     SELECT l_orderkey FROM (

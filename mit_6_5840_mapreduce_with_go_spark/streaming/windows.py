@@ -87,6 +87,43 @@ def sliding_user_activity(
     )
 
 
+def stream_stream_error_purchase_join(
+    spark: SparkSession, sf_dir: str, tolerance: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each error event pairs with the same
+    user's purchases within +/-tolerance. Both sides carry watermarks so
+    the join state is bounded (rows age out once the other side's
+    watermark passes their ts + tolerance) — the canonical enrichment
+    join that an unbounded-state batch join cannot provide in streaming.
+    Correctness: tests compare against the identical batch join."""
+    errors = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {tolerance}")),
+    ).select("error_id", "purchase_id")
+
+
 def stream_to_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Exactly-once file sink: the parquet sink's commit log plus the
     checkpointed source offsets give end-to-end exactly-once for file

@@ -40,11 +40,11 @@ def test_kv_json_roundtrip(spark, tmp_path):
     path = str(tmp_path / "out_json")
     write_kv_json(_kv_df(spark), path)
     # field-name parity with the Go struct encoding (worker.go:121-132)
-    a_file = next(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".json")
-    )
-    first = open(a_file).readline()
-    assert '"Key":' in first and '"Value":' in first
+    lines = []
+    for f in os.listdir(path):
+        if f.endswith(".json"):
+            lines.extend(open(os.path.join(path, f)).read().splitlines())
+    assert lines and all('"Key":' in l and '"Value":' in l for l in lines)
     back = {r["key"]: r["value"] for r in read_kv_json(spark, path).collect()}
     assert back == {"apple": "3", "banana": "1 2 3", "c": ""}
 

@@ -106,6 +106,46 @@ def test_sliding_window_smoke(spark, sf_dir):
         assert r["approx_users"] >= 1 and r["n_events"] >= 1
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream time-bounded join produces exactly the batch join's
+    pairs (single availableNow pass: no row can be dropped by watermarks,
+    so equality is exact)."""
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        stream_stream_error_purchase_join,
+    )
+
+    q = run_to_memory(
+        stream_stream_error_purchase_join(spark, sf_dir), "t_ssj", "append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["error_id"], r["purchase_id"]) for r in spark.table("t_ssj").collect()}
+    finally:
+        q.stop()
+    ev = load_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id").alias("eu"),
+        F.col("ts").alias("ets"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r["error_id"], r["purchase_id"])
+        for r in e.join(
+            p,
+            (F.col("eu") == F.col("pu"))
+            & (F.col("pts") >= F.col("ets") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("pts") <= F.col("ets") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path):
     """Checkpointed file sink: restart with the same checkpoint must not
     re-emit already-committed batches (reference crash-test analog: final
