@@ -1,0 +1,103 @@
+"""End-to-end training-data curation pipeline: the north-star operators
+composed the way a real 100 TB corpus pass runs —
+
+    quality filter → language gate → exact dedup (keep canonical)
+    → token accounting → (optionally) MinHash near-dup pruning
+
+Everything up to MinHash is one deterministic relational pipeline, so the
+whole composition is oracle-checked end-to-end; the near-dup stage reuses
+dedup_minhash_lsh / dedup_clusters (rows-only, engine-hash based).
+
+Scale notes: the pipeline is ONE Catalyst plan — quality/lang filters are
+per-row predicates that reach the parquet scan; the dedup groupBy on the
+16-byte content hash is the only shuffle; token stats ride along in the
+same projection. A 100 TB run writes the survivors as partitioned parquet
+(sources/sinks.py) and feeds the MinHash stage from that materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+MIN_TOKENS = 40
+STOP_RATIO_MAX = 0.30
+
+
+@query(
+    "pipeline_curated_documents",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the','a','and','of','to','in'))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio,
+             md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= {MIN_TOKENS} AND stop_ratio <= {STOP_RATIO_MAX}
+        AND lang IN ('en', 'es', 'de', 'fr')),
+    canonical AS (
+      SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM kept GROUP BY fp)
+    SELECT k.doc_id, k.lang, k.n_tokens, round(k.stop_ratio, 4) AS stop_ratio,
+           c.n_copies, k.fp AS fp_md5
+    FROM canonical c JOIN kept k ON k.doc_id = c.doc_id
+    """,
+)
+def pipeline_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic curation core, end-to-end oracle-checked:
+    quality gate (length + stopword ratio) → language allowlist → exact
+    near-dup collapse on the normalized fingerprint (keep lowest doc_id,
+    count copies) → per-survivor token accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to", "in"))
+    ) / F.size(toks)
+    fp = F.md5(F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))))
+    kept = (
+        docs.withColumn("n_tokens", F.size(toks))
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("fp_md5", fp)
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("stop_ratio") <= STOP_RATIO_MAX)
+            & F.col("lang").isin("en", "es", "de", "fr")
+        )
+    )
+    canonical = kept.groupBy("fp_md5").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return kept.join(canonical, ["fp_md5", "doc_id"]).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        "n_copies",
+        "fp_md5",
+    )
+
+
+def curate_and_write(
+    spark: SparkSession, sf_dir: str, out_dir: str, near_dup: bool = True
+) -> DataFrame:
+    """Full pipeline including the MinHash near-dup stage: curated
+    survivors minus any doc that clusters with a lower-id near-duplicate,
+    written as lang-partitioned parquet. Returns the survivors frame."""
+    survivors = pipeline_curated_documents(spark, sf_dir)
+    if near_dup:
+        from .clusters import connected_components
+        from .dedup import dedup_minhash_lsh
+
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        labels = connected_components(pairs)
+        losers = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+        survivors = survivors.join(losers, "doc_id", "left_anti")
+    survivors.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
+    return survivors

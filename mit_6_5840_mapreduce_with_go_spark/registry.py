@@ -43,6 +43,7 @@ def load_all() -> None:
         dedup,
         kv,
         multimodal,
+        pipelines,
         relational,
         relational2,
         sessions,

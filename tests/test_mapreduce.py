@@ -12,6 +12,7 @@ from mit_6_5840_mapreduce_with_go_spark.mapreduce import (
     run_mapreduce,
     run_mapreduce_sequential,
 )
+from mit_6_5840_mapreduce_with_go_spark.mapreduce.engine import run_mapreduce_to_dir
 from mit_6_5840_mapreduce_with_go_spark.mapreduce.apps import (
     documents_as_files,
     early_exit_map,
@@ -113,6 +114,19 @@ def test_fnv32a_golden():
         h ^= b
         h = (h * 16777619) & 0xFFFFFFFF
     assert fnv32a("a") == h & 0x7FFFFFFF
+
+
+def test_to_dir_output_matches_collect(spark, tmp_path):
+    """Distributed text-file output == in-memory lines (sorted-set
+    compare, the test-mr.sh contract); files land under nReduce parts."""
+    out = str(tmp_path / "mr-out")
+    run_mapreduce_to_dir(spark, wc_map, wc_reduce, FILES, out)
+    from_files = sorted(
+        line
+        for p in __import__("pathlib").Path(out).glob("part-*")
+        for line in p.read_text().splitlines()
+    )
+    assert from_files == run_mapreduce(spark, wc_map, wc_reduce, FILES)
 
 
 def test_randomized_corpus_differential(spark):

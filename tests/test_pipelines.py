@@ -1,0 +1,38 @@
+"""End-to-end curation pipeline: oracle-checked core + full write-out
+with near-dup pruning."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators.pipelines import (
+    curate_and_write,
+    pipeline_curated_documents,
+)
+from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+
+def test_pipeline_invariants(spark, sf_dir):
+    out = pipeline_curated_documents(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) <= docs
+    for r in rows[:50]:
+        assert r["n_tokens"] >= 40 and r["stop_ratio"] <= 0.3
+    # canonical docs are unique per fingerprint
+    assert out.select("fp_md5").distinct().count() == len(rows)
+
+
+def test_curate_and_write_partitioned(spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "curated")
+    survivors = curate_and_write(spark, sf_dir, out_dir, near_dup=True)
+    n = survivors.count()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == n
+    # lang partitioning materialized (hive dirs) and near-dup pruning only
+    # ever removes docs, never adds
+    langs = {r["lang"] for r in back.select("lang").distinct().collect()}
+    assert langs <= {"en", "es", "de", "fr"} and len(langs) >= 1
+    base = pipeline_curated_documents(spark, sf_dir).count()
+    assert n <= base
