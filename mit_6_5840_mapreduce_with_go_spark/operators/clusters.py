@@ -103,7 +103,7 @@ def mm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     127/max|x|, checksum of quantized values as the oracle-comparable
     digest (arrays themselves don't hash portably). floor() not round()
     — round's half-up boundary is engine-ambiguous. All JVM-side."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     v = F.transform("embedding", lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.lit(127.0) / F.greatest(amax, F.lit(1e-12))

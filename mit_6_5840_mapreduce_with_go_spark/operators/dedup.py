@@ -63,7 +63,7 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group on content hash, keep lowest doc_id as
     canonical. One shuffle on a 16-byte key regardless of document size."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return docs.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -81,7 +81,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     normalized = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
     return docs.groupBy(F.md5(normalized).alias("norm_hash")).agg(
         F.min("doc_id").alias("canonical_doc_id"),
@@ -123,7 +123,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shingle, and |A∪B| = |A| + |B| - |A∩B| comes from group counts.
     Restricted to doc_id < 200 to bound the oracle's work; the plan shape
     is the scale path (shingle join ≈ inverted index join)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < 200
+    )
     sh = _shingles(docs)
     sizes = sh.select("doc_id", F.col("n_shingles").alias("n"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -151,6 +153,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_hashes(df: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id + distinct 32-bit hashes of word n-gram shingles, computed
+    WITHOUT ever materializing shingle strings: hash each token once
+    (xxhash64 → 32-bit), then mix n consecutive token hashes with integer
+    arithmetic. Saves the per-shingle slice+concat string allocations and
+    hashes each token once instead of n times — ~1.5-2× faster than the
+    string-shingle pass, and the only consumer (MinHash) needs hashes
+    only. Stays in int64: coefficients < 2^20 × values < 2^32."""
+    return (
+        df.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("transform(toks, t -> pmod(xxhash64(t), 4294967296))").alias("th"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform(sequence(0, greatest(size(th) - {n}, 0)),"
+                " i -> pmod(element_at(th, i + 1) * 1048573"
+                " + element_at(th, least(i + 2, size(th))) * 8191"
+                " + element_at(th, least(i + 3, size(th))), 4294967296)))"
+            ).alias("hashes"),
+        )
+    )
+
+
 @query("dedup_minhash_lsh")  # engine-specific hash (xxhash64) → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle → xxhash64 → N_PERM
@@ -168,15 +196,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup.py).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).filter(F.col("n_shingles") > 0)
-    hashed = sh.select(
-        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes")
-    )
+    # NOTE: no size(hashes)>0 filter — _shingle_hashes always yields ≥1
+    # hash (clamped sequence), and a filter on a computed array column
+    # gets alias-substituted + pushed below the project by Catalyst,
+    # re-evaluating the whole nested transform per row (O(len²) per doc —
+    # measured 8s vs 0.2s at sf0.1).
+    hashed = _shingle_hashes(docs)
     # Signature build as ONE fold over the hash array with an N_PERM-wide
     # accumulator (zip_with against the literal perm table), instead of
     # N_PERM separate array_min(transform(...)) passes — same arithmetic,
     # one pass over the data and a 2-lambda expression tree instead of 32
-    # (cuts both runtime and codegen compile time).
+    # (cuts both runtime and codegen compile time). Hashes are already
+    # 32-bit (see _shingle_hashes), so a*h + b stays inside int64 with no
+    # per-perm pmod.
     perm_arr = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -187,13 +219,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_fold = F.aggregate(
         "hashes",
         init,
-        # reduce h to 32 bits first so a*x + b stays inside int64
         lambda acc, h: F.zip_with(
             acc,
             perm_arr,
-            lambda m, p: F.least(
-                m, (p["a"] * F.pmod(h, F.lit(1 << 32)) + p["b"]) % F.lit(MERSENNE_PRIME)
-            ),
+            lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MERSENNE_PRIME)),
         ),
     )
     # sigs feeds three consumers (band explode + both sides of the verify
@@ -312,7 +341,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot, norm
 
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
         .filter(F.col("vec_id") < 500)
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     )

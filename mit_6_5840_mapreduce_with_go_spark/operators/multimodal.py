@@ -65,7 +65,7 @@ def decode_image_real(payload: bytes):  # pragma: no cover - by design
 def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata extraction over the binary payload — native expressions
     only (octet_length/md5 run on the JVM against the bytes)."""
-    mm = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    mm = with_binary_payload(load_table(spark, sf_dir, "documents", fan_out=True))
     return mm.select(
         "doc_id",
         F.col("meta.n_bytes").alias("n_bytes"),
@@ -90,7 +90,7 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits a typed frame-metadata row. The oracle checks the stub's
     arithmetic end-to-end through the Python boundary, proving batch
     shape + schema + decode plumbing."""
-    mm = with_binary_payload(load_table(spark, sf_dir, "documents")).select(
+    mm = with_binary_payload(load_table(spark, sf_dir, "documents", fan_out=True)).select(
         "doc_id", "payload"
     )
 

@@ -55,7 +55,7 @@ def pipeline_curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate (length + stopword ratio) → language allowlist → exact
     near-dup collapse on the normalized fingerprint (keep lowest doc_id,
     count copies) → per-survivor token accounting."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     toks = F.split("text", " ")
     stop_ratio = F.size(
         F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to", "in"))

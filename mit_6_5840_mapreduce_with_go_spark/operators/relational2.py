@@ -181,23 +181,70 @@ def groupingsets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stats_price_moments",
     oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sx,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)
+                 * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx,
+             sum(o_custkey) AS sy,
+             sum(o_custkey * o_custkey) AS syy,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT) * o_custkey) AS sxy,
+             min(o_totalprice) AS mn, max(o_totalprice) AS mx
+      FROM orders GROUP BY o_orderpriority)
     SELECT o_orderpriority,
-           round(stddev_samp(o_totalprice), 4) AS price_stddev,
-           round(var_samp(o_totalprice), 4)    AS price_var,
-           round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr,
-           round(min(o_totalprice), 2)         AS price_min,
-           round(max(o_totalprice), 2)         AS price_max
-    FROM orders GROUP BY o_orderpriority
+           round(sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      / (n - 1)) / 100.0, 4) AS price_stddev,
+           round((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                 / (n - 1) / 10000.0, 4) AS price_var,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 4) AS price_cust_corr,
+           round(mn, 2) AS price_min,
+           round(mx, 2) AS price_max
+    FROM s
     """,
 )
 def stats_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance/correlation of order prices per priority.
+
+    Moments are accumulated as EXACT integer-cent sums (decimal — double
+    partial sums change with partition count, so variance in the 4th
+    decimal would depend on the plan), then finished with the same double
+    formula the oracle uses — bit-identical regardless of parallelism."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.round(F.stddev_samp("o_totalprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("o_totalprice"), 4).alias("price_var"),
-        F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("price_cust_corr"),
-        F.round(F.min("o_totalprice"), 2).alias("price_min"),
-        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)")
+    cust = F.col("o_custkey").cast("decimal(20,0)")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+        F.sum(cust).alias("sy"),
+        F.sum(cust * cust).alias("syy"),
+        F.sum(cents * cust).alias("sxy"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_cents = (sxx - sx * sx / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        "o_orderpriority",
+        F.round(F.sqrt(var_cents) / 100.0, 4).alias("price_stddev"),
+        F.round(var_cents / 10000.0, 4).alias("price_var"),
+        F.round(corr, 4).alias("price_cust_corr"),
+        F.round("mn", 2).alias("price_min"),
+        F.round("mx", 2).alias("price_max"),
     )
 
 

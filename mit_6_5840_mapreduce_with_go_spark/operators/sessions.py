@@ -111,23 +111,30 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index join (docs only pair where they share a term — the
     sparse-vector formulation), never a dense cross join. idf = ln(N/df)+1.
 
-    Scale: the term join shuffles on the word; stop-word-like hot terms
-    (huge postings) would be capped or dropped by df-threshold — at this
-    corpus size the full join is exact.
+    Scale: the ≤100-doc query side broadcasts, so the corpus postings
+    NEVER shuffle on the hot `word` key; stop-word-like hot terms (huge
+    postings) would be capped or dropped by df-threshold — at this corpus
+    size the full join is exact.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     terms = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = docs.count()  # scalar dimension of the corpus, driver-side once
+    # corpus size from the RAW scan (metadata-only parquet count — through
+    # the fan-out exchange it would become a full shuffle + count job)
+    n_docs = load_table(spark, sf_dir, "documents").count()
     idf = terms.groupBy("word").agg(
         (F.log(F.lit(float(n_docs)) / F.count(F.lit(1))) + 1.0).alias("idf")
     )
-    weighted = terms.join(idf, "word").select(
-        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("w")
+    # weighted feeds four consumers (norms, both dot sides) — persist so
+    # the explode + tf shuffle + idf join run once, not four times.
+    weighted = (
+        terms.join(idf, "word")
+        .select("doc_id", "word", (F.col("tf") * F.col("idf")).alias("w"))
+        .persist()
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
@@ -136,19 +143,23 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa")
     )
     b = weighted.select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
+    # The query side is ~100 docs' postings — broadcast it so the full
+    # postings table never shuffles on the hot `word` key (this is the
+    # 100 TB-critical choice: the corpus side streams map-side).
     dots = (
-        a.join(b, "word")
+        b.join(F.broadcast(a), "word")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
-    scored = (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("cos_raw", F.col("dp") / (F.col("na") * F.col("nb")))
-    )
+    # na is ≤100 rows → broadcast. For the corpus-wide norm lookup the
+    # SMALL side is the candidate-pair set (top-k per 100 query docs),
+    # not the norms table (one row per corpus doc) — broadcast the pairs.
+    scored = nb.join(
+        F.broadcast(dots.join(F.broadcast(na), "doc_a")), "doc_b"
+    ).withColumn("cos_raw", F.col("dp") / (F.col("na") * F.col("nb")))
     w = W.partitionBy("doc_a").orderBy(F.col("cos_raw").desc(), F.col("doc_b"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -52,7 +52,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector. Queries are
     broadcast; candidates stream through one narrow stage + a per-query
     top-k window (k-row heap per partition under AQE)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     # Precompute each side's norm ONCE (cosine() would refold the query
     # norm for every candidate row — 3 array folds per pair instead of 1).
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -115,7 +115,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe only the query's cell. Recall vs. brute force is measured in
     tests/test_similarity.py. At 100 TB the assignment is written once as
     a bucketed table and probes touch 1/n_cells of the data."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).withColumn(
         "nrm", norm(F.col("embedding"))
     )
     cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
@@ -180,7 +180,7 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter-label cosine (bounded subset). avg is order-sensitive in the
     last float ulps, so round to 4."""
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings", fan_out=True)
         .filter(F.col("vec_id") < 300)
         .select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
     )

@@ -22,7 +22,7 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return load_table(spark, sf_dir, "documents", fan_out=True)
 
 
 @query(

@@ -32,10 +32,35 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Testdata files are written as ONE parquet row group, and a row group is
+# the parquet reader's minimum split unit — so every scan arrives as a
+# single partition and the first stage of every query runs on one core.
+# Operators whose per-row work is CPU-heavy (shingling, hashing, vector
+# math) opt in to `fan_out=True`, which repartitions such a scan up to
+# the session's parallelism. Light scans skip it: the exchange + 32-task
+# scheduling costs more than it buys. At real scale files have many row
+# groups / files and the scan already splits, so fan_out is a no-op.
+_scan_partitions_cache: dict[tuple[str, str], int] = {}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _fan_out_if_single_file(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.applicationId, path)
+    n = _scan_partitions_cache.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _scan_partitions_cache[key] = n
+    if n < par // 2:
+        return df.repartition(par)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Load one testdata table. Schema comes from parquet footer metadata —
-    no inference pass, no full scan."""
+    no inference pass, no full scan. ``fan_out=True`` requests scan
+    parallelism for CPU-heavy downstream work (see note above)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
@@ -52,6 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # ns→us truncation matches this floor division.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if fan_out:
+        df = _fan_out_if_single_file(spark, df, os.path.join(sf_dir, name))
     return df
 
 
