@@ -68,12 +68,57 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels
 
 
-@query("dedup_clusters")  # iterative → rows-only check
+@query(
+    "dedup_clusters",
+    # The pair graph is deterministic both sides (string shingles), so the
+    # iterative Spark label propagation can be checked against a DuckDB
+    # RECURSIVE CTE computing min-reachable-label transitive closure.
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS shingles
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.05
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+    )
+    SELECT cluster_id, count(*) AS n_members, min(doc_id) AS canonical_doc_id
+    FROM (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+    GROUP BY cluster_id
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster summary over n-gram-Jaccard candidate pairs (doc_id < 200,
     jaccard >= 0.05): one row per cluster with its canonical (minimum)
-    doc and member count. Iterative label propagation → rows-only check;
-    planted-duplicate correctness in tests/test_clusters.py."""
+    doc and member count. Iterative label propagation on the Spark side;
+    the oracle reaches the same fixpoint as a transitive closure.
+    Planted-duplicate correctness in tests/test_clusters.py."""
     from .dedup import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")

@@ -361,3 +361,262 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine MinHash: same integer arithmetic in Spark and DuckDB, so the
+# WHOLE LSH pipeline (hashing → signatures → banding → candidate pairs →
+# estimated Jaccard) is oracle-checked — complementing dedup_minhash_lsh,
+# whose xxhash64 is engine-specific (rows-only). Token hash is a char-fold
+# polynomial (h = (h*31 + codepoint) mod 2^32, seed 7); everything after is
+# the standard minhash math with the shared perm table.
+
+X_N_PERM = 8
+X_BAND_ROWS = 2  # 4 bands x 2 rows
+X_MAX_DOC = 500
+_XPERMS = minhash_perm_params(X_N_PERM)
+
+_CHARFOLD_SPARK = (
+    "aggregate(transform(sequence(1, greatest(length(t), 1)),"
+    " i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),"
+    " CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 4294967296)"
+)
+
+_SHINGLE_SPARK = (
+    "array_distinct(transform(sequence(0, greatest(size(th) - 3, 0)),"
+    " i -> (element_at(th, i + 1) * 1048573"
+    " + element_at(th, least(i + 2, size(th))) * 8191"
+    " + element_at(th, least(i + 3, size(th)))) % 4294967296))"
+)
+
+
+def _xengine_oracle() -> str:
+    p = MERSENNE_PRIME
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(hashes, x -> (CAST({a} AS BIGINT) * x + {b}) % {p})) AS s{k}"
+        for k, (a, b) in enumerate(_XPERMS)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {j} AS band, s{2*j} AS v1, s{2*j+1} AS v2 FROM sigs"
+        for j in range(X_N_PERM // X_BAND_ROWS)
+    )
+    agree = " + ".join(f"CAST(sa.s{k} = sb.s{k} AS INT)" for k in range(X_N_PERM))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < {X_MAX_DOC}),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks, t -> list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, greatest(length(t), 1) + 1),
+                                i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 4294967296)) AS th
+      FROM toks),
+    h AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(th) - 2, 1)),
+               i -> (th[i + 1] * 1048573
+                     + th[least(i + 2, len(th))] * 8191
+                     + th[least(i + 3, len(th))]) % 4294967296)) AS hashes
+      FROM th),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM h),
+    bands AS (
+{band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+           AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           round(({agree}) / {X_N_PERM}.0, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    WHERE ({agree}) / {X_N_PERM}.0 >= 0.5
+    """
+
+
+@query("dedup_minhash_xengine", oracle=_xengine_oracle())
+def dedup_minhash_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with a cross-engine-deterministic hash (char-fold
+    polynomial), oracle-checked END TO END — the correctness twin of
+    dedup_minhash_lsh (which keeps xxhash64 for speed and is therefore
+    rows-only). 8 perms, 4 bands x 2 rows, docs < 500.
+
+    The plan shape is the scale path: one narrow signature pass, one
+    band-bucket shuffle for candidates, broadcast-sized signature
+    lookups for verification.
+    """
+    p = MERSENNE_PRIME
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < X_MAX_DOC
+    )
+    sigs = docs.select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), t -> {_CHARFOLD_SPARK})").alias("th"),
+    ).select(
+        "doc_id",
+        F.expr(_SHINGLE_SPARK).alias("hashes"),
+    )
+    for k, (a, b) in enumerate(_XPERMS):
+        sigs = sigs.withColumn(
+            f"s{k}",
+            F.expr(
+                f"array_min(transform(hashes, x ->"
+                f" (CAST({a} AS BIGINT) * x + {b}) % {p}))"
+            ),
+        )
+    sigs = sigs.drop("hashes", "th").persist()
+    n_bands = X_N_PERM // X_BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.col(f"s{2 * j}").alias("v1"),
+                        F.col(f"s{2 * j + 1}").alias("v2"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.v1", "b.v2")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"s{k}").alias(f"sa{k}") for k in range(X_N_PERM)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"s{k}").alias(f"sb{k}") for k in range(X_N_PERM)]
+    )
+    agree = sum(
+        (F.col(f"sa{k}") == F.col(f"sb{k}")).cast("int") for k in range(X_N_PERM)
+    )
+    est = agree / F.lit(float(X_N_PERM))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(est >= 0.5)
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+X_SIM_BITS = 24
+X_SIM_BAND_BITS = 4  # 4 bands of 4 bits -> candidates share >= 1 band
+X_SIM_MAX_HAMMING = 1
+
+
+def _simhash_xengine_oracle() -> str:
+    votes = " + ".join(
+        f"CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h // {1 << j}) % 2 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(X_SIM_BITS)
+    )
+    bands = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, fp, {j} AS band,"
+        f" (fp // {1 << (j * X_SIM_BAND_BITS)}) % {1 << X_SIM_BAND_BITS} AS bucket"
+        f" FROM fps"
+        for j in range(X_SIM_BITS // X_SIM_BAND_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < {X_MAX_DOC}),
+    th AS (
+      SELECT doc_id,
+             list_transform(toks, t -> list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, greatest(length(t), 1) + 1),
+                                i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 4294967296)) AS th
+      FROM toks),
+    fps AS (
+      SELECT doc_id, CAST({votes} AS BIGINT) AS fp FROM th),
+    bands AS (
+{bands}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fp AS fp_a, b.fp AS fp_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(fp_a, fp_b)) <= {X_SIM_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash_xengine", oracle=_simhash_xengine_oracle())
+def dedup_simhash_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (Charikar '02) with the cross-engine char-fold hash,
+    oracle-checked end to end: 24-bit fingerprint from per-bit token
+    votes, 4-bit band bucketing for candidates, Hamming-verified pairs.
+    Correctness twin of dedup_simhash (xxhash64, rows-only).
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < X_MAX_DOC
+    )
+    votes = " + ".join(
+        f"CASE WHEN aggregate(th, 0, (acc, h) ->"
+        f" acc + CASE WHEN (h div {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j in range(X_SIM_BITS)
+    )
+    fps = docs.select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), t -> {_CHARFOLD_SPARK})").alias("th"),
+    ).select("doc_id", F.expr(f"CAST({votes} AS BIGINT)").alias("fp")).persist()
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.expr(
+                            f"(fp div {1 << (j * X_SIM_BAND_BITS)})"
+                            f" % {1 << X_SIM_BAND_BITS}"
+                        ).alias("bucket"),
+                    )
+                    for j in range(X_SIM_BITS // X_SIM_BAND_BITS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "fp", "b.band", "b.bucket")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("fp_a ^ fp_b"))
+    return (
+        pairs.filter(hamming <= X_SIM_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
