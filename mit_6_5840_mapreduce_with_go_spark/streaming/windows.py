@@ -164,3 +164,19 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    ``dedup_exact`` family: keep the FIRST event per (user_id,
+    event_type) key; ``dropDuplicatesWithinWatermark`` evicts a key's
+    dedup state once the watermark passes its event time, so state stays
+    bounded no matter how long the stream runs (a plain
+    ``dropDuplicates`` would grow state forever — the 100 TB/day
+    difference)."""
+    ev = stream_events(spark, sf_dir)
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

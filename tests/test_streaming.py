@@ -202,3 +202,35 @@ def test_kv_cas_stream_equals_batch_replay(spark, sf_dir):
         for r in kv_cas_replay(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_matches_batch_keys(spark, sf_dir):
+    """Streaming dedup (dropDuplicatesWithinWatermark) emits exactly one
+    row per (user_id, event_type) key when all data fits one watermark
+    window — same key set as batch dropDuplicates."""
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        stream_dedup_events,
+    )
+
+    q = run_to_memory(
+        stream_dedup_events(spark, sf_dir, watermark="10 days"),
+        "t_dedup",
+        "append",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["event_type"])
+            for r in spark.table("t_dedup").collect()
+        }
+        n_got = spark.table("t_dedup").count()
+    finally:
+        q.stop()
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
+    assert n_got == len(want)  # exactly one survivor per key
