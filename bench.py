@@ -27,6 +27,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_volume_orders",
     "window_top3_orders_per_customer",
     "window_running_supplier_revenue",
     "agg_distinct_parts_per_supplier",
@@ -49,6 +51,7 @@ HEADLINE = [
     "events_sessionization",
     "sim_tfidf_topk",
     "percentile_prices_by_status",
+    "pipeline_curated_documents",
 ]
 
 

@@ -129,12 +129,12 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = terms.groupBy("word").agg(
         (F.log(F.lit(float(n_docs)) / F.count(F.lit(1))) + 1.0).alias("idf")
     )
-    # weighted feeds four consumers (norms, both dot sides) — persist so
-    # the explode + tf shuffle + idf join run once, not four times.
-    weighted = (
-        terms.join(idf, "word")
-        .select("doc_id", "word", (F.col("tf") * F.col("idf")).alias("w"))
-        .persist()
+    # weighted feeds four consumers (norms, both dot sides); its groupBy
+    # exchange is identical in each, so ReusedExchange computes it once —
+    # measured equal to an explicit persist() without the blocking
+    # materialization job (and without persist's cold-run penalty).
+    weighted = terms.join(idf, "word").select(
+        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
@@ -154,12 +154,16 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
-    # na is ≤100 rows → broadcast. For the corpus-wide norm lookup the
-    # SMALL side is the candidate-pair set (top-k per 100 query docs),
-    # not the norms table (one row per corpus doc) — broadcast the pairs.
-    scored = nb.join(
-        F.broadcast(dots.join(F.broadcast(na), "doc_a")), "doc_b"
-    ).withColumn("cos_raw", F.col("dp") / (F.col("na") * F.col("nb")))
+    # Norms are one float per doc — broadcast both lookup sides (the
+    # candidate-pair set is ~100× LARGER than the norm table here;
+    # broadcasting pairs would collect+rebroadcast half a million rows).
+    # At corpus sizes where norms outgrow the broadcast threshold, this
+    # becomes a shuffle join on doc_b — AQE picks that automatically.
+    scored = (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn("cos_raw", F.col("dp") / (F.col("na") * F.col("nb")))
+    )
     w = W.partitionBy("doc_a").orderBy(F.col("cos_raw").desc(), F.col("doc_b"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

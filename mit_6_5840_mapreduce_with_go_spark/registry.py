@@ -46,6 +46,7 @@ def load_all() -> None:
         pipelines,
         relational,
         relational2,
+        relational3,
         sessions,
         similarity,
         text,

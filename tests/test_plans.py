@@ -73,3 +73,27 @@ def test_scalar_query_single_codegen_stage(spark, sf_dir):
     ]
     assert key_exchanges == [], plan
     assert_codegen(R.scalar_part_features(spark, sf_dir))
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators import relational3 as R3
+
+    df = R3.q6_forecast_revenue(spark, sf_dir)
+    assert_pushed_filter(df)
+    plan = physical_plan(df)
+    assert "Join" not in plan  # pure scan+agg
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators import relational3 as R3
+
+    plan = physical_plan(R3.q4_late_shipment_orders(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    # the grouped fact must sit BELOW the joins (survivors broadcast)
+    from mit_6_5840_mapreduce_with_go_spark.operators import relational3 as R3
+
+    plan = physical_plan(R3.q18_large_volume_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
