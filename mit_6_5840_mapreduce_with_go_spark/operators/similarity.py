@@ -204,3 +204,117 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("cos_raw"), 4).alias("avg_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (Charikar '02 SimHash for vectors): bucket =
+# sign bits of K hyperplane dot products. Planes are deterministic literals
+# (fixed LCG), and both engines fold the dot product left-to-right over the
+# same operands, so bucket assignment is bit-identical and the WHOLE ANN
+# pipeline is oracle-checked — the third ANN strategy next to brute-force
+# (exact) and IVF (centroid cells).
+
+LSH_K = 4  # 16 buckets
+
+
+def _lsh_planes(k: int = LSH_K, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    state = seed
+    planes = []
+    for _ in range(k):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & (
+                (1 << 64) - 1
+            )
+            row.append(round(((state >> 16) % 2000001) / 1000000.0 - 1.0, 3))
+        planes.append(row)
+    return planes
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    """Bucket expr (DuckDB): ordered left-to-right dot-product folds."""
+    terms = []
+    for j, plane in enumerate(_lsh_planes()):
+        lit = "[" + ", ".join(f"{x}" for x in plane) + "]"
+        dot_ = (
+            f"list_reduce(list_transform(range(1, 65),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]),"
+            f" (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {dot_} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_bucket_col() -> F.Column:
+    """Bucket expr (Spark): same ordered fold over the same literals."""
+    total = F.lit(0)
+    for j, plane in enumerate(_lsh_planes()):
+        lit = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with("embedding", lit, lambda v, h: v.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return total
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+          WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {DUCK_COS.format(a="qv", b="cv")} AS cos_raw
+      FROM q JOIN c ON q.bucket = c.bucket AND query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(cos_raw, 4) AS cos_sim
+    FROM (SELECT query_id, neighbor_id, cos_raw,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k: one narrow pass computes
+    each vector's K sign bits against broadcast-literal planes (candidates
+    only materialize inside a bucket — 1/2^K of the corpus in
+    expectation), then exact cosine re-ranks the bucket. Recall vs.
+    brute-force is measured in tests/test_similarity.py. At 100 TB the
+    bucket id becomes the table's partition/bucketing key, making a probe
+    a single-partition read."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).withColumn(
+        "bucket", _lsh_bucket_col()
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("cn"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim")
+        )
+    )

@@ -59,3 +59,17 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         assert 1 <= r["rank"] <= S.TOP_K
     # overlap is data-dependent; just require non-trivial intersection
     assert len(bf & ivf) >= 1
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Hyperplane-LSH with a single probe: results must be genuinely
+    ranked bucket-mates; non-trivial overlap with exact top-k (random
+    vectors are the worst case for LSH — the contract is plumbing)."""
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in S.sim_topk_bruteforce(spark, sf_dir).collect()}
+    lsh_rows = S.sim_topk_lsh(spark, sf_dir).collect()
+    lsh = {(r["query_id"], r["neighbor_id"]) for r in lsh_rows}
+    assert len(lsh_rows) > 0
+    for r in lsh_rows:
+        assert 1 <= r["rank"] <= S.TOP_K
+    assert len(bf & lsh) >= 1
