@@ -62,3 +62,21 @@ def write_parquet_partitioned(df: DataFrame, path: str, partition_cols: list[str
     """Native sink: hive-partitioned parquet. Readers prune partitions on
     the partition columns for free (verified in tests via explain)."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, sort_col: str, files: int = 8
+) -> None:
+    """Range-partitioned, internally-sorted parquet layout: rows are
+    range-partitioned on ``sort_col`` (global order across files) and
+    sorted within each file, so every file covers a narrow, disjoint key
+    range. Parquet footers then carry tight min/max stats and a reader's
+    ``WHERE sort_col BETWEEN ...`` skips whole files / row groups — the
+    sort-based layout that complements hive partitioning for
+    high-cardinality keys (dates, ids) at 100 TB."""
+    (
+        df.repartitionByRange(files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -82,3 +82,44 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert one.count() == orders.filter(F.col("o_orderstatus") == sorted(statuses)[0]).count()
     assert back.count() == orders.count()
+
+
+def test_range_sorted_layout_prunes(spark, sf_dir, tmp_path):
+    """write_range_sorted produces files with DISJOINT key ranges (the
+    precondition parquet min/max skipping needs), and a range read over
+    the layout returns exactly the filtered rows."""
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from mit_6_5840_mapreduce_with_go_spark.sources.sinks import write_range_sorted
+
+    out = str(tmp_path / "li_sorted")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_range_sorted(li, out, "l_shipdate", files=8)
+
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(pathlib.Path(out).glob("part-*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 4  # actually split into multiple files
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (or touching) file ranges
+
+    got = (
+        spark.read.parquet(out)
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01"))
+        .count()
+    )
+    want = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    ).count()
+    assert got == want > 0
