@@ -133,7 +133,12 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange is identical in each, so ReusedExchange computes it once —
     # measured equal to an explicit persist() without the blocking
     # materialization job (and without persist's cold-run penalty).
-    weighted = terms.join(idf, "word").select(
+    # idf is one row per vocab word — broadcast it so the postings table
+    # keeps its (doc_id, word) partitioning instead of re-shuffling on
+    # word for the join. (A web-scale vocab is still ≲100 MB after
+    # df-capping — broadcastable; beyond that this becomes a shuffle
+    # join automatically.)
+    weighted = terms.join(F.broadcast(idf), "word").select(
         "doc_id", "word", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = weighted.groupBy("doc_id").agg(
