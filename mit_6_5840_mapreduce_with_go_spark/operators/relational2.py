@@ -605,3 +605,36 @@ def array_agg_supplier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "window_dist_rank_breadth",
+    oracle="""
+    SELECT c_mktsegment,
+           c_custkey,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_dist_rank_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window breadth: percent_rank / cume_dist (rank-based,
+    engine-exact rationals) and nth_value over the full partition frame.
+    One shuffle on the segment key; all three share one window spec."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )
