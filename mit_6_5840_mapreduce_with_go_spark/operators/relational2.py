@@ -638,3 +638,83 @@ def window_dist_rank_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cume"),
         F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
     )
+
+
+# Count-Min sketch: d x w counter matrix with universal integer hashing
+# ((a*key + b) mod P mod w — same family as MinHash). Unlike the HLL/
+# t-digest sketch above, every step is deterministic integer math both
+# engines compute identically, so the sketch AND its estimates are fully
+# oracle-checked. Point estimate = min over the d rows (classic CM
+# overestimate bound: err <= eps*N with w = ceil(e/eps)).
+CM_D = 4
+CM_W = 64
+_CM_PARAMS: list[tuple[int, int]] = []
+
+
+def _cm_params() -> list[tuple[int, int]]:
+    if not _CM_PARAMS:
+        from ..functions.hashing import minhash_perm_params
+
+        _CM_PARAMS.extend(minhash_perm_params(CM_D, seed=99))
+    return _CM_PARAMS
+
+
+def _cm_oracle() -> str:
+    p = (1 << 61) - 1
+    bucket = "(({a} * u.user_id + {b}) % {p}) % {w}"
+    counter_rows = "\n      UNION ALL\n".join(
+        f"      SELECT {j} AS row_id, {bucket.format(a=a, b=b, p=p, w=CM_W)} AS bucket,"
+        f" count(*) AS cnt FROM events u GROUP BY 2"
+        for j, (a, b) in enumerate(_cm_params())
+    )
+    est_terms = ", ".join(
+        f"(SELECT cnt FROM counters c WHERE c.row_id = {j}"
+        f" AND c.bucket = {bucket.format(a=a, b=b, p=p, w=CM_W)})"
+        for j, (a, b) in enumerate(_cm_params())
+    )
+    return f"""
+    WITH counters AS (
+{counter_rows}),
+    q AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+    exact AS (SELECT user_id, count(*) AS exact_cnt FROM events
+              WHERE user_id < 20 GROUP BY 1)
+    SELECT u.user_id,
+           least({est_terms}) AS cm_estimate,
+           e.exact_cnt
+    FROM q u JOIN exact e ON e.user_id = u.user_id
+    """
+
+
+@query("sketch_countmin_user_counts", oracle=_cm_oracle())
+def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of per-user event counts, estimates for users
+    < 20 alongside exact counts (the overestimate is visible and
+    deterministic). Build = one groupBy per hash row over the bucketed
+    key — at 100 TB the d x w counter matrix (256 cells here) is the
+    fixed-size mergeable summary that replaces a full per-key count;
+    rows merge by cell-wise addition across partitions/days."""
+    p = (1 << 61) - 1
+    ev = _t(spark, sf_dir, "events")
+    counters = None
+    for j, (a, b) in enumerate(_cm_params()):
+        bucket = ((F.lit(a) * F.col("user_id") + F.lit(b)) % F.lit(p)) % F.lit(CM_W)
+        c = ev.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+        c = c.withColumn("row_id", F.lit(j))
+        counters = c if counters is None else counters.unionByName(c)
+    q = ev.filter(F.col("user_id") < 20).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    est = q
+    for j, (a, b) in enumerate(_cm_params()):
+        bucket = ((F.lit(a) * F.col("user_id") + F.lit(b)) % F.lit(p)) % F.lit(CM_W)
+        cj = counters.filter(F.col("row_id") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("cnt").alias(f"c{j}")
+        )
+        est = est.withColumn(f"b{j}", bucket).join(
+            F.broadcast(cj), f"b{j}"
+        )
+    return est.select(
+        "user_id",
+        F.least(*[F.col(f"c{j}") for j in range(CM_D)]).alias("cm_estimate"),
+        "exact_cnt",
+    )

@@ -80,3 +80,21 @@ def test_rollup_total_row_equals_table_count(spark, sf_dir):
         .collect()
     )
     assert len(total) == 1 and total[0]["n_rows"] == li
+
+
+def test_countmin_overestimates_bounded(spark, sf_dir):
+    """CM guarantee: estimate >= exact always; expected overestimate
+    <= e/w * N (loose check at 3x the expectation)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational2 import (
+        CM_W,
+        sketch_countmin_user_counts,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = sketch_countmin_user_counts(spark, sf_dir).collect()
+    assert len(rows) > 0
+    n_total = load_table(spark, sf_dir, "events").count()
+    bound = 3 * 2.71828 * n_total / CM_W
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_cnt"]
+        assert r["cm_estimate"] - r["exact_cnt"] <= bound
