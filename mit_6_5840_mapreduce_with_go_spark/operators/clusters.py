@@ -162,3 +162,99 @@ def mm_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale, 6).alias("scale"),
         qsum.alias("q_checksum"),
     )
+
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+_PAIR_SQL = """
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS shingles
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.05
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    d, n_it = PR_DAMP, PR_ITERS
+    cte = [
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(1, n_it + 1):
+        cte.append(
+            f"pr{k} AS (SELECT e.dst AS node,"
+            f" (1 - {d}) / (SELECT n FROM nn)"
+            f" + {d} * sum(p.rank / g.outdeg) AS rank"
+            f" FROM edges e JOIN pr{k-1} p ON p.node = e.src"
+            f" JOIN deg g ON g.src = e.src GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + _PAIR_SQL.lstrip() + ",\n    " + ",\n    ".join(cte) + f"""
+    SELECT node AS doc_id, round(rank, 6) AS pagerank
+    FROM pr{n_it}
+    """
+    )
+
+
+@query("graph_pagerank_dup_clusters", oracle=_pagerank_oracle())
+def graph_pagerank_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (5 rounds, d=0.85) over the near-dup
+    pair graph — ranks each document's centrality inside its duplicate
+    cluster (the canonical-pick signal a curation pipeline uses beyond
+    plain min-id). Deterministic both sides: the oracle unrolls the same
+    5 iterations as chained CTEs; PageRank's contraction keeps float
+    divergence below the rounding.
+
+    Scale: each iteration is one join + one aggregate, both keyed on the
+    node id — the same partitioning reused round over round; lineage is
+    truncated per round via localCheckpoint in the CC twin above."""
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    pr = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, pr.node == edges.src)
+            .join(deg, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        pr = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(1 - PR_DAMP) / n + F.lit(PR_DAMP) * F.sum("c")).alias("rank")
+        )
+    return pr.select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank"))

@@ -209,3 +209,54 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+           count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           round(min(o_orderkey), 4) AS min_val,
+           round(max(o_orderkey), 4) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+           round(min(o_custkey), 4), round(max(o_custkey), 4) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4) FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiler (the stats a CBO / data-quality
+    gate needs): per-column row/non-null/distinct counts + min/max, all
+    numeric columns in ONE scan — the per-column aggregates compute
+    side-by-side in a single partial/final agg pass, not one scan per
+    column (the difference between 1 and N reads of a 100 TB table)."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in ["o_orderkey", "o_custkey", "o_totalprice"]:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__mn"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__mx"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_val"),
+                F.col(f"{c}__mx").alias("max_val"),
+            )
+            for c in ["o_orderkey", "o_custkey", "o_totalprice"]
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
