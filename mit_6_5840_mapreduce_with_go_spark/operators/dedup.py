@@ -620,3 +620,61 @@ def dedup_simhash_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(hamming <= X_SIM_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+
+
+@query(
+    "dedup_pairs_edit_distance",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS shingles
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.05
+    )
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(substr(da.text, 1, 60), substr(db.text, 1, 60))
+             AS head_edit_dist
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """,
+)
+def dedup_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: Levenshtein
+    over the first 60 chars of each paired doc — the cheap second-stage
+    check a curation pipeline runs AFTER candidate generation (never
+    pairwise over the corpus: O(n²·len²) is only affordable on the
+    candidate set). JVM levenshtein, identical in DuckDB."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("head")
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("ha"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("hb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ha", "hb").alias("head_edit_dist"),
+        )
+    )

@@ -16,7 +16,7 @@ dim join so only qualifying orders shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -260,3 +260,38 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'), '9999-12-31')
+             AS valid_to,
+           round(value, 4) AS value,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction: turn a change log into
+    (valid_from, valid_to, is_current] dimension history rows with one
+    lead() window — each user's change stream closes the previous
+    interval. One shuffle on the dimension key; at 100 TB this is the
+    standard daily dimension-snapshot builder (merge-appended via
+    sources/merge.py partition-scoped upsert)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        F.round("value", 4).alias("value"),
+        nxt.isNull().alias("is_current"),
+    )
