@@ -49,9 +49,10 @@ HEADLINE = [
     "asof_join_last_order_before_event",
     "range_join_error_context",
     "events_sessionization",
-    "sim_tfidf_topk",
     "percentile_prices_by_status",
     "pipeline_curated_documents",
+    # last: its pair-aggregation GC aftermath would otherwise tax the next query
+    "sim_tfidf_topk",
 ]
 
 

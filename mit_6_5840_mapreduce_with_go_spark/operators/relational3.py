@@ -295,3 +295,40 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("value"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "udtf_doc_sentences",
+    oracle="""
+    SELECT doc_id, CAST(idx AS INT) AS sent_idx, parts[idx] AS sentence
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts
+          FROM documents WHERE doc_id < 30),
+         unnest(generate_series(1, len(parts))) AS t(idx)
+    WHERE parts[idx] <> ''
+    """,
+)
+def udtf_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (PySpark 4 table function API) splitting documents
+    into indexed sentences via a LATERAL join — the modernized
+    "pluggable Map" surface (reference: map emits multiple records per
+    input — src/mrapps/wc.go:22-34). CAVEAT: a Python UDTF is the slow
+    path (per-partition Python workers); the native equivalent is
+    posexplode(split(...)) — posexplode_doc_tokens. This entry exists to
+    prove the extension surface, not as the recommended plan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            for i, s in enumerate(text.split(". ")):
+                if s != "":
+                    yield doc_id, i + 1, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 30
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.sentence "
+        "FROM udtf_docs d, LATERAL split_sentences(d.doc_id, d.text) s"
+    )
