@@ -1,0 +1,776 @@
+"""Remaining classic TPC-H-shaped queries (adapted to the driver testdata
+schema, which has no partsupp table and no l_commitdate / l_receiptdate /
+l_shipmode / c_phone columns): q2, q7, q8, q9, q10, q11, q12, q13, q15,
+q16, q17, q20, q21, q22 shapes.  Together with relational3.py (q1/q3/q4/
+q5/q6/q14/q18/q19 elsewhere) this completes the 22-query relational
+benchmark surface.
+
+Reference parity note: the reference engine has no SQL surface (SURVEY.md
+§0; its queries are map/reduce programs — src/mrapps/*.go); these queries
+cover the multi-join / correlated-subquery / decorrelation breadth a
+Spark user expects from SURVEY.md §2.D, each with a DuckDB oracle.
+
+Cross-engine determinism: every revenue/price aggregate that feeds an
+output value, an ORDER BY cutoff, or a threshold comparison accumulates
+in exact DECIMAL(18,6) (double sums are association-order-sensitive and
+engines disagree in the last ulp); ratios divide AFTER casting the exact
+sums to double, so both engines run the identical double division.
+Quantity sums are integral doubles (exact in any order) and stay double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_rev() -> Column:
+    """l_extendedprice * (1 - l_discount) accumulated exactly."""
+    return F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+
+
+_DEC_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,6))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,6)))"
+)
+
+
+# --------------------------------------------------------------------------
+# q2 shape: min-cost supplier per part (correlated MIN subquery).  The
+# testdata has no partsupp, so (part, supplier) unit cost is derived from
+# lineitem: min(l_extendedprice / l_quantity) observed per pair.
+# --------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, min(unit_cost) AS best_cost
+             FROM cost GROUP BY l_partkey)
+    SELECT p_partkey, p_name, s_name, round(unit_cost, 4) AS unit_cost
+    FROM part
+    JOIN cost ON p_partkey = cost.l_partkey
+    JOIN best ON best.l_partkey = cost.l_partkey
+    JOIN supplier ON s_suppkey = cost.l_suppkey
+    WHERE p_size <= 5 AND unit_cost = best_cost
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: the correlated `= (SELECT min(...))` decorrelates
+    into a per-part MIN aggregate joined back to the detail rows.  Scale:
+    the cost table groups on (partkey, suppkey) — one shuffle; the
+    per-part best-cost re-aggregation is a map-side-combinable second
+    pass over the already-partitioned output, and region/nation dims
+    broadcast.  min(double) picks an existing value, so the equality
+    join is exact cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    eu_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    cost = (
+        li.join(F.broadcast(eu_sup), li.l_suppkey == eu_sup.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        cost.join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q7 shape: bilateral trade volume between two nations by ship year.
+# --------------------------------------------------------------------------
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(volume_d), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             {_DEC_REV_SQL} AS volume_d
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: two copies of the nation dim joined to opposite
+    sides of the fact, with a disjunctive cross-side pair predicate.
+    Scale: both nation copies broadcast (25 rows each); the only real
+    shuffle is lineitem-orders on orderkey.  The nation-name filters are
+    applied to the dim BEFORE the broadcast, so the fact rows that reach
+    the pair filter already belong to the two nations of interest."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cus, orders.o_custkey == cus.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q8 shape: national market share within a region's market for one part
+# type, by order year.
+# --------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume_d END)
+                      AS DOUBLE)
+                 / CAST(sum(volume_d) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             {_DEC_REV_SQL} AS volume_d,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: a 7-table star with the share computed as a
+    conditional-sum / total-sum ratio per year.  Scale: part, supplier,
+    and both nation branches broadcast after their filters; the consumer
+    region restriction prunes customers before the orders join.  The
+    NULL-preserving conditional sum (no ELSE 0) keeps the numerator
+    decimal-exact; both sums cast to double before the one division."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    vol = _dec_rev().alias("volume_d")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey, "left_semi")
+        .select(F.year("o_orderdate").alias("o_year"), vol, "nation")
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume_d")))
+            .cast("double")
+            / F.sum("volume_d").cast("double"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# q9 shape: product-type profit by supplier nation and order year.  No
+# partsupp/ps_supplycost in the testdata: cost is modeled as
+# 0.6 * p_retailprice per unit.
+# --------------------------------------------------------------------------
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(round(sum(amount_d), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - p_retailprice * l_quantity * CAST(0.6 AS DOUBLE)
+                  AS DECIMAL(18,6)) AS amount_d
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: profit = revenue - cost over a 5-table join,
+    grouped by (supplier nation, order year).  Scale: part (LIKE-filtered)
+    and supplier+nation broadcast; the one big shuffle is
+    lineitem-orders on orderkey.  The per-row profit is computed in
+    double (identical bits cross-engine), then cast to DECIMAL so the
+    group sums are order-insensitive."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.6)
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount.alias("amount_d"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount_d"), 2).cast("double").alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 shape: top-20 customers by revenue lost to returns in a quarter.
+# --------------------------------------------------------------------------
+@query(
+    "q10_returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, CAST(round(rev_d, 2) AS DOUBLE) AS revenue,
+           round(c_acctbal, 2) AS acctbal, n_name
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             sum({_DEC_REV_SQL}) AS rev_d
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY rev_d DESC, c_custkey
+      LIMIT 20)
+    """,
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: fact-side filters (quarter, returnflag) prune
+    before the grouped join, then a top-k on the aggregate.  Scale: the
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    k-row driver merge — no global sort); the DECIMAL revenue makes the
+    rank-20 cutoff deterministic cross-engine, with custkey as the
+    tie-break."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_dec_rev()).alias("rev_d"))
+        .orderBy(F.col("rev_d").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("rev_d", 2).cast("double").alias("revenue"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 shape: parts whose supply value (from a nation group) exceeds a
+# fraction of the total (scalar-subquery HAVING).  lineitem stands in for
+# partsupp: value = sum(extendedprice * quantity).
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS value_d
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, CAST(round(value_d, 2) AS DOUBLE) AS value
+    FROM supply
+    WHERE CAST(value_d AS DOUBLE)
+          > CAST(0.0012 AS DOUBLE) * (SELECT CAST(sum(value_d) AS DOUBLE)
+                                      FROM supply)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: grouped value per part, kept only when above a
+    fraction of the grand total — the scalar subquery becomes a 1-row
+    broadcast joined to every group (never a driver collect).  Scale:
+    one shuffle to group by partkey; the grand total re-aggregates the
+    grouped output (tiny), and Spark reuses the shuffled subtree for
+    both consumers (ReusedExchange) rather than rescanning the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    supply = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,6)")
+            ).alias("value_d")
+        )
+    )
+    total = supply.agg(F.sum("value_d").cast("double").alias("grand_total"))
+    return (
+        supply.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_d").cast("double") > F.lit(0.0012) * F.col("grand_total")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("value_d", 2).cast("double").alias("value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 shape: lateness classification over the orders-lineitem join (the
+# testdata has no l_shipmode/l_commitdate; late = shipped >90 days after
+# the order date, grouped by order priority).
+# --------------------------------------------------------------------------
+@query(
+    "q12_priority_lateness",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS late_lines,
+           count(*) AS total_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape: join + CASE-based conditional counting by
+    category.  Scale: the year filter reaches the lineitem scan; the
+    join shuffles on orderkey (bucket-able); counts are exact integers
+    so no decimal handling is needed."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+                ).otherwise(0)
+            ).alias("late_lines"),
+            F.count(F.lit(1)).alias("total_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 shape: distribution of customers by order count (left outer join +
+# double aggregation).
+# --------------------------------------------------------------------------
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: LEFT OUTER join with a filter INSIDE the join
+    condition (customers with zero qualifying orders must still appear
+    with c_count = 0), then a histogram of the per-customer counts.
+    Scale: first groupBy shuffles on custkey — same key as the join, so
+    AQE coalesces them; the second aggregation input is one row per
+    customer and the histogram domain is tiny (map-side combine)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 shape: the supplier(s) with maximum quarterly revenue (scalar MAX
+# subquery over a derived revenue view).
+# --------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_DEC_REV_SQL}) AS rev_d
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(round(rev_d, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_d = (SELECT max(rev_d) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: a derived per-supplier revenue view consumed
+    twice — once for its MAX (1-row broadcast) and once for the equality
+    filter.  Scale: one shuffle to group by suppkey; ReusedExchange
+    serves both consumers; DECIMAL revenue makes the max-equality exact
+    (double sums would tie-break on ulps)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_dec_rev()).alias("rev_d"))
+    mx = rev.agg(F.max("rev_d").alias("max_rev"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_d") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("rev_d", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 shape: supplier diversity per part attribute group, excluding
+# flagged suppliers via NOT IN (anti join).  lineitem stands in for
+# partsupp as the part-supplier relation.
+# --------------------------------------------------------------------------
+@query(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: COUNT(DISTINCT supplier) per part-attribute
+    group with a NOT IN exclusion subquery.  Scale: the exclusion list
+    (suppliers with negative balance) is tiny — a broadcast anti join,
+    never a shuffle; part is brand/type/size-filtered then broadcast;
+    the distinct-count shuffles once on the group keys (Spark expands
+    distinct aggregates into a two-phase partial)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (~F.col("p_brand").isin("Brand#1", "Brand#2"))
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 shape: revenue from unusually-small-quantity lines of one brand
+# (correlated AVG subquery per part).
+# --------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: the correlated per-part AVG decorrelates into a
+    groupBy(partkey) aggregate joined back to the detail rows.  Scale:
+    the brand filter prunes part to ~4% before broadcast, so the
+    per-part average is computed only over that brand's lineitems (the
+    partkey equality makes the wider scope equivalent); quantities are
+    integral doubles, so the averages are exact in any order and the
+    `<` threshold is deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    p4 = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select(
+        "p_partkey"
+    )
+    li4 = li.join(F.broadcast(p4), li.l_partkey == p4.p_partkey, "left_semi")
+    avg_qty = li4.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li4.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 shape: suppliers holding a dominant share of a named part group
+# (nested grouped subqueries + semi join).
+# --------------------------------------------------------------------------
+@query(
+    "q20_dominant_part_suppliers",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM pq GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM pq
+    JOIN tot ON tot.l_partkey = pq.l_partkey
+    JOIN supplier ON s_suppkey = pq.l_suppkey
+    WHERE qty > CAST(0.1 AS DOUBLE) * total_qty
+    """,
+)
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: a supplier qualifies when its shipped quantity
+    of a 'red%' part exceeds 30% of that part's total — per-(part,
+    supplier) sums, per-part totals re-aggregated from them, a share
+    filter, then DISTINCT suppliers.  Scale: one shuffle on (partkey,
+    suppkey); the per-part total is a map-side-combinable second pass;
+    quantity sums are exact integers so the share threshold is
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    pq = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = pq.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        pq.join(tot, "l_partkey")
+        .filter(F.col("qty") > F.lit(0.1) * F.col("total_qty"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# q21 shape: suppliers who were the sole returned-flag supplier on
+# multi-supplier finished orders (EXISTS + NOT EXISTS decorrelation).
+# --------------------------------------------------------------------------
+@query(
+    "q21_sole_blame_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape: correlated EXISTS -> LEFT SEMI join (another
+    supplier shipped on the same order) and NOT EXISTS -> LEFT ANTI join
+    (no other supplier had a returned line), both on the orderkey with a
+    non-equi suppkey disqualifier.  Scale: all three lineitem legs
+    shuffle on orderkey — the co-location key — so with bucketed layout
+    the whole query is shuffle-free; orders broadcasts after the status
+    filter at dim-like selectivity."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    waited = (
+        l1.join(orders, F.col("l1.l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(sup), F.col("l1.l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 shape: wealthy-but-inactive customers by "country code" (the
+# testdata has no c_phone; custkey % 10 stands in for the code).
+# --------------------------------------------------------------------------
+@query(
+    "q22_inactive_wealthy_customers",
+    oracle="""
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM (SELECT c_custkey, c_acctbal, c_custkey % 10 AS cntrycode
+          FROM customer
+          WHERE c_custkey % 10 IN (1, 3, 5, 7) AND c_acctbal > 0) c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_custkey % 10 IN (1, 3, 5, 7) AND c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def q22_inactive_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape: scalar AVG subquery (1-row broadcast) + NOT
+    EXISTS anti join against orders, grouped by a derived code.  Scale:
+    the anti join shuffles customer against the orders custkey
+    projection (or broadcasts the filtered customer side under AQE); the
+    average is computed once over the same filtered scan, reused via
+    exchange reuse rather than a second read."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") % 10).isin(1, 3, 5, 7) & (F.col("c_acctbal") > 0)
+    )
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("avg_bal"))
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

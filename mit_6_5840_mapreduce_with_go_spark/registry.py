@@ -47,6 +47,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         sessions,
         similarity,
         text,
