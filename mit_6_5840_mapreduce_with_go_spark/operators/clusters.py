@@ -258,3 +258,131 @@ def graph_pagerank_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1 - PR_DAMP) / n + F.lit(PR_DAMP) * F.sum("c")).alias("rank")
         )
     return pr.select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# K-means over the embedding table: the semantic-clustering step of a
+# curation pipeline (cluster-then-sample, semantic dedup, topic balance).
+# Fixed seeds + fixed iteration count make it fully deterministic, so the
+# oracle unrolls the identical two Lloyd iterations in SQL.
+# --------------------------------------------------------------------------
+_KM_K = 8
+_KM_DIM = 64
+
+
+def _km_assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmax-cosine assignment: broadcast the k centroids, score every
+    point, pick the best per point as max(struct(sim, -cid, ...)) — a
+    HASH aggregate, not a row_number window.  The window formulation
+    shuffles and sorts all k*N scored rows; the struct-max collapses to
+    one row per point in the map-side partial (crossJoin-with-broadcast
+    preserves the point partitioning), so the exchange carries N rows
+    whatever k is.  Tie-break is identical (max sim, then min cid)."""
+    from ..functions.vector import dot, norm
+
+    c = F.broadcast(cents.withColumn("cn", norm(F.col("cv"))))
+    p = points.withColumn("pn", norm(F.col("embedding")))
+    best = (
+        p.crossJoin(c)
+        .withColumn(
+            "sim", dot(F.col("embedding"), F.col("cv")) / (F.col("pn") * F.col("cn"))
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim").alias("sim"),
+                    (-F.col("cid")).alias("neg_cid"),
+                    F.col("cid").alias("cid"),
+                    F.col("embedding").alias("embedding"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "vec_id", F.col("b.embedding").alias("embedding"), F.col("b.cid").alias("cid"),
+        F.col("b.sim").alias("sim")
+    )
+
+
+def _km_update(asg: DataFrame) -> DataFrame:
+    """Element-wise centroid mean. Per-dim sums accumulate in exact
+    DECIMAL (double sums are association-order-sensitive); the division
+    happens after casting the exact sum to double, so both engines run
+    the identical double op."""
+    per_dim = (
+        asg.select("cid", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("cid", "i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+
+
+@query(
+    "cluster_kmeans_embeddings",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {_KM_K}),
+    s1 AS (SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN c0 c),
+    a1 AS (SELECT vec_id, v, cid FROM s1 WHERE rn = 1),
+    pd AS (SELECT cid, i,
+                  CAST(sum(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+           FROM a1, unnest(generate_series(1, {_KM_DIM})) AS t(i)
+           GROUP BY cid, i),
+    c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM pd GROUP BY cid),
+    s2 AS (SELECT e.vec_id, c.cid,
+                  list_cosine_similarity(e.v, c.cv) AS sim,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           FROM emb e CROSS JOIN c1 c)
+    SELECT cid, count(*) AS n_members, round(avg(sim), 4) AS cohesion
+    FROM s2 WHERE rn = 1
+    GROUP BY cid
+    """,
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k={k}, 2 fixed Lloyd iterations, cosine metric) over the
+    embedding column — the clustering primitive behind semantic dedup and
+    cluster-balanced sampling in training-data curation.  Deterministic
+    end-to-end: centroids seed from the {k} smallest vec_ids, assignment
+    ties break on centroid id, and the centroid means accumulate in
+    DECIMAL, so the SQL oracle replays the identical two iterations.
+
+    Reference parity: the reference's iterative workloads run as repeated
+    MapReduce rounds over the same keys (SURVEY.md §2.A); here each round
+    is one broadcast-scored assignment (k rows broadcast — the points
+    table never shuffles for scoring) plus one posexplode + two-level
+    aggregation for the means.  Scale: per iteration the only wide
+    exchange is groupBy(cid, dim) at k*dim groups — constant-size output
+    regardless of input rows; map-side partial aggregation does the heavy
+    lifting, and the k*dim -> k array reassembly is trivially small.  A
+    1000-executor run iterates without any driver-side collect of points.
+    """.format(k=_KM_K)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding"
+    )
+    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    asg = _km_assign(emb, cent)
+    cent = _km_update(asg)
+    final = _km_assign(emb, cent)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("sim"), 4).alias("cohesion"),
+    )
