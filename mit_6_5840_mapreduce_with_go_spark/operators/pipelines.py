@@ -101,3 +101,58 @@ def curate_and_write(
         survivors = survivors.join(losers, "doc_id", "left_anti")
     survivors.write.mode("overwrite").partitionBy("lang").parquet(out_dir)
     return survivors
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: the last step of a curation
+# pipeline.  Assignment is a pure integer universal hash of the document
+# id — no RNG, no driver state — so it is reproducible across runs,
+# engines, and cluster sizes, and any future re-run routes a given doc to
+# the same split (the property that prevents train/test contamination
+# when the corpus is regenerated incrementally).
+# --------------------------------------------------------------------------
+_SPLIT_A = 2654435761  # Knuth multiplicative constant
+_SPLIT_B = 40503
+_SPLIT_P = 1000003
+
+
+@query(
+    "pipeline_train_val_test_split",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang, n_chars,
+                   (({_SPLIT_A} * doc_id + {_SPLIT_B}) % {_SPLIT_P}) % 100 AS b
+            FROM documents))
+    GROUP BY split
+    """,
+)
+def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split by hash-bucketing doc_id with a fixed universal
+    hash ((a*id + b) mod p mod 100) — integer-exact in any engine.
+    Scale: the split column is a narrow map-side expression (no shuffle,
+    no sampling pass, no driver-held permutation); the per-split summary
+    here is the audit artifact, while a real pipeline would write
+    partitionBy('split') directly from the same expression.  Reference
+    parity: the reference routes records to reduce buckets by hashing the
+    key (src/mr/worker.go:28-34); this is the same idea pointed at corpus
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = ((F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % _SPLIT_P) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -36,3 +36,29 @@ def test_curate_and_write_partitioned(spark, sf_dir, tmp_path):
     assert langs <= {"en", "es", "de", "fr"} and len(langs) >= 1
     base = pipeline_curated_documents(spark, sf_dir).count()
     assert n <= base
+
+def test_split_matches_oracle(spark, sf_dir, duck):
+    from conftest import assert_df_matches_oracle
+
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES, QUERIES
+
+    df = QUERIES["pipeline_train_val_test_split"](spark, sf_dir)
+    assert_df_matches_oracle(df, duck, ORACLES["pipeline_train_val_test_split"])
+
+
+def test_split_is_deterministic_and_complete(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.registry import QUERIES
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = {
+        r["split"]: r["n_docs"]
+        for r in QUERIES["pipeline_train_val_test_split"](spark, sf_dir).collect()
+    }
+    again = {
+        r["split"]: r["n_docs"]
+        for r in QUERIES["pipeline_train_val_test_split"](spark, sf_dir).collect()
+    }
+    assert rows == again  # no RNG anywhere
+    total = load_table(spark, sf_dir, "documents").count()
+    assert sum(rows.values()) == total  # partition of the corpus
+    assert rows["train"] > rows.get("val", 0) >= 0  # 80/10/10-ish shape
