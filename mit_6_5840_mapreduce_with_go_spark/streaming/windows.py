@@ -180,3 +180,35 @@ def stream_dedup_events(
     return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def streaming_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-based sessionization — the streaming twin of the
+    batch ``events_sessionization`` query (same ``session_window``
+    expression, so the session boundaries are IDENTICAL by construction).
+    State = currently-open sessions per user; a session closes — and is
+    emitted exactly once in append mode — when the watermark passes its
+    end + gap, which is what keeps state bounded on an unbounded stream.
+    Scale: one shuffle on the session key (user_id); merging adjacent
+    windows is done by the state store, not a sort."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")).alias(
+                "duration_sec"
+            ),
+            "session_value",
+        )
+    )

@@ -234,3 +234,42 @@ def test_stream_dedup_matches_batch_keys(spark, sf_dir):
     }
     assert got == want
     assert n_got == len(want)  # exactly one survivor per key
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir):
+    """session_window over a stream must produce the exact sessions the
+    batch twin computes — same expression, state-store merge instead of
+    a sort. Complete mode so every closed-or-open session is visible."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.sessions import (
+        events_sessionization,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        streaming_session_counts,
+    )
+
+    q = run_to_memory(
+        streaming_session_counts(stream_events(spark, sf_dir)),
+        "t_sessions",
+        "complete",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"]): (
+                r["n_events"],
+                r["duration_sec"],
+                r["session_value"],
+            )
+            for r in spark.table("t_sessions").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"],
+            r["duration_sec"],
+            r["session_value"],
+        )
+        for r in events_sessionization(spark, sf_dir).collect()
+    }
+    assert got == want
