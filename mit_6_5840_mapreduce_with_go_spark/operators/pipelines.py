@@ -156,3 +156,44 @@ def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@query(
+    "pipeline_stratified_sample_by_lang",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ({_SPLIT_A} * doc_id + {_SPLIT_B}) % {_SPLIT_P}, doc_id
+             ) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def pipeline_stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-set builder: exactly n docs per language, chosen by
+    ranking each stratum on the same universal hash as the split operator
+    — deterministic (re-runs pick the same docs), unbiased within the
+    hash family, and contamination-safe alongside
+    ``pipeline_train_val_test_split`` (different use of the same hash,
+    so membership is still decided per doc, not per sample batch).
+
+    Scale: one shuffle on the stratum key; the per-stratum top-n is a
+    rank-truncated window — with heavy strata this is the windowed
+    equivalent of TakeOrdered per group (state = n rows per stratum in
+    the sort buffer, not the stratum).  No driver-side sampling state,
+    no ``sample()`` RNG (which is seed- AND partitioning-dependent, so
+    not reproducible across cluster sizes — the reason it is avoided
+    here)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = (F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % _SPLIT_P
+    w = W.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+    )

@@ -62,3 +62,22 @@ def test_split_is_deterministic_and_complete(spark, sf_dir):
     total = load_table(spark, sf_dir, "documents").count()
     assert sum(rows.values()) == total  # partition of the corpus
     assert rows["train"] > rows.get("val", 0) >= 0  # 80/10/10-ish shape
+
+
+def test_stratified_sample_balanced_and_deterministic(spark, sf_dir, duck):
+    from conftest import assert_df_matches_oracle
+
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES, QUERIES
+
+    df = QUERIES["pipeline_stratified_sample_by_lang"](spark, sf_dir)
+    assert_df_matches_oracle(df, duck, ORACLES["pipeline_stratified_sample_by_lang"])
+    rows = df.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, ids in per_lang.items():
+        assert len(ids) <= 20, lang  # exact cap per stratum
+    # rerun picks the identical documents (no RNG, no partitioning dependence)
+    again = {(r["lang"], r["doc_id"]) for r in
+             QUERIES["pipeline_stratified_sample_by_lang"](spark, sf_dir).collect()}
+    assert {(r["lang"], r["doc_id"]) for r in rows} == again
