@@ -1,0 +1,150 @@
+"""Hypertable-style timeseries operators over the irregular ``events``
+stream: time-weighted averaging and gap-fill with forward-fill — the two
+primitives a rollup/monitoring pipeline needs that plain groupBy lacks
+(irregular sampling makes a row-average meaningless, and downstream
+charting/joins need a dense grid).
+
+No reference counterpart (the reference has no time type at all —
+SURVEY.md §1.4); north-star additions alongside the incremental rollup.
+
+Cross-engine determinism: interval durations are exact integer
+MICROseconds (`unix_micros` here, `epoch_us` in DuckDB) — second-level
+date_diff truncates fractional seconds differently across engines;
+weighted sums accumulate in DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events WHERE user_id < 50)
+    SELECT user_id, count(*) AS n_intervals,
+           round(CAST(sum(CAST(value * dur_us AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(sum(CAST(dur_us AS DECIMAL(28,6))) AS DOUBLE), 4)
+             AS twa_value
+    FROM d
+    WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each observation is weighted by
+    how long it was current (interval to the next event), the standard
+    irregular-sampling aggregate (a plain avg over-weights bursts).
+
+    Scale: one shuffle on user_id shared by the lead() window and the
+    final groupBy (same key — AQE coalesces); weights are exact integer
+    microseconds so the DECIMAL-accumulated weighted sum is
+    order-insensitive cross-engine."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dur_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    d = ev.select("user_id", "value", dur_us.alias("dur_us")).filter(
+        F.col("dur_us").isNotNull() & (F.col("dur_us") > 0)
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum((F.col("value") * F.col("dur_us")).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.sum(F.col("dur_us").cast("decimal(28,6)")).cast("double"),
+            4,
+        ).alias("twa_value"),
+    )
+
+
+@query(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH hv AS (
+      SELECT user_id, hour, value AS hour_value
+      FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 20)
+      WHERE rn = 1),
+    span AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      FROM hv GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span)
+    SELECT g.user_id,
+           strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           round(last_value(hv.hour_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS UNBOUNDED PRECEDING), 4) AS filled_value,
+           (hv.user_id IS NULL) AS is_gap
+    FROM grid g LEFT JOIN hv ON hv.user_id = g.user_id AND hv.hour = g.hour
+    """,
+)
+def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: densify each user's event stream onto an hourly grid
+    between their first and last active hour, forward-filling the last
+    observed value (LOCF) and flagging synthesized rows.  The dense grid
+    is what downstream windowed joins and charting expect.
+
+    Scale: the grid is generated with `sequence()` per user — no driver
+    loop, no cross join against a calendar table; cardinality is
+    sum(user spans), not users x global span.  The LOCF is one
+    `last(ignorenulls)` window on the same user_id partitioning the
+    grid already has.  At 100 TB the grid explode is map-side (each
+    user's span row expands locally) and the only shuffles are the
+    per-hour dedup and the fill window, both on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hour = F.date_trunc("hour", F.col("ts"))
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "hour").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    hv = (
+        ev.select("user_id", hour.alias("hour"), "value", "ts", "event_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", F.col("value").alias("hour_value"))
+    )
+    span = hv.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    filled = (
+        grid.join(hv, ["user_id", "hour"], "left")
+        .withColumn("is_gap", F.col("hour_value").isNull())
+        .withColumn(
+            "filled_value",
+            F.round(
+                F.last("hour_value", ignorenulls=True).over(
+                    W.partitionBy("user_id")
+                    .orderBy("hour")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+                4,
+            ),
+        )
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "filled_value",
+        "is_gap",
+    )

@@ -51,5 +51,6 @@ def load_all() -> None:
         sessions,
         similarity,
         text,
+        timeseries,
     )
     from .streaming import windows  # noqa: F401
