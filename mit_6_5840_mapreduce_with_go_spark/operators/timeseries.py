@@ -148,3 +148,73 @@ def events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled_value",
         "is_gap",
     )
+
+
+@query(
+    "asof_join_next_purchase_after_error",
+    oracle="""
+    SELECT e.event_id, e.user_id, m.purchase_event_id, m.secs_ahead
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    LEFT JOIN (
+      SELECT event_id, purchase_event_id,
+             CAST(gap_us // 1000000 AS BIGINT) AS secs_ahead
+      FROM (
+        SELECT e.event_id, p.event_id AS purchase_event_id,
+               epoch_us(p.ts) - epoch_us(e.ts) AS gap_us,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY p.ts, p.event_id) AS rn
+        FROM events e JOIN events p
+          ON p.user_id = e.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >  e.ts
+         AND p.ts <= e.ts + INTERVAL 24 HOUR
+        WHERE e.event_type = 'error')
+      WHERE rn = 1) m ON m.event_id = e.event_id
+    """,
+)
+def asof_join_next_purchase_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH tolerance: each error event picks the
+    FIRST purchase of the same user strictly after it but within 24
+    hours, or NULL (left semantics — the tolerance bound is what keeps
+    the candidate set finite on an unbounded right side).  Complements
+    the backward variant (asof_join_last_order_before_event) and differs
+    from range_join_error_context, which keeps ALL rows in the range
+    rather than picking one.
+
+    Scale: equi-key + bounded-range self-join shuffled on user_id; the
+    per-probe argmin is min(struct(ts, id)) — a map-side-combinable hash
+    aggregate, not a row_number window (same rationale as the k-means
+    assignment); the 24 h bound enables partition-range pruning when the
+    stream is time-partitioned.  The gap is exact integer microseconds
+    (see module docstring), output in whole seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    matched = err.join(
+        pur,
+        (pur.p_user == err.user_id)
+        & (pur.p_ts > err.ts)
+        & (pur.p_ts <= err.ts + F.expr("interval 24 hours")),
+    )
+    best = matched.groupBy("event_id").agg(
+        F.min(
+            F.struct(F.col("p_ts").alias("bts"), F.col("p_id").alias("bid"))
+        ).alias("b")
+    )
+    return err.join(best, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.col("b.bid").alias("purchase_event_id"),
+        F.floor(
+            (F.unix_micros(F.col("b.bts")) - F.unix_micros(F.col("ts"))) / 1000000
+        )
+        .cast("bigint")
+        .alias("secs_ahead"),
+    )

@@ -42,3 +42,25 @@ def test_gap_fill_grid_is_dense_and_locf(spark, sf_dir):
         for prev, cur in zip(urows, urows[1:]):
             if cur["is_gap"]:
                 assert cur["filled_value"] == prev["filled_value"]
+
+
+def test_forward_asof_matches_oracle(spark, sf_dir, duck):
+    df = QUERIES["asof_join_next_purchase_after_error"](spark, sf_dir)
+    assert_df_matches_oracle(df, duck, ORACLES["asof_join_next_purchase_after_error"])
+    rows = df.collect()
+    # left semantics: every probe error appears exactly once
+    assert len(rows) == len({r["event_id"] for r in rows})
+    # the tolerance window must be NON-vacuous: some match, some don't
+    matched = [r for r in rows if r["purchase_event_id"] is not None]
+    assert 0 < len(matched) < len(rows)
+    assert all(0 <= r["secs_ahead"] <= 24 * 3600 for r in matched)
+
+
+def test_forward_asof_is_hash_agg_not_window(spark, sf_dir):
+    plan = (
+        QUERIES["asof_join_next_purchase_after_error"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
