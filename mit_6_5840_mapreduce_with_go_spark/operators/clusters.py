@@ -247,6 +247,10 @@ def graph_pagerank_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
+    if n == 0:
+        # no near-dup pairs at this SF — an empty graph is a valid input
+        # (the oracle's recursive CTE also yields zero rows), not a crash
+        return spark.createDataFrame([], "doc_id long, pagerank double")
     pr = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(PR_ITERS):
         contrib = (

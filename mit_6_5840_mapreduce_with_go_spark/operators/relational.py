@@ -257,7 +257,8 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
                           * (1 - CAST(l_discount AS DECIMAL(18,6))))
                  OVER (PARTITION BY l_suppkey
-                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                l_partkey, l_extendedprice, l_discount
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                 AS DOUBLE) AS running_revenue
     FROM lineitem
@@ -267,10 +268,22 @@ def window_running_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     # Running sums of doubles are association-order-sensitive (engines
     # disagree in the last ulp, which flips round()) — accumulate in
     # exact DECIMAL instead, identical in any order.
+    # The ORDER BY must be a TOTAL order on revenue-relevant columns:
+    # sf0.1 contains duplicate (orderkey, linenumber) keys with DIFFERENT
+    # prices, and engines order such ties differently — extending the key
+    # with (partkey, extendedprice, discount) makes any remaining ties
+    # revenue-identical, so their order cannot change the running values.
     li = _t(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_extendedprice",
+            "l_discount",
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     rev = F.col("l_extendedprice").cast("decimal(18,6)") * (

@@ -427,14 +427,16 @@ def scalar_subquery_near_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (vs ROWS): trailing 1-hour count/avg per user —
     the moving-average shape. Spark's rangeBetween needs a numeric order
-    key, so the frame runs over unix seconds; DuckDB's INTERVAL RANGE
-    frame is semantically identical (events have sub-second distinct ts,
-    so peer rows cannot differ between the two formulations)."""
+    key, so the frame runs over unix MICROseconds (matching the
+    microsecond-precision timestamps; unix SECONDS truncates, silently
+    widening the frame by up to 1 s at its trailing edge — caught at
+    sf0.1 where an event sat inside the truncated bound but outside the
+    exact one); DuckDB's INTERVAL RANGE frame is then identical."""
     ev = _t(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -63,7 +63,9 @@ _DEC_REV_SQL = (
       GROUP BY l_partkey, l_suppkey),
     best AS (SELECT l_partkey, min(unit_cost) AS best_cost
              FROM cost GROUP BY l_partkey)
-    SELECT p_partkey, p_name, s_name, round(unit_cost, 4) AS unit_cost
+    SELECT p_partkey, p_name, s_name,
+           CAST(round(CAST(unit_cost AS DECIMAL(18,8)), 4) AS DOUBLE)
+             AS unit_cost
     FROM part
     JOIN cost ON p_partkey = cost.l_partkey
     JOIN best ON best.l_partkey = cost.l_partkey
@@ -78,7 +80,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part best-cost re-aggregation is a map-side-combinable second
     pass over the already-partitioned output, and region/nation dims
     broadcast.  min(double) picks an existing value, so the equality
-    join is exact cross-engine."""
+    join is exact cross-engine.  The OUTPUT rounds through a
+    DECIMAL(18,8) cast: round()-on-raw-double differs between engines
+    when a quotient sits on a half-boundary (price/quantity hits
+    x.xxxx5 often; caught at sf0.1), while double->decimal->round is
+    identical in both."""
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
@@ -103,7 +109,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             "s_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            F.round(F.col("unit_cost").cast("decimal(18,8)"), 4)
+            .cast("double")
+            .alias("unit_cost"),
         )
     )
 
