@@ -251,3 +251,77 @@ def rebalance(shards: list[int | None], groups: list[int]) -> list[int]:
         for i in idxs:
             out[i] = g
     return out
+
+
+class ShardConfig:
+    """Numbered shard-to-group configuration with ``join``/``leave``
+    config changes — the C7 control-plane surface (semantics per
+    src/shardkv1/shardcfg/shardcfg.go:155-221, re-expressed from the
+    spec: Join rejects a re-joining gid and server overlap with existing
+    groups, Leave rejects an absent gid, every accepted change bumps
+    ``num`` by exactly one, and the *_balance variants then call
+    ``rebalance``).  Pure driver-side metadata — the data motion it
+    implies is the Spark repartition exercised by kv_shard_distribution."""
+
+    NSHARDS = 12  # shardcfg.go NShards
+
+    def __init__(self, nshards: int = NSHARDS) -> None:
+        self.num = 0
+        self.groups: dict[int, list[str]] = {}
+        # gid 0 = unassigned (the reference's zero group).
+        self.shards: list[int] = [0] * nshards
+
+    def join(self, servers: dict[int, list[str]]) -> bool:
+        """Add new groups; False on re-join, ValueError on a server
+        appearing in two groups (the reference's Fatalf)."""
+        changed = False
+        for gid, srvs in servers.items():
+            if gid in self.groups:
+                return False
+            for xgid, xsrvs in self.groups.items():
+                overlap = set(xsrvs) & set(srvs)
+                if overlap:
+                    raise ValueError(
+                        f"join({gid}) puts server {sorted(overlap)[0]!r} "
+                        f"in groups {xgid} and {gid}"
+                    )
+            self.groups[gid] = list(srvs)
+            changed = True
+        if not changed:
+            raise ValueError("join with no groups")
+        self.num += 1
+        return True
+
+    def leave(self, gids: list[int]) -> bool:
+        changed = False
+        for gid in gids:
+            if gid not in self.groups:
+                return False
+            del self.groups[gid]
+            changed = True
+        if not changed:
+            raise ValueError("leave with no groups")
+        self.num += 1
+        return True
+
+    def _rebalance(self) -> None:
+        if not self.groups:
+            self.shards = [0] * len(self.shards)
+            return
+        self.shards = rebalance(self.shards, sorted(self.groups))
+
+    def join_balance(self, servers: dict[int, list[str]]) -> bool:
+        if not self.join(servers):
+            return False
+        self._rebalance()
+        return True
+
+    def leave_balance(self, gids: list[int]) -> bool:
+        if not self.leave(gids):
+            return False
+        self._rebalance()
+        return True
+
+    def gid_servers(self, shard: int) -> tuple[int, list[str]]:
+        gid = self.shards[shard]
+        return gid, self.groups.get(gid, [])

@@ -114,12 +114,18 @@ def curate_and_write(
 _SPLIT_A = 2654435761  # Knuth multiplicative constant
 _SPLIT_B = 40503
 _SPLIT_P = 1000003
+# Reduced multiplier: (A*x + B) mod p == ((A mod p)*(x mod p) + B) mod p, and
+# the reduced form keeps every intermediate below ~4.3e11 — safe in int64 for
+# any doc_id (the raw A*doc_id product overflows int64 past doc_id ~3.5e9,
+# where Spark wraps silently but DuckDB raises).
+_SPLIT_A_RED = _SPLIT_A % _SPLIT_P
 
 
 @query(
     "pipeline_train_val_test_split",
     oracle=f"""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(DISTINCT lang) AS n_langs
     FROM (
       SELECT lang, n_chars,
@@ -127,7 +133,8 @@ _SPLIT_P = 1000003
                   WHEN b < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM (SELECT lang, n_chars,
-                   (({_SPLIT_A} * doc_id + {_SPLIT_B}) % {_SPLIT_P}) % 100 AS b
+                   (({_SPLIT_A_RED} * (doc_id % {_SPLIT_P}) + {_SPLIT_B})
+                    % {_SPLIT_P}) % 100 AS b
             FROM documents))
     GROUP BY split
     """,
@@ -143,7 +150,10 @@ def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
     key (src/mr/worker.go:28-34); this is the same idea pointed at corpus
     partitioning."""
     docs = load_table(spark, sf_dir, "documents")
-    b = ((F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % _SPLIT_P) % 100
+    b = (
+        (F.lit(_SPLIT_A_RED) * (F.col("doc_id") % _SPLIT_P) + F.lit(_SPLIT_B))
+        % _SPLIT_P
+    ) % 100
     split = (
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
     )
@@ -166,7 +176,8 @@ def pipeline_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT lang, doc_id, n_chars,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY ({_SPLIT_A} * doc_id + {_SPLIT_B}) % {_SPLIT_P}, doc_id
+               ORDER BY ({_SPLIT_A_RED} * (doc_id % {_SPLIT_P}) + {_SPLIT_B})
+                        % {_SPLIT_P}, doc_id
              ) AS rn
       FROM documents)
     WHERE rn <= 20
@@ -190,7 +201,9 @@ def pipeline_stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> Data
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    hkey = (F.lit(_SPLIT_A) * F.col("doc_id") + F.lit(_SPLIT_B)) % _SPLIT_P
+    hkey = (
+        F.lit(_SPLIT_A_RED) * (F.col("doc_id") % _SPLIT_P) + F.lit(_SPLIT_B)
+    ) % _SPLIT_P
     w = W.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
     return (
         docs.withColumn("rn", F.row_number().over(w))

@@ -571,20 +571,55 @@ def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
 
 
-@query("sketch_distinct_users")  # HLL sketch is engine-specific → rows-only
+@query(
+    "sketch_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT event_id) AS exact_events,
+           TRUE AS hll_users_ok,
+           TRUE AS hll_events_ok,
+           TRUE AS median_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates: HyperLogLog distinct counts + t-digest-backed
-    approx percentile per event type. These are the streaming/100 TB
-    substitutes for exact distinct (unbounded state) — accuracy bound
-    asserted vs exact counts in tests/test_relational.py. Engine-specific
-    sketch implementations → rows-only driver check."""
+    approx percentile per event type — the streaming/100 TB substitutes
+    for exact distinct (unbounded state).
+
+    Raw sketch estimates are engine-specific (Spark HLL++ vs DuckDB HLL
+    disagree by design), so the hash-compared output carries the exact
+    distinct counts plus booleans asserting each sketch landed inside its
+    error bound (HLL: rsd-scaled; median: between the exact 0.45 and 0.55
+    quantiles).  The oracle predicts every bound holds (TRUE); a sketch
+    drifting out of bound therefore fails the driver's hash compare —
+    a real cross-engine signal rather than a rows-only waiver."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
-        F.round(
-            F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4
-        ).alias("approx_median_value"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.expr("percentile(value, array(0.45, 0.55))").alias("med_band"),
+    )
+    users_tol = F.greatest(F.lit(2.0), 0.10 * F.col("exact_users"))
+    events_tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_events"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "exact_events",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= users_tol).alias(
+            "hll_users_ok"
+        ),
+        (F.abs(F.col("approx_events") - F.col("exact_events")) <= events_tol).alias(
+            "hll_events_ok"
+        ),
+        (
+            (F.col("approx_median") >= F.col("med_band")[0])
+            & (F.col("approx_median") <= F.col("med_band")[1])
+        ).alias("median_ok"),
     )
 
 

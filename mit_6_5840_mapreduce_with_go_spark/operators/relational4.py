@@ -428,8 +428,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_lateness",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
-                    THEN 1 ELSE 0 END) AS late_lines,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
            count(*) AS total_lines
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -123,18 +123,36 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centv"),
         F.col("nrm").alias("centn"),
     )
-    aw = W.partitionBy("vec_id").orderBy(
-        F.col("cent_cos").desc(), F.col("centroid_id")
-    )
+    # Argmax-cosine assignment as a HASH aggregate (max over a struct whose
+    # leading fields are the sort key), not a row_number window: the window
+    # formulation shuffles and sorts all n_cells*N scored rows, while the
+    # struct-max collapses to one row per vector in the map-side partial, so
+    # the exchange carries N rows whatever the codebook size.  Same idiom as
+    # _km_assign in clusters.py; tie-break identical (max cos, then min id).
     assign = (
         emb.crossJoin(F.broadcast(cent))
         .withColumn(
             "cent_cos",
             dot(F.col("embedding"), F.col("centv")) / (F.col("nrm") * F.col("centn")),
         )
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", "centroid_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cent_cos").alias("cent_cos"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                    F.col("centroid_id").alias("centroid_id"),
+                    F.col("embedding").alias("embedding"),
+                    F.col("nrm").alias("nrm"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.nrm").alias("nrm"),
+            F.col("b.centroid_id").alias("centroid_id"),
+        )
     )
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -80,3 +80,74 @@ def test_rebalance_invariant():
 def test_rebalance_deterministic():
     shards = [1, 1, 1, 1, 1, 1, 2, 2, 2, None, None, None]
     assert rebalance(shards, [1, 2, 3]) == rebalance(shards, [1, 2, 3])
+
+
+# --------------------------------------------------------------------------
+# C7 config changes: ShardConfig.join/leave property tests mirroring the
+# reference's JoinBalance/LeaveBalance contract (shardcfg.go:155-221).
+# --------------------------------------------------------------------------
+def _balance_ok(cfg):
+    loads = [cfg.shards.count(g) for g in cfg.groups]
+    return (not cfg.groups) or max(loads) <= min(loads) + 1
+
+
+def test_shardcfg_join_leave_example():
+    from mit_6_5840_mapreduce_with_go_spark.operators.kv import ShardConfig
+
+    cfg = ShardConfig()
+    assert cfg.join_balance({1: ["s1a", "s1b"]})
+    assert cfg.num == 1 and set(cfg.shards) == {1}
+    assert cfg.join_balance({2: ["s2a"], 3: ["s3a"]})
+    assert cfg.num == 2 and _balance_ok(cfg)
+    # re-join is rejected without a num bump or state change
+    before = (cfg.num, list(cfg.shards), dict(cfg.groups))
+    assert not cfg.join_balance({2: ["other"]})
+    assert (cfg.num, cfg.shards, cfg.groups) == before
+    # server overlap across groups is a hard error
+    import pytest
+
+    with pytest.raises(ValueError):
+        cfg.join({9: ["s1a"]})
+    # leave of an absent gid is rejected; a real leave bumps num once
+    assert not cfg.leave_balance([42])
+    assert cfg.leave_balance([1, 2])
+    assert cfg.num == 3 and set(cfg.shards) == {3} and _balance_ok(cfg)
+    # last group leaves -> all shards unassigned (gid 0)
+    assert cfg.leave_balance([3])
+    assert set(cfg.shards) == {0}
+
+
+def test_shardcfg_property_random_churn():
+    """Random join/leave churn: after every accepted *_balance op the
+    reference's invariants hold — balance max<=min+1, all shards owned by
+    live groups, config number bumps exactly once per accepted change and
+    never otherwise (monotonic history)."""
+    import random
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.kv import ShardConfig
+
+    rng = random.Random(65840)
+    for _trial in range(25):
+        cfg = ShardConfig()
+        next_gid = 1
+        for _step in range(30):
+            num_before = cfg.num
+            if cfg.groups and rng.random() < 0.4:
+                gone = rng.sample(sorted(cfg.groups), rng.randint(1, len(cfg.groups)))
+                assert cfg.leave_balance(gone)
+                assert cfg.num == num_before + 1
+                assert not cfg.leave_balance(gone)  # double-leave rejected
+                assert cfg.num == num_before + 1
+            else:
+                gids = list(range(next_gid, next_gid + rng.randint(1, 3)))
+                next_gid += len(gids)
+                assert cfg.join_balance({g: [f"srv-{g}-{i}" for i in range(2)] for g in gids})
+                assert cfg.num == num_before + 1
+            assert _balance_ok(cfg)
+            if cfg.groups:
+                assert set(cfg.shards) <= set(cfg.groups)
+                # every live group owns at least one shard when groups <= shards
+                if len(cfg.groups) <= len(cfg.shards):
+                    assert set(cfg.shards) == set(cfg.groups)
+            else:
+                assert set(cfg.shards) == {0}

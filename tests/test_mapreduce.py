@@ -162,3 +162,33 @@ def test_on_documents_corpus(spark, sf_dir):
     got = run_mapreduce(spark, wc_map, wc_reduce, files)
     want = run_mapreduce_sequential(wc_map, wc_reduce, files)
     assert got == want and len(got) > 10
+
+
+def test_gutenberg_corpus_differential(spark):
+    """wc + indexer on the reference's OWN input corpus — the 8 Project
+    Gutenberg books that src/main/test-mr.sh:87-96 feeds to every MapReduce
+    correctness run (pg-*.txt, ~3.3 MB of real mixed-case/punctuated text).
+    Distributed output must equal the sequential oracle as a sorted line
+    set (the test-mr.sh:103-110 compare), closing the last tokenizer-parity
+    doubt that synthetic corpora can't: real-text unicode and punctuation
+    edge cases."""
+    import pathlib
+
+    books = sorted(pathlib.Path("/root/reference/src/main").glob("pg-*.txt"))
+    assert len(books) == 8, "reference Gutenberg corpus not found"
+    files = [(p.name, p.read_text(encoding="utf-8")) for p in books]
+
+    got_wc = run_mapreduce(spark, wc_map, wc_reduce, files)
+    want_wc = run_mapreduce_sequential(wc_map, wc_reduce, files)
+    assert got_wc == want_wc
+    # Real-text sanity: a large vocabulary, and 'the' is the usual top word.
+    assert len(got_wc) > 10_000
+    the = [line for line in got_wc if line.startswith("the ")]
+    assert len(the) == 1 and int(the[0].split()[1]) > 10_000
+
+    got_ix = run_mapreduce(spark, indexer_map, indexer_reduce, files)
+    want_ix = run_mapreduce_sequential(indexer_map, indexer_reduce, files)
+    assert got_ix == want_ix
+    # 'the' appears in all 8 books.
+    the_ix = [line for line in got_ix if line.startswith("the ")]
+    assert len(the_ix) == 1 and the_ix[0].split()[1] == "8"
