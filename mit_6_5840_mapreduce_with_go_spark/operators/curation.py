@@ -1,0 +1,280 @@
+"""Corpus-curation operators for LLM training-data pipelines over
+``documents``: Gopher-style repetition quality signals, benchmark
+contamination checking, greedy sequence packing, and per-domain caps.
+
+No reference counterpart (the reference's only text op is wc's tokenizer,
+src/mrapps/wc.go:19-24) — these extend the north-star LLM-pipeline
+surface (text.py, dedup.py, pipelines.py) with the remaining standard
+curation steps a 100 TB pretraining run needs.
+
+All hot paths are native Catalyst expressions; the only joins are
+inverted-index joins on n-gram keys (never all-pairs) with the small
+benchmark side broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from .pipelines import _SPLIT_A_RED, _SPLIT_B, _SPLIT_P
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", fan_out=True)
+
+
+def _word_ngrams(toks, n: int):
+    """n-gram strings from a materialized token-array COLUMN (never inline
+    the split() expression here — Catalyst re-evaluates it per element).
+    Empty array when the doc has fewer than n tokens: Spark's
+    ``sequence(1, 0)`` yields a DESCENDING list, so the short-doc case
+    must be guarded explicitly."""
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals: the classic "remove boilerplate and
+# degenerate text" quality filters (fraction of duplicate word bigrams,
+# most-frequent-word share).  Pure per-row expressions — the 100 TB plan
+# is a narrow map with zero shuffles, exactly like text_quality_score.
+# --------------------------------------------------------------------------
+@query(
+    "text_repetition_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (SELECT doc_id, l,
+                 list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bg
+          FROM t)
+    SELECT doc_id,
+           len(l) AS n_tokens,
+           round(CASE WHEN len(bg) = 0 THEN 0.0
+                      ELSE 1 - len(list_distinct(bg)) * 1.0 / len(bg) END,
+                 4) AS dup_bigram_frac,
+           round(list_max(list_transform(list_distinct(l),
+                                         w -> len(list_filter(l, x -> x = w))))
+                 * 1.0 / len(l), 4) AS top_word_frac,
+           (CASE WHEN len(bg) = 0 THEN 0.0
+                 ELSE 1 - len(list_distinct(bg)) * 1.0 / len(bg) END) > 0.2
+             OR (list_max(list_transform(list_distinct(l),
+                                         w -> len(list_filter(l, x -> x = w))))
+                 * 1.0 / len(l)) > 0.2 AS repetitive
+    FROM g
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document (the Gopher rules'
+    deterministic core): duplicate-bigram fraction and top-word share,
+    plus a combined ``repetitive`` flag at the 0.2 thresholds.
+
+    Scale: per-row expressions only — no shuffle, no UDF; the per-row
+    work is bounded by document length (the top-word scan is O(distinct
+    words x tokens) on a short-doc corpus; a 100 TB run with book-length
+    docs would swap that single signal for the explode+count formulation
+    while keeping this operator's contract)."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("l"))
+    bg = _word_ngrams(F.col("l"), 2)
+    dup_frac = F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        1 - F.size(F.array_distinct(bg)) / F.size(bg)
+    )
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("l")),
+                lambda w: F.size(F.filter(F.col("l"), lambda x: x == w)),
+            )
+        )
+        / F.size("l")
+    )
+    return docs.select(
+        "doc_id",
+        F.size("l").alias("n_tokens"),
+        F.round(dup_frac, 4).alias("dup_bigram_frac"),
+        F.round(top_frac, 4).alias("top_word_frac"),
+        ((dup_frac > 0.2) | (top_frac > 0.2)).alias("repetitive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check: which corpus documents share word
+# 4-grams with a held-out benchmark set (here: the deterministic pseudo-
+# benchmark doc_id % 101 == 0, standing in for an eval suite).  The real
+# pipeline shape: explode both sides to n-grams, inverted-index join on
+# the n-gram key with the (small) benchmark side broadcast — the corpus
+# is never shuffled, and per-doc overlap counts collapse map-side because
+# exploded rows stay clustered by document.
+# --------------------------------------------------------------------------
+_CONTAM_N = 4
+
+
+@query(
+    "pipeline_contamination_check",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (SELECT doc_id, len(l) - {_CONTAM_N - 1} AS n_ngrams,
+                 unnest(list_transform(range(1, len(l) - {_CONTAM_N - 2}), i ->
+                        list_aggregate(l[i:i+{_CONTAM_N - 1}], 'string_agg', ' ')))
+                   AS ng
+          FROM t WHERE len(l) >= {_CONTAM_N}),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 101 = 0),
+    corpus AS (SELECT * FROM g WHERE doc_id % 101 <> 0)
+    SELECT doc_id,
+           count(DISTINCT corpus.ng) AS n_shared_ngrams,
+           any_value(n_ngrams) AS n_ngrams,
+           round(count(DISTINCT corpus.ng) * 1.0 / any_value(n_ngrams), 4)
+             AS contaminated_frac
+    FROM corpus JOIN bench USING (ng)
+    GROUP BY doc_id
+    """,
+)
+def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: corpus docs sharing any word
+    {4}-gram with the benchmark set, with per-doc shared-n-gram counts.
+    Only contaminated docs are emitted (the output is an audit/removal
+    list, tiny relative to the corpus)."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("l"))
+    grams = (
+        docs.filter(F.size("l") >= _CONTAM_N)
+        .select(
+            "doc_id",
+            (F.size("l") - (_CONTAM_N - 1)).alias("n_ngrams"),
+            F.explode(_word_ngrams(F.col("l"), _CONTAM_N)).alias("ng"),
+        )
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 101 == 0).select("ng").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 101 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("n_shared_ngrams"),
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.round(F.countDistinct("ng") / F.first("n_ngrams"), 4).alias(
+                "contaminated_frac"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy sequence packing: assign documents to fixed-size token bins
+# (context windows) by contiguous fill order, the standard pretraining
+# batching step.  Deterministic offset-based assignment: a doc belongs to
+# the bin its START offset falls in (docs may straddle a boundary — the
+# packer's fill accounting, not a truncation policy).
+# --------------------------------------------------------------------------
+_PACK_BIN = 256
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT lang, doc_id, n_tokens,
+                 -- window sum widens to HUGEINT in DuckDB; reduce back
+                 CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+          FROM t)
+    SELECT lang, (cum - n_tokens) // {_PACK_BIN} AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(CAST(sum(n_tokens) AS BIGINT) * 1.0 / {_PACK_BIN}, 4) AS fill_ratio
+    FROM c
+    GROUP BY lang, (cum - n_tokens) // {_PACK_BIN}
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {256}-token context-window bins per language:
+    running token cumsum in doc_id order, bin = start_offset div BIN,
+    then per-bin fill stats.
+
+    Scale: one shuffle on the partition key (lang) for the running-sum
+    window, then a map-side-combinable groupBy on (lang, bin) — the
+    grouped rows arrive already clustered by lang from the window sort.
+    Integer division uses floor semantics in BOTH engines (DuckDB ``//``,
+    Spark ``floor``) — CAST(double AS BIGINT) rounds in DuckDB but
+    truncates in Spark, a round-1 divergence class."""
+    docs = _docs(spark, sf_dir).select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    binned = docs.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BIN),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / _PACK_BIN, 4).alias("fill_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-domain cap: bound any single source's share of the corpus (the
+# anti-domination rule every web-scale corpus applies).  Deterministic:
+# docs ranked within each source by the same universal hash as the
+# split/sample operators, first CAP kept.
+# --------------------------------------------------------------------------
+_DOMAIN_CAP = 10
+
+
+@query(
+    "pipeline_domain_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ({_SPLIT_A_RED} * (doc_id % {_SPLIT_P}) + {_SPLIT_B})
+                        % {_SPLIT_P}, doc_id
+             ) AS rn
+      FROM documents)
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM r GROUP BY source
+    """,
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at {10} docs, chosen by universal-hash rank
+    (deterministic across runs and cluster sizes, like the train/val/test
+    split), and report kept/dropped accounting per source.
+
+    Scale: one shuffle on the source key; rank truncation is the same
+    TakeOrdered-per-group window as the stratified sampler.  With a
+    mega-domain (web crawl skew) the window sort buffer only needs the
+    top CAP rows per partition key — and the accounting aggregation is
+    map-side combinable."""
+    docs = _docs(spark, sf_dir)
+    hkey = (
+        F.lit(_SPLIT_A_RED) * (F.col("doc_id") % _SPLIT_P) + F.lit(_SPLIT_B)
+    ) % _SPLIT_P
+    w = W.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+    r = docs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= _DOMAIN_CAP
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )

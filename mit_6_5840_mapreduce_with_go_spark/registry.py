@@ -116,6 +116,7 @@ def load_all() -> None:
     from .mapreduce import apps  # noqa: F401
     from .operators import (  # noqa: F401
         clusters,
+        curation,
         dedup,
         kv,
         multimodal,
