@@ -336,3 +336,147 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "rank", F.round("cos_raw", 4).alias("cos_sim")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance scoring — the memory-
+# compressed ANN scale path (FAISS IndexPQ shape).  Vectors are encoded as
+# PQ_M 4-bit codes (argmin L2 to a per-subspace codebook); queries score
+# candidates by summing per-subspace lookup-table distances instead of
+# touching raw vectors.  At 100 TB the codes table is ~32x smaller than
+# the float vectors, the LUTs are broadcast, and the candidate side never
+# shuffles.  Codebook is a deterministic strided sample (stand-in for a
+# trained k-means codebook; the plumbing — encode, LUT, ADC — is real).
+# --------------------------------------------------------------------------
+PQ_M = 8          # subspaces (64 dims -> 8 dims each)
+PQ_K = 16         # sub-centroids per subspace (4-bit codes)
+PQ_SUB = 8        # dims per subspace
+PQ_STRIDE = 29    # codebook vectors: vec_id = code_id * 29, code_id < 16
+
+
+def _sq_l2_terms_sql(a: str, b: str) -> str:
+    """Unrolled 8-term squared-L2 between two 1-based DOUBLE[] slices —
+    identical left-associated IEEE ops in both engines (t*t, not pow)."""
+    return " + ".join(
+        f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))" for i in range(1, PQ_SUB + 1)
+    )
+
+
+def _sq_l2_col(a: F.Column, b: F.Column) -> F.Column:
+    """Spark twin of ``_sq_l2_terms_sql``: same term order, plain
+    arithmetic (HOF lambdas are interpreted — unrolled is ~5x faster and
+    guarantees the exact same fp association as the SQL)."""
+    out = None
+    for i in range(PQ_SUB):
+        t = (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i))
+        out = t if out is None else out + t
+    return out
+
+
+@query(
+    "sim_topk_pq_adc",
+    oracle=f"""
+    WITH ms AS (SELECT unnest(range({PQ_M})) AS m),
+    cb AS (SELECT CAST(vec_id // {PQ_STRIDE} AS INTEGER) AS code_id,
+                  CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE vec_id % {PQ_STRIDE} = 0 AND vec_id < {PQ_K * PQ_STRIDE}),
+    subc AS (SELECT m, code_id, v[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS c
+             FROM cb CROSS JOIN ms),
+    enc AS (SELECT vec_id, m,
+                   CAST(embedding AS DOUBLE[])[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}] AS ev
+            FROM embeddings CROSS JOIN ms),
+    scored AS (SELECT enc.vec_id, enc.m, subc.code_id,
+                      {_sq_l2_terms_sql('ev', 'c')} AS d
+               FROM enc JOIN subc ON enc.m = subc.m),
+    codes AS (SELECT vec_id, m, code_id FROM (
+                SELECT vec_id, m, code_id,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, code_id) AS rn
+                FROM scored) WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, m, code_id,
+                   CAST(d AS DECIMAL(28,16)) AS dd
+            FROM scored WHERE vec_id < {N_QUERIES}),
+    adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.dd) AS s
+            FROM codes c JOIN lut l ON c.m = l.m AND c.code_id = l.code_id
+            WHERE c.vec_id <> l.query_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rank, round(CAST(s AS DOUBLE), 4) AS adc_dist
+    FROM (SELECT query_id, neighbor_id, s,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s, neighbor_id) AS INTEGER) AS rank
+          FROM adc)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encoded approximate top-k by asymmetric distance: encode every
+    vector as PQ_M argmin sub-centroid codes, build per-query subspace
+    lookup tables, score candidates as the sum of LUT entries over their
+    codes.
+
+    Cross-engine exactness: squared-L2 terms are unrolled identically
+    (same IEEE association) in Spark and the oracle; the ADC sum
+    accumulates in DECIMAL(28,16) because a distributed double sum is
+    association-order-dependent (the round-1 DECIMAL rule for any sum
+    feeding a rank).
+
+    Scale: the codes table (PQ_M small ints per vector) replaces the
+    float vectors in the hot path; LUTs are queries x PQ_M x PQ_K rows —
+    broadcast; the ADC aggregation collapses map-side because exploded
+    code rows stay clustered by vector.  Argmin encoding is the same
+    struct-min hash-agg pattern as sim_topk_ivf (no window sort)."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("ev"),
+                )
+                for m in range(PQ_M)
+            ]
+        )
+    ).alias("s")
+    enc = emb.select("vec_id", subs).select("vec_id", "s.m", "s.ev")
+    subc = (
+        emb.filter(
+            (F.col("vec_id") % PQ_STRIDE == 0) & (F.col("vec_id") < PQ_K * PQ_STRIDE)
+        )
+        .select(F.expr(f"CAST(vec_id div {PQ_STRIDE} AS INT)").alias("code_id"), "v")
+        .select("code_id", subs)
+        .select("code_id", "s.m", F.col("s.ev").alias("c"))
+    )
+    scored = enc.join(F.broadcast(subc), "m").withColumn(
+        "d", _sq_l2_col(F.col("ev"), F.col("c"))
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("code_id"))).alias("b"))
+        .select("vec_id", "m", F.col("b.code_id").alias("code_id"))
+    )
+    lut = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        "code_id",
+        F.col("d").cast("decimal(28,16)").alias("dd"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dd").alias("s"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("s").asc(), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("s").cast("double"), 4).alias("adc_dist"),
+        )
+    )

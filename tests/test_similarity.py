@@ -73,3 +73,55 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     for r in lsh_rows:
         assert 1 <= r["rank"] <= S.TOP_K
     assert len(bf & lsh) >= 1
+
+
+def test_pq_adc_encoding_and_recall(spark, sf_dir):
+    """PQ-ADC: structural invariants (every query ranked 1..k, ADC
+    distances non-negative and ascending within a query) plus a
+    plain-numpy recompute of the full encode->LUT->ADC pipeline for one
+    query, and non-trivial overlap with exact top-k (random vectors +
+    a 16-entry sampled codebook are the worst case for PQ — the
+    contract is the plumbing)."""
+    import numpy as np
+
+    rows = S.sim_topk_pq_adc(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        assert r["adc_dist"] >= 0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+
+    # overlap with exact search: data-dependent, require non-trivial
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in S.sim_topk_bruteforce(spark, sf_dir).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(bf & pq) >= 1
+
+    # numpy oracle for query 0: recompute codes + LUT + ADC exactly
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()}
+    cb = {j: emb[j * S.PQ_STRIDE] for j in range(S.PQ_K)}
+
+    def sub(v, m):
+        return v[m * S.PQ_SUB:(m + 1) * S.PQ_SUB]
+
+    def code(v):
+        return [min(range(S.PQ_K),
+                    key=lambda j: (float(np.sum((sub(v, m) - sub(cb[j], m)) ** 2)), j))
+                for m in range(S.PQ_M)]
+
+    q = 0
+    lut = {(m, j): float(np.sum((sub(emb[q], m) - sub(cb[j], m)) ** 2))
+           for m in range(S.PQ_M) for j in range(S.PQ_K)}
+    adc = {cid: sum(lut[(m, c)] for m, c in enumerate(code(v)))
+           for cid, v in emb.items() if cid != q}
+    want = sorted(adc, key=lambda cid: (adc[cid], cid))[:S.TOP_K]
+    got = [r["neighbor_id"] for r in sorted(by_q[q], key=lambda r: r["rank"])]
+    assert got == want
+    for r in by_q[q]:
+        assert abs(r["adc_dist"] - adc[r["neighbor_id"]]) < 1e-3
