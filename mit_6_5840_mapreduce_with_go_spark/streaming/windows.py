@@ -212,3 +212,48 @@ def streaming_session_counts(
             "session_value",
         )
     )
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (new corpus shards
+    arriving — the ingestion shape of a crawling pipeline)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_static_contamination(
+    docs_stream: DataFrame, bench_ngrams: DataFrame
+) -> DataFrame:
+    """Stream-static join: incoming documents against the STATIC
+    benchmark n-gram set — the streaming twin of
+    ``pipeline_contamination_check`` (operators/curation.py), i.e. the
+    "reject contaminated shards at ingest" gate.
+
+    Stream-static inner joins are stateless (the static side is simply
+    looked up per micro-batch; no watermark, no join state), so this
+    scales to an unbounded corpus stream with constant memory — the
+    static benchmark side is broadcast exactly like the batch plan.
+    Emits one row per (document occurrence, distinct shared n-gram);
+    batch equivalence is asserted in tests/test_streaming.py."""
+    from ..operators.curation import _CONTAM_N, _word_ngrams
+
+    toks = F.split("text", " ")
+    grams = docs_stream.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(toks, _CONTAM_N))).alias("ng"),
+    )
+    return grams.join(F.broadcast(bench_ngrams), "ng").select("doc_id", "ng")

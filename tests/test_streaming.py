@@ -273,3 +273,46 @@ def test_streaming_sessions_equal_batch(spark, sf_dir):
         for r in events_sessionization(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_static_contamination_equals_batch(spark, sf_dir):
+    """Stream-static join twin of pipeline_contamination_check: the set
+    of (doc, shared-ngram) matches from the streaming ingest gate must
+    equal the batch scan's per-doc distinct counts exactly."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation import (
+        _CONTAM_N,
+        _word_ngrams,
+        pipeline_contamination_check,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        run_to_memory,
+        stream_documents,
+        stream_static_contamination,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bench = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(F.explode(_word_ngrams(toks, _CONTAM_N)).alias("ng"))
+        .distinct()
+    )
+    stream = stream_static_contamination(
+        stream_documents(spark, sf_dir).filter(F.col("doc_id") % 101 != 0), bench
+    )
+    q = run_to_memory(stream, "t_contam", "append")
+    try:
+        q.processAllAvailable()
+        pairs = {(r["doc_id"], r["ng"]) for r in spark.table("t_contam").collect()}
+    finally:
+        q.stop()
+    got = {}
+    for did, _ng in pairs:
+        got[did] = got.get(did, 0) + 1
+    want = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in pipeline_contamination_check(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
