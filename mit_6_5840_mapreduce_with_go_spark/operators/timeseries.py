@@ -218,3 +218,141 @@ def asof_join_next_purchase_after_error(spark: SparkSession, sf_dir: str) -> Dat
         .cast("bigint")
         .alias("secs_ahead"),
     )
+
+
+@query(
+    "events_rate_anomaly",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(n * n) AS BIGINT) AS snn
+      FROM h GROUP BY 1),
+    z AS (
+      SELECT h.user_id, h.hour, h.n,
+             sn * 1.0 / cnt AS m,
+             (snn - sn * 1.0 * sn / cnt) / (cnt - 1) AS var
+      FROM h JOIN s ON h.user_id = s.user_id
+      WHERE cnt > 1)
+    SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n,
+           round(CAST(CAST((n - m) / sqrt(var) AS DECIMAL(18,8)) AS DOUBLE), 4)
+             AS zscore
+    FROM z
+    WHERE var > 0 AND n > m + 2 * sqrt(var)
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-rate anomaly detection: hours whose event count
+    exceeds that user's mean + 2 sigma (sample variance over the user's
+    active hours).
+
+    Cross-engine determinism: mean/variance are NOT the engines'
+    avg()/stddev() builtins (single-pass streaming implementations
+    differ in final ulps and a knife-edge threshold row could flip) —
+    both engines compute the identical closed-form from EXACT integer
+    sums (n, n^2 per user), so every double on both sides derives from
+    the same integer arithmetic.  The z quotient rounds through
+    DECIMAL(18,8) (half-boundary round parity).
+
+    Scale: one shuffle to (user, hour) counts, a second keyed on user for
+    the moment sums, then a broadcast-size join back — the per-user
+    moment table is tiny.  This is the streaming-friendly shape too: the
+    moment sums are monoid partials."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    ).filter(F.col("cnt") > 1)
+    m = F.col("sn") * 1.0 / F.col("cnt")
+    var = (F.col("snn") - F.col("sn") * 1.0 * F.col("sn") / F.col("cnt")) / (
+        F.col("cnt") - 1
+    )
+    return (
+        h.join(F.broadcast(s), "user_id")
+        .withColumn("m", m)
+        .withColumn("var", var)
+        .filter((F.col("var") > 0) & (F.col("n") > F.col("m") + 2 * F.sqrt("var")))
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            F.round(
+                ((F.col("n") - F.col("m")) / F.sqrt("var"))
+                .cast("decimal(18,8)")
+                .cast("double"),
+                4,
+            ).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_view_click_purchase,
+           round((SELECT count(*) FROM p) * 1.0
+                 / (SELECT count(*) FROM v), 4) AS conversion
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel (view -> click -> purchase): users whose
+    first view precedes a click that precedes a purchase, with the
+    end-to-end conversion rate.  The standard product-analytics query.
+
+    Scale: three per-user min aggregations on the same shuffle key
+    (user_id) — each stage's per-user frontier is one timestamp, and the
+    stage joins are on the already-partitioned key (AQE reuses the
+    partitioning; no row ever carries more than (user, ts)).  Ordering
+    compares raw event timestamps — exact microsecond integers — so no
+    float is involved until the final ratio."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        F.round(F.col("n_view_click_purchase") / F.col("n_view"), 4).alias(
+            "conversion"
+        ),
+    )

@@ -64,3 +64,49 @@ def test_forward_asof_is_hash_agg_not_window(spark, sf_dir):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_rate_anomaly_flags_are_real(spark, sf_dir):
+    """Every flagged (user, hour) really exceeds that user's mean + 2
+    sigma recomputed independently in Python; non-vacuous."""
+    import math
+    from collections import defaultdict
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_rate_anomaly,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = events_rate_anomaly(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ev = load_table(spark, sf_dir, "events").collect()
+    hours = defaultdict(int)
+    for r in ev:
+        hours[(r["user_id"], r["ts"].replace(minute=0, second=0, microsecond=0))] += 1
+    per_user = defaultdict(list)
+    for (u, _h), n in hours.items():
+        per_user[u].append(n)
+    flagged = {(r["user_id"], r["hour"]) for r in rows}
+    for u, ns in per_user.items():
+        if len(ns) < 2:
+            continue
+        m = sum(ns) / len(ns)
+        var = (sum(n * n for n in ns) - sum(ns) ** 2 / len(ns)) / (len(ns) - 1)
+        if var <= 0:
+            continue
+        for (uu, h), n in hours.items():
+            if uu != u:
+                continue
+            want = n > m + 2 * math.sqrt(var)
+            got = (u, h.strftime("%Y-%m-%d %H:%M:%S")) in flagged
+            assert got == want, (u, h, n, m, var)
+
+
+def test_funnel_is_monotone_and_strictly_ordered(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_funnel_conversion,
+    )
+
+    r = events_funnel_conversion(spark, sf_dir).collect()[0]
+    assert r["n_view"] >= r["n_view_click"] >= r["n_view_click_purchase"] > 0
+    assert 0.0 < r["conversion"] <= 1.0
