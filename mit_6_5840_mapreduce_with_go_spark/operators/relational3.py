@@ -332,3 +332,82 @@ def udtf_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.sent_idx, s.sentence "
         "FROM udtf_docs d, LATERAL split_sentences(d.doc_id, d.text) s"
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (K-minimum-values) distinct sketch — the third sketch family, and
+# unlike HLL it is FULLY deterministic cross-engine: the estimate itself
+# is hash-compared against the oracle, not just an error bound.
+# --------------------------------------------------------------------------
+_KMV_K = 32
+
+
+@query(
+    "sketch_kmv_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             list_reduce(
+               list_prepend(CAST(2166136261 AS BIGINT),
+                            list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                                           c -> CAST(ord(c) AS BIGINT))),
+               (h, b) -> (xor(h, b) * 16777619) % 4294967296) AS hv
+      FROM events),
+    r AS (SELECT event_type, hv,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+          FROM h)
+    SELECT event_type,
+           CAST(max(cnt) AS BIGINT) AS n_distinct_hashes,
+           round(CASE WHEN max(cnt) >= {_KMV_K}
+                      THEN ({_KMV_K} - 1) * 4294967296.0
+                           / max(CASE WHEN rn = {_KMV_K} THEN hv END)
+                      ELSE max(cnt) * 1.0 END, 4) AS kmv_estimate
+    FROM r
+    WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    """,
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type: keep the K smallest
+    FNV-32a hash values of the key; estimate = (K-1) * 2^32 / h_(K)
+    (falls back to the exact distinct-hash count below K).
+
+    Deterministic cross-engine (FNV char fold computes identically in
+    DuckDB — same construction as the kv_shard_distribution oracle), so
+    the ESTIMATE is oracle-checked, not just bounded.
+
+    Scale: after the distinct, the rank<=K filter compiles to
+    WindowGroupLimit — each partition keeps only its K smallest hashes
+    BEFORE the exchange (the distributed KMV merge), so the shuffle
+    carries K rows per (partition, type) however many distinct keys
+    exist.  This is the mergeable-sketch property that lets KMV run as a
+    streaming/partial aggregate at 100 TB."""
+    from ..functions.hashing import fnv32a_col
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("key")
+    ).distinct().select("event_type", fnv32a_col(F.col("key")).alias("hv")).distinct()
+    # The total count is a separate tiny aggregate (NOT a count() window
+    # over the same partition — that would block the rank<=K WindowGroupLimit
+    # pushdown and force every distinct hash through the window unfiltered).
+    counts = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("hv")
+    r = h.withColumn("rn", F.row_number().over(w))
+    agg = (
+        r.filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("hk"))
+        .join(F.broadcast(counts.withColumnRenamed("cnt", "n_distinct_hashes")),
+              "event_type")
+    )
+    est = F.when(
+        F.col("n_distinct_hashes") >= _KMV_K,
+        (_KMV_K - 1) * F.lit(4294967296.0) / F.col("hk"),
+    ).otherwise(F.col("n_distinct_hashes") * 1.0)
+    return agg.select(
+        "event_type",
+        "n_distinct_hashes",
+        F.round(est, 4).alias("kmv_estimate"),
+    )

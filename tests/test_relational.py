@@ -102,3 +102,34 @@ def test_countmin_overestimates_bounded(spark, sf_dir):
     for r in rows:
         assert r["cm_estimate"] >= r["exact_cnt"]
         assert r["cm_estimate"] - r["exact_cnt"] <= bound
+
+
+def test_kmv_sketch_accuracy_and_fallback(spark, sf_dir):
+    """KMV estimate within sketch error of the exact distinct count when
+    cnt >= K (rsd ~ 1/sqrt(K-2) ~ 18% at K=32; allow 3x), and EXACTLY
+    the distinct-hash count below K (the fallback branch)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational3 import (
+        _KMV_K,
+        sketch_kmv_distinct_users,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = sketch_kmv_distinct_users(spark, sf_dir).collect()
+    assert len(rows) == 5
+    exact = {
+        r["event_type"]: r["u"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for r in rows:
+        # distinct hashes can undercount distinct users only via FNV
+        # collisions (none on this corpus)
+        assert r["n_distinct_hashes"] == exact[r["event_type"]]
+        if r["n_distinct_hashes"] >= _KMV_K:
+            assert abs(r["kmv_estimate"] - exact[r["event_type"]]) <= (
+                0.55 * exact[r["event_type"]]
+            )
+        else:
+            assert r["kmv_estimate"] == float(r["n_distinct_hashes"])
