@@ -1,0 +1,80 @@
+"""Streaming KMV distinct sketch: continuous cardinality monitoring as
+an ``applyInPandasWithState`` stateful operator — the streaming twin of
+``sketch_kmv_distinct_users`` (operators/relational3.py).
+
+State per event_type: the K smallest FNV-32a hashes seen so far — the
+KMV sketch's entire state is K longs, which is exactly why it streams:
+merging a micro-batch is "union, sort, truncate to K", the same
+mergeable-sketch operation the batch plan's Partial WindowGroupLimit
+performs per partition.  Equality with the batch sketch (same estimate,
+same h_K) is asserted in tests/test_streaming.py.
+
+Scale notes: state is O(K) per group however many distinct keys arrive —
+the property that makes cardinality monitoring viable on an unbounded
+stream (exact distinct would grow without bound)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from ..functions.hashing import fnv32a_col
+from ..operators.relational3 import _KMV_K
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_hashes_kept", T.LongType()),
+        T.StructField("kmv_estimate", T.DoubleType()),
+    ]
+)
+
+# State: the K smallest distinct hashes, ascending.
+KMV_STATE_SCHEMA = T.StructType([T.StructField("mins", T.ArrayType(T.LongType()))])
+
+
+def kmv_update(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Merge one group's micro-batch hashes into the K-min state."""
+    mins: list[int] = list(state.get[0]) if state.exists else []
+    seen = set(mins)
+    for pdf in pdfs:
+        for hv in pdf["hv"]:
+            hv = int(hv)
+            if hv not in seen:
+                seen.add(hv)
+                mins.append(hv)
+    mins = sorted(mins)[:_KMV_K]
+    state.update((mins,))
+    if len(mins) >= _KMV_K:
+        est = round((_KMV_K - 1) * 4294967296.0 / mins[_KMV_K - 1], 4)
+    else:
+        est = float(len(mins))
+    yield pd.DataFrame(
+        [{"event_type": key[0], "n_hashes_kept": len(mins), "kmv_estimate": est}]
+    )
+
+
+def kmv_stream(events: DataFrame) -> DataFrame:
+    """Wire the events stream into the keyed KMV operator.  The hash is
+    computed JVM-side (same fnv32a_col fold as the batch query); only the
+    K-min merge crosses into Python."""
+    hashed = events.select(
+        "event_type",
+        fnv32a_col(F.col("user_id").cast("string")).alias("hv"),
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        kmv_update,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -316,3 +316,40 @@ def test_stream_static_contamination_equals_batch(spark, sf_dir):
         for r in pipeline_contamination_check(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, sf_dir):
+    """The streaming KMV state (K smallest hashes) must land on exactly
+    the batch sketch's estimate once the stream drains — the mergeable-
+    sketch property (union, sort, truncate) is order-insensitive."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational3 import (
+        sketch_kmv_distinct_users,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.streaming.sketch_state import kmv_stream
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+    )
+
+    q = run_to_memory(kmv_stream(stream_events(spark, sf_dir)), "t_kmv", "update")
+    try:
+        q.processAllAvailable()
+        # update mode re-emits per micro-batch; the LAST row per group is
+        # the final state (single-source stream drains in order)
+        import pandas as pd
+
+        pdf = spark.table("t_kmv").toPandas()
+        got = {
+            r["event_type"]: (r["n_hashes_kept"], r["kmv_estimate"])
+            for _, r in pdf.iterrows()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["event_type"]: (min(r["n_distinct_hashes"], 32), r["kmv_estimate"])
+        for r in sketch_kmv_distinct_users(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for et, (n, est) in want.items():
+        gn, gest = got[et]
+        assert gn == n and abs(gest - est) < 1e-6, (et, got[et], (n, est))
