@@ -390,3 +390,119 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("sim"), 4).alias("cohesion"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting — the classic MapReduce-era graph analytic (the
+# node-iterator++ / edge-orientation algorithm), over a derived user
+# co-activity graph.  Complements connected-components and PageRank with
+# the third standard graph primitive (clustering structure).
+# --------------------------------------------------------------------------
+_TRI_MULT = 2.0  # edge threshold: pair weight >= 2x the mean pair weight
+
+
+@query(
+    "graph_triangle_census",
+    oracle=f"""
+    WITH slots AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                                   event_type FROM events),
+    pairs AS (SELECT a.user_id AS u, b.user_id AS v,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM slots a JOIN slots b
+                ON a.h = b.h AND a.event_type = b.event_type
+               AND a.user_id < b.user_id
+              GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS c
+          FROM pairs),
+    e AS (SELECT u, v FROM pairs, t WHERE w >= {_TRI_MULT} * sw / c),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+            GROUP BY 1),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wedge AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS nw FROM deg)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT n FROM tri) AS n_triangles,
+           round(CASE WHEN (SELECT nw FROM wedge) = 0 THEN 0.0
+                      ELSE 3.0 * (SELECT n FROM tri) / (SELECT nw FROM wedge)
+                 END, 4) AS clustering_coeff
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the user co-activity graph: users are linked
+    when they co-occur in the same (hour, event_type) slot at least
+    2x the mean pair rate (a data-relative threshold so the graph has
+    comparable density at any SF; the cutoff is a ratio of exact integer
+    sums — deterministic cross-engine).  Output: node/edge/triangle
+    counts + global clustering coefficient (3T / wedges).
+
+    Scale: the pair generation is bucketed by (hour, event_type) — an
+    inverted-index self-join like the n-gram dedup, never user x user;
+    triangles are enumerated once each via the id-oriented edge list
+    (u < v) with a two-hop join.  At real scale the orientation would be
+    by degree (the standard worst-case mitigation); the join structure is
+    identical.  Every aggregate is an exact integer until the final
+    rounded ratio.  Reference parity: triangle counting is the canonical
+    'beyond wordcount' MapReduce workload the reference's engine family
+    was built for."""
+    ev = load_table(spark, sf_dir, "events")
+    slots = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).distinct()
+    a = slots.select(F.col("user_id").alias("u"), "h", "event_type")
+    b = slots.select(F.col("user_id").alias("v"), "h", "event_type")
+    pairs = (
+        a.join(b, ["h", "event_type"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = pairs.agg(
+        F.sum("w").alias("sw"), F.count(F.lit(1)).alias("c")
+    )
+    e = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") >= _TRI_MULT * F.col("sw") / F.col("c"))
+        .select("u", "v")
+    )
+    e.persist()
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b1") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("c3") == F.col("c2")))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("nw")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = (
+        nodes.crossJoin(n_edges)
+        .crossJoin(tri.withColumnRenamed("n", "n_triangles"))
+        .crossJoin(wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("nw") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("nw")
+                ),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )
+    return out
