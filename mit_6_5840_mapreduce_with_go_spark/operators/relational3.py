@@ -411,3 +411,72 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_hashes",
         F.round(est, 4).alias("kmv_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equal-width histogram — the value-distribution primitive (profiling /
+# monitoring dashboards).  Bin edges derive from the global min/max, so
+# the whole computation is two passes: a tiny (type, min, max) aggregate
+# broadcast back over the scan, then a map-side-combinable bucket count.
+# --------------------------------------------------------------------------
+_HIST_BINS = 10
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+    WITH mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+                FROM events WHERE value IS NOT NULL GROUP BY 1),
+    b AS (SELECT e.event_type,
+                 CAST(least({_HIST_BINS - 1},
+                            floor((e.value - mm.mn) * {_HIST_BINS}.0
+                                  / (mm.mx - mm.mn))) AS BIGINT) AS bucket,
+                 mm.mn, mm.mx
+          FROM events e JOIN mm ON e.event_type = mm.event_type
+          WHERE e.value IS NOT NULL AND mm.mx > mm.mn)
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(any_value(mn) + bucket * (any_value(mx) - any_value(mn))
+                 / {_HIST_BINS}.0, 4) AS bucket_lo,
+           round(any_value(mn) + (bucket + 1) * (any_value(mx) - any_value(mn))
+                 / {_HIST_BINS}.0, 4) AS bucket_hi
+    FROM b GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equal-width histogram of the value column ({10} bins over
+    the observed [min, max], top bin right-closed).
+
+    Cross-engine determinism: the bucket expression is written with
+    identical IEEE association in both engines ((v - mn) * 10.0 /
+    (mx - mn), then floor) over identical doubles (min/max are exact
+    selections), so boundary values bucket identically.
+
+    Scale: pass 1 is a tiny per-type min/max aggregate (broadcast back);
+    pass 2 is a map-side-combinable (type, bucket) count — the classic
+    two-scan histogram, no sort, no per-row state."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    b = (
+        ev.join(F.broadcast(mm), "event_type")
+        .filter(F.col("mx") > F.col("mn"))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    * float(_HIST_BINS)
+                    / (F.col("mx") - F.col("mn"))
+                ),
+            ).cast("long"),
+        )
+    )
+    width = (F.first("mx") - F.first("mn")) / float(_HIST_BINS)
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.first("mn") + F.col("bucket") * width, 4).alias("bucket_lo"),
+        F.round(F.first("mn") + (F.col("bucket") + 1) * width, 4).alias("bucket_hi"),
+    )

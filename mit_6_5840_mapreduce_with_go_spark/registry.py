@@ -76,7 +76,6 @@ WINDOW_PRIORITY: list[str] = [
     "sim_topk_ivf",
     "sim_topk_lsh",
     "sim_tfidf_topk",
-    "sim_label_cohesion",
     # Text analysis
     "text_token_stats",
     "text_quality_score",
@@ -87,25 +86,26 @@ WINDOW_PRIORITY: list[str] = [
     "events_time_weighted_avg",
     "events_gap_fill_hourly",
     "events_sessionization",
-    "events_trailing_hour_stats",
+    "events_rate_anomaly",
+    "events_funnel_conversion",
     "asof_join_last_order_before_event",
     "asof_join_next_purchase_after_error",
-    # Sketches (both now oracle-checked)
+    # Sketches (all oracle-checked: HLL bound-booleans, Count-Min, KMV)
     "sketch_distinct_users",
     "sketch_countmin_user_counts",
-    # Stats / percentile breadth
+    "sketch_kmv_distinct_users",
+    # Round-2 flagship additions (curation + compressed ANN)
+    "sim_topk_pq_adc",
+    "text_repetition_quality",
+    "pipeline_contamination_check",
+    "pipeline_pack_sequences",
+    # Distinctive engine surfaces
     "percentile_prices_by_status",
-    "stats_price_moments",
-    # Remaining previously-unverified breadth
-    "profile_orders_columns",
     "scd2_user_value_history",
     "udtf_doc_sentences",
-    "posexplode_doc_tokens",
-    "array_agg_supplier_profile",
     # The one red row in CORRECTNESS_r01 (DuckDB HUGEINT sum, since fixed):
     # kept in-window so the fix is driver-verified.
     "pipeline_train_val_test_split",
-    "salted_user_event_counts",
 ]
 
 
