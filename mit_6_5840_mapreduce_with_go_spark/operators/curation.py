@@ -278,3 +278,145 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~kept).cast("long")).alias("n_dropped"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone: the full pretraining-corpus pipeline — every curation stage
+# of this round composed into ONE Catalyst plan, end-to-end oracle-
+# checked.  Order mirrors production practice: cheap per-row gates first
+# (quality, repetition), then the contamination anti-join, then exact
+# dedup, then the domain cap, then the split — so each shuffle stage sees
+# an already-reduced corpus.
+# --------------------------------------------------------------------------
+_PP_MIN_TOKENS = 20
+_PP_REP_MAX = 0.2
+_PP_CAP = 15
+
+
+@query(
+    "pipeline_pretrain_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS l,
+             md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents WHERE doc_id % 101 <> 0),
+    sig AS (
+      SELECT doc_id, lang, source, l, fp, len(l) AS n_tokens,
+             list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) AS bg
+      FROM t),
+    gated AS (
+      SELECT doc_id, lang, source, l, fp, n_tokens FROM sig
+      WHERE n_tokens >= {_PP_MIN_TOKENS}
+        AND (len(bg) = 0 OR 1 - len(list_distinct(bg)) * 1.0 / len(bg)
+             <= {_PP_REP_MAX})
+        AND list_max(list_transform(list_distinct(l),
+                                    w -> len(list_filter(l, x -> x = w))))
+            * 1.0 / len(l) <= {_PP_REP_MAX}),
+    bench AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(l) - {_CONTAM_N - 2}),
+                             i -> list_aggregate(l[i:i+{_CONTAM_N - 1}],
+                                                 'string_agg', ' '))) AS ng
+      FROM (SELECT string_split(text, ' ') AS l FROM documents
+            WHERE doc_id % 101 = 0 AND len(string_split(text, ' ')) >= {_CONTAM_N})),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(l) - {_CONTAM_N - 2}),
+                              i -> list_aggregate(l[i:i+{_CONTAM_N - 1}],
+                                                  'string_agg', ' '))) AS ng
+        FROM gated WHERE len(l) >= {_CONTAM_N}) g
+      WHERE ng IN (SELECT ng FROM bench)),
+    clean AS (
+      SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    deduped AS (
+      SELECT * FROM clean
+      WHERE doc_id IN (SELECT min(doc_id) FROM clean GROUP BY fp)),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY ({_SPLIT_A_RED} * (doc_id % {_SPLIT_P}) + {_SPLIT_B})
+                   % {_SPLIT_P}, doc_id) AS rn
+        FROM deduped) WHERE rn <= {_PP_CAP}),
+    split AS (
+      SELECT lang, n_tokens,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang, n_tokens,
+                   (({_SPLIT_A_RED} * (doc_id % {_SPLIT_P}) + {_SPLIT_B})
+                    % {_SPLIT_P}) % 100 AS b
+            FROM capped))
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM split GROUP BY 1, 2
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-corpus pipeline as one Catalyst plan:
+    quality gate (min tokens) -> repetition gates (dup-bigram + top-word
+    share) -> benchmark contamination anti-join -> exact dedup on the
+    normalized fingerprint (keep lowest doc_id) -> per-source cap ->
+    deterministic train/val/test split -> per-(split, lang) accounting.
+
+    Scale: stage order puts the zero-shuffle per-row gates first, so the
+    three shuffles (contamination n-gram join, fingerprint dedup, source
+    cap window) each see an already-reduced corpus; the benchmark n-gram
+    set broadcasts; every sampling/split decision is the universal hash
+    of the row — no RNG, no driver state, reproducible at any cluster
+    size.  This is the composition the standalone operators
+    (text_repetition_quality, pipeline_contamination_check,
+    pipeline_domain_cap, pipeline_train_val_test_split) exist to serve."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 101 != 0)
+    toks = F.split("text", " ")
+    fp = F.md5(F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))))
+    sig = docs.select(
+        "doc_id", "lang", "source", toks.alias("l"), fp.alias("fp"),
+        F.size(toks).alias("n_tokens"),
+    )
+    bg = _word_ngrams(F.col("l"), 2)
+    dup_frac = F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        1 - F.size(F.array_distinct(bg)) / F.size(bg)
+    )
+    top_frac = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("l")),
+            lambda w: F.size(F.filter(F.col("l"), lambda x: x == w)),
+        )
+    ) / F.size("l")
+    gated = sig.filter(
+        (F.col("n_tokens") >= _PP_MIN_TOKENS)
+        & (dup_frac <= _PP_REP_MAX)
+        & (top_frac <= _PP_REP_MAX)
+    )
+    bench_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 101 == 0).select(
+        F.split("text", " ").alias("l")
+    )
+    bench = (
+        bench_docs.filter(F.size("l") >= _CONTAM_N)
+        .select(F.explode(_word_ngrams(F.col("l"), _CONTAM_N)).alias("ng"))
+        .distinct()
+    )
+    grams = gated.filter(F.size("l") >= _CONTAM_N).select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(F.col("l"), _CONTAM_N))).alias("ng")
+    )
+    contaminated = grams.join(F.broadcast(bench), "ng").select("doc_id").distinct()
+    clean = gated.join(contaminated, "doc_id", "left_anti")
+    canonical = clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = clean.join(canonical, ["fp", "doc_id"], "left_semi")
+    hkey = (
+        F.lit(_SPLIT_A_RED) * (F.col("doc_id") % _SPLIT_P) + F.lit(_SPLIT_B)
+    ) % _SPLIT_P
+    w = W.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id").asc())
+    capped = deduped.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PP_CAP
+    )
+    b = hkey % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        capped.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -120,3 +120,30 @@ def test_domain_cap_accounting(spark, sf_dir):
         assert r["n_kept"] <= _DOMAIN_CAP
         assert r["n_kept"] == min(_DOMAIN_CAP, r["n_total"])
         assert 0 < r["kept_chars"]
+
+
+def test_pretrain_corpus_pipeline_accounting(spark, sf_dir):
+    """Capstone pipeline: outputs respect the stage contracts — every
+    (split, lang) row positive, per-source cap implies bounded totals,
+    deterministic across runs, and the kept corpus is a subset of the
+    repetition-clean uncontaminated docs."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation import (
+        _PP_CAP,
+        pipeline_pretrain_corpus,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = pipeline_pretrain_corpus(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    total_docs = sum(r["n_docs"] for r in rows)
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert 0 < total_docs <= n_sources * _PP_CAP
+    for r in rows:
+        assert r["n_docs"] > 0 and r["total_tokens"] > 0
+    # determinism: a second run produces identical rows
+    again = pipeline_pretrain_corpus(spark, sf_dir).collect()
+    key = lambda r: (r["split"], r["lang"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
