@@ -325,3 +325,104 @@ class ShardConfig:
     def gid_servers(self, shard: int) -> tuple[int, list[str]]:
         gid = self.shards[shard]
         return gid, self.groups.get(gid, [])
+
+
+class ShardGroup:
+    """One replica group's shard store with the C8 migration protocol —
+    Freeze/Install/DeleteShard (semantics per
+    src/shardkv1/shardgrp/shardrpc/shardrpc.go:8-37 and the handler
+    contracts in src/shardkv1/shardgrp/server.go:49-66, re-expressed from
+    the spec): every migration RPC carries the config Num; a group
+    rejects RPCs staler than the newest Num it has seen for that shard
+    (the at-most-once guard across config changes), a frozen shard
+    rejects Get/Put with ErrWrongGroup, and Freeze is idempotent at the
+    same Num (the controller may retry).
+
+    Control-plane twin of the Spark data motion: at scale each "shard" is
+    a partition of the versioned-KV table and freeze/install/delete are
+    metadata operations over partitioned storage (the bytes never visit a
+    driver) — kv_shard_distribution + the partition-scoped MERGE tests
+    cover that path; this class pins the protocol's rejection rules."""
+
+    def __init__(self, gid: int, owned: set[int] | None = None) -> None:
+        self.gid = gid
+        self.state: dict[str, tuple[str, int]] = {}
+        self.owned: set[int] = set(owned or ())
+        self.frozen: set[int] = set()
+        self.num_seen: dict[int, int] = {}
+
+    def _shard(self, key: str) -> int:
+        from ..functions.hashing import key2shard_py
+
+        return key2shard_py(key)
+
+    # -- client ops ------------------------------------------------------
+    def get(self, key: str) -> tuple[str | None, int, str]:
+        sh = self._shard(key)
+        if sh not in self.owned or sh in self.frozen:
+            return None, 0, "ErrWrongGroup"
+        if key not in self.state:
+            return None, 0, "ErrNoKey"
+        value, version = self.state[key]
+        return value, version, "OK"
+
+    def put(self, key: str, value: str, version: int) -> str:
+        sh = self._shard(key)
+        if sh not in self.owned or sh in self.frozen:
+            return "ErrWrongGroup"
+        cur = self.state.get(key)
+        if cur is None:
+            if version != 0:
+                return "ErrNoKey"
+            self.state[key] = (value, 1)
+            return "OK"
+        if version != cur[1]:
+            return "ErrVersion"
+        self.state[key] = (value, cur[1] + 1)
+        return "OK"
+
+    # -- migration RPCs --------------------------------------------------
+    def freeze_shard(self, shard: int, num: int) -> tuple[dict | None, str]:
+        if num < self.num_seen.get(shard, 0):
+            return None, "ErrStale"
+        self.num_seen[shard] = num
+        if shard not in self.owned:
+            return None, "ErrWrongGroup"
+        self.frozen.add(shard)
+        snap = {k: v for k, v in self.state.items() if self._shard(k) == shard}
+        return snap, "OK"
+
+    def install_shard(self, shard: int, state: dict, num: int) -> str:
+        if num < self.num_seen.get(shard, 0):
+            return "ErrStale"
+        self.num_seen[shard] = num
+        self.state.update(state)
+        self.owned.add(shard)
+        self.frozen.discard(shard)
+        return "OK"
+
+    def delete_shard(self, shard: int, num: int) -> str:
+        if num < self.num_seen.get(shard, 0):
+            return "ErrStale"
+        self.num_seen[shard] = num
+        self.state = {
+            k: v for k, v in self.state.items() if self._shard(k) != shard
+        }
+        self.owned.discard(shard)
+        self.frozen.discard(shard)
+        return "OK"
+
+
+def migrate_shard(src: ShardGroup, dst: ShardGroup, shard: int, num: int) -> str:
+    """Controller-side migration (the shardctrler's ChangeConfigTo step,
+    src/shardkv1/shardgrp/client.go:31-44 call order): freeze at the
+    source, install at the destination, delete at the source.  Each leg
+    is individually retry-safe (stale Nums rejected), so a crashed
+    controller can re-run the whole sequence."""
+    snap, err = src.freeze_shard(shard, num)
+    if err != "OK":
+        return err
+    err = dst.install_shard(shard, snap, num)
+    if err != "OK":
+        return err
+    return src.delete_shard(shard, num)

@@ -151,3 +151,83 @@ def test_shardcfg_property_random_churn():
                     assert set(cfg.shards) == set(cfg.groups)
             else:
                 assert set(cfg.shards) == {0}
+
+
+# --------------------------------------------------------------------------
+# C8 shard migration: Freeze/Install/DeleteShard protocol properties
+# (shardrpc.go:8-37, server.go:49-66 contracts).
+# --------------------------------------------------------------------------
+def test_shard_migration_basic_and_frozen_writes():
+    from mit_6_5840_mapreduce_with_go_spark.operators.kv import (
+        ShardGroup,
+        migrate_shard,
+    )
+
+    src, dst = ShardGroup(1, set(range(12))), ShardGroup(2)
+    keys = [str(i) for i in range(200)]
+    for k in keys:
+        assert src.put(k, f"v{k}", 0) == "OK"
+    shard = src._shard(keys[0])
+    # freeze rejects writes mid-migration
+    snap, err = src.freeze_shard(shard, 1)
+    assert err == "OK" and len(snap) > 0
+    frozen_key = next(iter(snap))
+    assert src.put(frozen_key, "x", 1) == "ErrWrongGroup"
+    assert src.get(frozen_key)[2] == "ErrWrongGroup"
+    # complete the migration (re-freeze at same num is idempotent)
+    assert migrate_shard(src, dst, shard, 1) == "OK"
+    # every key readable from exactly one group, values intact
+    for k in keys:
+        vs, vr, es = src.get(k)
+        vd, _, ed = dst.get(k)
+        assert (es == "OK") != (ed == "OK")
+        assert (vs if es == "OK" else vd) == f"v{k}"
+    # stale replays are rejected without state change
+    assert src.freeze_shard(shard, 0) == (None, "ErrStale")
+    assert dst.delete_shard(shard, 0) == "ErrStale"
+    assert dst.get(frozen_key)[2] == "OK"
+
+
+def test_shard_migration_random_churn_conserves_keys():
+    """Random migrations between 3 groups with interleaved CAS writes and
+    stale-replay attacks: no key is ever lost or duplicated, versions
+    only advance, and every accepted write happened on the sole owner."""
+    import random
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.kv import (
+        ShardGroup,
+        migrate_shard,
+    )
+
+    rng = random.Random(65840)
+    groups = {1: ShardGroup(1, set(range(12))), 2: ShardGroup(2), 3: ShardGroup(3)}
+    owner = {sh: 1 for sh in range(12)}
+    keys = [str(i) for i in range(300)]
+    expected: dict[str, tuple[str, int]] = {}
+    for k in keys:
+        assert groups[1].put(k, "v0", 0) == "OK"
+        expected[k] = ("v0", 1)
+    num = 0
+    for _ in range(120):
+        if rng.random() < 0.5:
+            # migrate a random shard to a random other group
+            sh = rng.randrange(12)
+            src = groups[owner[sh]]
+            dst = groups[rng.choice([g for g in groups if g != owner[sh]])]
+            num += 1
+            assert migrate_shard(src, dst, sh, num) == "OK"
+            owner[sh] = dst.gid
+            # stale replay of an older migration must be a no-op
+            assert src.freeze_shard(sh, num - 1) == (None, "ErrStale")
+        else:
+            k = rng.choice(keys)
+            g = groups[owner[groups[1]._shard(k)]]
+            val, ver = expected[k]
+            newv = f"v{rng.randrange(1000)}"
+            assert g.put(k, newv, ver) == "OK"
+            assert g.put(k, "conflict", ver) == "ErrVersion"  # CAS holds
+            expected[k] = (newv, ver + 1)
+    for k, (val, ver) in expected.items():
+        owners = [g for g in groups.values() if g.get(k)[2] == "OK"]
+        assert len(owners) == 1
+        assert owners[0].get(k) == (val, ver, "OK")
