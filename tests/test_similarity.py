@@ -125,3 +125,33 @@ def test_pq_adc_encoding_and_recall(spark, sf_dir):
     assert got == want
     for r in by_q[q]:
         assert abs(r["adc_dist"] - adc[r["neighbor_id"]]) < 1e-3
+
+
+def test_ivfpq_consistent_with_pq_and_cells(spark, sf_dir):
+    """IVF-PQ = PQ-ADC restricted to the query's coarse cell: every
+    returned neighbor shares the query's cell (numpy recompute of the
+    coarse argmax), and any (query, neighbor) pair present in both
+    rankings carries the IDENTICAL ADC distance."""
+    import numpy as np
+
+    ivfpq = S.sim_topk_ivfpq(spark, sf_dir).collect()
+    assert len(ivfpq) > 0
+    pq = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in S.sim_topk_pq_adc(spark, sf_dir).collect()
+    }
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()}
+    cents = {cid: v for cid, v in emb.items() if cid % S.CENTROID_STRIDE == 0}
+
+    def cell(v):
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return min(cents, key=lambda c: (-cos(emb[c] if False else cents[c], v), c))
+
+    for r in ivfpq:
+        assert 1 <= r["rank"] <= S.TOP_K
+        assert cell(emb[r["query_id"]]) == cell(emb[r["neighbor_id"]])
+        key = (r["query_id"], r["neighbor_id"])
+        if key in pq:
+            assert abs(pq[key] - r["adc_dist"]) < 1e-9
