@@ -115,8 +115,10 @@ def load_all() -> None:
     positions (the driver-verified window)."""
     from .mapreduce import apps  # noqa: F401
     from .operators import (  # noqa: F401
+        behavior,
         clusters,
         curation,
+        curation2,
         dedup,
         kv,
         multimodal,
