@@ -317,3 +317,61 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus composition matrix: the "data mixture" table — token and doc
+# counts per (lang, source) cell with corpus-wide and within-lang token
+# shares.  This is the report a pretraining run's sampling weights are
+# derived from.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_corpus_composition",
+    oracle="""
+    WITH d AS (
+      SELECT lang, source, len(string_split(text, ' ')) AS toks
+      FROM documents),
+    c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM d GROUP BY lang, source)
+    SELECT lang, source, n_docs, n_tokens,
+           round(n_tokens * 1.0 /
+                 CAST(sum(n_tokens) OVER () AS BIGINT), 4) AS corpus_share,
+           round(n_tokens * 1.0 /
+                 CAST(sum(n_tokens) OVER (PARTITION BY lang) AS BIGINT), 4)
+             AS lang_share
+    FROM c
+    """,
+)
+def pipeline_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture composition: per (lang, source) cell the document
+    and whitespace-token counts, the cell's share of all corpus tokens,
+    and its share within its language — the inputs to mixture-weight /
+    temperature-sampling decisions.
+
+    Scale: token counting is a narrow size(split()) map (no explode —
+    the array never materializes past the expression); one
+    map-side-combinable agg on the tiny (lang x source) key space; the
+    share windows run over the ~100-row result, not the corpus.  DuckDB
+    window sums over BIGINT widen to HUGEINT, hence the CASTs."""
+    docs = _docs(spark, sf_dir)
+    c = docs.select(
+        "lang", "source", F.size(F.split("text", " ")).alias("toks")
+    ).groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+    return c.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(W.partitionBy()), 4
+        ).alias("corpus_share"),
+        F.round(
+            F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(W.partitionBy("lang")),
+            4,
+        ).alias("lang_share"),
+    )

@@ -104,3 +104,70 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         decode_batches, schema="doc_id long, width long, height long, n_frames long"
     )
+
+
+@query(
+    "mm_embedding_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT i - 1 AS dim,
+             CAST(floor(v[i] * 10000000) AS BIGINT) AS q,
+             v[i] AS raw
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           unnest(generate_series(1, len(v))) AS t(i)),
+    s AS (
+      SELECT dim, count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS s1,
+             sum(CAST(q AS HUGEINT) * q) AS s2,
+             min(raw) AS mn, max(raw) AS mx
+      FROM x GROUP BY dim)
+    SELECT dim, CAST(n AS BIGINT) AS n,
+           round(CAST(s1 AS DOUBLE) / 1e7 / n, 6) AS mean,
+           round(sqrt((CAST(s2 AS DOUBLE) / 1e14
+                       - (CAST(s1 AS DOUBLE) / 1e7) * (CAST(s1 AS DOUBLE) / 1e7) / n)
+                      / (n - 1)), 6) AS stddev,
+           round(mn, 6) AS dim_min, round(mx, 6) AS dim_max
+    FROM s
+    """,
+)
+def mm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding column (the
+    normalization / whitening precursor): mean, sample stddev, min, max
+    for each of the 64 dimensions.
+
+    Moments accumulate as EXACT integer sums of floor(x * 1e7) — double
+    partial sums would make the 6th decimal depend on partition count
+    (the stats_price_moments recipe, applied per dimension); min/max are
+    order-free so they stay raw doubles.  The quantization error (<1e-7
+    per element) is inside the 1e-6 reporting precision.
+
+    Scale: posexplode is a narrow 64x fan-out that stays in codegen;
+    the agg groups 64 keys with map-side partials, so the single shuffle
+    carries 64 rows per task regardless of corpus size.  s2 accumulates
+    in DECIMAL(38,0) (q^2 ~ 1e14 x trillions of rows overflows int64;
+    Spark would wrap silently, DuckDB widens to HUGEINT)."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "raw")
+    )
+    q = F.floor(F.col("raw") * 1e7).cast("decimal(38,0)")
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.min("raw").alias("mn"),
+        F.max("raw").alias("mx"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / 1e7 / n
+    var = (s2 / 1e14 - (s1 / 1e7) * (s1 / 1e7) / n) / (n - 1)
+    return s.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+        F.round("mn", 6).alias("dim_min"),
+        F.round("mx", 6).alias("dim_max"),
+    )

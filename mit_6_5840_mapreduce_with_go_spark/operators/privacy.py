@@ -1,0 +1,156 @@
+"""PII detection and redaction over ``documents`` — the privacy-scrub
+stage every pretraining corpus passes through before tokenization.
+
+No reference counterpart (the reference's only text op is wc's
+tokenizer — SURVEY.md §2.B); north-star addition alongside the curation
+stages (operators/curation.py, curation2.py, pipelines.py).
+
+The synthetic corpus is deliberately PII-free, so the scrub would be
+vacuous on the raw text; like the multimodal decode stub
+(operators/multimodal.py) we make the PLUMBING real and the payload
+synthetic: a deterministic pseudo-PII suffix (email + phone derived
+from doc_id) is appended in-query, then detected and redacted with the
+same regex machinery a real pipeline ships.  Detection counts, length
+deltas, and an md5 digest of the redacted text are all engine-exact, so
+the driver's hash compare verifies the scrub END TO END (a redaction
+differing by one byte flips the digest).
+
+Patterns stay inside the RE2 / Java-regex common subset (character
+classes, +, {n} quantifiers — no backrefs, no lookaround) so Spark and
+DuckDB compile them identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """Append the deterministic pseudo-PII suffix: every doc gains one
+    email + one phone; every third doc a second email."""
+    base = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    full = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(base, F.lit(" cc admin@corp.net"))
+    ).otherwise(base)
+    return docs.withColumn("full", full)
+
+
+_PII_SQL_FULL = """
+      CASE WHEN doc_id % 3 = 0
+           THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' cc admin@corp.net'
+           ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      END
+"""
+
+
+@query(
+    "pii_doc_redaction",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_PII_SQL_FULL} AS ftext FROM documents),
+    r AS (
+      SELECT doc_id, ftext,
+             regexp_replace(regexp_replace(ftext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+      FROM d)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(ftext, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(ftext, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(ftext) - len(clean) AS BIGINT) AS chars_removed,
+           md5(clean) AS clean_digest
+    FROM r
+    """,
+)
+def pii_doc_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scrub: email/phone hit counts, the redaction's
+    length delta, and an md5 digest of the scrubbed text — the digest
+    makes the oracle compare the redacted BYTES, not just the counts.
+
+    Scale: pure narrow map — regex eval and md5 are JVM-side expressions
+    inside whole-stage codegen; no shuffle at all (the scan partition
+    layout is the output layout).  At 100 TB this is the ideal operator
+    shape: bytes stream through codegen once, nothing wide."""
+    docs = _with_pii(load_table(spark, sf_dir, "documents", fan_out=True))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("full"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("full"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("full"), F.lit(_PHONE_RE)).alias("n_phones"),
+        (F.length("full") - F.length(clean)).cast("long").alias("chars_removed"),
+        F.md5(clean).alias("clean_digest"),
+    )
+
+
+@query(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_PII_SQL_FULL} AS ftext FROM documents),
+    r AS (
+      SELECT source,
+             len(regexp_extract_all(ftext, '{_EMAIL_RE}')) AS e,
+             len(regexp_extract_all(ftext, '{_PHONE_RE}')) AS p,
+             len(ftext)
+               - len(regexp_replace(regexp_replace(ftext, '{_EMAIL_RE}',
+                                                   '<EMAIL>', 'g'),
+                                    '{_PHONE_RE}', '<PHONE>', 'g'))
+               AS removed
+      FROM d)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(p) AS BIGINT) AS n_phones,
+           CAST(sum(removed) AS BIGINT) AS chars_removed,
+           round(sum(e) * 1.0 / count(*), 4) AS emails_per_doc
+    FROM r GROUP BY source
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub audit report by source: documents scanned, PII instances
+    found by class, total bytes redacted — the compliance summary a
+    privacy pipeline emits per ingest batch.
+
+    Scale: narrow regex map, then one map-side-combinable agg on the
+    tiny source key (20 values) — partial sums collapse before the
+    single small shuffle."""
+    docs = _with_pii(load_table(spark, sf_dir, "documents", fan_out=True))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("full"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(F.col("full"), F.lit(_EMAIL_RE)).alias("e"),
+        F.regexp_count(F.col("full"), F.lit(_PHONE_RE)).alias("p"),
+        (F.length("full") - F.length(clean)).cast("long").alias("removed"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").cast("long").alias("n_emails"),
+        F.sum("p").cast("long").alias("n_phones"),
+        F.sum("removed").alias("chars_removed"),
+        F.round(F.sum("e") * 1.0 / F.count(F.lit(1)), 4).alias("emails_per_doc"),
+    )

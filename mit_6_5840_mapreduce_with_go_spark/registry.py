@@ -123,6 +123,7 @@ def load_all() -> None:
         kv,
         multimodal,
         pipelines,
+        privacy,
         relational,
         relational2,
         relational3,
