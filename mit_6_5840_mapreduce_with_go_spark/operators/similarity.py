@@ -635,3 +635,178 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double"), 4).alias("adc_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid search: reciprocal-rank fusion of two retrieval systems, and the
+# recall-evaluation harness that grades the approximate indexes against
+# the exact ranking — the two standard IR compositions on top of top-k.
+# --------------------------------------------------------------------------
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+
+# Compact oracle CTEs re-stating the exact and LSH top-k rankings (the
+# same SQL the individual queries carry, inlined so each oracle stays
+# self-contained for DuckDB).
+_BF_TOPK_CTE = f"""
+    bf AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {DUCK_COS.format(a='q.qv', b='c.cv')} DESC,
+                          c.neighbor_id) AS INTEGER) AS rank
+        FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        JOIN (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings) c
+          ON query_id <> neighbor_id)
+      WHERE rank <= {TOP_K})
+"""
+
+
+def _lsh_topk_cte() -> str:
+    return f"""
+    lb AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    lsh AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {DUCK_COS.format(a='q.qv', b='c.cv')} DESC,
+                          c.neighbor_id) AS INTEGER) AS rank
+        FROM (SELECT vec_id AS query_id, embedding AS qv, bucket FROM lb
+              WHERE vec_id < {N_QUERIES}) q
+        JOIN (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM lb) c
+          ON q.bucket = c.bucket AND query_id <> neighbor_id)
+      WHERE rank <= {TOP_K})
+"""
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {_BF_TOPK_CTE.strip()},
+    {_lsh_topk_cte().strip()},
+    fused AS (
+      SELECT coalesce(bf.query_id, lsh.query_id) AS query_id,
+             coalesce(bf.neighbor_id, lsh.neighbor_id) AS neighbor_id,
+             coalesce(1.0 / ({_RRF_K} + bf.rank), 0)
+             + coalesce(1.0 / ({_RRF_K} + lsh.rank), 0) AS rrf
+      FROM bf FULL OUTER JOIN lsh
+        ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id)
+    SELECT query_id, neighbor_id, fused_rank, round(rrf, 6) AS rrf_score
+    FROM (SELECT query_id, neighbor_id, rrf,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, neighbor_id) AS INTEGER) AS fused_rank
+          FROM fused)
+    WHERE fused_rank <= {TOP_K}
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the exact cosine ranking and the LSH
+    ranking: score = sum over systems of 1/(60 + rank) — the standard
+    hybrid-search combiner (it needs only RANKS, so heterogeneous
+    scorers fuse without calibration).  Composes the two registered
+    top-k queries as DataFrames; ranks are exact integers so the fused
+    score is engine-exact double arithmetic.
+
+    Scale: each input is already a per-query top-k (K rows per query);
+    the fusion join and re-rank touch K x queries rows — negligible next
+    to retrieval.  This is the composition shape for fusing BM25 + dense
+    retrieval at corpus scale: rankers run as independent narrow
+    pipelines, fusion is a tiny outer join keyed on (query, doc)."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("bf_rank")
+    )
+    lsh = sim_topk_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lsh_rank")
+    )
+    fused = bf.join(lsh, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("bf_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("lsh_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "neighbor_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fused_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+@query(
+    "sim_ann_recall_eval",
+    oracle=f"""
+    WITH {_BF_TOPK_CTE.strip()},
+    {_lsh_topk_cte().strip()},
+    cent AS (SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+             WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {DUCK_COS.format(a='e.embedding', b='cent.centv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent)
+      WHERE rn = 1),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {DUCK_COS.format(a='q.qv', b='c.cv')} DESC,
+                          c.neighbor_id) AS INTEGER) AS rank
+        FROM (SELECT e.vec_id AS query_id, e.embedding AS qv, a.centroid_id
+              FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+              WHERE e.vec_id < {N_QUERIES}) q
+        JOIN (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.centroid_id
+              FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id) c
+          ON q.centroid_id = c.centroid_id AND query_id <> neighbor_id)
+      WHERE rank <= {TOP_K})
+    SELECT bf.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hit_ivf,
+           CAST(count(lsh.neighbor_id) AS BIGINT) AS n_hit_lsh,
+           round(count(ivf.neighbor_id) * 1.0 / count(*), 4) AS recall_ivf,
+           round(count(lsh.neighbor_id) * 1.0 / count(*), 4) AS recall_lsh
+    FROM bf
+    LEFT JOIN ivf ON bf.query_id = ivf.query_id
+                 AND bf.neighbor_id = ivf.neighbor_id
+    LEFT JOIN lsh ON bf.query_id = lsh.query_id
+                 AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation harness IN the engine: per query, how many of
+    the exact top-k neighbors each approximate index (IVF, LSH)
+    recovered.  The index-quality report a vector store publishes,
+    computed as a query instead of a notebook.
+
+    Scale: ground truth on a sampled query set (here vec_id < N_QUERIES;
+    at 100 TB a ~1e3 query sample) — the exact ranking is only ever
+    computed for the sample, the approximate sides reuse the production
+    index pipelines; the membership joins touch K x queries rows."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = sim_topk_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_ivf")
+    )
+    lsh = sim_topk_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_lsh")
+    )
+    joined = bf.join(ivf, ["query_id", "neighbor_id"], "left").join(
+        lsh, ["query_id", "neighbor_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit_ivf").alias("n_hit_ivf"),
+        F.count("hit_lsh").alias("n_hit_lsh"),
+        F.round(F.count("hit_ivf") * 1.0 / F.count(F.lit(1)), 4).alias("recall_ivf"),
+        F.round(F.count("hit_lsh") * 1.0 / F.count(F.lit(1)), 4).alias("recall_lsh"),
+    )

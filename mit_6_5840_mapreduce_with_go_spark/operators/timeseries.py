@@ -356,3 +356,154 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Group-wise linear trend: ordinary-least-squares slope/intercept of
+# event value against hours-since-epoch-start, one fit per event type —
+# the "is this metric drifting" primitive, computed in closed form from
+# exact integer sums (the stats_price_moments recipe).
+# --------------------------------------------------------------------------
+@query(
+    "events_value_trend",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             date_diff('hour', TIMESTAMP '2024-01-01', ts) AS h,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(h) AS BIGINT) AS sx,
+             sum(CAST(h AS HUGEINT) * h) AS sxx,
+             CAST(sum(c) AS BIGINT) AS sy,
+             sum(CAST(h AS HUGEINT) * c) AS sxy
+      FROM x GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 100.0, 6) AS slope_per_hour,
+           round((CAST(sy AS DOUBLE)
+                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / n / 100.0, 4) AS intercept
+    FROM s
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (slope per hour +
+    intercept at the stream epoch), in closed form from exact integer
+    sums: hours are exact ints, values are exact cents, so the moment
+    sums are partition-order independent and the double finish is
+    bit-identical in any engine (the stats_price_moments recipe applied
+    to a regression).
+
+    Scale: one narrow projection + one map-side-combinable agg on the
+    5-key event_type space — the minimal possible shape; sxx/sxy
+    accumulate in DECIMAL(38,0) (hour^2 x trillions of rows overflows
+    int64; Spark would wrap silently, DuckDB widens to HUGEINT)."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts is naive; recover the same hour diff DuckDB computes by integer
+    # flooring the second offset (events start exactly at 2024-01-01).
+    hours = F.floor(
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
+        / 3600
+    ).cast("decimal(20,0)")
+    cents = F.round(F.col("value") * 100).cast("decimal(20,0)")
+    s = ev.select(
+        "event_type", hours.alias("h"), cents.alias("c")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").cast("long").alias("sx"),
+        F.sum(F.col("h") * F.col("h")).alias("sxx"),
+        F.sum("c").cast("long").alias("sy"),
+        F.sum(F.col("h") * F.col("c")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope / 100.0, 6).alias("slope_per_hour"),
+        F.round(intercept / 100.0, 4).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier detection: Tukey fences per event type over integer-cent
+# values.  Quartiles interpolate at exact quarter fractions of integers,
+# so the fences are exact binary fractions (multiples of 1/8 of a cent)
+# and the outlier comparisons are knife-edge-free in any engine.
+# --------------------------------------------------------------------------
+@query(
+    "events_value_outliers",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    q AS (
+      SELECT event_type, count(*) AS n,
+             quantile_cont(c, 0.25) AS q1c,
+             quantile_cont(c, 0.75) AS q3c
+      FROM x GROUP BY event_type)
+    SELECT q.event_type, CAST(q.n AS BIGINT) AS n,
+           round(q1c / 100.0, 4) AS q1,
+           round(q3c / 100.0, 4) AS q3,
+           round((q3c - q1c) / 100.0, 4) AS iqr,
+           CAST(count(*) FILTER (WHERE c < q1c - 1.5 * (q3c - q1c)
+                                    OR c > q3c + 1.5 * (q3c - q1c)) AS BIGINT)
+             AS n_outliers,
+           round(count(*) FILTER (WHERE c < q1c - 1.5 * (q3c - q1c)
+                                     OR c > q3c + 1.5 * (q3c - q1c))
+                 * 1.0 / q.n, 4) AS outlier_frac
+    FROM x JOIN q USING (event_type)
+    GROUP BY q.event_type, q.n, q1c, q3c
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per event type: quartiles, IQR, and
+    the count/fraction of values outside [q1 - 1.5*IQR, q3 + 1.5*IQR].
+
+    Engine-exactness: quartiles of INTEGER cents interpolate at fractions
+    in {0, .25, .5, .75} — exactly representable, so q1/q3 and the 1.5*IQR
+    fences are exact multiples of 1/8 cent in both engines and no value
+    ever sits ambiguously on a fence.
+
+    Scale: quartiles per group need a per-key sort of that key's values —
+    at 100 TB swap `percentile` for `percentile_approx` (t-digest,
+    mergeable map-side) and the fences stay within the sketch's rank
+    error; the comparison/count pass is unchanged.  The fence join
+    broadcasts the 5-row quartile table back onto the stream."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(c, 0.25)").alias("q1c"),
+        F.expr("percentile(c, 0.75)").alias("q3c"),
+    )
+    lo = F.col("q1c") - 1.5 * (F.col("q3c") - F.col("q1c"))
+    hi = F.col("q3c") + 1.5 * (F.col("q3c") - F.col("q1c"))
+    out = (F.col("c") < lo) | (F.col("c") > hi)
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1c", "q3c")
+        .agg(
+            F.count_if(out).alias("n_outliers"),
+            F.round(F.count_if(out) * 1.0 / F.col("n"), 4).alias("outlier_frac"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("q1c") / 100.0, 4).alias("q1"),
+            F.round(F.col("q3c") / 100.0, 4).alias("q3"),
+            F.round((F.col("q3c") - F.col("q1c")) / 100.0, 4).alias("iqr"),
+            "n_outliers",
+            "outlier_frac",
+        )
+    )

@@ -155,3 +155,71 @@ def test_ivfpq_consistent_with_pq_and_cells(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in pq:
             assert abs(pq[key] - r["adc_dist"]) < 1e-9
+
+
+def test_rrf_fusion_scores_and_ranks(spark, sf_dir):
+    """RRF invariants: per-query ranks are 1..K dense; a neighbor in BOTH
+    input lists outscores one at the same ranks in only one list; scores
+    match the 1/(60+rank) formula recomputed from the inputs."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.similarity import (
+        _RRF_K,
+        TOP_K,
+        sim_hybrid_rrf,
+        sim_topk_bruteforce,
+        sim_topk_lsh,
+    )
+
+    fused = sim_hybrid_rrf(spark, sf_dir).collect()
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in sim_topk_lsh(spark, sf_dir).collect()
+    }
+    per_query = {}
+    for r in fused:
+        per_query.setdefault(r["query_id"], []).append(r["fused_rank"])
+        key = (r["query_id"], r["neighbor_id"])
+        expect = 0.0
+        if key in bf:
+            expect += 1.0 / (_RRF_K + bf[key])
+        if key in lsh:
+            expect += 1.0 / (_RRF_K + lsh[key])
+        assert expect > 0, "fused neighbor must come from an input list"
+        assert abs(r["rrf_score"] - expect) < 1e-6
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, TOP_K + 1))
+
+
+def test_ann_recall_eval_matches_direct_overlap(spark, sf_dir):
+    """The in-engine recall report equals a plain-Python set-overlap
+    recompute from the individual rankings."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.similarity import (
+        sim_ann_recall_eval,
+        sim_topk_bruteforce,
+        sim_topk_ivf,
+        sim_topk_lsh,
+    )
+
+    def topsets(fn):
+        out = {}
+        for r in fn(spark, sf_dir).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    bf, ivf, lsh = (
+        topsets(sim_topk_bruteforce),
+        topsets(sim_topk_ivf),
+        topsets(sim_topk_lsh),
+    )
+    report = sim_ann_recall_eval(spark, sf_dir).collect()
+    assert {r["query_id"] for r in report} == set(bf)
+    for r in report:
+        q = r["query_id"]
+        assert r["n_exact"] == len(bf[q])
+        assert r["n_hit_ivf"] == len(bf[q] & ivf.get(q, set()))
+        assert r["n_hit_lsh"] == len(bf[q] & lsh.get(q, set()))
+        assert 0.0 <= r["recall_ivf"] <= 1.0
+        assert 0.0 <= r["recall_lsh"] <= 1.0

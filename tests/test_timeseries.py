@@ -110,3 +110,52 @@ def test_funnel_is_monotone_and_strictly_ordered(spark, sf_dir):
     r = events_funnel_conversion(spark, sf_dir).collect()[0]
     assert r["n_view"] >= r["n_view_click"] >= r["n_view_click_purchase"] > 0
     assert 0.0 < r["conversion"] <= 1.0
+
+
+def test_value_trend_matches_numpy_lstsq(spark, sf_dir):
+    """OLS slope/intercept per event type equals numpy's closed form on
+    the same (hour, cent) pairs."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_value_trend,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    pdf = ev.toPandas()
+    epoch = np.datetime64("2024-01-01T00:00:00")
+    pdf["h"] = ((pdf["ts"].values - epoch) / np.timedelta64(1, "s") // 3600).astype(
+        "int64"
+    )
+    pdf["c"] = np.round(pdf["value"] * 100).astype("int64")
+    for r in events_value_trend(spark, sf_dir).collect():
+        g = pdf[pdf["event_type"] == r["event_type"]]
+        slope, intercept = np.polyfit(g["h"], g["c"], 1)
+        assert abs(r["slope_per_hour"] - slope / 100.0) < 1e-4
+        assert abs(r["intercept"] - intercept / 100.0) < 1e-2
+        assert r["n"] == len(g)
+
+
+def test_value_outliers_match_numpy_fences(spark, sf_dir):
+    """Tukey fences and outlier counts equal a numpy recompute with
+    linear-interpolated quartiles on integer cents."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_value_outliers,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    pdf = ev.toPandas()
+    pdf["c"] = np.round(pdf["value"] * 100).astype("int64")
+    for r in events_value_outliers(spark, sf_dir).collect():
+        c = pdf[pdf["event_type"] == r["event_type"]]["c"].values
+        q1, q3 = np.percentile(c, [25, 75], method="linear")
+        iqr = q3 - q1
+        n_out = int(((c < q1 - 1.5 * iqr) | (c > q3 + 1.5 * iqr)).sum())
+        assert r["n"] == len(c)
+        assert abs(r["q1"] - q1 / 100.0) < 1e-6
+        assert abs(r["q3"] - q3 / 100.0) < 1e-6
+        assert r["n_outliers"] == n_out

@@ -51,6 +51,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "cluster_kmeans_embeddings": {"CART": "k-centroid broadcast scoring"},
     "sim_topk_bruteforce": {"CART": "query-side broadcast vs corpus (the baseline ANN)"},
     "sim_topk_ivf": {"CART": "centroid broadcast for bucket assignment"},
+    "sim_hybrid_rrf": {"CART": "inherited: query-side broadcast of the fused top-k inputs"},
+    "sim_ann_recall_eval": {
+        "CART": "inherited: query-side + centroid broadcasts of the graded indexes"
+    },
     "dedup_embedding_cosine": {"CART": "blocked pair enumeration, bounded block"},
     "join_cross_region_nation": {"CART": "explicit CROSS JOIN query (25x5 dims)"},
     "sim_tfidf_topk": {"EXCH": "multi-consumer postings pipeline; ReusedExchange reprints per consumer"},
