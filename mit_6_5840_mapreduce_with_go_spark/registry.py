@@ -132,6 +132,7 @@ def load_all() -> None:
         similarity,
         text,
         timeseries,
+        udafs,
     )
     from .streaming import windows  # noqa: F401
 
