@@ -119,6 +119,7 @@ def load_all() -> None:
         clusters,
         curation,
         curation2,
+        curation3,
         dedup,
         kv,
         multimodal,
