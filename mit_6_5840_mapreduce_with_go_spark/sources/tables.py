@@ -69,6 +69,10 @@ def load_table(
         # our session factory) because the caller may pass any session —
         # the verify driver builds its own.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→LTZ normalization below is value-preserving only under a
+        # UTC session tz; pin it here too since the caller's session may not
+        # come from our factory.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
@@ -77,6 +81,14 @@ def load_table(
     # ns→us truncation matches this floor division.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Newer testdata writes events.ts as parquet TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ.
+    # unix_micros()/window RANGE frames require the LTZ TIMESTAMP type, so
+    # normalize NTZ → LTZ here. The session timezone is pinned to UTC
+    # (session.py), making the cast value-preserving and matching DuckDB's
+    # naive-timestamps-as-UTC semantics (epoch_us parity).
+    if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if fan_out:
         df = _fan_out_if_single_file(spark, df, os.path.join(sf_dir, name))
     return df

@@ -22,9 +22,9 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        # parquet TIMESTAMP(NANOS): read as long (see session config
-        # spark.sql.legacy.parquet.nanosAsLong), converted below
-        T.StructField("ts", T.LongType()),
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → NTZ on read;
+        # normalized to LTZ below (session tz pinned UTC, value-preserving)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -37,12 +37,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned — file
     streams cannot infer; the source needs a directory, so glob-filter
     the single table file). Matches sources/tables.py ts conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
 
 
