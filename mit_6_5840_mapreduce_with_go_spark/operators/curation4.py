@@ -1,0 +1,255 @@
+"""Curation tranche 4: leakage-safe grouped splits, quality-weighted
+sampling, unigram language-model scoring, and a Zipf-law corpus fit.
+
+These extend the training-data curation surface (curation.py, curation2.py,
+curation3.py, pipelines.py) with four more stages a 100 TB corpus pass
+needs:
+
+- **grouped train/val/test split** — the leakage-safe variant of
+  ``pipeline_train_val_test_split``: the split decision is made per
+  SOURCE (all documents of one source land in the same split), so
+  near-duplicate documents within a source can never straddle the
+  train/eval boundary.  The group key is ``min(doc_id)`` per source —
+  deterministic, engine-independent, and computed with one map-side-
+  combinable aggregation.
+- **quality-weighted sampling** — per-document acceptance with
+  probability proportional to a quality weight, decided by the same
+  universal hash as the split/sample family (deterministic across runs
+  and cluster sizes — no RNG state, no seed drift between executors).
+- **unigram LM scoring** — the classic cheap quality signal: fit a
+  unigram language model on the corpus itself, score each document by
+  its mean negative log-likelihood.  Surprising documents (rare-word
+  soup) score high, repetitive common-word documents score low.
+- **Zipf fit** — corpus-level sanity diagnostic: regress log(freq) on
+  log(rank) over the vocabulary; natural corpora give slopes near -1,
+  so a drifting slope is a data-quality alarm for a corpus snapshot.
+
+No reference counterpart (the reference's only text op is wc's
+tokenizer, src/mrapps/wc.go:19-24); north-star LLM-pipeline additions
+per the driver's BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from .pipelines import _SPLIT_A_RED, _SPLIT_B, _SPLIT_P
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", fan_out=True)
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe grouped split: one split decision per source
+# --------------------------------------------------------------------------
+# Same universal hash as pipeline_train_val_test_split (pipelines.py),
+# applied to the group key instead of the row key. 80/10/10.
+_GS_HASH = (
+    f"(({_SPLIT_A_RED} * (gk % {_SPLIT_P}) + {_SPLIT_B}) % {_SPLIT_P}) % 100"
+)
+
+
+@query(
+    "pipeline_group_split",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, min(doc_id) AS gk, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source),
+    s AS (
+      SELECT CASE WHEN {_GS_HASH} < 80 THEN 'train'
+                  WHEN {_GS_HASH} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_docs, chars
+      FROM g)
+    SELECT split, count(*) AS n_sources,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split
+    """,
+)
+def pipeline_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split decided per SOURCE group (80/10/10): every
+    document of a source follows its group, so intra-source near-dups
+    can never leak across the train/eval boundary.
+
+    Scale: one map-side-combinable groupBy(source) produces one row per
+    group; the split decision is a pure expression on the group key
+    (min doc_id — stable under re-partitioning and engine choice); the
+    final rollup is 3 rows. No windows, no joins, two shuffles total,
+    both tiny after partial aggregation."""
+    g = _docs(spark, sf_dir).groupBy("source").agg(
+        F.min("doc_id").alias("gk"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    b = (
+        (F.lit(_SPLIT_A_RED) * (F.col("gk") % _SPLIT_P) + F.lit(_SPLIT_B))
+        % _SPLIT_P
+    ) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return g.select(split.alias("split"), "n_docs", "chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted deterministic sampling
+# --------------------------------------------------------------------------
+# weight(doc) = min(1, n_chars / 400): longer documents are kept with
+# higher probability (a standard resampling lever — swap in any [0,1]
+# quality score).  Acceptance: uniform01(doc_id) < weight, where
+# uniform01 is the universal hash mapped to [0,1) — identical integer
+# arithmetic in both engines, then ONE exact double division.
+_WS_DEN = 400.0
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, n_chars,
+             CAST((({_SPLIT_A_RED} * (doc_id % {_SPLIT_P}) + {_SPLIT_B})
+                   % {_SPLIT_P}) AS DOUBLE) / {_SPLIT_P} AS u,
+             CASE WHEN n_chars / {_WS_DEN} < 1.0
+                  THEN n_chars / {_WS_DEN} ELSE 1.0 END AS w
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN u < w THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM d GROUP BY lang
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: keep each document with
+    probability ``min(1, n_chars/400)`` using the universal-hash uniform
+    (no RNG — the decision is a pure function of doc_id, so it is
+    reproducible across runs, re-partitions, and engines).
+
+    Scale: a narrow per-row expression followed by one map-side-
+    combinable groupBy(lang) — the same shape at any corpus size.  At
+    100 TB the weight column would come from an upstream quality score;
+    the acceptance arithmetic is unchanged."""
+    docs = _docs(spark, sf_dir)
+    u = (
+        (
+            (F.lit(_SPLIT_A_RED) * (F.col("doc_id") % _SPLIT_P) + F.lit(_SPLIT_B))
+            % _SPLIT_P
+        ).cast("double")
+        / _SPLIT_P
+    )
+    w = F.least(F.col("n_chars") / _WS_DEN, F.lit(1.0))
+    kept = u < w
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model document scoring
+# --------------------------------------------------------------------------
+_LM_N_OUT = 50  # score the query slice doc_id < 50 (bounded output)
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''),
+    wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+    tot AS (SELECT sum(cnt) AS n FROM wc),
+    scored AS (
+      SELECT doc_id, -avg(ln(cnt / n)) AS nll
+      FROM words, wc, tot WHERE words.w = wc.w
+      GROUP BY doc_id)
+    SELECT doc_id, round(nll, 4) AS avg_neg_logprob
+    FROM scored WHERE doc_id < {_LM_N_OUT}
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality signal: fit word probabilities on the corpus
+    itself, score each document by mean negative log-likelihood
+    (documents of rare words score high; common-word boilerplate scores
+    low).
+
+    Scale: the vocabulary aggregate is map-side combinable; the fitted
+    model (word → probability) is one row per vocab word and broadcasts
+    (a df-capped web vocabulary is ≲100 MB — the same broadcast budget
+    as the tf-idf idf table); the per-document average is a partial
+    aggregation on the already doc_id-clustered explode output. One
+    wide shuffle total (the vocab count)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = wc.agg(F.sum("cnt").alias("n"))
+    probs = wc.crossJoin(F.broadcast(total)).select(
+        "w", (F.col("cnt") / F.col("n")).alias("p")
+    )
+    return (
+        words.join(F.broadcast(probs), "w")
+        .groupBy("doc_id")
+        .agg(F.round(-F.avg(F.log("p")), 4).alias("avg_neg_logprob"))
+        .filter(F.col("doc_id") < _LM_N_OUT)
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit over the vocabulary
+# --------------------------------------------------------------------------
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH wc AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM wc)
+    SELECT count(*) AS n_vocab,
+           round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+           round(regr_r2(ln(cnt), ln(rnk)), 4) AS zipf_r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic: regress log(frequency) on log(rank) over the
+    vocabulary. Natural-language corpora give slopes near -1 with high
+    r²; a drifting slope across corpus snapshots flags contamination by
+    templated/generated text.
+
+    Scale: the word count is the only wide shuffle (map-side
+    combinable). The global rank window runs over the POST-aggregation
+    vocabulary — one row per distinct word, ≤ a few million after
+    df-capping at web scale — so the single-partition window sort is
+    bounded by vocab size, not corpus size. The regression itself is a
+    one-pass distributive aggregate (regr_slope/regr_r2)."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = wc.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("w")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("cnt"), F.log("rnk")), 4).alias("zipf_r2"),
+    )

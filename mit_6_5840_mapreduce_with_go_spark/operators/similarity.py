@@ -339,6 +339,68 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LSH range search — "all pairs above a similarity threshold", the
+# range-query companion to the top-k operators. Same deterministic
+# hyperplane buckets as sim_topk_lsh, so the whole pipeline (bucketing +
+# exact verification) is oracle-checked end to end.
+# --------------------------------------------------------------------------
+RANGE_TAU = 0.35
+
+
+@query(
+    "sim_range_search_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             {DUCK_COS.format(a="a.embedding", b="c.embedding")} AS cos_raw
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT vec_a, vec_b, round(cos_raw, 4) AS cos_sim
+    FROM pairs WHERE cos_raw >= {RANGE_TAU}
+    """,
+)
+def sim_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate range search: every vector pair with cosine ≥ τ, with
+    candidate generation restricted to same-LSH-bucket pairs (the exact
+    cosine then verifies each candidate — no false positives; recall is
+    bounded by the bucket collision probability, measured against the
+    brute-force oracle shape in tests).
+
+    Scale: candidates materialize only inside a bucket (1/2^K of the
+    corpus each in expectation) — never the all-pairs product. The
+    bucket self-join shuffles both sides on the bucket id; a skewed
+    bucket (dense region) is where a per-bucket pair cap or a second
+    hash table would bound the blowup, exactly like the MinHash-LSH
+    MAX_BUCKET cap in dedup.py."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).withColumn(
+        "bucket", _lsh_bucket_col()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        norm(F.col("embedding")).alias("na"),
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        norm(F.col("embedding")).alias("nb"),
+        "bucket",
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_raw", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos_raw") >= RANGE_TAU)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric-distance scoring — the memory-
 # compressed ANN scale path (FAISS IndexPQ shape).  Vectors are encoded as
 # PQ_M 4-bit codes (argmin L2 to a per-subspace codebook); queries score

@@ -120,6 +120,7 @@ def load_all() -> None:
         curation,
         curation2,
         curation3,
+        curation4,
         dedup,
         kv,
         multimodal,

@@ -1,0 +1,125 @@
+"""Invariant tests for curation tranche 4 (curation4.py) and the LSH
+range search (similarity.py). Cross-engine value parity is covered by
+the oracle mirror; these assert the semantic invariants and non-vacuity
+(a 0-row result would pass the mirror while testing nothing)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators.curation4 import (
+    _WS_DEN,
+    pipeline_group_split,
+    pipeline_weighted_sample,
+    text_unigram_logprob,
+    text_zipf_fit,
+)
+from mit_6_5840_mapreduce_with_go_spark.operators.similarity import (
+    RANGE_TAU,
+    sim_range_search_lsh,
+)
+from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+
+def test_group_split_is_leakage_safe_and_total(spark, sf_dir):
+    """Split totals must account for every document, and no source may
+    appear in two splits (the defining property of a grouped split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_sources = docs.select("source").distinct().count()
+    rows = pipeline_group_split(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_sources"] for r in rows) == n_sources
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # train must dominate for an 80/10/10 split over enough groups
+    by = {r["split"]: r for r in rows}
+    assert by["train"]["n_docs"] > n_docs // 2
+
+
+def test_group_split_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, pipeline_group_split(spark, sf_dir).collect()))
+    b = sorted(map(tuple, pipeline_group_split(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_weighted_sample_rate_tracks_weight(spark, sf_dir):
+    """Acceptance must be sandwiched: never more than 100%, and overall
+    keep-rate must be positive and below 100% when short docs exist."""
+    rows = pipeline_weighted_sample(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert 0 < kept <= total
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+    # documents at/above the saturation length are always kept
+    docs = load_table(spark, sf_dir, "documents")
+    n_long = docs.filter(F.col("n_chars") >= _WS_DEN).count()
+    assert kept >= n_long
+
+
+def test_unigram_logprob_bounds(spark, sf_dir):
+    """Mean NLL is positive (probabilities < 1) and bounded by the
+    rarest word's NLL: -ln(1/total_tokens)."""
+    rows = text_unigram_logprob(spark, sf_dir).collect()
+    assert len(rows) > 0
+    docs = load_table(spark, sf_dir, "documents")
+    total_tokens = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    cap = -math.log(1.0 / total_tokens) + 1e-9
+    for r in rows:
+        assert 0.0 < r["avg_neg_logprob"] <= cap
+
+
+def test_zipf_fit_shape(spark, sf_dir):
+    """Frequency must fall with rank (negative slope) and the fit must
+    explain most variance on a Zipf-ish synthetic corpus."""
+    row = text_zipf_fit(spark, sf_dir).collect()[0]
+    assert row["n_vocab"] > 1
+    assert row["zipf_slope"] < 0
+    assert 0.0 <= row["zipf_r2"] <= 1.0
+
+
+def test_range_search_threshold_and_symmetry(spark, sf_dir):
+    """Every reported pair clears the threshold, is canonical (a < b),
+    and appears at most once."""
+    rows = sim_range_search_lsh(spark, sf_dir).collect()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cos_sim"] >= round(RANGE_TAU, 4)
+
+
+def test_range_search_no_false_positives_vs_bruteforce(spark, sf_dir):
+    """LSH candidates are a SUBSET of the brute-force range result
+    (bucket pruning can miss pairs, never invent them)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {
+        (r["vec_a"], r["vec_b"]) for r in sim_range_search_lsh(spark, sf_dir).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    dotv = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    normc = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    brute = {
+        (r["va"], r["vb"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("va") < F.col("vb"))
+            .withColumn("cos", dotv / (normc(F.col("ea")) * normc(F.col("eb"))))
+            .filter(F.col("cos") >= RANGE_TAU)
+            .select("va", "vb")
+        ).collect()
+    }
+    assert rows <= brute
