@@ -209,3 +209,37 @@ def mr_doc_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("file"),
         F.lit(1).alias("cnt"),
     )
+
+
+_GUTENBERG_GLOB = "/root/reference/src/main/pg-*.txt"
+
+
+@query(
+    "mr_wordcount_gutenberg",
+    oracle=r"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(content, '[^\pL]+')) AS word
+          FROM read_text('/root/reference/src/main/pg-*.txt'))
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def mr_wordcount_gutenberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count over the reference's OWN test corpus — the exact 8
+    Gutenberg books test-mr.sh feeds every MapReduce correctness run
+    (reference: src/main/test-mr.sh:87-96; tokenizer src/mrapps/wc.go:19-24
+    — split on non-letters). Input arrives through the wholetext Python
+    data source (one input partition per book = the reference's map-task
+    granularity); the oracle re-reads the same files via DuckDB
+    ``read_text``, so the full unicode tokenizer behavior is
+    driver-hash-checked on real mixed-case punctuated text, not only the
+    synthetic corpus. ``sf_dir`` is unused — the corpus is fixed."""
+    from ..sources.textfiles import read_whole_text_source
+
+    books = read_whole_text_source(spark, _GUTENBERG_GLOB)
+    return (
+        books.select(F.explode(F.split("content", r"[^\p{L}]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -253,3 +253,53 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("cnt"), F.log("rnk")), 4).alias("zipf_r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility: BPE-ish tokens per whitespace word, by language
+# --------------------------------------------------------------------------
+# The standard multilingual-tokenizer health metric: how many subword
+# tokens the pre-tokenizer spends per natural word. Languages the
+# tokenizer serves poorly show high fertility — the signal used to
+# rebalance vocab budgets. Reuses text.py's BPE pre-segmentation regex.
+_BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS nw,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+               AS nb
+      FROM documents)
+    SELECT lang,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(nb) AS DOUBLE) / sum(nw), 4) AS fertility
+    FROM d GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-word fertility by language: BPE-ish pre-tokenizer count
+    over whitespace word count, aggregated per lang. High fertility =
+    the tokenizer fragments that language's words — the metric that
+    drives vocabulary rebalancing for multilingual corpora.
+
+    Scale: two narrow regex/size expressions per row, then one map-side-
+    combinable groupBy(lang) — integer partials, one tiny shuffle."""
+    docs = _docs(spark, sf_dir)
+    nw = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    nb = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    return (
+        docs.select("lang", nw.alias("nw"), nb.alias("nb"))
+        .groupBy("lang")
+        .agg(
+            F.sum("nw").alias("n_words"),
+            F.sum("nb").alias("n_bpe_tokens"),
+            F.round(F.sum("nb").cast("double") / F.sum("nw"), 4).alias(
+                "fertility"
+            ),
+        )
+    )
