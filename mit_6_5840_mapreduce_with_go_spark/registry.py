@@ -123,6 +123,7 @@ def load_all() -> None:
         curation4,
         dedup,
         kv,
+        layout,
         multimodal,
         pipelines,
         privacy,

@@ -1,0 +1,57 @@
+"""Tests for the Z-order layout operator (operators/layout.py): totals,
+bucket bounds, and the actual pruning property — Z-buckets must carry
+tighter per-file bounding boxes than a hash layout of the same width."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators.layout import (
+    layout_zorder_buckets,
+)
+from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+
+def _bbox_cost(rows) -> float:
+    """Mean row-weighted bounding-box area: the expected number of
+    (ck, day) cells a file's footer stats cannot exclude."""
+    total = sum(r["n_rows"] for r in rows)
+    cost = 0.0
+    for r in rows:
+        ck_span = r["max_ck"] - r["min_ck"] + 1
+        day_span = (r["max_dt"] - r["min_dt"]).days + 1
+        cost += (r["n_rows"] / total) * ck_span * day_span
+    return cost
+
+
+def test_zorder_buckets_partition_the_table(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    rows = layout_zorder_buckets(spark, sf_dir).collect()
+    assert sum(r["n_rows"] for r in rows) == orders.count()
+    for r in rows:
+        assert r["min_ck"] <= r["max_ck"]
+        assert r["min_dt"] <= r["max_dt"]
+
+
+def test_zorder_beats_hash_layout_on_bbox_tightness(spark, sf_dir):
+    """The point of the layout: a same-width HASH bucketing gives every
+    file a near-full-domain bounding box; Z-order must be strictly
+    tighter (else the operator buys nothing at the scan)."""
+    zrows = layout_zorder_buckets(spark, sf_dir).collect()
+    n_buckets = max(len(zrows), 2)
+    orders = load_table(spark, sf_dir, "orders")
+    hrows = (
+        orders.withColumn(
+            "b", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets))
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+            F.min(F.col("o_orderdate").cast("date")).alias("min_dt"),
+            F.max(F.col("o_orderdate").cast("date")).alias("max_dt"),
+        )
+        .collect()
+    )
+    assert _bbox_cost(zrows) < 0.5 * _bbox_cost(hrows)
