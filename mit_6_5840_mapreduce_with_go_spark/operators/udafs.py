@@ -40,7 +40,7 @@ from ..sources import load_table
       FROM events)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_gaps,
-           round(median(gap_us) / 1e6, 4) AS median_gap_s
+           CAST(median(gap_us) AS DOUBLE) AS median_gap_us
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY user_id
     """,
@@ -61,17 +61,24 @@ def udaf_median_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     def median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         gaps = pdf["ts"].diff().dropna()
-        us = gaps.dt.total_seconds() * 1e6  # exact: timedelta64[us] ints
+        # exact integer microseconds (total_seconds() is a float of
+        # SECONDS and would reintroduce rounding error)
+        us = gaps.astype("timedelta64[us]").astype("int64")
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_gaps": [len(us)],
-                "median_gap_s": [round(us.median() / 1e6, 4)],
+                "median_gap_us": [float(us.median())],
             }
         )
 
+    # Output stays in exact microseconds: every median of integer µs is
+    # an integer or integer+0.5 — exactly representable in double, so no
+    # rounding step exists to diverge. (A rounded-seconds presentation
+    # hit 4-dp midpoint ties where Spark's BigDecimal HALF_UP and
+    # DuckDB's multiply-then-nearbyint round() disagree per-double.)
     return ev.groupBy("user_id").applyInPandas(
-        median_gap, schema="user_id long, n_gaps long, median_gap_s double"
+        median_gap, schema="user_id long, n_gaps long, median_gap_us double"
     )
 
 
