@@ -100,9 +100,14 @@ WINDOW_PRIORITY: list[str] = [
     "pipeline_contamination_check",
     "pipeline_pack_sequences",
     # Distinctive engine surfaces
-    "percentile_prices_by_status",
     "scd2_user_value_history",
-    "udtf_doc_sentences",
+    # Round-2 session flagships: real-corpus tokenizer parity through the
+    # wholetext connector, and the Z-order layout op. Rotated out to make
+    # room: udtf_doc_sentences, percentile_prices_by_status (plainest SQL
+    # of the set — relational breadth is already carried by the TPC-H
+    # sweep; both stay mirror-checked like every registered query).
+    "mr_wordcount_gutenberg",
+    "layout_zorder_buckets",
     # The one red row in CORRECTNESS_r01 (DuckDB HUGEINT sum, since fixed):
     # kept in-window so the fix is driver-verified.
     "pipeline_train_val_test_split",
