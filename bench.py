@@ -69,18 +69,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two runs per query, report the min: the first run pays one-time
-    # codegen + any transient host noise; the min approximates steady-state
-    # engine throughput (what a long job sees), which is the number that
-    # is comparable across rounds.
+    # Min-of-2 per query (the first run pays one-time codegen), plus an
+    # adaptive third run when the two samples disagree by >1.5x — the
+    # signature of transient host contention (observed on the shared
+    # runner: identical-commit totals of 30.6s vs 41.2s). The min
+    # approximates steady-state engine throughput (what a long job
+    # sees), which is the number comparable across rounds.
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
+        samples = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        if max(samples) > 1.5 * min(samples):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
