@@ -256,6 +256,70 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus mixture weights: capped-share rebalance plan per source
+# --------------------------------------------------------------------------
+# The mixture-design step of corpus assembly: no source may exceed
+# MIX_CAP of the training mix; capped shares renormalize in one pass
+# (c_i = min(share_i, CAP); target_i = c_i / sum(c)). planned_docs uses
+# integer floor arithmetic against a fixed budget so the hash-compared
+# column is engine-exact.
+_MIX_CAP = 0.25
+_MIX_BUDGET = 1000
+
+
+@query(
+    "pipeline_mixture_weights",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    s AS (
+      SELECT source, n_docs,
+             n_docs * 1.0 / sum(n_docs) OVER () AS nat_share,
+             CASE WHEN n_docs * 1.0 / sum(n_docs) OVER () < {_MIX_CAP}
+                  THEN n_docs * 1.0 / sum(n_docs) OVER ()
+                  ELSE {_MIX_CAP} END AS capped
+      FROM g)
+    SELECT source, n_docs,
+           round(nat_share, 4) AS natural_share,
+           round(capped / sum(capped) OVER (), 4) AS target_share,
+           CAST(floor(capped / sum(capped) OVER () * {_MIX_BUDGET}) AS BIGINT)
+             AS planned_docs
+    FROM s
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-design plan: clip any source's share at {25}% of the
+    corpus mix, renormalize the clipped shares (single pass — a SOFT
+    cap: renormalization can push a clipped source back above 25% when
+    most of the corpus is clipped; exact caps would iterate the same
+    two-window step to a fixed point), and emit each source's target
+    share plus its integer document allocation for a fixed sampling
+    budget — the anti-domination planning step that precedes a
+    weighted-sample pass (pipeline_weighted_sample executes such
+    plans).
+
+    Scale: one map-side-combinable groupBy(source) reduces the corpus to
+    one row per source; the share arithmetic is two windows over that
+    tiny source table (≤ thousands of rows at web scale), never the
+    corpus."""
+    g = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wall = W.partitionBy()
+    nat = F.col("n_docs") / F.sum("n_docs").over(wall)
+    capped = F.least(nat, F.lit(_MIX_CAP))
+    s = g.select("source", "n_docs", nat.alias("nat_share"), capped.alias("capped"))
+    tgt = F.col("capped") / F.sum("capped").over(wall)
+    return s.select(
+        "source",
+        "n_docs",
+        F.round("nat_share", 4).alias("natural_share"),
+        F.round(tgt, 4).alias("target_share"),
+        F.floor(tgt * _MIX_BUDGET).cast("long").alias("planned_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Tokenizer fertility: BPE-ish tokens per whitespace word, by language
 # --------------------------------------------------------------------------
 # The standard multilingual-tokenizer health metric: how many subword

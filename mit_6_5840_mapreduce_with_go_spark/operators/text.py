@@ -12,7 +12,7 @@ whole-stage codegen and scale linearly with input splits at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -122,6 +122,55 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         guess.alias("lang_guess"),
         (guess == F.col("lang")).alias("guess_matches"),
+    )
+
+
+@query(
+    "text_langid_confusion",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             CASE WHEN contains(' ' || text || ' ', ' the ') THEN 'en'
+                  WHEN contains(' ' || text || ' ', ' le ')  THEN 'fr'
+                  WHEN contains(' ' || text || ' ', ' der ') THEN 'de'
+                  WHEN contains(' ' || text || ' ', ' el ')  THEN 'es'
+                  ELSE 'und' END AS lang_guess
+      FROM documents)
+    SELECT lang, lang_guess, count(*) AS n,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY lang), 4) AS frac_of_lang
+    FROM g GROUP BY lang, lang_guess
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID model evaluation: confusion matrix of the labeled
+    ``lang`` column against the stopword-marker classifier
+    (text_lang_guess), with each cell's share of its true-language row.
+    The eval harness every corpus-pipeline model needs — swap any
+    classifier into the same shape and the matrix stays the contract.
+
+    Scale: one map-side-combinable groupBy over a bounded (lang x guess)
+    key space; the per-language normalization is a window over the
+    already-aggregated matrix (≤ |langs|·|classes| rows), not the
+    corpus."""
+    docs = _docs(spark, sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    guess = (
+        F.when(padded.contains(" the "), "en")
+        .when(padded.contains(" le "), "fr")
+        .when(padded.contains(" der "), "de")
+        .when(padded.contains(" el "), "es")
+        .otherwise("und")
+    )
+    cells = docs.select("lang", guess.alias("lang_guess")).groupBy(
+        "lang", "lang_guess"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("frac_of_lang"),
     )
 
 

@@ -123,3 +123,38 @@ def test_range_search_no_false_positives_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert rows <= brute
+
+
+def test_mixture_weights_shares_sum_to_one(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation4 import (
+        _MIX_BUDGET,
+        pipeline_mixture_weights,
+    )
+
+    rows = pipeline_mixture_weights(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-2
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-2
+    # clipping only ever moves share from big sources to small ones
+    for r in rows:
+        if r["natural_share"] <= min(x["natural_share"] for x in rows):
+            assert r["target_share"] >= r["natural_share"] - 1e-9
+    assert sum(r["planned_docs"] for r in rows) <= _MIX_BUDGET
+
+
+def test_langid_confusion_rows_partition_corpus(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.text import (
+        text_langid_confusion,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = text_langid_confusion(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    # per-language fractions sum to 1
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], 0.0)
+        by_lang[r["lang"]] += r["frac_of_lang"]
+    for lang, tot in by_lang.items():
+        assert abs(tot - 1.0) < 1e-2, (lang, tot)
