@@ -390,7 +390,14 @@ _SHINGLE_SPARK = (
 )
 
 
-def _xengine_oracle() -> str:
+def _xengine_agree() -> str:
+    return " + ".join(f"CAST(sa.s{k} = sb.s{k} AS INT)" for k in range(X_N_PERM))
+
+
+def _xengine_cte_block() -> str:
+    """Shared DuckDB CTE chain: tokens → char-fold hashes → shingle-hash
+    sets → minhash signatures → band buckets → candidate pairs. Used by
+    the xengine oracle and the precision/recall eval oracle."""
     p = MERSENNE_PRIME
     sig_cols = ",\n             ".join(
         f"list_min(list_transform(hashes, x -> (CAST({a} AS BIGINT) * x + {b}) % {p})) AS s{k}"
@@ -400,9 +407,7 @@ def _xengine_oracle() -> str:
         f"      SELECT doc_id, {j} AS band, s{2*j} AS v1, s{2*j+1} AS v2 FROM sigs"
         for j in range(X_N_PERM // X_BAND_ROWS)
     )
-    agree = " + ".join(f"CAST(sa.s{k} = sb.s{k} AS INT)" for k in range(X_N_PERM))
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents WHERE doc_id < {X_MAX_DOC}),
     th AS (
@@ -430,7 +435,13 @@ def _xengine_oracle() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
-           AND a.doc_id < b.doc_id)
+           AND a.doc_id < b.doc_id)"""
+
+
+def _xengine_oracle() -> str:
+    agree = _xengine_agree()
+    return f"""
+    WITH {_xengine_cte_block()}
     SELECT p.doc_a, p.doc_b,
            round(({agree}) / {X_N_PERM}.0, 4) AS est_jaccard
     FROM pairs p
@@ -514,6 +525,116 @@ def dedup_minhash_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .filter(est >= 0.5)
         .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH precision/recall eval: the "measure, don't guess" harness for
+# the dedup family (companion to sim_ann_recall_eval on the ANN side).
+# Ground truth = EXACT Jaccard over the same shingle-hash sets, computed by
+# an inverted-index self-join (shared shingles only — never all pairs);
+# predictions = the oracle-checked xengine MinHash candidates (est ≥ τ).
+# ---------------------------------------------------------------------------
+_PR_TAU = 0.5
+
+
+def _pr_eval_oracle() -> str:
+    agree = _xengine_agree()
+    return f"""
+    WITH {_xengine_cte_block()},
+    cands AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b
+      WHERE ({agree}) / {X_N_PERM}.0 >= {_PR_TAU}),
+    sizes AS (SELECT doc_id, len(hashes) AS nsh FROM h),
+    ex AS (SELECT doc_id, unnest(hashes) AS hv FROM h),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+      FROM ex a JOIN ex b ON a.hv = b.hv AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.n_int * 1.0 / (za.nsh + zb.nsh - i.n_int) >= {_PR_TAU}),
+    hits AS (
+      SELECT c.doc_a FROM cands c
+      JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           round((SELECT count(*) FROM hits) * 1.0
+                 / greatest((SELECT count(*) FROM cands), 1), 4) AS precision_,
+           round((SELECT count(*) FROM hits) * 1.0
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall_
+    """
+
+
+@query("dedup_minhash_pr_eval", oracle=_pr_eval_oracle())
+def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dup detector against
+    exact-Jaccard ground truth (same shingle-hash sets, threshold 0.5) —
+    one row of corpus-level metrics. This is the eval loop a production
+    dedup pass runs before committing to a sketch config (perms, bands,
+    threshold); sweep X_N_PERM/X_BAND_ROWS and re-read this row.
+
+    Scale: ground truth comes from the shingle inverted-index self-join
+    (pairs sharing ≥1 shingle — never the all-pairs product; at 100 TB
+    a df-cap on hot shingles bounds the join like the LSH bucket cap);
+    predictions reuse the banded-bucket candidate plan. Both collapse to
+    three scalar counts before the driver sees a row."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < X_MAX_DOC
+    )
+    h = docs.select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), t -> {_CHARFOLD_SPARK})").alias("th"),
+    ).select("doc_id", F.expr(_SHINGLE_SPARK).alias("hashes"))
+    cands = dedup_minhash_xengine(spark, sf_dir).select("doc_a", "doc_b")
+    sizes = h.select("doc_id", F.size("hashes").alias("nsh"))
+    ex = h.select("doc_id", F.explode("hashes").alias("hv"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.hv") == F.col("b.hv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nb"))
+    truth = (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .filter(
+            F.col("n_int") / (F.col("na") + F.col("nb") - F.col("n_int"))
+            >= _PR_TAU
+        )
+        .select("doc_a", "doc_b")
+    )
+    hits = cands.join(truth, ["doc_a", "doc_b"])
+    m = (
+        cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return m.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.greatest(F.col("n_candidates"), F.lit(1)), 4
+        ).alias("precision_"),
+        F.round(
+            F.col("n_hits") / F.greatest(F.col("n_truth"), F.lit(1)), 4
+        ).alias("recall_"),
     )
 
 

@@ -74,3 +74,20 @@ def test_embedding_cosine_pairs_bounded(spark, sf_dir):
     for r in rows:
         assert -1.0001 <= r["cos_sim"] <= 1.0001
         assert r["vec_a"] < r["vec_b"]
+
+
+def test_minhash_pr_eval_consistent(spark, sf_dir):
+    """P/R metrics must be internally consistent and non-vacuous: hits
+    bounded by both sets, ratios match the counts, and the 4-band/2-row
+    config is recall-biased (bands fire on coarse agreement), so recall
+    must be high while precision pays for it."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.dedup import (
+        dedup_minhash_pr_eval,
+    )
+
+    r = dedup_minhash_pr_eval(spark, sf_dir).collect()[0]
+    assert r["n_truth"] > 0, "synthetic corpus must contain near-dups"
+    assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+    assert abs(r["precision_"] - r["n_hits"] / max(r["n_candidates"], 1)) < 1e-3
+    assert abs(r["recall_"] - r["n_hits"] / max(r["n_truth"], 1)) < 1e-3
+    assert r["recall_"] >= 0.9
