@@ -129,6 +129,102 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The "which copy survives?" policy: production dedup keeps the
+# HIGHEST-QUALITY member of each near-dup cluster, not the lowest id.
+# Reuses the dedup_clusters pair graph + the text_quality_score formula.
+_KB_RECURSIVE_MEMBERS = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS shingles
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.05
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    members AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_keep_best",
+    oracle=_KB_RECURSIVE_MEMBERS
+    + """
+    , q AS (
+      SELECT doc_id,
+             round(least(1.0, len(string_split(text, ' ')) / 100.0)
+                   * (1 - round(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0
+                        / len(string_split(text, ' ')), 4)), 4) AS quality
+      FROM documents WHERE doc_id < 200),
+    j AS (
+      SELECT m.cluster_id, m.doc_id, q.quality,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY q.quality DESC, m.doc_id) AS rn
+      FROM members m JOIN q ON q.doc_id = m.doc_id)
+    SELECT cluster_id,
+           count(*) AS n_members,
+           CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS best_doc_id,
+           round(max(quality), 4) AS best_quality
+    FROM j GROUP BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup policy: for each near-dup cluster, elect the
+    highest-quality member (text_quality_score formula; ties break to the
+    lowest doc_id) — what a production pass keeps, instead of the
+    arbitrary minimum id.
+
+    Scale: the election is the hash-agg argmax ``max(struct(quality,
+    -doc_id))`` — map-side combinable, no per-cluster window sort (the
+    oracle's row_number formulation is the same answer, stated
+    recursively-checkable). Quality joins the label table on doc_id;
+    clusters never materialize their member lists."""
+    from .dedup import dedup_ngram_jaccard
+    from .text import text_quality_score
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    quality = text_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("quality_score").alias("quality")
+    )
+    j = labels.join(quality, "doc_id")
+    best = F.max(
+        F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("nid"))
+    )
+    return j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (-best.getField("nid")).alias("best_doc_id"),
+        F.round(best.getField("q"), 4).alias("best_quality"),
+    )
+
+
 @query(
     "mm_quantize_embeddings",
     oracle="""

@@ -98,3 +98,38 @@ def test_triangle_census_invariants(spark, sf_dir):
     )
     assert r["n_edges"] == len(edges)
     assert r["n_triangles"] == tri
+
+
+def test_keep_best_elects_highest_quality_member(spark, sf_dir):
+    """The elected doc must be a member of its cluster and carry the
+    cluster's maximum quality; ties break to the lowest doc_id."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.clusters import (
+        connected_components,
+        dedup_keep_best,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.operators.text import (
+        text_quality_score,
+    )
+
+    rows = dedup_keep_best(spark, sf_dir).collect()
+    assert len(rows) > 0, "synthetic corpus must contain near-dup clusters"
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_quality_score(spark, sf_dir).collect()
+    }
+    for r in rows:
+        members = [d for d, c in labels.items() if c == r["cluster_id"]]
+        assert r["n_members"] == len(members)
+        assert r["best_doc_id"] in members
+        best_q = max(quality[d] for d in members)
+        assert abs(r["best_quality"] - best_q) < 1e-9
+        winners = [d for d in members if quality[d] == best_q]
+        assert r["best_doc_id"] == min(winners)
