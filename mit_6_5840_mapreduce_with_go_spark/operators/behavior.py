@@ -141,3 +141,107 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         F.round(F.col("n_transitions") * 1.0 / total, 4).alias("transition_prob"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test: A/B comparison of event value between two event types
+# --------------------------------------------------------------------------
+_AB_A = "purchase"
+_AB_B = "click"
+
+
+@query(
+    "events_ab_welch_t",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('{_AB_A}', '{_AB_B}')),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS DECIMAL(38, 0)) AS s1,
+             CAST(sum(CAST(c AS DECIMAL(38, 0)) * c) AS DECIMAL(38, 0)) AS s2
+      FROM x GROUP BY event_type),
+    s AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n / 100.0 AS mean_v,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+               / (n - 1) / 10000.0 AS var_v
+      FROM m),
+    ab AS (
+      SELECT
+        (SELECT n FROM s WHERE event_type = '{_AB_A}') AS n_a,
+        (SELECT n FROM s WHERE event_type = '{_AB_B}') AS n_b,
+        (SELECT mean_v FROM s WHERE event_type = '{_AB_A}') AS ma,
+        (SELECT mean_v FROM s WHERE event_type = '{_AB_B}') AS mb,
+        (SELECT var_v FROM s WHERE event_type = '{_AB_A}') AS va,
+        (SELECT var_v FROM s WHERE event_type = '{_AB_B}') AS vb)
+    SELECT n_a, n_b,
+           round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+           round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat,
+           round(
+             (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+             / (va * va / (n_a * n_a * (n_a - 1.0))
+                + vb * vb / (n_b * n_b * (n_b - 1.0))), 4) AS welch_df
+    FROM ab
+    """,
+)
+def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic comparing mean event value
+    between two event types (the A/B readout every experimentation
+    pipeline computes), with the Welch–Satterthwaite degrees of freedom.
+
+    Determinism: values quantize to integer cents; count/sum/sum-of-
+    squares accumulate EXACTLY (squares in DECIMAL(38,0) — the
+    mm_embedding_dim_stats pattern, no int64 wrap at 100 TB row counts),
+    so the t statistic derives from exact integers through an identical
+    double expression in both engines — no float-summation-order hazard.
+
+    Scale: one map-side-combinable aggregate over the filtered stream;
+    the statistic itself is arithmetic over a 2-row table."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_AB_A, _AB_B)
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    m = ev.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    s = m.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n") / 100.0).alias("mean_v"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / 10000.0
+        ).alias("var_v"),
+    )
+    a = s.filter(F.col("event_type") == _AB_A).select(
+        F.col("n").alias("n_a"), F.col("mean_v").alias("ma"), F.col("var_v").alias("va")
+    )
+    b = s.filter(F.col("event_type") == _AB_B).select(
+        F.col("n").alias("n_b"), F.col("mean_v").alias("mb"), F.col("var_v").alias("vb")
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    se2 = F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
+    df = (se2 * se2) / (
+        F.col("va") * F.col("va") / (F.col("n_a") * F.col("n_a") * (F.col("n_a") - 1.0))
+        + F.col("vb") * F.col("vb") / (F.col("n_b") * F.col("n_b") * (F.col("n_b") - 1.0))
+    )
+    return ab.select(
+        "n_a",
+        "n_b",
+        F.round("ma", 4).alias("mean_a"),
+        F.round("mb", 4).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(df, 4).alias("welch_df"),
+    )

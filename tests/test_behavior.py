@@ -1,0 +1,28 @@
+
+
+def test_welch_t_matches_numpy(spark, sf_dir):
+    """Cross-check the exact-moment Welch computation against a direct
+    numpy recompute on the raw cent values."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.behavior import (
+        _AB_A,
+        _AB_B,
+        events_ab_welch_t,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    r = events_ab_welch_t(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    a = np.array([round(x["value"] * 100) for x in ev if x["event_type"] == _AB_A]) / 100.0
+    b = np.array([round(x["value"] * 100) for x in ev if x["event_type"] == _AB_B]) / 100.0
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2**2 / (
+        va**2 / (len(a) ** 2 * (len(a) - 1)) + vb**2 / (len(b) ** 2 * (len(b) - 1))
+    )
+    assert abs(r["t_stat"] - t) < 1e-3
+    assert abs(r["welch_df"] - df) < 1e-1
+    assert abs(r["mean_a"] - a.mean()) < 1e-3
