@@ -154,3 +154,56 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("removed").alias("chars_removed"),
         F.round(F.sum("e") * 1.0 / F.count(F.lit(1)), 4).alias("emails_per_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+_KA_K = 5
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, count(*) AS group_size
+      FROM documents GROUP BY lang, source)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(group_size) AS BIGINT) AS k_anonymity,
+           CAST(sum(CASE WHEN group_size < {_KA_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_groups,
+           CAST(sum(CASE WHEN group_size < {_KA_K} THEN group_size ELSE 0 END)
+                AS BIGINT) AS n_risky_docs,
+           round(sum(CASE WHEN group_size < {_KA_K} THEN group_size ELSE 0 END)
+                 * 1.0 / sum(group_size), 4) AS risky_frac
+    FROM g
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: treat (lang, source) as the quasi-identifier
+    tuple and report the dataset's k (smallest equivalence-class size),
+    how many classes fall under k={_KA_K}, and the share of documents in
+    those re-identifiable classes — the release-gate metric for
+    publishing corpus slices.
+
+    Scale: one map-side-combinable groupBy over the quasi-identifier
+    key, then a scalar rollup over the class table (|langs|x|sources|
+    rows). Generalization loops (coarsening QI columns until k >= K)
+    re-run exactly this plan per iteration."""
+    g = load_table(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    viol = F.col("group_size") < _KA_K
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("k_anonymity"),
+        F.sum(viol.cast("long")).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("group_size")).otherwise(0)).alias(
+            "n_risky_docs"
+        ),
+        F.round(
+            F.sum(F.when(viol, F.col("group_size")).otherwise(0))
+            / F.sum("group_size"),
+            4,
+        ).alias("risky_frac"),
+    )

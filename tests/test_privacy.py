@@ -107,3 +107,27 @@ def test_corpus_composition_shares_sum_to_one(spark, sf_dir):
     # doc totals partition the corpus
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_k_anonymity_consistent_with_direct_groupby(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.privacy import (
+        _KA_K,
+        privacy_k_anonymity,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    r = privacy_k_anonymity(spark, sf_dir).collect()[0]
+    sizes = [
+        x["n"]
+        for x in load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert r["n_groups"] == len(sizes)
+    assert r["k_anonymity"] == min(sizes)
+    assert r["n_violating_groups"] == sum(1 for s in sizes if s < _KA_K)
+    assert r["n_risky_docs"] == sum(s for s in sizes if s < _KA_K)
+    assert r["n_risky_docs"] <= sum(sizes)
+    # non-vacuity: the synthetic corpus must exhibit small classes
+    assert r["n_violating_groups"] > 0
