@@ -15,7 +15,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -170,4 +170,87 @@ def mm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var), 6).alias("stddev"),
         F.round("mn", 6).alias("dim_min"),
         F.round("mx", 6).alias("dim_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift: population-stability index per dimension
+# --------------------------------------------------------------------------
+_PSI_DIMS = 8  # audit the first 8 dimensions
+_PSI_EDGES = (-0.2, -0.1, 0.0, 0.1, 0.2)  # 6 fixed bins
+_PSI_NB = len(_PSI_EDGES) + 1
+
+
+def _psi_bucket_sql(v: str) -> str:
+    cases = " ".join(
+        f"WHEN {v} < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)
+    )
+    return f"(CASE {cases} ELSE {len(_PSI_EDGES)} END)"
+
+
+@query(
+    "mm_embedding_drift_psi",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id % 2 AS cohort, CAST(t.i - 1 AS INT) AS dim,
+             {_psi_bucket_sql(f"CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)")} AS bucket
+      FROM embeddings, range(1, {_PSI_DIMS + 1}) t(i)),
+    c AS (
+      SELECT dim, bucket,
+             sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS nb
+      FROM d GROUP BY dim, bucket),
+    t AS (
+      SELECT dim, sum(na) AS ta, sum(nb) AS tb FROM c GROUP BY dim),
+    p AS (
+      SELECT c.dim,
+             (na + 1.0) / (ta + {_PSI_NB}) AS pa,
+             (nb + 1.0) / (tb + {_PSI_NB}) AS pb
+      FROM c JOIN t ON c.dim = t.dim)
+    SELECT dim,
+           round(sum((pa - pb) * ln(pa / pb)), 4) AS psi
+    FROM p GROUP BY dim
+    """,
+)
+def mm_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index per embedding dimension between two
+    cohorts (even vs odd vec_id — swap in a date column in production):
+    the standard ML-monitoring statistic for feature drift. Fixed bin
+    edges + Laplace-smoothed integer counts make the statistic an exact
+    function of exact counts, so both engines agree bit-for-bit before
+    the round.
+
+    Scale: the explode is bounded to the audited dimensions; counting is
+    one map-side-combinable groupBy on (dim, bucket); everything after
+    runs on the {_PSI_DIMS}x{_PSI_NB}-row histogram table. PSI ~ 0 here
+    (both cohorts draw from one distribution) — the operator's job is
+    exactly that readout; alert thresholds (0.1/0.25) sit downstream."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    pairs = emb.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode(F.slice("embedding", 1, _PSI_DIMS)).alias("dim", "v"),
+    )
+    bucket = F.lit(len(_PSI_EDGES))
+    for i in reversed(range(len(_PSI_EDGES))):
+        bucket = F.when(
+            F.col("v").cast("double") < _PSI_EDGES[i], F.lit(i)
+        ).otherwise(bucket)
+    c = pairs.select("cohort", "dim", bucket.alias("bucket")).groupBy(
+        "dim", "bucket"
+    ).agg(
+        F.sum((F.col("cohort") == 0).cast("long")).alias("na"),
+        F.sum((F.col("cohort") == 1).cast("long")).alias("nb"),
+    )
+    w = W.partitionBy("dim")
+    pa = (F.col("na") + 1.0) / (F.sum("na").over(w) + _PSI_NB)
+    pb = (F.col("nb") + 1.0) / (F.sum("nb").over(w) + _PSI_NB)
+    return (
+        c.select("dim", pa.alias("pa"), pb.alias("pb"))
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+                4,
+            ).alias("psi")
+        )
     )

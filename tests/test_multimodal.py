@@ -38,3 +38,21 @@ def test_decode_frames_matches_stub_locally(spark, sf_dir):
         assert (r["width"], r["height"], r["n_frames"]) == (
             want["width"], want["height"], want["n_frames"],
         )
+
+
+def test_psi_zero_for_identical_cohorts_and_positive_definite(spark, sf_dir):
+    """PSI is >= 0 by construction (Gibbs), small for the even/odd split
+    of one distribution, and the bucket histogram must cover every
+    audited dimension."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal import (
+        _PSI_DIMS,
+        mm_embedding_drift_psi,
+    )
+
+    rows = mm_embedding_drift_psi(spark, sf_dir).collect()
+    assert {r["dim"] for r in rows} == set(range(_PSI_DIMS))
+    for r in rows:
+        assert r["psi"] >= 0.0
+        # same-distribution cohorts: no dimension should cross the
+        # classic 0.25 "significant drift" alert line
+        assert r["psi"] < 0.25
