@@ -1,0 +1,220 @@
+"""Scale-operations diagnostics: the queries an operator of a 1000-executor
+cluster runs BEFORE picking a physical strategy — key-skew profiling (do I
+need salting?), range-partition boundary planning (repartitionByRange
+splits), and small-file compaction binning (how many output files should
+this table rewrite into?).
+
+No reference counterpart (the reference's partitioner is a fixed
+``ihash(key) % nReduce`` — SURVEY.md §2.A3); these are the planning
+primitives that decision requires at 100 TB, where a wrong partitioning
+is the difference between a 10-minute and a 10-hour job.
+
+Cross-engine determinism: every metric is integer count arithmetic or a
+ratio of integers; double bin edges use ``floor(x / width)`` (identical
+IEEE division + floor in Spark and DuckDB — never ``CAST(DOUBLE AS
+BIGINT)``, which truncates in Spark but rounds in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "stats_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS cnt
+      FROM events GROUP BY user_id),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+             count(*) AS n_keys, max(cnt) AS max_cnt
+      FROM counts),
+    top AS (
+      SELECT user_id, cnt FROM counts
+      ORDER BY cnt DESC, user_id LIMIT 10)
+    SELECT row_number() OVER (ORDER BY cnt DESC, user_id) AS rank,
+           user_id, cnt,
+           round(cnt * 100.0 / total_rows, 4) AS share_pct,
+           round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, user_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) * 100.0 / total_rows,
+                 4) AS cum_share_pct,
+           round(cnt * 1.0 * n_keys / total_rows, 4) AS ratio_vs_mean,
+           total_rows, n_keys,
+           round(max_cnt * 1.0 * n_keys / total_rows, 4) AS skew_factor
+    FROM top CROSS JOIN tot
+    """,
+)
+def stats_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of ``events.user_id`` — the diagnostic run
+    before choosing hash partitioning vs salting: top-10 keys with their
+    row share, cumulative share, and ratio vs the mean key, plus the
+    global skew factor (max key / mean key).
+
+    Scale: one map-side-combinable groupBy on the key; the top-10 is
+    ``orderBy().limit()`` (TakeOrdered — no global sort shuffle); rank
+    and cumulative share are windowed over only those 10 rows; the
+    1-row totals aggregate is broadcast. Nothing here touches raw rows
+    twice."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts.persist()
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "user_id").limit(10)
+    w = W.orderBy(F.col("cnt").desc(), "user_id")
+    cum = F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint")
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") * 100.0 / F.col("total_rows"), 4).alias(
+                "share_pct"
+            ),
+            F.round(cum * 100.0 / F.col("total_rows"), 4).alias("cum_share_pct"),
+            F.round(
+                F.col("cnt") * 1.0 * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("ratio_vs_mean"),
+            "total_rows",
+            "n_keys",
+            F.round(
+                F.col("max_cnt") * 1.0 * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_factor"),
+        )
+    )
+
+
+_RANGE_N_PARTS = 16
+_RANGE_BIN_WIDTH = 100.0  # $100-wide pre-bins over o_totalprice
+
+
+@query(
+    "layout_range_partition_plan",
+    oracle=f"""
+    WITH hist AS (
+      SELECT CAST(floor(o_totalprice / {_RANGE_BIN_WIDTH}) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM hist),
+    cum AS (
+      SELECT bin, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - cnt AS cum_before,
+             total
+      FROM hist CROSS JOIN tot)
+    SELECT CAST((cum_before * {_RANGE_N_PARTS}) // total AS BIGINT)
+             AS part_no,
+           min(bin) AS lo_bin, max(bin) AS hi_bin,
+           CAST(sum(cnt) AS BIGINT) AS rows_assigned,
+           count(*) AS n_bins
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def layout_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition planner for ``orders.o_totalprice``:
+    the boundary computation behind ``repartitionByRange`` /
+    range-partitioned writes. Rows are first binned into fixed $100-wide
+    histogram buckets (map-side-combinable groupBy over a BOUNDED
+    domain), then whole bins are assigned to the ``k``-th of 16 target
+    partitions by cumulative row count — the standard two-phase
+    equi-depth histogram: sort the compressed histogram, never the rows.
+
+    Scale: the only sort is over histogram bins (domain-bounded,
+    thousands of rows at any data size) — waived GSORT; raw rows are
+    touched once by a partial-aggregating scan. Bin edges use
+    ``floor(x / width)``, identical in Spark/DuckDB (CAST would truncate
+    vs round)."""
+    hist = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / _RANGE_BIN_WIDTH)
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("total"))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "cnt",
+        (F.sum("cnt").over(w).cast("bigint") - F.col("cnt")).alias("cum_before"),
+        "total",
+    )
+    part_no = F.expr(f"cum_before * {_RANGE_N_PARTS} div total").cast("bigint")
+    return cum.groupBy(part_no.alias("part_no")).agg(
+        F.min("bin").alias("lo_bin"),
+        F.max("bin").alias("hi_bin"),
+        F.sum("cnt").cast("bigint").alias("rows_assigned"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+_COMPACT_TARGET = 20_000  # chars per output file (stand-in for bytes)
+
+
+@query(
+    "maintenance_compaction_bins",
+    oracle=f"""
+    WITH f AS (
+      SELECT source, doc_id, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_chars
+               AS cum_before
+      FROM documents)
+    SELECT source,
+           CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS bin,
+           count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM f
+    GROUP BY 1, 2
+    """,
+)
+def maintenance_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: treat each document as a file of
+    ``n_chars`` bytes inside its ``source`` partition and bin-pack
+    consecutive files (by doc_id) into ~20 KB output groups via a
+    cumulative-size prefix sum — the OPTIMIZE/compaction planning pass
+    of a table maintenance service.
+
+    Scale: one partitioned window (sort within each source partition —
+    file inventories are metadata, orders of magnitude smaller than
+    data) and one map-side-combinable groupBy; integer-exact
+    throughout. Contiguous-by-id packing preserves any existing cluster
+    order, so compaction never destroys a sorted layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum_before = (F.sum("n_chars").over(w).cast("bigint") - F.col("n_chars"))
+    f = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        cum_before.alias("cum_before"),
+    )
+    return f.groupBy(
+        "source",
+        F.expr(f"cum_before div {_COMPACT_TARGET}").cast("bigint").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

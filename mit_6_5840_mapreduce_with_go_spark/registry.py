@@ -136,6 +136,7 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        scaleops,
         sessions,
         similarity,
         text,

@@ -1,0 +1,81 @@
+"""Invariant tests for the scale-operations diagnostics
+(operators/scaleops.py): skew profile, range-partition planner,
+compaction binning. Cross-engine value checks live in the oracle mirror;
+these pin the *semantic* invariants the metrics must satisfy."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators.scaleops import (
+    _COMPACT_TARGET,
+    _RANGE_N_PARTS,
+    layout_range_partition_plan,
+    maintenance_compaction_bins,
+    stats_key_skew_profile,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_skew_profile_invariants(spark):
+    rows = stats_key_skew_profile(spark, SF).orderBy("rank").collect()
+    assert len(rows) == 10
+    # ranks are 1..10, counts non-increasing, cumulative share increasing
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    cums = [r["cum_share_pct"] for r in rows]
+    assert cums == sorted(cums)
+    assert all(0 < r["share_pct"] <= 100 for r in rows)
+    # skew factor is a global constant >= the top key's ratio_vs_mean... no:
+    # skew_factor IS max/mean, which equals rank-1's ratio_vs_mean.
+    assert abs(rows[0]["ratio_vs_mean"] - rows[0]["skew_factor"]) < 1e-9
+    # shares are consistent with raw counts
+    ev_total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert rows[0]["total_rows"] == ev_total
+
+
+def test_range_partition_plan_equi_depth(spark):
+    plan = layout_range_partition_plan(spark, SF).orderBy("part_no").collect()
+    total = sum(r["rows_assigned"] for r in plan)
+    orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert total == orders
+    # partitions cover 0..N-1 with non-overlapping, increasing bin ranges
+    assert plan[0]["part_no"] == 0 and plan[-1]["part_no"] <= _RANGE_N_PARTS - 1
+    for a, b in zip(plan, plan[1:]):
+        assert a["hi_bin"] < b["lo_bin"]
+    # equi-depth: every partition's load is within one pre-bin's weight of
+    # the ideal share (bin granularity is the only permitted imbalance).
+    max_bin_weight = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy(F.floor(F.col("o_totalprice") / 100.0).alias("b"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    ideal = orders / _RANGE_N_PARTS
+    for r in plan:
+        assert r["rows_assigned"] <= ideal + max_bin_weight
+
+
+def test_compaction_bins_pack_contiguously(spark):
+    bins = maintenance_compaction_bins(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r["n_files"] for r in bins) == n_docs
+    by_source: dict[str, list] = {}
+    for r in bins:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rows in by_source.items():
+        rows.sort(key=lambda r: r["bin"])
+        # bins are dense 0..k and doc-id ranges are contiguous, non-overlapping
+        assert [r["bin"] for r in rows] == list(range(len(rows)))
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] < b["first_doc"]
+    # prefix-sum packing bound: a bin's start overshoots its k*T boundary
+    # by less than one file, so every non-final bin holds > T - max_file.
+    max_file = docs.agg(F.max("n_chars")).first()[0]
+    for src, rows in by_source.items():
+        for r in rows[:-1]:
+            assert r["total_chars"] > _COMPACT_TARGET - max_file

@@ -60,6 +60,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "sim_tfidf_topk": {"EXCH": "multi-consumer postings pipeline; ReusedExchange reprints per consumer"},
     "events_funnel_conversion": {"CART": "crossJoin of three 1-row stage-count aggregates"},
     "pipeline_quality_resample": {"CART": "1-row min/max bounds broadcast"},
+    "stats_key_skew_profile": {"CART": "1-row totals broadcast vs top-10 keys"},
+    "layout_range_partition_plan": {
+        "CART": "1-row total-rows broadcast vs the bounded histogram"
+    },
     "sim_topk_ivfpq": {
         "CART": "bounded broadcasts: centroids for cell assignment + m-subspace enumeration"
     },
