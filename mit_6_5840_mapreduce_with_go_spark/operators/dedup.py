@@ -799,3 +799,155 @@ def dedup_pairs_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("ha", "hb").alias("head_edit_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+_INC_BOUND = 400  # doc universe for the oracle-bounded demo slice
+_INC_JACC = 0.5  # near-dup admission threshold
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH uni AS (
+      SELECT doc_id, text,
+             md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+      FROM documents WHERE doc_id < {_INC_BOUND}),
+    existing AS (SELECT * FROM uni WHERE doc_id % 2 = 0),
+    batch    AS (SELECT * FROM uni WHERE doc_id % 2 = 1),
+    exact AS (
+      SELECT b.doc_id, min(e.doc_id) AS exact_match
+      FROM batch b JOIN existing e ON e.h = b.h GROUP BY b.doc_id),
+    surv AS (
+      SELECT b.* FROM batch b LEFT JOIN exact x ON x.doc_id = b.doc_id
+      WHERE x.doc_id IS NULL),
+    shb AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2] || ' ' ||
+             string_split(text, ' ')[i+3])) AS s
+      FROM surv),
+    she AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2] || ' ' ||
+             string_split(text, ' ')[i+3])) AS s
+      FROM existing),
+    exb AS (SELECT doc_id, unnest(s) AS g FROM shb),
+    exe AS (SELECT doc_id, unnest(s) AS g FROM she),
+    szb AS (SELECT doc_id, len(s) AS n FROM shb),
+    sze AS (SELECT doc_id, len(s) AS n FROM she),
+    common AS (
+      SELECT b.doc_id AS bdoc, e.doc_id AS edoc, count(*) AS nc
+      FROM exb b JOIN exe e ON b.g = e.g GROUP BY 1, 2),
+    cand AS (
+      SELECT bdoc, edoc, nc * 1.0 / (sb.n + se.n - nc) AS jac
+      FROM common
+      JOIN szb sb ON sb.doc_id = bdoc
+      JOIN sze se ON se.doc_id = edoc
+      WHERE nc * 1.0 / (sb.n + se.n - nc) >= {_INC_JACC}),
+    best AS (
+      SELECT bdoc, edoc, jac FROM (
+        SELECT bdoc, edoc, jac,
+               row_number() OVER (PARTITION BY bdoc
+                                  ORDER BY jac DESC, edoc) AS k
+        FROM cand) WHERE k = 1)
+    SELECT b.doc_id,
+           CASE WHEN x.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN n.edoc IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           coalesce(x.exact_match, n.edoc) AS match_doc,
+           round(n.jac, 4) AS jaccard
+    FROM batch b
+    LEFT JOIN exact x ON x.doc_id = b.doc_id
+    LEFT JOIN best n ON n.bdoc = b.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the append-at-scale shape: an arriving batch
+    (odd doc_ids) is deduplicated AGAINST the existing corpus (even
+    doc_ids), never corpus-vs-corpus. Two legs, cheapest first:
+    (1) exact normalized-hash equi-join knocks out byte-dups for the
+    cost of one shuffle on a 16-byte key; (2) survivors run a
+    DIRECTIONAL 3-gram shingle inverted-index join (batch side only
+    explodes ~the new data; candidate pairs materialize only for shared
+    shingles), keep the best existing match at Jaccard >= 0.5.
+
+    Scale: the work is proportional to the NEW batch, not the corpus —
+    the corpus side contributes only its shingle postings (in
+    production: a persisted/bucketed index reused across batches); no
+    all-pairs stage exists. Statuses: exact_dup | near_dup | kept.
+
+    Reference has no dedup at all (SURVEY.md §1.4); this composes A3's
+    hash-partition idea with the LSH/Jaccard family above."""
+    uni = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .filter(F.col("doc_id") < _INC_BOUND)
+        .select(
+            "doc_id",
+            "text",
+            F.md5(
+                F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+            ).alias("h"),
+        )
+    )
+    existing = uni.filter(F.col("doc_id") % 2 == 0)
+    batch = uni.filter(F.col("doc_id") % 2 == 1)
+
+    exact = (
+        batch.alias("b")
+        .join(existing.alias("e"), F.col("e.h") == F.col("b.h"))
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("e.doc_id")).alias("exact_match"))
+    )
+    surv = batch.join(exact, "doc_id", "left_anti")
+
+    shb = _shingles(surv)
+    she = _shingles(existing)
+    exb = shb.select("doc_id", F.explode("shingles").alias("g"))
+    exe = she.select("doc_id", F.explode("shingles").alias("g"))
+    common = (
+        exb.alias("b")
+        .join(exe.alias("e"), F.col("b.g") == F.col("e.g"))
+        .groupBy(
+            F.col("b.doc_id").alias("bdoc"), F.col("e.doc_id").alias("edoc")
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    szb = shb.select(F.col("doc_id").alias("bdoc"), F.col("n_shingles").alias("nb"))
+    sze = she.select(F.col("doc_id").alias("edoc"), F.col("n_shingles").alias("ne"))
+    jac = F.col("nc") / (F.col("nb") + F.col("ne") - F.col("nc"))
+    cand = (
+        common.join(szb, "bdoc")
+        .join(sze, "edoc")
+        .select("bdoc", "edoc", jac.alias("jac"))
+        .filter(F.col("jac") >= _INC_JACC)
+    )
+    # argmax per batch doc: highest jaccard, ties to the lowest existing id
+    best = (
+        cand.groupBy("bdoc")
+        .agg(F.max(F.struct("jac", (-F.col("edoc")).alias("neg"))).alias("m"))
+        .select(
+            F.col("bdoc"),
+            (-F.col("m.neg")).alias("edoc"),
+            F.col("m.jac").alias("jac"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best.withColumnRenamed("bdoc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("edoc").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("exact_match", "edoc").alias("match_doc"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+    )

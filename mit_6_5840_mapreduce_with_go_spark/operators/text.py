@@ -216,3 +216,61 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_bpe_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Character-distribution entropy (quality signal)
+# --------------------------------------------------------------------------
+_ENTROPY_BOUND = 300  # bounded output slice
+
+
+@query(
+    "text_char_entropy",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+      FROM documents WHERE doc_id < {_ENTROPY_BOUND}),
+    cc AS (
+      SELECT doc_id, substr(text, i, 1) AS c, count(*) AS cnt
+      FROM pos GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+             count(*) AS n_distinct_chars,
+             sum(cnt * log2(CAST(cnt AS DOUBLE))) AS slc
+      FROM cc GROUP BY 1)
+    SELECT doc_id, n AS n_chars_counted, n_distinct_chars,
+           round(log2(CAST(n AS DOUBLE)) - slc / n, 4) AS char_entropy_bits
+    FROM agg
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    Gopher-style quality gate that catches mojibake (entropy too high)
+    and repeated-character spam (too low) that token-level filters miss.
+    Identity: H = log2(n) - (sum c*log2(c)) / n over per-char counts c.
+
+    Scale: the position explode is linear in corpus bytes and the
+    (doc_id, char) count is map-side combinable on the doc-clustered
+    explode output, so partials collapse before any exchange; the final
+    per-doc reduce touches ~alphabet-size rows per doc. All expressions
+    are JVM codegen (no Python). At 100 TB this is the shape you want:
+    no driver state, no per-row Python, one narrow shuffle."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _ENTROPY_BOUND
+    )
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substr(text, i, 1)").alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    return cc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(
+            F.log2(F.sum("cnt").cast("double"))
+            - F.sum(F.col("cnt") * F.log2(F.col("cnt").cast("double")))
+            / F.sum("cnt"),
+            4,
+        ).alias("char_entropy_bits"),
+    )

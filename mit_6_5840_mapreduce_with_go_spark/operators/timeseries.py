@@ -507,3 +507,64 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_frac",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially-weighted moving average (recursive fold)
+# --------------------------------------------------------------------------
+@query(
+    "events_ewma_value",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 100),
+    r AS (
+      SELECT user_id, rn, value AS s FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.value * 0.5 + r.s * 0.5
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+           round(s, 4) AS ewma_value
+    FROM (SELECT user_id, rn, s,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY rn DESC) AS k
+          FROM r)
+    WHERE k = 1
+    """,
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha = 0.5) of each user's event values in time order —
+    the classic smoothing recurrence s_i = a*v_i + (1-a)*s_{i-1} that no
+    window frame expresses (each output depends on the previous OUTPUT,
+    not a fixed frame of inputs).
+
+    Spark shape: per-user ordered fold via sort_array(collect_list) +
+    the higher-order ``aggregate`` lambda — one shuffle on user_id, the
+    fold itself is JVM codegen, state is O(1) per key. The streaming
+    twin of this shape is an ``applyInPandasWithState`` accumulator; in
+    batch the bounded per-key event list (users have bounded activity)
+    folds in one pass. alpha = 0.5 keeps every multiply exact (power of
+    two), so the only float rounding is the adds — bit-identical across
+    engines, no tie hazard at round(4).
+
+    Reference has no time/aggregation surface (SURVEY.md §1.4)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        F.col("ordered"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            x["value"] * 0.5 + acc * 0.5
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("ordered"))
+        .select(
+            "user_id",
+            F.size("ordered").cast("bigint").alias("n_events"),
+            F.round(fold, 4).alias("ewma_value"),
+        )
+    )
