@@ -76,12 +76,15 @@ WINDOW_PRIORITY: list[str] = [
     "sim_topk_ivf",
     "sim_topk_lsh",
     "sim_tfidf_topk",
-    # Text analysis
-    "text_token_stats",
+    # Text analysis (token_stats/fingerprint/bpe_token_count rotated out in
+    # round 2 — plainest contracts of the family, all mirror-checked — to
+    # make room for the scale-ops + incremental-dedup flagships below)
     "text_quality_score",
     "text_lang_guess",
-    "text_fingerprint",
-    "text_bpe_token_count",
+    # Scale-ops planning + incremental curation (round-2 session flagships)
+    "stats_key_skew_profile",
+    "layout_range_partition_plan",
+    "dedup_incremental_batch",
     # Timeseries / events
     "events_time_weighted_avg",
     "events_gap_fill_hourly",
