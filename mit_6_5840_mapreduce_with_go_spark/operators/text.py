@@ -274,3 +274,73 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("char_entropy_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty (data-accumulation diagnostic)
+# --------------------------------------------------------------------------
+_NOVELTY_BOUND = 300
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2] || ' ' ||
+             string_split(text, ' ')[i+3])) AS s
+      FROM documents WHERE doc_id < {_NOVELTY_BOUND}),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    first_seen AS (SELECT g, min(doc_id) AS fs FROM ex GROUP BY g)
+    SELECT ex.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN fs = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN fs = ex.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS novelty_rate
+    FROM ex JOIN first_seen ON first_seen.g = ex.g
+    GROUP BY ex.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a document's
+    distinct word-3-grams not seen in any LOWER-doc_id document — the
+    marginal-value curve of data accumulation (when new shards stop
+    bringing novel n-grams, more of the same source is worthless).
+    A shingle is "novel" in the document where it first appears.
+
+    Scale: shingle → min(doc_id) is one map-side-combinable aggregate
+    over the exploded shingles (the same inverted index the Jaccard
+    family builds); the join back is shingle-keyed and the per-doc
+    reduce collapses on the already doc-clustered explode output. No
+    all-pairs anything. Docs with fewer than 3 tokens have no shingles
+    and produce no row (count parity pinned by the oracle)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _NOVELTY_BOUND
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(toks) - 3, 0)),"
+                " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+            )
+        ).alias("s"),
+    )
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    first_seen = ex.groupBy("g").agg(F.min("doc_id").alias("fs"))
+    novel = (F.col("fs") == F.col("doc_id")).cast("long")
+    return (
+        ex.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "novelty_rate"
+            ),
+        )
+    )

@@ -568,3 +568,91 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(fold, 4).alias("ewma_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling exact median (robust monitoring statistic)
+# --------------------------------------------------------------------------
+@query(
+    "events_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_frame,
+           round(quantile_cont(value, 0.5) OVER w, 4) AS rolling_median
+    FROM events WHERE user_id < 30
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of each user's last 10 event values — the
+    robust trailing statistic monitoring pipelines prefer over the mean
+    (one outlier moves a trailing mean for 10 ticks; the median shrugs).
+
+    Scale: one shuffle on user_id; the 10-row frame keeps per-row work
+    constant and bounded (Spark recomputes the frame's percentile per
+    row — O(frame log frame) JVM-side, no Python). Spark ``percentile``
+    and DuckDB ``quantile_cont`` use the same linear interpolation, and
+    even-frame midpoints are exact (a+b)/2 in both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_frame"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias(
+            "rolling_median"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonality profile (hour-of-day fingerprint)
+# --------------------------------------------------------------------------
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+             count(*) AS n_events,
+             round(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, hour_of_day, n_events, avg_value,
+           (row_number() OVER (PARTITION BY event_type
+                               ORDER BY n_events DESC, hour_of_day) = 1)
+             AS is_peak_hour
+    FROM prof
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality fingerprint per event type: event counts
+    and mean value for each of the 24 hours, with the peak hour flagged
+    — the profile a capacity planner or anomaly detector baselines
+    against (rate_anomaly upstream of this compares against a GLOBAL
+    mean; real traffic is diurnal).
+
+    Scale: one map-side-combinable groupBy onto a bounded output
+    (|types| x 24 rows); the peak flag windows over that tiny profile,
+    not the events. Timestamps are UTC-normalized at the source
+    (sources/tables.py), so hour() agrees across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), "hour_of_day"
+    )
+    return prof.select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        "avg_value",
+        (F.row_number().over(w) == 1).alias("is_peak_hour"),
+    )

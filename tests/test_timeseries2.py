@@ -1,0 +1,84 @@
+"""Invariant tests for the round-2 monitoring tranche: rolling exact
+median, hour-of-day seasonality profile, and n-gram novelty."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators.text import text_ngram_novelty
+from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+    events_rolling_median,
+    events_seasonality_profile,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rolling_median_frame_and_robustness(spark):
+    out = events_rolling_median(spark, SF)
+    rows = out.collect()
+    assert rows
+    # frame never exceeds 10 rows and the median lies within the frame hull
+    assert all(1 <= r["n_frame"] <= 10 for r in rows)
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") < 30)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    med = {(r["user_id"], r["event_id"]): r for r in rows}
+    import statistics
+
+    for uid, es in by_user.items():
+        for i, e in enumerate(es):
+            frame = [x["value"] for x in es[max(0, i - 9) : i + 1]]
+            r = med[(uid, e["event_id"])]
+            assert r["n_frame"] == len(frame)
+            assert abs(r["rolling_median"] - round(statistics.median(frame), 4)) < 1e-9
+
+
+def test_seasonality_profile_shape(spark):
+    rows = events_seasonality_profile(spark, SF).collect()
+    types = {r["event_type"] for r in rows}
+    # exactly one peak hour per type; counts cover all events
+    for t in types:
+        trows = [r for r in rows if r["event_type"] == t]
+        assert sum(1 for r in trows if r["is_peak_hour"]) == 1
+        peak = max(trows, key=lambda r: (r["n_events"], -r["hour_of_day"]))
+        assert peak["is_peak_hour"]
+        assert all(0 <= r["hour_of_day"] <= 23 for r in trows)
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == total
+
+
+def test_ngram_novelty_monotone_anchor(spark):
+    rows = {r["doc_id"]: r for r in text_ngram_novelty(spark, SF).collect()}
+    assert rows
+    # the lowest-doc_id document sees everything first: novelty 1.0
+    first = rows[min(rows)]
+    assert first["novelty_rate"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+    # every shingle is novel in exactly one doc: sums agree with the
+    # distinct-shingle count of the corpus slice
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, greatest(size(toks) - 3, 0)),"
+                        " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                    )
+                )
+            ).alias("g")
+        )
+    )
+    n_distinct = docs.distinct().count()
+    assert sum(r["n_novel"] for r in rows.values()) == n_distinct
