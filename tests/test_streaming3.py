@@ -1,0 +1,76 @@
+"""Streaming EWMA == batch fold equivalence, across multiple ordered
+micro-batches and under replayed (duplicate) input rows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+    events_ewma_value,
+)
+from mit_6_5840_mapreduce_with_go_spark.streaming.ewma import ewma_stream
+from mit_6_5840_mapreduce_with_go_spark.streaming.windows import EVENTS_SCHEMA
+
+
+def _latest_per_key(spark, table):
+    # update-mode memory sink appends one row per key per batch; the
+    # last emission per key is the current state.
+    pdf = spark.table(table).toPandas()
+    pdf["_i"] = range(len(pdf))
+    last = pdf.sort_values("_i").groupby("user_id").tail(1)
+    return {int(r.user_id): (int(r.n_events), r.ewma_value) for r in last.itertuples()}
+
+
+def test_streaming_ewma_equals_batch_fold(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "ewma_src")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts", "event_id")
+    rows = ev.collect()
+    half = rows[: len(rows) // 2]
+    rest = rows[len(rows) // 2 :]
+    # batch 2 replays the tail of batch 1 — the state fold must skip them
+    overlap = half[-50:] + rest
+
+    spark.createDataFrame(half, ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # NOT run_to_memory: its availableNow trigger would terminate after
+    # the first batch; this test needs the query alive across appends.
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(overlap, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = _latest_per_key(spark, "t_ewma")
+    finally:
+        q.stop()
+
+    want_rows = events_ewma_value(spark, sf_dir).collect()
+    want = {r["user_id"]: (r["n_events"], r["ewma_value"]) for r in want_rows}
+    assert set(got) == set(want)
+    # round the streamed raw doubles through Spark (same HALF_UP as the
+    # batch query) — pre-round values are bit-identical by construction
+    rounded = {
+        r["user_id"]: r["v"]
+        for r in spark.createDataFrame(
+            [(k, v[1]) for k, v in got.items()], "user_id long, raw double"
+        )
+        .select("user_id", F.round("raw", 4).alias("v"))
+        .collect()
+    }
+    for uid, (n, _) in got.items():
+        assert n == want[uid][0], uid
+        assert rounded[uid] == want[uid][1], uid
