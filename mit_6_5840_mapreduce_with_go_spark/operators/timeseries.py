@@ -656,3 +656,79 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_value",
         (F.row_number().over(w) == 1).alias("is_peak_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# MAD robust outliers (median absolute deviation)
+# --------------------------------------------------------------------------
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    m AS (
+      SELECT event_type, count(*) AS n, quantile_cont(c, 0.5) AS medc
+      FROM x GROUP BY event_type),
+    d AS (
+      SELECT x.event_type, c, medc, n, abs(c - medc) AS adev
+      FROM x JOIN m USING (event_type)),
+    md AS (
+      SELECT event_type, any_value(n) AS n, any_value(medc) AS medc,
+             quantile_cont(adev, 0.5) AS madc
+      FROM d GROUP BY event_type)
+    SELECT d.event_type, CAST(md.n AS BIGINT) AS n,
+           round(md.medc / 100.0, 4) AS median,
+           round(md.madc / 100.0, 4) AS mad,
+           CAST(count(*) FILTER (WHERE d.adev > 3 * md.madc) AS BIGINT)
+             AS n_outliers,
+           round(count(*) FILTER (WHERE d.adev > 3 * md.madc) * 1.0 / md.n, 4)
+             AS outlier_frac
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type, md.n, md.medc, md.madc
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier report per event type — the
+    robust companion to the Tukey-fence report above: MAD ignores what
+    the tails do entirely (50% breakdown point), so it keeps working
+    when the contamination itself is heavy.
+
+    Engine-exactness: same integer-cent trick as the IQR report —
+    medians of BIGINT cents interpolate at exact halves, absolute
+    deviations are exact half-cent multiples, their median is an exact
+    quarter-cent multiple, and the 3*MAD fence never lands ambiguously.
+
+    Scale: two aggregate passes (median, then deviation median) each
+    map-side-partial on event_type, with the tiny per-type stats table
+    broadcast back between them; at 100 TB swap exact ``percentile``
+    for mergeable ``percentile_approx`` and the shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(c, 0.5)").alias("medc"),
+    )
+    d = ev.join(F.broadcast(m), "event_type").select(
+        "event_type", "n", "medc", F.abs(F.col("c") - F.col("medc")).alias("adev")
+    )
+    md = d.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.first("medc").alias("medc"),
+        F.expr("percentile(adev, 0.5)").alias("madc"),
+    )
+    out = F.col("adev") > 3 * F.col("madc")
+    return (
+        d.select("event_type", "adev")
+        .join(F.broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n"),
+            F.round(F.first("medc") / 100.0, 4).alias("median"),
+            F.round(F.first("madc") / 100.0, 4).alias("mad"),
+            F.sum(out.cast("long")).cast("bigint").alias("n_outliers"),
+            F.round(F.sum(out.cast("long")) * 1.0 / F.first("n"), 4).alias(
+                "outlier_frac"
+            ),
+        )
+    )

@@ -1,0 +1,163 @@
+"""Tokenizer-vocabulary training as a distributed operator: byte-pair
+encoding (BPE) merge learning over the corpus word distribution — the
+data-side half of training a tokenizer, which a 100 TB pretraining
+pipeline runs BEFORE it can count a single token.
+
+Each merge step is one aggregate + one broadcast + one column rewrite:
+count adjacent symbol pairs weighted by word frequency, pick the most
+frequent pair (ties: lexicographic), rewrite every word's symbol
+sequence with the pair fused. Three steps are unrolled (the k-means /
+PageRank pattern for fixed-iteration algorithms); production would loop
+with a checkpoint per iteration.
+
+Cross-engine determinism: symbol sequences are separator-joined strings
+(chr(31) — the corpus alphabet is [a-z ]), so the merge rewrite is the
+engines' built-in leftmost-non-overlapping ``replace`` — identical
+semantics in Spark (Java String.replace) and DuckDB — and exactly BPE's
+leftmost-first merge order. All outputs are integers.
+
+No reference counterpart (SURVEY.md §1.4: the reference's only text
+operation is whitespace/letter tokenization); north-star text-pipeline
+addition alongside text_bpe_token_count (which APPLIES a fixed regex
+tokenizer; this LEARNS one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_BPE_BOUND = 300  # doc slice (bounded oracle work)
+_BPE_STEPS = 3
+_SEP = "\x1f"
+
+# ---- oracle (unrolled CTE chain) -----------------------------------------
+
+
+def _oracle() -> str:
+    s = f"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < {_BPE_BOUND})
+      WHERE w <> '' GROUP BY w),
+    s0 AS (
+      SELECT cnt, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
+               AS seq
+      FROM words)"""
+    for k in range(1, _BPE_STEPS + 1):
+        j = k - 1
+        s += f""",
+    p{k} AS (
+      SELECT (pr).a AS a, (pr).b AS b, CAST(sum(cnt) AS BIGINT) AS pc
+      FROM (
+        SELECT cnt, unnest(list_transform(range(len(arr) - 1),
+               i -> struct_pack(a := arr[i+1], b := arr[i+2]))) AS pr
+        FROM (SELECT cnt, list_filter(string_split(seq, chr(31)),
+                     x -> x <> '') AS arr FROM s{j})
+        WHERE len(arr) >= 2)
+      GROUP BY 1, 2),
+    t{k} AS (SELECT a, b, pc FROM p{k} ORDER BY pc DESC, a, b LIMIT 1),
+    s{k} AS (
+      SELECT cnt, replace(seq, chr(31) || t.a || chr(31) || t.b || chr(31),
+                          chr(31) || t.a || t.b || chr(31)) AS seq
+      FROM s{j} CROSS JOIN t{k} t),
+    m{k} AS (
+      SELECT {k} AS step, t.a AS sym_a, t.b AS sym_b, t.pc AS pair_count,
+             (SELECT CAST(sum(cnt * (len(string_split(seq, chr(31))) - 2))
+                      AS BIGINT) FROM s{k}) AS corpus_tokens_after
+      FROM t{k} t)"""
+    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, _BPE_STEPS + 1))
+    return s + f"\n    {union}"
+
+
+_ARR = f"filter(split(seq, '{_SEP}'), x -> x <> '')"
+_PAIRS = (
+    "transform(sequence(0, size(arr) - 2),"
+    " i -> struct(arr[i] as a, arr[i+1] as b))"
+)
+
+
+@query("vocab_bpe_merges", oracle=_oracle())
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 3 BPE merges from the corpus word distribution;
+    emit (step, sym_a, sym_b, pair_count, corpus_tokens_after) — the
+    merge table a tokenizer trainer would persist, plus the corpus
+    token count after each fusion (the compression curve).
+
+    Scale: the word-frequency table (one map-side-combinable groupBy)
+    is the ONLY pass over raw text; every merge step then runs on the
+    word distribution (vocabulary-sized, not corpus-sized — the classic
+    BPE trick). Per step: one pair-count aggregate, a 1-row top-pair
+    broadcast, and a JVM ``replace`` rewrite. State between steps is
+    persisted (in production: checkpointed per iteration)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _BPE_BOUND
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = words.select(
+        "cnt",
+        F.concat(
+            F.lit(_SEP), F.regexp_replace("w", "(.)", "$1" + _SEP)
+        ).alias("seq"),
+    ).persist()
+    # Each step's state feeds multiple consumers (pair counts, the next
+    # rewrite, token accounting, and the per-step output row); persist is
+    # lazy, so force ONE materialization per step — otherwise every union
+    # branch of the final result recomputes the whole merge chain.
+    state.count()
+
+    merge_rows = []
+    for k in range(1, _BPE_STEPS + 1):
+        pairs = (
+            state.withColumn("arr", F.expr(_ARR))
+            .filter(F.expr("size(arr) >= 2"))
+            .select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        top = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).persist()
+        top.count()
+        merged = (
+            state.crossJoin(F.broadcast(top))
+            .select(
+                "cnt",
+                F.expr(
+                    f"replace(seq, concat('{_SEP}', a, '{_SEP}', b, '{_SEP}'),"
+                    f" concat('{_SEP}', a, b, '{_SEP}'))"
+                ).alias("seq"),
+            )
+            .persist()
+        )
+        merged.count()
+        tokens_after = merged.agg(
+            F.sum(
+                F.col("cnt")
+                * (F.size(F.split("seq", _SEP)) - F.lit(2))
+            )
+            .cast("bigint")
+            .alias("corpus_tokens_after")
+        )
+        merge_rows.append(
+            top.crossJoin(F.broadcast(tokens_after)).select(
+                F.lit(k).alias("step"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("pc").alias("pair_count"),
+                "corpus_tokens_after",
+            )
+        )
+        state = merged
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -145,6 +145,7 @@ def load_all() -> None:
         text,
         timeseries,
         udafs,
+        vocab,
     )
     from .streaming import windows  # noqa: F401
 

@@ -82,3 +82,27 @@ def test_ngram_novelty_monotone_anchor(spark):
     )
     n_distinct = docs.distinct().count()
     assert sum(r["n_novel"] for r in rows.values()) == n_distinct
+
+
+def test_mad_outliers_invariants(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_mad_outliers,
+    )
+    import statistics
+
+    rows = events_mad_outliers(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type: dict[str, list[int]] = {}
+    for e in ev:
+        by_type.setdefault(e["event_type"], []).append(round(e["value"] * 100))
+    for r in rows:
+        cs = by_type[r["event_type"]]
+        assert r["n"] == len(cs)
+        med = statistics.median(cs)
+        assert abs(r["median"] - round(med / 100.0, 4)) < 1e-9
+        mad = statistics.median([abs(c - med) for c in cs])
+        assert abs(r["mad"] - round(mad / 100.0, 4)) < 1e-9
+        n_out = sum(1 for c in cs if abs(c - med) > 3 * mad)
+        assert r["n_outliers"] == n_out
+        assert 0.0 <= r["outlier_frac"] <= 1.0

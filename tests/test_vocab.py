@@ -1,0 +1,75 @@
+"""Invariant tests for BPE merge learning (operators/vocab.py): the
+merge table must match a plain-Python BPE trainer run on the same word
+distribution, and the token-count curve must shrink by exactly the
+merged-pair count at each step."""
+
+from __future__ import annotations
+
+import collections
+
+import pyspark.sql.functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators.vocab import (
+    _BPE_BOUND,
+    vocab_bpe_merges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_bpe(word_counts: dict[str, int], steps: int):
+    """Reference BPE trainer: leftmost-nonoverlapping pair fusion."""
+    seqs = {w: tuple(w) for w in word_counts}
+    merges = []
+    for _ in range(steps):
+        pc: collections.Counter = collections.Counter()
+        for w, syms in seqs.items():
+            cnt = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += cnt
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        new_seqs = {}
+        for w, syms in seqs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+        tokens = sum(word_counts[w] * len(s) for w, s in seqs.items())
+        merges.append((a, b, n, tokens))
+    return merges
+
+
+def test_bpe_matches_python_trainer(spark):
+    rows = vocab_bpe_merges(spark, SF).orderBy("step").collect()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < _BPE_BOUND)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    wc = {r["w"]: r["count"] for r in docs}
+    want = _python_bpe(wc, 3)
+    assert len(rows) == 3
+    for r, (a, b, n, tokens) in zip(rows, want):
+        assert (r["sym_a"], r["sym_b"], r["pair_count"]) == (a, b, n)
+        assert r["corpus_tokens_after"] == tokens
+    # each fusion removes exactly pair_count symbols (leftmost
+    # non-overlap counts ARE the fused occurrences)
+    base = sum(wc[w] * len(w) for w in wc)
+    prev = base
+    for r in rows:
+        # fused occurrences <= pair count seen before the merge, and the
+        # curve is consistent: tokens_after = tokens_before - n_fused
+        n_fused = prev - r["corpus_tokens_after"]
+        assert 0 < n_fused <= r["pair_count"]
+        prev = r["corpus_tokens_after"]

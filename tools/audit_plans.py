@@ -61,6 +61,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "events_funnel_conversion": {"CART": "crossJoin of three 1-row stage-count aggregates"},
     "pipeline_quality_resample": {"CART": "1-row min/max bounds broadcast"},
     "stats_key_skew_profile": {"CART": "1-row totals broadcast vs top-10 keys"},
+    "vocab_bpe_merges": {
+        "CART": "1-row top-pair + token-count broadcasts per unrolled BPE step"
+    },
     "layout_range_partition_plan": {
         "CART": "1-row total-rows broadcast vs the bounded histogram"
     },
