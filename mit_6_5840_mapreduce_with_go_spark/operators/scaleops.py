@@ -218,3 +218,82 @@ def maintenance_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Foreign-key candidate profiling (schema discovery)
+# --------------------------------------------------------------------------
+_FK_PAIRS = [
+    # (child table, child col, parent table, parent col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    # deliberate negative control: event user ids are NOT customer keys
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in _FK_PAIRS:
+        parts.append(f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           (SELECT count(DISTINCT {cc}) FROM {ct}) AS child_distinct,
+           (SELECT count(DISTINCT {pc}) FROM {pt}) AS parent_distinct,
+           (SELECT count(DISTINCT {cc}) FROM {ct}
+            WHERE {cc} IN (SELECT {pc} FROM {pt})) AS n_contained,
+           round((SELECT count(DISTINCT {cc}) FROM {ct}
+                  WHERE {cc} IN (SELECT {pc} FROM {pt}))
+                 * 1.0 / (SELECT count(DISTINCT {cc}) FROM {ct}), 4)
+             AS containment,
+           (SELECT count(DISTINCT {cc}) FROM {ct}
+            WHERE {cc} IN (SELECT {pc} FROM {pt}))
+             = (SELECT count(DISTINCT {cc}) FROM {ct}) AS is_fk""")
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_fk_candidates", oracle=_fk_oracle())
+def profile_fk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key discovery by set containment — the schema-profiling
+    pass that tells an optimizer (or a human migrating a lake) which
+    join edges are real: for each candidate (child, parent) column pair,
+    the fraction of distinct child values present in the parent.
+    Containment 1.0 = referential integrity holds; the events→customer
+    row is a deliberate negative control.
+
+    Scale: per pair, the child's distinct keys (one map-side-combinable
+    aggregate) LEFT SEMI join the parent's keys — containment never
+    materializes the non-matching side, and counting distinct child
+    values BEFORE the semi join means the join input is already
+    key-sized, not row-sized. The 5 result rows union trivially."""
+    out = None
+    for ct, cc, pt, pc in _FK_PAIRS:
+        child_keys = (
+            load_table(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
+        )
+        parent_keys = (
+            load_table(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
+        )
+        stats = child_keys.agg(F.count(F.lit(1)).alias("child_distinct"))
+        pstats = parent_keys.agg(F.count(F.lit(1)).alias("parent_distinct"))
+        contained = child_keys.join(parent_keys, "k", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_contained")
+        )
+        row = (
+            stats.crossJoin(F.broadcast(pstats))
+            .crossJoin(F.broadcast(contained))
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "child_distinct",
+                "parent_distinct",
+                "n_contained",
+                F.round(
+                    F.col("n_contained") * 1.0 / F.col("child_distinct"), 4
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("child_distinct")).alias("is_fk"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -79,3 +79,25 @@ def test_compaction_bins_pack_contiguously(spark):
     for src, rows in by_source.items():
         for r in rows[:-1]:
             assert r["total_chars"] > _COMPACT_TARGET - max_file
+
+
+def test_fk_containment_profile(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.scaleops import (
+        profile_fk_candidates,
+    )
+
+    rows = {r["child"]: r for r in profile_fk_candidates(spark, SF).collect()}
+    # referential integrity holds on the TPC-H-ish edges
+    for edge in (
+        "lineitem.l_orderkey",
+        "orders.o_custkey",
+        "lineitem.l_partkey",
+        "customer.c_nationkey",
+    ):
+        assert rows[edge]["is_fk"], edge
+        assert rows[edge]["containment"] == 1.0
+        assert rows[edge]["n_contained"] == rows[edge]["child_distinct"]
+    # the negative control is profiled but not an FK at this sf
+    neg = rows["events.user_id"]
+    assert neg["n_contained"] <= neg["child_distinct"]
+    assert 0.0 <= neg["containment"] <= 1.0

@@ -61,6 +61,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "events_funnel_conversion": {"CART": "crossJoin of three 1-row stage-count aggregates"},
     "pipeline_quality_resample": {"CART": "1-row min/max bounds broadcast"},
     "stats_key_skew_profile": {"CART": "1-row totals broadcast vs top-10 keys"},
+    "profile_fk_candidates": {
+        "CART": "1-row distinct-count aggregates assembled per candidate pair",
+        "EXCH": "5 independent pair-profiles union'd; each contributes its "
+        "own distinct+semi-join exchanges over key-sized inputs",
+    },
     "vocab_bpe_merges": {
         "CART": "1-row top-pair + token-count broadcasts per unrolled BPE step"
     },
