@@ -297,3 +297,94 @@ def profile_fk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Approximate query processing with error bars (BlinkDB-style eval)
+# --------------------------------------------------------------------------
+@query(
+    "stats_approx_groupby_eval",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+               AS in_sample
+      FROM events),
+    ex AS (
+      SELECT event_type, count(*) AS n_total,
+             CAST(sum(c) AS DECIMAL(38,0)) AS s1
+      FROM x GROUP BY event_type),
+    sm AS (
+      SELECT event_type, count(*) AS n_sample,
+             CAST(sum(c) AS DECIMAL(38,0)) AS t1,
+             CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS t2
+      FROM x WHERE in_sample GROUP BY event_type)
+    SELECT ex.event_type,
+           CAST(ex.n_total AS BIGINT) AS n_total,
+           CAST(sm.n_sample AS BIGINT) AS n_sample,
+           round(CAST(ex.s1 AS DOUBLE) / ex.n_total / 100.0, 4) AS exact_avg,
+           round(CAST(sm.t1 AS DOUBLE) / sm.n_sample / 100.0, 4) AS sample_avg,
+           round(1.96 * sqrt((CAST(sm.t2 AS DOUBLE) / sm.n_sample
+                   - (CAST(sm.t1 AS DOUBLE) / sm.n_sample)
+                     * (CAST(sm.t1 AS DOUBLE) / sm.n_sample))
+                 / (sm.n_sample - 1)) / 100.0, 4) AS ci_halfwidth,
+           abs(CAST(ex.s1 AS DOUBLE) / ex.n_total
+               - CAST(sm.t1 AS DOUBLE) / sm.n_sample)
+             <= 1.96 * sqrt((CAST(sm.t2 AS DOUBLE) / sm.n_sample
+                  - (CAST(sm.t1 AS DOUBLE) / sm.n_sample)
+                    * (CAST(sm.t1 AS DOUBLE) / sm.n_sample))
+                / (sm.n_sample - 1)) AS within_ci
+    FROM ex JOIN sm USING (event_type)
+    """,
+)
+def stats_approx_groupby_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation with error bars, evaluated against the
+    exact answer: estimate each event type's mean value from a
+    deterministic ~1/8 md5 hash sample and report the 95% CLT interval
+    plus whether the exact mean fell inside it — the BlinkDB-style
+    sample-and-bound loop that makes 100 TB interactive ("scan 12 TB,
+    bound the error").
+
+    Engine-exactness: sums/sums-of-squares accumulate in integer cents
+    as DECIMAL(38,0) (order-insensitive, no int64 wrap), so means,
+    variances, and the CI comparison are identical double arithmetic in
+    both engines; the md5-prefix sample is bit-reproducible everywhere.
+
+    Scale: one shared scan feeds both aggregates (sample membership is
+    a scan-level predicate, exact side aggregates everything);
+    both are map-side-combinable; output is |types| rows."""
+    x = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+        .isin("0", "1")
+        .alias("in_sample"),
+    )
+    ex = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+    )
+    sm = (
+        x.filter("in_sample")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("t1"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("t2"),
+        )
+    )
+    mean_s = F.col("t1").cast("double") / F.col("n_sample")
+    var_s = (
+        F.col("t2").cast("double") / F.col("n_sample") - mean_s * mean_s
+    ) / (F.col("n_sample") - 1)
+    ci = 1.96 * F.sqrt(var_s)
+    exact_mean = F.col("s1").cast("double") / F.col("n_total")
+    return ex.join(sm, "event_type").select(
+        "event_type",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_sample").cast("bigint").alias("n_sample"),
+        F.round(exact_mean / 100.0, 4).alias("exact_avg"),
+        F.round(mean_s / 100.0, 4).alias("sample_avg"),
+        F.round(ci / 100.0, 4).alias("ci_halfwidth"),
+        (F.abs(exact_mean - mean_s) <= ci).alias("within_ci"),
+    )

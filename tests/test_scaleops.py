@@ -101,3 +101,32 @@ def test_fk_containment_profile(spark):
     neg = rows["events.user_id"]
     assert neg["n_contained"] <= neg["child_distinct"]
     assert 0.0 <= neg["containment"] <= 1.0
+
+
+def test_approx_groupby_eval_invariants(spark):
+    import math
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.scaleops import (
+        stats_approx_groupby_eval,
+    )
+
+    rows = stats_approx_groupby_eval(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_sample"] < r["n_total"]
+        # ~1/8 md5 sample: loose binomial sanity bounds
+        frac = r["n_sample"] / r["n_total"]
+        assert 0.03 < frac < 0.25
+        assert r["ci_halfwidth"] > 0
+        # within_ci is consistent with the reported (rounded) numbers up
+        # to rounding slack
+        gap = abs(r["exact_avg"] - r["sample_avg"])
+        if r["within_ci"]:
+            assert gap <= r["ci_halfwidth"] + 2e-4
+        else:
+            assert gap >= r["ci_halfwidth"] - 2e-4
+    # python cross-check of one type's exact mean
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    t = rows[0]["event_type"]
+    cs = [round(e["value"] * 100) for e in ev if e["event_type"] == t]
+    assert abs(rows[0]["exact_avg"] - round(sum(cs) / len(cs) / 100.0, 4)) < 1e-9
