@@ -388,3 +388,92 @@ def stats_approx_groupby_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ci / 100.0, 4).alias("ci_halfwidth"),
         (F.abs(exact_mean - mean_s) <= ci).alias("within_ci"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-table reconciliation audit (data-quality gate)
+# --------------------------------------------------------------------------
+@query(
+    "audit_order_lineitem_recon",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS charge
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderstatus, o.o_totalprice, li.charge,
+             (li.l_orderkey IS NULL) AS childless,
+             CASE WHEN li.l_orderkey IS NOT NULL
+                  THEN abs(o.o_totalprice - li.charge) / o.o_totalprice
+             END AS rel_err
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN childless THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_childless,
+           CAST(sum(CASE WHEN rel_err < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_5pct,
+           CAST(sum(CASE WHEN rel_err >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_beyond_5pct,
+           round(sum(CASE WHEN rel_err < 0.05 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS within_rate,
+           round(CAST(sum(CAST(rel_err AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(rel_err), 4) AS mean_rel_err
+    FROM j
+    GROUP BY o_orderstatus
+    """,
+)
+def audit_order_lineitem_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: does each order's header total
+    agree with the sum of its line items' charges? Reports, per order
+    status, childless orders and the within-5% / beyond-5% split — the
+    integrity gate a warehouse runs after every load (and an honest one
+    here: the synthetic corpus deliberately does NOT reconcile, so the
+    report shows real drift, not vacuous zeros).
+
+    Engine-exactness: per-order charges accumulate as DECIMAL(28,6) of
+    identical double products (order-insensitive sum); relative errors
+    sum in DECIMAL too, so even the mean is deterministic cross-engine.
+
+    Scale: one map-side-combinable aggregate per side of one key-sized
+    LEFT join (header side never explodes); output is |status| rows."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("charge")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderstatus",
+        F.col("l_orderkey").isNull().alias("childless"),
+        F.when(
+            F.col("l_orderkey").isNotNull(),
+            F.abs(F.col("o_totalprice") - F.col("charge"))
+            / F.col("o_totalprice"),
+        ).alias("rel_err"),
+    )
+    within = (F.col("rel_err") < 0.05).cast("long")
+    beyond = (F.col("rel_err") >= 0.05).cast("long")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("childless").cast("long")).cast("bigint").alias("n_childless"),
+        F.sum(within).cast("bigint").alias("n_within_5pct"),
+        F.sum(beyond).cast("bigint").alias("n_beyond_5pct"),
+        F.round(F.sum(within) * 1.0 / F.count(F.lit(1)), 4).alias("within_rate"),
+        F.round(
+            F.sum(F.col("rel_err").cast("decimal(28,6)")).cast("double")
+            / F.count("rel_err"),
+            4,
+        ).alias("mean_rel_err"),
+    )

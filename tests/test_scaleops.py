@@ -130,3 +130,25 @@ def test_approx_groupby_eval_invariants(spark):
     t = rows[0]["event_type"]
     cs = [round(e["value"] * 100) for e in ev if e["event_type"] == t]
     assert abs(rows[0]["exact_avg"] - round(sum(cs) / len(cs) / 100.0, 4)) < 1e-9
+
+
+def test_order_lineitem_recon_invariants(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.scaleops import (
+        audit_order_lineitem_recon,
+    )
+
+    rows = audit_order_lineitem_recon(spark, SF).collect()
+    assert rows
+    n_orders_total = sum(r["n_orders"] for r in rows)
+    assert n_orders_total == spark.read.parquet(f"{SF}/orders.parquet").count()
+    for r in rows:
+        # partition: childless + within + beyond == all orders of the status
+        assert (
+            r["n_childless"] + r["n_within_5pct"] + r["n_beyond_5pct"]
+            == r["n_orders"]
+        )
+        assert 0.0 <= r["within_rate"] <= 1.0
+        if r["n_orders"] > r["n_childless"]:
+            assert r["mean_rel_err"] is not None and r["mean_rel_err"] >= 0
+    # the audit is non-vacuous on this corpus: drift exists
+    assert any(r["n_beyond_5pct"] > 0 for r in rows)
