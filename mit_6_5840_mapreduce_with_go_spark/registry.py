@@ -89,7 +89,9 @@ WINDOW_PRIORITY: list[str] = [
     "events_time_weighted_avg",
     "events_gap_fill_hourly",
     "events_sessionization",
-    "events_rate_anomaly",
+    # rate_anomaly rotated out (plain z-score arithmetic, mirror-checked)
+    # for the session's tokenizer-training flagship:
+    "vocab_bpe_merges",
     "events_funnel_conversion",
     "asof_join_last_order_before_event",
     "asof_join_next_purchase_after_error",
