@@ -480,3 +480,153 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("mn") + F.col("bucket") * width, 4).alias("bucket_lo"),
         F.round(F.first("mn") + (F.col("bucket") + 1) * width, 4).alias("bucket_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra: sketch-estimated source-overlap matrix vs exact
+# --------------------------------------------------------------------------
+_KMV_OV_K = 64  # union-sketch size per source pair
+
+
+@query(
+    "sketch_kmv_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        range(len(string_split(text, ' ')) - 2),
+        i -> string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2] || ' ' ||
+             string_split(text, ' ')[i+3]))) AS g
+      FROM documents),
+    h AS (
+      SELECT DISTINCT source,
+             list_reduce(
+               list_prepend(CAST(2166136261 AS BIGINT),
+                            list_transform(string_split(g, ''),
+                                           c -> CAST(ord(c) AS BIGINT))),
+               (hh, b) -> (xor(hh, b) * 16777619) % 4294967296) AS hv
+      FROM sh),
+    c AS (SELECT source, count(*) AS n FROM h GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b
+      FROM c a JOIN c b ON a.source < b.source),
+    u AS (
+      SELECT sa, sb, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.sa, p.sb, h.hv, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN h ON h.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, h.hv, 0, 1
+        FROM pairs p JOIN h ON h.source = p.sb)
+      GROUP BY 1, 2, 3),
+    r AS (
+      SELECT sa, sb, in_a, in_b,
+             row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+      FROM u),
+    est AS (
+      SELECT sa, sb,
+             CAST(sum(in_a * in_b) AS BIGINT) AS k_both,
+             count(*) AS k_used
+      FROM r WHERE rn <= {_KMV_OV_K} GROUP BY 1, 2),
+    ex AS (
+      SELECT x.sa, x.sb, count(*) AS n_both FROM (
+        SELECT p.sa, p.sb, h.hv FROM pairs p JOIN h ON h.source = p.sa) x
+      JOIN h y ON y.source = x.sb AND y.hv = x.hv
+      GROUP BY 1, 2)
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(coalesce(ex.n_both, 0) AS BIGINT) AS n_both,
+           round(coalesce(ex.n_both, 0) * 1.0
+                 / (p.n_a + p.n_b - coalesce(ex.n_both, 0)), 4)
+             AS jaccard_exact,
+           round(est.k_both * 1.0 / est.k_used, 4) AS kmv_jaccard,
+           round(abs(coalesce(ex.n_both, 0) * 1.0
+                     / (p.n_a + p.n_b - coalesce(ex.n_both, 0))
+                     - est.k_both * 1.0 / est.k_used), 4) AS abs_err
+    FROM pairs p
+    JOIN est ON est.sa = p.sa AND est.sb = p.sb
+    LEFT JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
+    """,
+)
+def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set ALGEBRA (not just cardinality): estimate the full
+    source x source 3-gram-overlap Jaccard matrix from K-minimum-value
+    sketches of each source's hashed shingle set — the K smallest union
+    hashes per pair vote on co-membership — and report the exact answer
+    plus absolute error alongside (the accuracy loop that sizes K before
+    trusting the sketch at 100 TB, where the exact self-join is the cost
+    you're trying to avoid).
+
+    Deterministic cross-engine: sets are FNV-32a hash sets (same char
+    fold as the KMV cardinality sketch above), so estimates AND exact
+    values are oracle-checked, not just bounded.
+
+    Scale: each source contributes its distinct hash set once; the pair
+    union ranks only per-pair hashes (WindowGroupLimit keeps K per
+    partition before the exchange); the exact side is a hash-keyed
+    equi-self-join for the eval — at 100 TB you'd drop the exact legs
+    and keep the K-sized sketches (mergeable, broadcastable)."""
+    from ..functions.hashing import fnv32a_col
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = docs.select("source", F.split("text", " ").alias("toks"))
+    sh = toks.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, greatest(size(toks) - 3, 0)),"
+                    " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
+                )
+            )
+        ).alias("g"),
+    ).distinct()
+    h = sh.select("source", fnv32a_col(F.col("g")).alias("hv")).distinct()
+    h = h.persist()
+    c = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = c.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    b = c.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    pairs = a.join(b, F.col("sa") < F.col("sb"))
+    ua = pairs.join(
+        h.withColumnRenamed("source", "sa"), "sa"
+    ).select("sa", "sb", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    ub = pairs.join(
+        h.withColumnRenamed("source", "sb"), "sb"
+    ).select("sa", "sb", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        ua.unionByName(ub)
+        .groupBy("sa", "sb", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = W.partitionBy("sa", "sb").orderBy("hv")
+    r = u.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_OV_K
+    )
+    est = r.groupBy("sa", "sb").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("k_both"),
+        F.count(F.lit(1)).alias("k_used"),
+    )
+    ha = h.select(F.col("source").alias("sa"), "hv")
+    hb = h.select(F.col("source").alias("sb"), "hv")
+    ex = (
+        ha.join(hb, "hv")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    nb = F.coalesce(F.col("n_both"), F.lit(0))
+    j_exact = nb * 1.0 / (F.col("n_a") + F.col("n_b") - nb)
+    j_kmv = F.col("k_both") * 1.0 / F.col("k_used")
+    return (
+        pairs.join(est, ["sa", "sb"])
+        .join(ex, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            nb.cast("bigint").alias("n_both"),
+            F.round(j_exact, 4).alias("jaccard_exact"),
+            F.round(j_kmv, 4).alias("kmv_jaccard"),
+            F.round(F.abs(j_exact - j_kmv), 4).alias("abs_err"),
+        )
+    )

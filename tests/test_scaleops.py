@@ -152,3 +152,25 @@ def test_order_lineitem_recon_invariants(spark):
             assert r["mean_rel_err"] is not None and r["mean_rel_err"] >= 0
     # the audit is non-vacuous on this corpus: drift exists
     assert any(r["n_beyond_5pct"] > 0 for r in rows)
+
+
+def test_kmv_source_overlap_eval(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational3 import (
+        sketch_kmv_source_overlap,
+    )
+
+    rows = sketch_kmv_source_overlap(spark, SF).collect()
+    srcs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source"
+    ).distinct().count()
+    assert len(rows) == srcs * (srcs - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard_exact"] <= 1.0
+        assert 0.0 <= r["kmv_jaccard"] <= 1.0
+        assert abs(abs(r["jaccard_exact"] - r["kmv_jaccard"]) - r["abs_err"]) < 2e-4
+    # the sketch is informative: mean abs error beats predicting 0 overlap
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    mean_base = sum(r["jaccard_exact"] for r in rows) / len(rows)
+    assert mean_err <= mean_base + 0.02

@@ -66,6 +66,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "EXCH": "5 independent pair-profiles union'd; each contributes its "
         "own distinct+semi-join exchanges over key-sized inputs",
     },
+    "sketch_kmv_source_overlap": {
+        "CART": "source-pair enumeration over the |sources|^2-bounded stats table"
+    },
     "vocab_bpe_merges": {
         "CART": "1-row top-pair + token-count broadcasts per unrolled BPE step"
     },
