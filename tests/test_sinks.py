@@ -123,3 +123,28 @@ def test_range_sorted_layout_prunes(spark, sf_dir, tmp_path):
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
     ).count()
     assert got == want > 0
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    """CSV connector round-trip: header + explicit schema read-back
+    preserves rows and types (CSV is schemaless on disk — the reader
+    contract is schema-on-read)."""
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+    path = str(tmp_path / "nation_csv")
+    df.write.option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(path)
+        .orderBy("n_nationkey")
+    )
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]  # nullability flags differ between parquet and CSV schema-on-read
+    assert [r.asDict() for r in back.collect()] == [
+        r.asDict() for r in df.collect()
+    ]
