@@ -66,11 +66,94 @@ def test_streaming_ewma_equals_batch_fold(spark, sf_dir, tmp_path):
     rounded = {
         r["user_id"]: r["v"]
         for r in spark.createDataFrame(
-            [(k, v[1]) for k, v in got.items()], "user_id long, raw double"
+            [(int(k), float(v[1])) for k, v in got.items()], "user_id long, raw double"
         )
         .select("user_id", F.round("raw", 4).alias("v"))
         .collect()
     }
+    for uid, (n, _) in got.items():
+        assert n == want[uid][0], uid
+        assert rounded[uid] == want[uid][1], uid
+
+
+def test_streaming_ewma_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Kill-and-restart with the same checkpoint: the keyed EWMA state
+    must survive the restart and the final result must still equal the
+    batch fold — the C9 durability story for CUSTOM stateful operators
+    (state store checkpoint replaces consensus)."""
+    src = str(tmp_path / "ewma_ck_src")
+    ckpt = str(tmp_path / "ewma_ckpt")
+    out = str(tmp_path / "ewma_ck_out")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts", "event_id")
+    rows = ev.collect()
+    half, rest = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+
+    def sink(batch_df, batch_id):
+        # idempotent on replay: one dir per batch id, overwritten whole
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        return (
+            ewma_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame(half, ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # hard stop — state lives only in the checkpoint now
+
+    spark.createDataFrame(rest, ev.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final state per key = its emission in the highest batch that saw it
+    pdf = (
+        spark.read.option("basePath", out)
+        .parquet(out + "/batch=*")
+        .toPandas()
+    )
+    last = (
+        pdf.sort_values("batch")
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+    got = {
+        int(uid): (int(r["n_events"]), r["ewma_value"])
+        for uid, r in last.iterrows()
+    }
+
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in events_ewma_value(spark, sf_dir).collect()
+    }
+    # keys emitted in the post-restart batch carry state folded across
+    # the restart boundary
+    rounded = {
+        r["user_id"]: r["v"]
+        for r in spark.createDataFrame(
+            [(int(k), float(v[1])) for k, v in got.items()], "user_id long, raw double"
+        )
+        .select("user_id", F.round("raw", 4).alias("v"))
+        .collect()
+    }
+    assert set(got) == set(want)
     for uid, (n, _) in got.items():
         assert n == want[uid][0], uid
         assert rounded[uid] == want[uid][1], uid
