@@ -602,3 +602,114 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# k-hop reachability (multi-source BFS, unrolled) — the fourth graph
+# primitive: neighborhood growth from seed nodes over the same
+# co-activity graph as the triangle census.
+# --------------------------------------------------------------------------
+_KHOP_SEEDS = 5
+_KHOP_K = 3
+
+
+@query(
+    "graph_khop_reachability",
+    oracle=f"""
+    WITH slots AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
+                                   event_type FROM events),
+    pairs AS (SELECT a.user_id AS u, b.user_id AS v,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM slots a JOIN slots b
+                ON a.h = b.h AND a.event_type = b.event_type
+               AND a.user_id < b.user_id
+              GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS c
+          FROM pairs),
+    e AS (SELECT u, v FROM pairs, t WHERE w >= {_TRI_MULT} * sw / c),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    seeds AS (SELECT DISTINCT u AS s FROM sym ORDER BY s LIMIT {_KHOP_SEEDS}),
+    r0 AS (SELECT s, s AS node, 0 AS d FROM seeds),
+    r1 AS (SELECT s, node, min(d) AS d FROM (
+             SELECT * FROM r0
+             UNION ALL
+             SELECT r0.s, sym.v, 1 FROM r0 JOIN sym ON sym.u = r0.node)
+           GROUP BY 1, 2),
+    r2 AS (SELECT s, node, min(d) AS d FROM (
+             SELECT * FROM r1
+             UNION ALL
+             SELECT r1.s, sym.v, r1.d + 1 FROM r1 JOIN sym ON sym.u = r1.node)
+           GROUP BY 1, 2),
+    r3 AS (SELECT s, node, min(d) AS d FROM (
+             SELECT * FROM r2
+             UNION ALL
+             SELECT r2.s, sym.v, r2.d + 1 FROM r2 JOIN sym ON sym.u = r2.node)
+           GROUP BY 1, 2)
+    SELECT s AS seed,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop1,
+           CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop2,
+           CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop3,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached
+    FROM r3 GROUP BY s
+    """,
+)
+def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop reachability (BFS, 3 unrolled frontier
+    expansions with min-distance dedup) from the 5 lowest-id nodes of
+    the co-activity graph — the neighborhood-growth primitive behind
+    "friends of friends", influence radius, and blast-radius queries.
+
+    Scale: each hop is one edge join keyed on the frontier node plus a
+    min-distance groupBy — the Pregel superstep expressed relationally;
+    state between hops is (seed, node, dist), never adjacency
+    materialization beyond the (already threshold-pruned) edge list.
+    All counts exact integers. Same unrolled-iteration pattern as
+    k-means/PageRank (fixed k, no driver loop state)."""
+    ev = load_table(spark, sf_dir, "events")
+    slots = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).distinct()
+    a = slots.select(F.col("user_id").alias("u"), "h", "event_type")
+    b = slots.select(F.col("user_id").alias("v"), "h", "event_type")
+    pairs = (
+        a.join(b, ["h", "event_type"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = pairs.agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    e = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") >= _TRI_MULT * F.col("sw") / F.col("c"))
+        .select("u", "v")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    seeds = (
+        sym.select(F.col("u").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(_KHOP_SEEDS)
+    )
+    r = seeds.select("s", F.col("s").alias("node"), F.lit(0).alias("d"))
+    for _ in range(_KHOP_K):
+        nxt = r.join(sym, r.node == sym.u).select(
+            "s", F.col("v").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        r = (
+            r.unionByName(nxt)
+            .groupBy("s", "node")
+            .agg(F.min("d").alias("d"))
+        )
+    return r.groupBy(F.col("s").alias("seed")).agg(
+        F.sum((F.col("d") == 1).cast("long")).cast("bigint").alias("n_hop1"),
+        F.sum((F.col("d") == 2).cast("long")).cast("bigint").alias("n_hop2"),
+        F.sum((F.col("d") == 3).cast("long")).cast("bigint").alias("n_hop3"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+    )

@@ -133,3 +133,22 @@ def test_keep_best_elects_highest_quality_member(spark, sf_dir):
         assert abs(r["best_quality"] - best_q) < 1e-9
         winners = [d for d in members if quality[d] == best_q]
         assert r["best_doc_id"] == min(winners)
+
+
+def test_khop_reachability_monotone(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.clusters import (
+        graph_khop_reachability,
+    )
+
+    rows = graph_khop_reachability(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 5
+    for r in rows:
+        # hop counts partition the reached set
+        assert r["n_hop1"] + r["n_hop2"] + r["n_hop3"] == r["n_reached"]
+        assert r["n_hop1"] >= 0 and r["n_reached"] >= 0
+        # BFS frontier cannot appear at hop k+1 without hop k (on a
+        # connected expansion, an empty frontier stays empty)
+        if r["n_hop1"] == 0:
+            assert r["n_hop2"] == 0 and r["n_hop3"] == 0
+        if r["n_hop2"] == 0:
+            assert r["n_hop3"] == 0

@@ -66,6 +66,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "EXCH": "5 independent pair-profiles union'd; each contributes its "
         "own distinct+semi-join exchanges over key-sized inputs",
     },
+    "graph_khop_reachability": {
+        "CART": "1-row mean-weight threshold broadcast (edge derivation)",
+        "EXCH": "3 unrolled BFS supersteps, each a frontier join + "
+        "min-dist groupBy over the threshold-pruned edge list",
+    },
     "sketch_kmv_source_overlap": {
         "CART": "source-pair enumeration over the |sources|^2-bounded stats table"
     },
