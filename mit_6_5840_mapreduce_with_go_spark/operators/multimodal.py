@@ -254,3 +254,164 @@ def mm_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component via integer fixed-point power iteration
+# --------------------------------------------------------------------------
+_PCA_DIM = 64
+_PCA_SCALE = 1_000_000  # micro-unit quantization
+
+
+def _pca_oracle() -> str:
+    steps = ""
+    prev = "v0"
+    for k in (1, 2, 3):
+        steps += f""",
+    gv{k} AS (
+      SELECT gi AS i, sum(g.g * {prev}.v) AS x
+      FROM g JOIN {prev} ON {prev}.i = g.gj GROUP BY 1),
+    m{k} AS (SELECT max(abs(x)) AS m FROM gv{k}),
+    v{k} AS (
+      SELECT i, CAST(CASE WHEN x < 0
+                   THEN -((-x) * {_PCA_SCALE} // m)
+                   ELSE (x * {_PCA_SCALE}) // m END AS HUGEINT) AS v
+      FROM gv{k}, m{k})"""
+        prev = f"v{k}"
+    return f"""
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(floor(embedding[i+1] * {_PCA_SCALE}) AS BIGINT) AS e
+      FROM embeddings, unnest(range({_PCA_DIM})) AS t(i)),
+    g AS (
+      SELECT a.i AS gi, b.i AS gj,
+             CAST(sum(CAST(a.e AS HUGEINT) * b.e) AS HUGEINT) AS g
+      FROM q a JOIN q b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2),
+    v0 AS (SELECT i, CAST({_PCA_SCALE} AS HUGEINT) AS v
+           FROM range({_PCA_DIM}) t(i)){steps},
+    den AS (SELECT sum(v * v) AS d FROM v3),
+    gv4 AS (
+      SELECT gi AS i, sum(g.g * v3.v) AS x
+      FROM g JOIN v3 ON v3.i = g.gj GROUP BY 1),
+    num AS (SELECT sum(gv4.x * v3.v) AS n
+            FROM gv4 JOIN v3 ON v3.i = gv4.i),
+    tr AS (SELECT sum(g) AS t FROM g WHERE gi = gj)
+    SELECT v3.i AS dim_i,
+           round(CAST(v3.v AS DOUBLE) / sqrt(CAST(d AS DOUBLE)), 4)
+             AS loading,
+           round(100.0 * ((CAST(n AS DOUBLE) / CAST(d AS DOUBLE))
+                          / CAST(t AS DOUBLE)), 4) AS explained_pct
+    FROM v3, den, num, tr
+    """
+
+
+@query("mm_pca_power_iteration", oracle=_pca_oracle())
+def mm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by THREE unrolled
+    power-iteration supersteps in integer fixed-point arithmetic — the
+    drift/structure probe ("is one direction eating the variance?") run
+    entirely relationally, like the k-means/PageRank/BFS family.
+
+    Exactness: embeddings quantize to integer micro-units via floor
+    (round() is HALF_UP-on-BigDecimal in Spark but nearbyint-style in
+    DuckDB — floats near .5 micro-boundaries diverge; floor of the
+    identical double never does), so the gram
+    matrix, every matvec, the rescaling (sign-split truncating integer
+    division — DuckDB ``//`` floors, Spark ``div`` truncates; on
+    abs-values they agree), the Rayleigh numerator/denominator, and the
+    trace are EXACT integers — zero float accumulation anywhere, and
+    the final loadings/explained-variance are single exact-int
+    divisions. This is the only way a 64-sum matvec is bit-identical
+    across engines (double groupBy sums are order-sensitive).
+
+    Scale: the gram (d^2 cells) is one map-side-combinable aggregate —
+    at 100 TB you'd form per-partition outer-product partials (the
+    tall-skinny gram trick) instead of the explode self-join, but the
+    aggregation tree is the same; each matvec joins the d^2-row gram
+    against a d-row broadcast vector. Nothing scales with row count
+    after the gram."""
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("val") * _PCA_SCALE).cast("long").alias("e"),
+    )
+    a = q.select("vec_id", F.col("i").alias("gi"), F.col("e").alias("ea"))
+    b = q.select("vec_id", F.col("i").alias("gj"), F.col("e").alias("eb"))
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("gi", "gj")
+        .agg(
+            F.sum(
+                F.col("ea").cast("decimal(20,0)") * F.col("eb").cast("decimal(20,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("g")
+        )
+        .persist()
+    )
+    g.count()
+
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(_PCA_SCALE).cast("decimal(38,0)").alias("v"),
+    )
+    for _ in range(3):
+        gv = (
+            g.join(F.broadcast(v), v.i == g.gj)
+            .groupBy("gi")
+            .agg(F.sum(F.col("g") * F.col("v")).cast("decimal(38,0)").alias("x"))
+            .select(F.col("gi").alias("i"), "x")
+        )
+        m = gv.agg(F.max(F.abs(F.col("x"))).alias("m"))
+        v = (
+            gv.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.when(
+                    F.col("x") < 0,
+                    -F.expr(f"(-x) * {_PCA_SCALE} div m"),
+                )
+                .otherwise(F.expr(f"x * {_PCA_SCALE} div m"))
+                .cast("decimal(38,0)")
+                .alias("v"),
+            )
+            .persist()
+        )
+        v.count()
+
+    den = v.agg(F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("d"))
+    gv4 = (
+        g.join(F.broadcast(v), v.i == g.gj)
+        .groupBy("gi")
+        .agg(F.sum(F.col("g") * F.col("v")).cast("decimal(38,0)").alias("x"))
+        .select(F.col("gi").alias("i"), "x")
+    )
+    num = gv4.join(F.broadcast(v), "i").agg(
+        F.sum(F.col("x") * F.col("v")).cast("decimal(38,0)").alias("n")
+    )
+    tr = g.filter(F.col("gi") == F.col("gj")).agg(
+        F.sum("g").cast("decimal(38,0)").alias("t")
+    )
+    return (
+        v.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.round(
+                F.col("v").cast("double") / F.sqrt(F.col("d").cast("double")), 4
+            ).alias("loading"),
+            F.round(
+                100.0
+                * (
+                    (F.col("n").cast("double") / F.col("d").cast("double"))
+                    / F.col("t").cast("double")
+                ),
+                4,
+            ).alias("explained_pct"),
+        )
+    )

@@ -56,3 +56,47 @@ def test_psi_zero_for_identical_cohorts_and_positive_definite(spark, sf_dir):
         # same-distribution cohorts: no dimension should cross the
         # classic 0.25 "significant drift" alert line
         assert r["psi"] < 0.25
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """The fixed-point power iteration must match an exact-integer numpy
+    replica bit for bit (same floor quantization, same truncating
+    rescale), and the loadings must be unit-norm."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal import (
+        _PCA_SCALE,
+        mm_pca_power_iteration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["dim_i"]: r for r in mm_pca_power_iteration(spark, sf).collect()}
+    emb = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    E = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    Q = np.floor(E * _PCA_SCALE).astype(object)
+    G = Q.T @ Q
+    v = np.array([_PCA_SCALE] * 64, dtype=object)
+    for _ in range(3):
+        gv = G @ v
+        m = max(abs(int(x)) for x in gv)
+        v = np.array(
+            [
+                (1 if int(x) >= 0 else -1) * (abs(int(x)) * _PCA_SCALE // m)
+                for x in gv
+            ],
+            dtype=object,
+        )
+    den = int(v @ v)
+    gv = G @ v
+    num = int(v @ gv)
+    trace = int(sum(G[i][i] for i in range(64)))
+    for i in range(64):
+        assert rows[i]["loading"] == round(int(v[i]) / np.sqrt(den), 4), i
+    want_pct = round(100.0 * ((num / den) / trace), 4)
+    assert rows[0]["explained_pct"] == want_pct
+    norm = sum(r["loading"] ** 2 for r in rows.values())
+    assert abs(norm - 1.0) < 1e-2  # rounding to 4dp perturbs unit norm

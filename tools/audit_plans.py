@@ -66,6 +66,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "EXCH": "5 independent pair-profiles union'd; each contributes its "
         "own distinct+semi-join exchanges over key-sized inputs",
     },
+    "mm_pca_power_iteration": {
+        "CART": "1-row rescale-max / Rayleigh / trace broadcasts per superstep"
+    },
     "graph_khop_reachability": {
         "CART": "1-row mean-weight threshold broadcast (edge derivation)",
         "EXCH": "3 unrolled BFS supersteps, each a frontier join + "
