@@ -245,3 +245,95 @@ def events_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 4).alias("t_stat"),
         F.round(df, 4).alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session path mining (top opening paths)
+# --------------------------------------------------------------------------
+_PATH_GAP_MIN = 30  # session idle timeout (minutes), matches sessionization
+
+
+@query(
+    "events_top_session_paths",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_PATH_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM o),
+    r AS (
+      SELECT user_id, session_no, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS rn
+      FROM s),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY rn) AS path,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(min(plen) AS BIGINT) AS path_len
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+)
+def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top opening paths (first 3 event types) per session — the
+    lightweight sequence-mining staple behind "how do journeys begin":
+    sessionize by 30-minute idle gaps (the same lag+cumsum construction
+    proven equivalent to session_window), take each session's first
+    three steps in order, count path frequencies.
+
+    Scale: sessionization is one user-keyed window; path assembly
+    aggregates at most 3 rows per session (rank<=3 compiles to
+    WindowGroupLimit pre-exchange pruning); the top-15 is TakeOrdered.
+    Path strings never exceed 3 type names."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > _PATH_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type", is_start.alias("is_start")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("is_start")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    r = s.select(
+        "user_id",
+        "session_no",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id", "session_no").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = r.groupBy("user_id", "session_no").agg(
+        F.concat_ws(
+            ">", F.array_sort(F.collect_list(F.struct("rn", "event_type")))
+            .getField("event_type")
+        ).alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.min("plen").cast("bigint").alias("path_len"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(15)
+    )

@@ -732,3 +732,108 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection (control-chart statistic)
+# --------------------------------------------------------------------------
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE user_id < 50),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+          FROM x),
+    d AS (
+      SELECT user_id, event_id,
+             CAST(sum(c * n - s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cus,
+             n
+      FROM x CROSS JOIN t),
+    p AS (
+      SELECT user_id, max(abs(cus)) AS peak, any_value(n) AS n,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min(CASE WHEN abs(cus) = max_abs THEN event_id END)
+               AS peak_event_id
+      FROM (SELECT *, max(abs(cus)) OVER (PARTITION BY user_id) AS max_abs
+            FROM d)
+      GROUP BY user_id),
+    sgn AS (
+      SELECT d.user_id, d.cus AS peak_cus FROM d
+      JOIN p ON p.user_id = d.user_id AND p.peak_event_id = d.event_id)
+    SELECT p.user_id, p.n_events,
+           round(p.peak * 1.0 / (100.0 * p.n), 4) AS peak_cusum,
+           p.peak_event_id,
+           CASE WHEN s.peak_cus > 0 THEN 1
+                WHEN s.peak_cus < 0 THEN -1 ELSE 0 END AS drift_direction
+    FROM p JOIN sgn s ON s.user_id = p.user_id
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control-chart drift detector per user: the running sum of
+    deviations from the population mean, whose peak magnitude and
+    location mark sustained drift (a mean shift the per-point anomaly
+    detectors can't see — each point looks normal, the SUM walks away).
+
+    Engine-exactness: deviations are computed as ``c*n - S`` in integer
+    cent-times-count units (no fractional mean anywhere), so the prefix
+    sums, peak, argmax event, and direction are exact integers; only the
+    final report divides. Scale: one 1-row totals broadcast, one
+    user-keyed ordered window, one aggregate — the streaming twin would
+    carry (cumsum, peak) as O(1) keyed state."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    x = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    t = x.agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    d = x.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("c") * F.col("n") - F.col("s"))
+        .over(w)
+        .cast("bigint")
+        .alias("cus"),
+        "n",
+    )
+    wm = W.partitionBy("user_id")
+    dd = d.withColumn("max_abs", F.max(F.abs(F.col("cus"))).over(wm))
+    p = dd.groupBy("user_id").agg(
+        F.max(F.abs(F.col("cus"))).alias("peak"),
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(
+            F.when(F.abs(F.col("cus")) == F.col("max_abs"), F.col("event_id"))
+        ).alias("peak_event_id"),
+    )
+    sgn = (
+        d.withColumnRenamed("event_id", "peak_event_id")
+        .join(p.select("user_id", "peak_event_id"), ["user_id", "peak_event_id"])
+        .select("user_id", F.col("cus").alias("peak_cus"))
+    )
+    return (
+        p.join(sgn, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("peak") * 1.0 / (100.0 * F.col("n")), 4).alias(
+                "peak_cusum"
+            ),
+            "peak_event_id",
+            F.when(F.col("peak_cus") > 0, 1)
+            .when(F.col("peak_cus") < 0, -1)
+            .otherwise(0)
+            .alias("drift_direction"),
+        )
+    )

@@ -94,7 +94,9 @@ WINDOW_PRIORITY: list[str] = [
     "vocab_bpe_merges",
     "events_funnel_conversion",
     "asof_join_last_order_before_event",
-    "asof_join_next_purchase_after_error",
+    # the forward-asof twin rotated out (directional mirror of the row
+    # above, mirror-checked) for the fixed-point PCA flagship:
+    "mm_pca_power_iteration",
     # Sketches (all oracle-checked: HLL bound-booleans, Count-Min, KMV)
     "sketch_distinct_users",
     "sketch_countmin_user_counts",

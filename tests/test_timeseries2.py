@@ -106,3 +106,51 @@ def test_mad_outliers_invariants(spark):
         n_out = sum(1 for c in cs if abs(c - med) > 3 * mad)
         assert r["n_outliers"] == n_out
         assert 0.0 <= r["outlier_frac"] <= 1.0
+
+
+def test_cusum_drift_invariants(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_cusum_drift,
+    )
+
+    rows = events_cusum_drift(spark, SF).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") < 50)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    cents = [round(e["value"] * 100) for e in ev]
+    S, n = sum(cents), len(cents)
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    got = {r["user_id"]: r for r in rows}
+    assert set(got) == set(by_user)
+    for uid, es in by_user.items():
+        cus, peak, peak_eid, peak_val = 0, -1, None, 0
+        for e in es:
+            cus += round(e["value"] * 100) * n - S
+            if abs(cus) > peak:
+                peak, peak_eid, peak_val = abs(cus), e["event_id"], cus
+        r = got[uid]
+        assert r["n_events"] == len(es)
+        assert r["peak_event_id"] == peak_eid
+        assert abs(r["peak_cusum"] - round(peak / (100.0 * n), 4)) < 1e-9
+        assert r["drift_direction"] == (1 if peak_val > 0 else -1 if peak_val < 0 else 0)
+
+
+def test_top_session_paths_shape(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.behavior import (
+        events_top_session_paths,
+    )
+
+    rows = events_top_session_paths(spark, SF).collect()
+    assert 0 < len(rows) <= 15
+    ns = [r["n_sessions"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 3
+        assert r["path_len"] == len(steps) or r["path_len"] <= 3

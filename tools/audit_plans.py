@@ -66,6 +66,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "EXCH": "5 independent pair-profiles union'd; each contributes its "
         "own distinct+semi-join exchanges over key-sized inputs",
     },
+    "events_cusum_drift": {
+        "CART": "1-row population-totals broadcast for exact integer deviations"
+    },
     "mm_pca_power_iteration": {
         "CART": "1-row rescale-max / Rayleigh / trace broadcasts per superstep"
     },
