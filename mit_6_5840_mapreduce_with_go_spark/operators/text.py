@@ -344,3 +344,85 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document keyword extraction (tf-idf top-3)
+# --------------------------------------------------------------------------
+_KW_BOUND = 100
+_KW_TOP = 3
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, w, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < {_KW_BOUND})
+      WHERE w <> '' GROUP BY 1, 2),
+    df AS (SELECT w, count(*) AS df FROM w GROUP BY w),
+    n AS (SELECT count(*) AS n
+          FROM documents WHERE doc_id < {_KW_BOUND}),
+    scored AS (
+      SELECT doc_id, w.w, tf,
+             tf * ln((n + 1.0) / (df + 1.0)) AS score
+      FROM w JOIN df ON df.w = w.w CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, w, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, w) AS rank
+      FROM scored)
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS keyword,
+           CAST(tf AS BIGINT) AS tf, round(score, 4) AS score
+    FROM ranked WHERE rank <= {_KW_TOP}
+    """,
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf against
+    the corpus slice — the summarization/tagging primitive (what is this
+    document ABOUT) next to the similarity-oriented tf-idf above.
+
+    Determinism: scores are ``tf * ln((N+1)/(df+1))`` — identical double
+    products of exact integers — and ranking tie-breaks on the word, so
+    equal-score keywords (same tf, same df) order identically in both
+    engines. Scale: term counts and document frequencies are the same
+    two map-side-combinable aggregates the tf-idf index builds; the df
+    table broadcasts; rank<=3 compiles to WindowGroupLimit per-partition
+    pruning."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _KW_BOUND
+    )
+    w = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = w.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        w.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            (
+                F.col("tf")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+            ).alias("score"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("score"), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _KW_TOP)
+        .select(
+            "doc_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("w").alias("keyword"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("score", 4).alias("score"),
+        )
+    )

@@ -837,3 +837,95 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drift_direction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (backtest)
+# --------------------------------------------------------------------------
+_FC_TEST_DAY = "2024-01-30"  # last day of the synthetic stream
+_FC_TRAIN_DAYS = 29
+
+
+@query(
+    "events_seasonal_naive_eval",
+    oracle=f"""
+    WITH grid AS (
+      SELECT event_type, h FROM (SELECT DISTINCT event_type FROM events),
+           (SELECT unnest(range(24)) AS h)),
+    train AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS t
+      FROM events WHERE CAST(ts AS DATE) < DATE '{_FC_TEST_DAY}'
+      GROUP BY 1, 2),
+    test AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS a
+      FROM events WHERE CAST(ts AS DATE) = DATE '{_FC_TEST_DAY}'
+      GROUP BY 1, 2),
+    j AS (
+      SELECT g.event_type,
+             coalesce(test.a, 0) AS a, coalesce(train.t, 0) AS t
+      FROM grid g
+      LEFT JOIN train ON train.event_type = g.event_type AND train.h = g.h
+      LEFT JOIN test  ON test.event_type  = g.event_type AND test.h  = g.h)
+    SELECT event_type,
+           CAST(sum(a) AS BIGINT) AS test_events,
+           round(CAST(sum(abs({_FC_TRAIN_DAYS} * a - t)) AS BIGINT)
+                 / (24.0 * {_FC_TRAIN_DAYS}), 4) AS mae,
+           round(CAST({_FC_TRAIN_DAYS} * sum(a) - sum(t) AS BIGINT)
+                 / (24.0 * {_FC_TRAIN_DAYS}), 4) AS bias
+    FROM j GROUP BY event_type
+    """,
+)
+def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster: predict each hour of
+    the final day as the mean of that hour over the 29 training days,
+    and report per-type MAE and bias on the dense 24-hour grid (missing
+    hours count as zero — skipping them flatters the forecast).
+
+    Engine-exactness: errors accumulate as ``|29*actual - train_total|``
+    — exact integers — with ONE division at the report line, so MAE and
+    bias are deterministic cross-engine (a per-hour float mean would sum
+    24 doubles in engine-specific order). Scale: two map-side-combinable
+    aggregates over a partition-prunable date split + a bounded
+    |types| x 24 grid join."""
+    ev = load_table(spark, sf_dir, "events")
+    test_day = F.lit(_FC_TEST_DAY).cast("date")
+    train = (
+        ev.filter(F.col("ts").cast("date") < test_day)
+        .groupBy("event_type", F.hour("ts").cast("bigint").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    test = (
+        ev.filter(F.col("ts").cast("date") == test_day)
+        .groupBy("event_type", F.hour("ts").cast("bigint").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(24).select(F.col("id").cast("bigint").alias("h"))
+        )
+    )
+    j = (
+        grid.join(train, ["event_type", "h"], "left")
+        .join(test, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("t", F.lit(0)).alias("t"),
+        )
+    )
+    k = _FC_TRAIN_DAYS
+    return j.groupBy("event_type").agg(
+        F.sum("a").cast("bigint").alias("test_events"),
+        F.round(
+            F.sum(F.abs(k * F.col("a") - F.col("t"))).cast("bigint")
+            / (24.0 * k),
+            4,
+        ).alias("mae"),
+        F.round(
+            (k * F.sum("a") - F.sum("t")).cast("bigint") / (24.0 * k), 4
+        ).alias("bias"),
+    )

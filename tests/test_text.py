@@ -36,3 +36,30 @@ def test_bpe_count_at_least_wordcount(spark, sf_dir):
     joined = bpe.join(ws, "doc_id").collect()
     for r in joined:
         assert r["n_bpe_tokens"] >= r["n_tokens"] - 1
+
+
+def test_keywords_tfidf_shape(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.text import (
+        text_keywords_tfidf,
+    )
+    import math
+
+    rows = text_keywords_tfidf(spark, "/root/testdata/sf0.001").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    n_docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter("doc_id < 100")
+        .count()
+    )
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            # idf upper bound: a unique word in the slice
+            assert r["score"] <= r["tf"] * math.log((n_docs + 1) / 2.0) + 1e-6

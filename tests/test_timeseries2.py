@@ -154,3 +154,22 @@ def test_top_session_paths_shape(spark):
         steps = r["path"].split(">")
         assert 1 <= len(steps) <= 3
         assert r["path_len"] == len(steps) or r["path_len"] <= 3
+
+
+def test_seasonal_naive_eval_invariants(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_seasonal_naive_eval,
+    )
+
+    rows = events_seasonal_naive_eval(spark, SF).collect()
+    assert rows
+    total_test = sum(r["test_events"] for r in rows)
+    day30 = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("ts").cast("date") == F.lit("2024-01-30").cast("date"))
+        .count()
+    )
+    assert total_test == day30
+    for r in rows:
+        assert r["mae"] >= abs(r["bias"]) - 1e-9  # MAE dominates |bias|
+        assert r["mae"] >= 0

@@ -66,6 +66,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "EXCH": "5 independent pair-profiles union'd; each contributes its "
         "own distinct+semi-join exchanges over key-sized inputs",
     },
+    "events_seasonal_naive_eval": {
+        "CART": "|types| x 24 dense grid enumeration (bounded domains)"
+    },
+    "text_keywords_tfidf": {
+        "CART": "1-row corpus-size broadcast for the idf denominator"
+    },
     "events_cusum_drift": {
         "CART": "1-row population-totals broadcast for exact integer deviations"
     },
