@@ -1,0 +1,68 @@
+"""Streaming space-saving heavy hitters: final sketch state must equal
+the plain-Python replica fed the same per-bucket ordered stream, and the
+classic guarantees must hold against exact counts (overestimate bound;
+every true heavy hitter above the error floor survives)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.streaming.heavy_hitters import (
+    CAPACITY,
+    N_BUCKETS,
+    heavy_hitters_stream,
+    spacesaving_reference,
+)
+from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    run_to_memory,
+)
+
+
+def test_spacesaving_matches_reference_and_bounds(spark, sf_dir):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = run_to_memory(heavy_hitters_stream(stream), "t_hh", "update")
+    try:
+        q.processAllAvailable()
+        rows = spark.table("t_hh").collect()
+    finally:
+        q.stop()
+    # latest emission per (bucket, key): single availableNow batch -> take all
+    got = {(r["bucket"], r["key"]): (r["count"], r["err"]) for r in rows}
+    assert got
+    # per bucket, at most CAPACITY counters
+    per_bucket: dict[int, int] = {}
+    for (b, _k), _ in got.items():
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert all(v <= CAPACITY for v in per_bucket.values())
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    ref_stream = [(int(e["user_id"]) % N_BUCKETS, int(e["user_id"])) for e in ev]
+    want = spacesaving_reference(ref_stream)
+    got_flat = {b * 10**9 + k: v for (b, k), v in got.items()}
+    assert got_flat == want
+
+    # guarantees vs exact counts
+    exact: dict[int, int] = {}
+    bucket_len: dict[int, int] = {}
+    for b, k in ref_stream:
+        exact[k] = exact.get(k, 0) + 1
+        bucket_len[b] = bucket_len.get(b, 0) + 1
+    for (b, k), (c, e) in got.items():
+        assert exact[k] <= c <= exact[k] + e  # overestimate bound
+        assert e <= bucket_len[b] // CAPACITY + max(exact.values())
+    # every key above its bucket's error floor is present in the sketch
+    for b, blen in bucket_len.items():
+        floor = blen // CAPACITY
+        for k, n in exact.items():
+            if k % N_BUCKETS == b and n > floor:
+                assert (b, k) in got, (b, k, n, floor)
