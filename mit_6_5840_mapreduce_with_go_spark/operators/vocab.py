@@ -81,6 +81,74 @@ _PAIRS = (
 )
 
 
+def _initial_state(words: DataFrame) -> DataFrame:
+    """(w, cnt, seq): separator-joined char symbols per vocabulary word;
+    persisted and force-materialized (multi-consumer chain)."""
+    st = words.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.lit(_SEP), F.regexp_replace("w", "(.)", "$1" + _SEP)
+        ).alias("seq"),
+    ).persist()
+    return st
+
+
+def _apply_merge(state: DataFrame, top: DataFrame) -> DataFrame:
+    """Fuse the (broadcast 1-row) top pair in every word's symbol string
+    via leftmost-non-overlapping replace; persisted by the caller's
+    forced count()."""
+    return (
+        state.crossJoin(F.broadcast(top))
+        .select(
+            "w",
+            "cnt",
+            F.expr(
+                f"replace(seq, concat('{_SEP}', a, '{_SEP}', b, '{_SEP}'),"
+                f" concat('{_SEP}', a, b, '{_SEP}'))"
+            ).alias("seq"),
+        )
+        .persist()
+    )
+
+
+def _learn(spark: SparkSession, sf_dir: str):
+    """Shared learning chain: returns (final state (w, cnt, seq),
+    [(top_df, tokens_after_df), ...] per step)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _BPE_BOUND
+    )
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = _initial_state(words)
+    state.count()
+    steps = []
+    for _ in range(_BPE_STEPS):
+        pairs = (
+            state.withColumn("arr", F.expr(_ARR))
+            .filter(F.expr("size(arr) >= 2"))
+            .select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        top = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).persist()
+        top.count()
+        merged = _apply_merge(state, top)
+        merged.count()
+        tokens_after = merged.agg(
+            F.sum(F.col("cnt") * (F.size(F.split("seq", _SEP)) - F.lit(2)))
+            .cast("bigint")
+            .alias("corpus_tokens_after")
+        )
+        steps.append((top, tokens_after))
+        state = merged
+    return state, steps
+
+
 @query("vocab_bpe_merges", oracle=_oracle())
 def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 3 BPE merges from the corpus word distribution;
@@ -94,58 +162,9 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE trick). Per step: one pair-count aggregate, a 1-row top-pair
     broadcast, and a JVM ``replace`` rewrite. State between steps is
     persisted (in production: checkpointed per iteration)."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
-        F.col("doc_id") < _BPE_BOUND
-    )
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    state = words.select(
-        "cnt",
-        F.concat(
-            F.lit(_SEP), F.regexp_replace("w", "(.)", "$1" + _SEP)
-        ).alias("seq"),
-    ).persist()
-    # Each step's state feeds multiple consumers (pair counts, the next
-    # rewrite, token accounting, and the per-step output row); persist is
-    # lazy, so force ONE materialization per step — otherwise every union
-    # branch of the final result recomputes the whole merge chain.
-    state.count()
-
+    _state, steps = _learn(spark, sf_dir)
     merge_rows = []
-    for k in range(1, _BPE_STEPS + 1):
-        pairs = (
-            state.withColumn("arr", F.expr(_ARR))
-            .filter(F.expr("size(arr) >= 2"))
-            .select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").cast("bigint").alias("pc"))
-        )
-        top = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).persist()
-        top.count()
-        merged = (
-            state.crossJoin(F.broadcast(top))
-            .select(
-                "cnt",
-                F.expr(
-                    f"replace(seq, concat('{_SEP}', a, '{_SEP}', b, '{_SEP}'),"
-                    f" concat('{_SEP}', a, b, '{_SEP}'))"
-                ).alias("seq"),
-            )
-            .persist()
-        )
-        merged.count()
-        tokens_after = merged.agg(
-            F.sum(
-                F.col("cnt")
-                * (F.size(F.split("seq", _SEP)) - F.lit(2))
-            )
-            .cast("bigint")
-            .alias("corpus_tokens_after")
-        )
+    for k, (top, tokens_after) in enumerate(steps, start=1):
         merge_rows.append(
             top.crossJoin(F.broadcast(tokens_after)).select(
                 F.lit(k).alias("step"),
@@ -155,9 +174,104 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "corpus_tokens_after",
             )
         )
-        state = merged
-
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+# ---- apply the learned merges corpus-wide --------------------------------
+_APPLY_N_OUT = 100  # per-doc report slice
+
+
+def _apply_oracle() -> str:
+    s = f"""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < {_BPE_BOUND})
+      WHERE w <> '' GROUP BY w),
+    s0 AS (
+      SELECT w, cnt,
+             chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS seq
+      FROM words)"""
+    for k in range(1, _BPE_STEPS + 1):
+        j = k - 1
+        s += f""",
+    p{k} AS (
+      SELECT (pr).a AS a, (pr).b AS b, CAST(sum(cnt) AS BIGINT) AS pc
+      FROM (
+        SELECT cnt, unnest(list_transform(range(len(arr) - 1),
+               i -> struct_pack(a := arr[i+1], b := arr[i+2]))) AS pr
+        FROM (SELECT cnt, list_filter(string_split(seq, chr(31)),
+                     x -> x <> '') AS arr FROM s{j})
+        WHERE len(arr) >= 2)
+      GROUP BY 1, 2),
+    t{k} AS (SELECT a, b FROM p{k} ORDER BY pc DESC, a, b LIMIT 1),
+    s{k} AS (
+      SELECT w, cnt,
+             replace(seq, chr(31) || t.a || chr(31) || t.b || chr(31),
+                     chr(31) || t.a || t.b || chr(31)) AS seq
+      FROM s{j} CROSS JOIN t{k} t)"""
+    return s + f""",
+    vocab AS (
+      SELECT w, CAST(len(string_split(seq, chr(31))) - 2 AS BIGINT)
+               AS n_after
+      FROM s{_BPE_STEPS}),
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < {_APPLY_N_OUT})
+      WHERE w <> '')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(dw.w)) AS BIGINT) AS tokens_before,
+           CAST(sum(v.n_after) AS BIGINT) AS tokens_after,
+           round(CAST(sum(v.n_after) AS BIGINT) * 1.0
+                 / CAST(sum(length(dw.w)) AS BIGINT), 4) AS compression
+    FROM dw JOIN vocab v ON v.w = dw.w
+    GROUP BY doc_id
+    """
+
+
+@query("vocab_bpe_apply", oracle=_apply_oracle())
+def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 3 learned BPE merges corpus-wide and report per-doc
+    token accounting (chars-as-tokens before, fused symbols after, and
+    the compression ratio) — the learn→apply loop of a real tokenizer
+    deployment in one engine pass.
+
+    Scale: tokenization happens on the VOCABULARY (word → fused symbol
+    count, computed once by the shared learning chain), then documents
+    just join that broadcastable word table — no document ever re-runs
+    the merge rewrite. The per-doc reduce collapses on the doc-clustered
+    explode output. Works because BPE with end-of-word boundaries (this
+    construction) is a pure word-level function."""
+    state, _steps = _learn(spark, sf_dir)
+    vocab = state.select(
+        "w",
+        (F.size(F.split("seq", _SEP)) - F.lit(2)).cast("bigint").alias(
+            "n_after"
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _APPLY_N_OUT
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        dw.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("tokens_before"),
+            F.sum("n_after").cast("bigint").alias("tokens_after"),
+            F.round(
+                F.sum("n_after").cast("bigint")
+                * 1.0
+                / F.sum(F.length("w")).cast("bigint"),
+                4,
+            ).alias("compression"),
+        )
+    )

@@ -73,3 +73,53 @@ def test_bpe_matches_python_trainer(spark):
         n_fused = prev - r["corpus_tokens_after"]
         assert 0 < n_fused <= r["pair_count"]
         prev = r["corpus_tokens_after"]
+
+
+def test_bpe_apply_consistent_with_merges(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.vocab import (
+        vocab_bpe_apply,
+    )
+
+    rows = vocab_bpe_apply(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # fusing never grows a word and at best halves it per merge step
+        assert r["tokens_after"] <= r["tokens_before"]
+        assert r["tokens_after"] >= r["n_words"]  # >= one symbol per word
+        assert 0 < r["compression"] <= 1.0
+    # corpus-wide: the doc-level accounting must reproduce the learning
+    # chain's corpus_tokens_after on the shared slice
+    import pyspark.sql.functions as F
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.vocab import (
+        _BPE_BOUND,
+        vocab_bpe_merges,
+    )
+
+    final_total = (
+        vocab_bpe_merges(spark, SF)
+        .orderBy("step")
+        .collect()[-1]["corpus_tokens_after"]
+    )
+    # recompute over the full learning slice (the report slice is a
+    # subset, so compare totals on the same bound)
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < _BPE_BOUND)
+    )
+    # apply's vocab covers every word in the slice: summing n_after over
+    # all word instances equals the chain's corpus total
+    from mit_6_5840_mapreduce_with_go_spark.operators.vocab import _learn
+
+    state, _ = _learn(spark, f"{SF}")
+    vocab = state.select(
+        "w", (F.size(F.split("seq", "\x1f")) - F.lit(2)).alias("n_after")
+    )
+    total = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .join(vocab, "w")
+        .agg(F.sum("n_after"))
+        .first()[0]
+    )
+    assert total == final_total

@@ -86,6 +86,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "sketch_kmv_source_overlap": {
         "CART": "source-pair enumeration over the |sources|^2-bounded stats table"
     },
+    "vocab_bpe_apply": {
+        "CART": "inherited: 1-row top-pair broadcasts in the shared learning chain"
+    },
     "vocab_bpe_merges": {
         "CART": "1-row top-pair + token-count broadcasts per unrolled BPE step"
     },
