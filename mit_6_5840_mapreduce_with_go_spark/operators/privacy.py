@@ -207,3 +207,51 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("risky_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (companion to k-anonymity)
+# --------------------------------------------------------------------------
+_LD_BUCKET = 500  # sensitive stand-in: n_chars bucket width
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH x AS (
+      SELECT lang, source, n_chars // {_LD_BUCKET} AS sv
+      FROM documents),
+    per_val AS (
+      SELECT lang, source, sv, count(*) AS c
+      FROM x GROUP BY 1, 2, 3)
+    SELECT lang, source,
+           CAST(sum(c) AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS l_distinct,
+           round(max(c) * 1.0 / sum(c), 4) AS top_value_share
+    FROM per_val
+    GROUP BY lang, source
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the k-anonymity companion: within each
+    (lang, source) quasi-identifier class, how many DISTINCT sensitive
+    values appear (here the length bucket stands in — the framework is
+    attribute-agnostic) and how dominant the most frequent one is. A
+    class can be k-anonymous yet leak everything if all members share
+    one sensitive value; l_distinct = 1 or top_value_share near 1 flags
+    exactly that.
+
+    Scale: one map-side-combinable (QI, value) count and one class-level
+    reduce over the bounded class table; integer-exact except the final
+    share ratio."""
+    x = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr(f"n_chars div {_LD_BUCKET}").alias("sv")
+    )
+    per_val = x.groupBy("lang", "source", "sv").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_val.groupBy("lang", "source").agg(
+        F.sum("c").cast("bigint").alias("class_size"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 4).alias("top_value_share"),
+    )

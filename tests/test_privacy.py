@@ -131,3 +131,19 @@ def test_k_anonymity_consistent_with_direct_groupby(spark, sf_dir):
     assert r["n_risky_docs"] <= sum(sizes)
     # non-vacuity: the synthetic corpus must exhibit small classes
     assert r["n_violating_groups"] > 0
+
+
+def test_l_diversity_invariants(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.privacy import (
+        privacy_l_diversity,
+    )
+
+    rows = privacy_l_diversity(spark, sf_dir).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["class_size"] for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= r["class_size"]
+        # top share bounds: 1/l <= share <= 1
+        assert r["top_value_share"] <= 1.0 + 1e-9
+        assert r["top_value_share"] >= 1.0 / r["l_distinct"] - 1e-4
