@@ -929,3 +929,69 @@ def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (k * F.sum("a") - F.sum("t")).cast("bigint") / (24.0 * k), 4
         ).alias("bias"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# --------------------------------------------------------------------------
+@query(
+    "events_theilsen_daily_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+             (b.vc - a.vc) * 1.0 / ((b.day - a.day) * 100.0) AS slope
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 4) AS theilsen_slope
+    FROM s GROUP BY event_type
+    """,
+)
+def events_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend per event type: the MEDIAN of all pairwise slopes
+    of the daily value series — the robust alternative to the OLS trend
+    upstream (one wild day drags a least-squares slope; the slope median
+    ignores up to 29% contamination).
+
+    Engine-exactness: daily sums are exact integer cents, so every
+    pairwise slope is the same integer-ratio double in both engines and
+    the median interpolates identically. Scale: the pair enumeration is
+    per-type over the DAILY aggregate (30 points → 435 pairs per type,
+    bounded by the calendar, never by row count) — the classic trick
+    that makes Theil-Sen feasible at scale: aggregate first, enumerate
+    pairs on the bounded series."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("bigint")
+        .alias("vc")
+    )
+    a = d.select(
+        "event_type", F.col("day").alias("da"), F.col("vc").alias("va")
+    )
+    b = d.select(
+        "event_type", F.col("day").alias("db"), F.col("vc").alias("vb")
+    )
+    s = a.join(b, "event_type").filter(F.col("da") < F.col("db")).select(
+        "event_type",
+        (
+            (F.col("vb") - F.col("va"))
+            * 1.0
+            / ((F.col("db") - F.col("da")) * 100.0)
+        ).alias("slope"),
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 4).alias("theilsen_slope"),
+    )

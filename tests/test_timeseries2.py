@@ -173,3 +173,33 @@ def test_seasonal_naive_eval_invariants(spark):
     for r in rows:
         assert r["mae"] >= abs(r["bias"]) - 1e-9  # MAE dominates |bias|
         assert r["mae"] >= 0
+
+
+def test_theilsen_matches_python(spark):
+    import statistics
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_theilsen_daily_trend,
+    )
+
+    rows = {r["event_type"]: r for r in events_theilsen_daily_trend(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    import collections
+    import datetime as dt
+
+    daily: dict[str, collections.Counter] = {}
+    for e in ev:
+        day = (e["ts"].date() - dt.date(2024, 1, 1)).days
+        daily.setdefault(e["event_type"], collections.Counter())[day] += round(
+            e["value"] * 100
+        )
+    for t, series in daily.items():
+        days = sorted(series)
+        slopes = [
+            (series[d2] - series[d1]) / ((d2 - d1) * 100.0)
+            for i, d1 in enumerate(days)
+            for d2 in days[i + 1 :]
+        ]
+        r = rows[t]
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["theilsen_slope"] - round(statistics.median(slopes), 4)) < 1e-9
