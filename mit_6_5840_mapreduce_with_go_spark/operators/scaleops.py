@@ -477,3 +477,149 @@ def audit_order_lineitem_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-contracts audit (dbt-style test sweep)
+# --------------------------------------------------------------------------
+@query(
+    "audit_data_contracts",
+    oracle="""
+    SELECT 'orders' AS table_name, 'o_orderkey' AS column_name,
+           'unique' AS check_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders) AS n_violations,
+           (SELECT count(*) = count(DISTINCT o_orderkey) FROM orders)
+             AS passed
+    UNION ALL
+    SELECT 'customer', 'c_custkey', 'unique',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+            FROM customer),
+           (SELECT count(*) = count(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'documents', 'doc_id', 'unique',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents),
+           (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+            FROM documents),
+           (SELECT count(*) = count(DISTINCT doc_id) FROM documents)
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey,l_linenumber', 'unique',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                   AS BIGINT) FROM lineitem),
+           (SELECT count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+            FROM lineitem)
+    UNION ALL
+    SELECT 'orders', 'o_orderstatus', 'accepted_values',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) FILTER (WHERE o_orderstatus NOT IN
+                   ('F','O','P') OR o_orderstatus IS NULL) AS BIGINT)
+            FROM orders),
+           (SELECT count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')
+                   OR o_orderstatus IS NULL) = 0 FROM orders)
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag', 'accepted_values',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) FILTER (WHERE l_returnflag NOT IN
+                   ('A','N','R') OR l_returnflag IS NULL) AS BIGINT)
+            FROM lineitem),
+           (SELECT count(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')
+                   OR l_returnflag IS NULL) = 0 FROM lineitem)
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'not_null',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders),
+           (SELECT count(*) = count(o_custkey) FROM orders)
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'relationship:customer.c_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT count(*) = 0 FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'events', 'user_id', 'relationship:customer.c_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM events),
+           (SELECT CAST(count(*) AS BIGINT) FROM events e
+            WHERE e.user_id NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT count(*) = 0 FROM events e
+            WHERE e.user_id NOT IN (SELECT c_custkey FROM customer))
+    """,
+)
+def audit_data_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contracts sweep — the dbt-tests surface as one engine pass:
+    uniqueness (single and composite keys), not-null, accepted-values,
+    and relationship (referential) checks across five tables, one
+    verdict row per contract. Honest on this corpus: the lineitem
+    composite key and the events→customer relationship FAIL, and the
+    report quantifies both.
+
+    Scale: every check is a map-side-combinable aggregate or a key-sized
+    LEFT ANTI join; verdict rows union trivially. This is the audit a
+    warehouse gates loads on — same family as the reconciliation and
+    k-anonymity gates above."""
+    def row(table, column, check, n_rows, n_viol):
+        return (
+            n_rows.crossJoin(F.broadcast(n_viol))
+            .select(
+                F.lit(table).alias("table_name"),
+                F.lit(column).alias("column_name"),
+                F.lit(check).alias("check_name"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                F.col("v").cast("bigint").alias("n_violations"),
+                (F.col("v") == 0).alias("passed"),
+            )
+        )
+
+    out = None
+    uniq_checks = [
+        ("orders", ["o_orderkey"]),
+        ("customer", ["c_custkey"]),
+        ("documents", ["doc_id"]),
+        ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ]
+    for table, cols in uniq_checks:
+        t = load_table(spark, sf_dir, table)
+        n = t.agg(F.count(F.lit(1)).alias("n"))
+        v = t.agg(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols]))
+            .alias("v")
+        )
+        r = row(table, ",".join(cols), "unique", n, v)
+        out = r if out is None else out.unionByName(r)
+
+    accepted = [
+        ("orders", "o_orderstatus", ["F", "O", "P"]),
+        ("lineitem", "l_returnflag", ["A", "N", "R"]),
+    ]
+    for table, col, vals in accepted:
+        t = load_table(spark, sf_dir, table)
+        n = t.agg(F.count(F.lit(1)).alias("n"))
+        bad = ~F.col(col).isin(vals) | F.col(col).isNull()
+        v = t.agg(F.sum(bad.cast("long")).alias("v"))
+        out = out.unionByName(row(table, col, "accepted_values", n, v))
+
+    o = load_table(spark, sf_dir, "orders")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    v = o.agg((F.count(F.lit(1)) - F.count("o_custkey")).alias("v"))
+    out = out.unionByName(row("orders", "o_custkey", "not_null", n, v))
+
+    rels = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+    ]
+    for ct, cc, pt, pc in rels:
+        child = load_table(spark, sf_dir, ct)
+        parent = load_table(spark, sf_dir, pt).select(
+            F.col(pc).alias(cc)
+        ).distinct()
+        n = child.agg(F.count(F.lit(1)).alias("n"))
+        v = child.join(parent, cc, "left_anti").agg(
+            F.count(F.lit(1)).alias("v")
+        )
+        out = out.unionByName(
+            row(ct, cc, f"relationship:{pt}.{pc}", n, v)
+        )
+    return out

@@ -174,3 +174,26 @@ def test_kmv_source_overlap_eval(spark):
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     mean_base = sum(r["jaccard_exact"] for r in rows) / len(rows)
     assert mean_err <= mean_base + 0.02
+
+
+def test_data_contracts_verdicts(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.scaleops import (
+        audit_data_contracts,
+    )
+
+    rows = {
+        (r["table_name"], r["column_name"], r["check_name"]): r
+        for r in audit_data_contracts(spark, SF).collect()
+    }
+    assert len(rows) == 9
+    # single-column keys hold; the composite lineitem key does NOT (the
+    # synthetic generator reuses line numbers) — an honest red row
+    assert rows[("orders", "o_orderkey", "unique")]["passed"]
+    assert rows[("customer", "c_custkey", "unique")]["passed"]
+    assert not rows[("lineitem", "l_orderkey,l_linenumber", "unique")]["passed"]
+    assert rows[("orders", "o_custkey", "relationship:customer.c_custkey")][
+        "passed"
+    ]
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_rows"]
+        assert r["passed"] == (r["n_violations"] == 0)

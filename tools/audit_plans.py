@@ -72,6 +72,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "text_keywords_tfidf": {
         "CART": "1-row corpus-size broadcast for the idf denominator"
     },
+    "audit_data_contracts": {
+        "CART": "1-row count/violation aggregates assembled per contract row",
+        "EXCH": "9 independent contract checks union'd, each a tiny "
+        "aggregate or key-sized anti-join",
+    },
     "events_cusum_drift": {
         "CART": "1-row population-totals broadcast for exact integer deviations"
     },
