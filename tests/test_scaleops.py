@@ -197,3 +197,28 @@ def test_data_contracts_verdicts(spark):
     for r in rows.values():
         assert 0 <= r["n_violations"] <= r["n_rows"]
         assert r["passed"] == (r["n_violations"] == 0)
+
+
+def test_cms_join_size_bounds(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational2 import (
+        sketch_cms_join_size,
+    )
+
+    r = sketch_cms_join_size(spark, SF).collect()[0]
+    # CM inner product NEVER underestimates, and at w=4096 over this key
+    # cardinality it should land within 2x
+    assert r["cms_estimate"] >= r["exact_join_size"]
+    assert r["overestimate_ratio"] >= 1.0
+    assert r["overestimate_ratio"] <= 2.0
+    # exact side cross-check
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").groupBy("o_custkey").count()
+    e = spark.read.parquet(f"{SF}/events.parquet").groupBy("user_id").count()
+    want = (
+        o.join(e, o.o_custkey == e.user_id)
+        .select((o["count"] * e["count"]).alias("x"))
+        .agg(F.sum("x"))
+        .first()[0]
+    )
+    assert r["exact_join_size"] == want

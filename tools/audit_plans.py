@@ -72,6 +72,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "text_keywords_tfidf": {
         "CART": "1-row corpus-size broadcast for the idf denominator"
     },
+    "sketch_cms_join_size": {
+        "CART": "1-row exact-vs-estimate assembly",
+        "EXCH": "2 x d counter-matrix builds union'd (tiny fixed-size aggregates)",
+    },
     "audit_data_contracts": {
         "CART": "1-row count/violation aggregates assembled per contract row",
         "EXCH": "9 independent contract checks union'd, each a tiny "
