@@ -630,3 +630,108 @@ def sketch_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(j_exact - j_kmv), 4).alias("abs_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bitmap index set operations (bitwise AND/popcount over packed words)
+# --------------------------------------------------------------------------
+_BM_DAYS = 31
+_BM_BITS = 63  # bits per word: keep shifts off the sign bit (DuckDB
+# raises on 1<<63; Spark wraps — 63-bit words sidestep the divergence)
+
+
+@query(
+    "bitmap_type_day_overlap",
+    oracle=f"""
+    WITH el AS (
+      SELECT DISTINCT event_type,
+             user_id * {_BM_DAYS}
+               + date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS id
+      FROM events),
+    words AS (
+      SELECT event_type, id // {_BM_BITS} AS w,
+             CAST(bit_or(1::BIGINT << CAST(id % {_BM_BITS} AS INT)) AS BIGINT)
+               AS bm
+      FROM el GROUP BY 1, 2),
+    sizes AS (
+      SELECT event_type, CAST(sum(bit_count(bm)) AS BIGINT) AS n
+      FROM words GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(sum(bit_count(a.bm & b.bm)) AS BIGINT) AS n_common
+      FROM words a JOIN words b
+        ON b.w = a.w AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 4)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def bitmap_type_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra: each event type's (user, active-day)
+    set packs into 63-bit words; intersections are bitwise AND +
+    popcount over word-aligned joins — the bitmap-index technique that
+    turns set operations into a few CPU instructions per 63 elements
+    (the same trick behind roaring bitmaps and bitmap join indexes).
+    Output: pairwise overlap and Jaccard of activity sets.
+
+    Exactness: all integer bit arithmetic; words use 63 bits so no
+    shift ever touches the sign bit (DuckDB raises on 1<<63, Spark
+    wraps — the one bitwise divergence, designed around).
+
+    Scale: the bitmap build is one map-side-combinable bit_or per
+    (type, word); intersections join |universe|/63 words per pair
+    instead of the raw element sets — compression AND speed, and the
+    word table is the persistable index."""
+    ev = load_table(spark, sf_dir, "events")
+    el = ev.select(
+        "event_type",
+        (
+            F.col("user_id") * _BM_DAYS
+            + F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+        ).alias("id"),
+    ).distinct()
+    words = el.groupBy(
+        "event_type", F.expr(f"id div {_BM_BITS}").alias("w")
+    ).agg(
+        F.expr(f"bit_or(shiftleft(1L, CAST(id % {_BM_BITS} AS INT)))").alias(
+            "bm"
+        )
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bm)")).cast("bigint").alias("n")
+    )
+    a = words.select(F.col("event_type").alias("type_a"), "w", F.col("bm").alias("ba"))
+    b = words.select(F.col("event_type").alias("type_b"), "w", F.col("bm").alias("bb"))
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.expr("bit_count(ba & bb)")).cast("bigint").alias("n_common")
+        )
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -49,3 +49,28 @@ def test_incremental_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
     # is unchanged (late data falls in existing hours)
     after = {p.name for p in pathlib.Path(out).glob("hour=*")}
     assert after == before
+
+
+def test_bitmap_overlap_equals_set_arithmetic(spark, sf_dir):
+    """Bitmap AND/popcount must reproduce plain set intersection."""
+    import pyspark.sql.functions as F
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational3 import (
+        bitmap_type_day_overlap,
+    )
+
+    rows = {(r["type_a"], r["type_b"]): r for r in bitmap_type_day_overlap(spark, sf_dir).collect()}
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).distinct().collect()
+    sets: dict[str, set] = {}
+    for e in ev:
+        sets.setdefault(e["event_type"], set()).add((e["user_id"], e["d"]))
+    for (ta, tb), r in rows.items():
+        sa, sb = sets[ta], sets[tb]
+        assert r["n_a"] == len(sa) and r["n_b"] == len(sb)
+        assert r["n_common"] == len(sa & sb)
+        assert r["jaccard"] == round(len(sa & sb) / len(sa | sb), 4)
