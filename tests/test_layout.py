@@ -55,3 +55,33 @@ def test_zorder_beats_hash_layout_on_bbox_tightness(spark, sf_dir):
         .collect()
     )
     assert _bbox_cost(zrows) < 0.5 * _bbox_cost(hrows)
+
+
+def test_delta_varint_estimate_bounds(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.layout import (
+        layout_delta_varint_estimate,
+    )
+
+    rows = layout_delta_varint_estimate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # varint never beats 1 byte/event + 9-byte head, never exceeds raw+1
+        assert r["n_events"] + 8 <= r["delta_varint_bytes"] <= r["raw_bytes"] + 1
+        assert 0 < r["ratio"] <= 1.2
+    # the sorted-time stream should compress well overall
+    total_ratio = sum(r["delta_varint_bytes"] for r in rows) / sum(
+        r["raw_bytes"] for r in rows
+    )
+    assert total_ratio < 0.75
+
+
+def test_rle_run_estimate_bounds(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.layout import (
+        layout_rle_run_estimate,
+    )
+
+    r = layout_rle_run_estimate(spark, sf_dir).collect()[0]
+    # value-sorted: one run per distinct value (3 statuses)
+    assert r["runs_sorted_by_value"] == 3
+    assert 3 <= r["runs_sorted_by_key"] <= r["n_rows"]
+    assert r["run_inflation"] >= 1.0

@@ -72,6 +72,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "text_keywords_tfidf": {
         "CART": "1-row corpus-size broadcast for the idf denominator"
     },
+    "layout_rle_run_estimate": {
+        "CART": "1-row run-count aggregates assembled into the verdict row"
+    },
     "sketch_cms_join_size": {
         "CART": "1-row exact-vs-estimate assembly",
         "EXCH": "2 x d counter-matrix builds union'd (tiny fixed-size aggregates)",
