@@ -265,3 +265,96 @@ def layout_rle_run_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("run_inflation"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-key advisor: pruning fraction per candidate layout x template
+# --------------------------------------------------------------------------
+_ADVISOR_KEYS = {
+    "month(o_orderdate)": "CAST(strftime(o_orderdate, '%Y%m') AS BIGINT)",
+    "o_orderstatus": "o_orderstatus",
+    "o_custkey_mod16": "o_custkey % 16",
+}
+_ADVISOR_KEYS_SPARK = {
+    "month(o_orderdate)": "CAST(date_format(o_orderdate, 'yyyyMM') AS BIGINT)",
+    "o_orderstatus": "o_orderstatus",
+    "o_custkey_mod16": "o_custkey % 16",
+}
+_ADVISOR_TEMPLATES = {
+    "date_range_q1_1995": "o_orderdate >= TIMESTAMP '1995-01-01'"
+    " AND o_orderdate < TIMESTAMP '1995-04-01'",
+    "status_eq_F": "o_orderstatus = 'F'",
+    "custkey_point": "o_custkey = 42",
+}
+
+
+def _advisor_oracle() -> str:
+    parts = []
+    for kname, kexpr in _ADVISOR_KEYS.items():
+        for tname, pred in _ADVISOR_TEMPLATES.items():
+            parts.append(f"""
+    SELECT '{kname}' AS candidate_key, '{tname}' AS template,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS partitions_skipped,
+           CAST(sum(CASE WHEN hits = 0 THEN rows_ ELSE 0 END) AS BIGINT)
+             AS rows_skipped,
+           round(sum(CASE WHEN hits = 0 THEN rows_ ELSE 0 END) * 1.0
+                 / sum(rows_), 4) AS prune_frac
+    FROM (
+      SELECT {kexpr} AS pk, count(*) AS rows_,
+             CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM orders GROUP BY 1)""")
+    return " UNION ALL ".join(parts)
+
+
+@query("layout_partition_prune_advisor", oracle=_advisor_oracle())
+def layout_partition_prune_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor: for each candidate partitioning of the
+    orders table and each representative query template, the fraction of
+    rows that partition pruning would SKIP (a partition is skippable iff
+    no row in it matches the predicate). This is the measurement behind
+    "partition by month, not by customer hash" — run once over the
+    workload's templates, read the prune matrix, pick the layout.
+
+    Exactness: per-partition hit counts are exact integers; skip
+    verdicts are hits = 0. Scale: ONE map-side-combinable aggregate per
+    candidate key (the template hits fold into the same pass as
+    conditional sums), each over the bounded partition-key domain —
+    the advisor never rescans per template."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = None
+    for kname, kexpr in _ADVISOR_KEYS_SPARK.items():
+        per_part = orders.groupBy(F.expr(kexpr).alias("pk")).agg(
+            F.count(F.lit(1)).alias("rows_"),
+            *[
+                F.sum(F.expr(pred).cast("long")).alias(f"h_{i}")
+                for i, pred in enumerate(_ADVISOR_TEMPLATES.values())
+            ],
+        )
+        for i, tname in enumerate(_ADVISOR_TEMPLATES):
+            skipped = F.col(f"h_{i}") == 0
+            r = per_part.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+                F.sum(skipped.cast("long"))
+                .cast("bigint")
+                .alias("partitions_skipped"),
+                F.sum(F.when(skipped, F.col("rows_")).otherwise(0))
+                .cast("bigint")
+                .alias("rows_skipped"),
+                F.round(
+                    F.sum(F.when(skipped, F.col("rows_")).otherwise(0))
+                    * 1.0
+                    / F.sum("rows_"),
+                    4,
+                ).alias("prune_frac"),
+            ).select(
+                F.lit(kname).alias("candidate_key"),
+                F.lit(tname).alias("template"),
+                "n_partitions",
+                "partitions_skipped",
+                "rows_skipped",
+                "prune_frac",
+            )
+            out = r if out is None else out.unionByName(r)
+    return out
