@@ -415,3 +415,61 @@ def mm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("explained_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Resize planning (the resize leg of decode → resize → feature-extract)
+# --------------------------------------------------------------------------
+_RESIZE_TARGET = 224
+
+
+@query(
+    "mm_resize_plan",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             64 + octet_length(encode(text)) % 1024      AS w,
+             64 + (octet_length(encode(text)) * 7) % 768 AS h
+      FROM documents)
+    SELECT doc_id, w AS src_w, h AS src_h,
+           CASE WHEN w >= h THEN {_RESIZE_TARGET}
+                ELSE greatest(1, (w * {_RESIZE_TARGET}) // h) END AS dst_w,
+           CASE WHEN w >= h THEN greatest(1, (h * {_RESIZE_TARGET}) // w)
+                ELSE {_RESIZE_TARGET} END AS dst_h,
+           (w * h) >= (CASE WHEN w >= h THEN {_RESIZE_TARGET}
+                ELSE greatest(1, (w * {_RESIZE_TARGET}) // h) END
+                * CASE WHEN w >= h
+                       THEN greatest(1, (h * {_RESIZE_TARGET}) // w)
+                       ELSE {_RESIZE_TARGET} END) AS is_downscale
+    FROM d
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the multimodal pipeline (decode → RESIZE →
+    feature-extract): aspect-preserving fit of each decoded frame into
+    224x224, planned with pure integer arithmetic (floor-divided target
+    dims, floor >= 1) — the actual pixel resample belongs to the stubbed
+    decoder body; THIS op is the engine-side contract every deployment
+    keeps: deterministic target geometry, schema, and downscale flag.
+
+    Scale: native expressions over the decoded metadata (no Python);
+    composes with mm_decode_frames' mapInPandas stage which it feeds."""
+    d = mm_decode_frames(spark, sf_dir).select(
+        "doc_id", F.col("width").alias("w"), F.col("height").alias("h")
+    )
+    t = _RESIZE_TARGET
+    dst_w = F.when(
+        F.col("w") >= F.col("h"), F.lit(t)
+    ).otherwise(F.greatest(F.lit(1), F.expr(f"(w * {t}) div h")))
+    dst_h = F.when(
+        F.col("w") >= F.col("h"),
+        F.greatest(F.lit(1), F.expr(f"(h * {t}) div w")),
+    ).otherwise(F.lit(t))
+    return d.select(
+        "doc_id",
+        F.col("w").alias("src_w"),
+        F.col("h").alias("src_h"),
+        dst_w.alias("dst_w"),
+        dst_h.alias("dst_h"),
+        ((F.col("w") * F.col("h")) >= (dst_w * dst_h)).alias("is_downscale"),
+    )

@@ -20,7 +20,7 @@ Quantity sums are integral doubles (exact in any order) and stay double.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -781,4 +781,60 @@ def q22_inactive_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier) — preference query
+# --------------------------------------------------------------------------
+@query(
+    "skyline_orders_cheap_early",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate,
+             min(o_totalprice) OVER (ORDER BY o_orderdate, o_totalprice,
+                                     o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS best_before
+      FROM orders)
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM c
+    WHERE best_before IS NULL OR o_totalprice < best_before
+    """,
+)
+def skyline_orders_cheap_early(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders under "earlier is
+    better, cheaper is better": an order survives iff no other order is
+    both at-least-as-early and strictly cheaper — the preference-query
+    primitive behind "best tradeoff" shortlists.
+
+    Algorithm: the classic sorted-scan skyline — order by date, keep a
+    running minimum price; a row is on the frontier iff it beats every
+    earlier price. One window pass, no pairwise dominance join (the
+    naive formulation is O(n^2)).
+
+    Scale caveat (honest): the running minimum needs a total order by
+    date; at 100 TB you'd range-partition by date and stitch partition
+    frontiers with each partition's prefix-minimum — same O(n log n)
+    shape, one extra tiny pass. The demo keeps the single window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.orderBy("o_orderdate", "o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.min("o_totalprice").over(w).alias("best_before"),
+    )
+    return c.filter(
+        F.col("best_before").isNull()
+        | (F.col("o_totalprice") < F.col("best_before"))
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
     )

@@ -100,3 +100,23 @@ def test_pca_power_iteration_matches_numpy(spark):
     assert rows[0]["explained_pct"] == want_pct
     norm = sum(r["loading"] ** 2 for r in rows.values())
     assert abs(norm - 1.0) < 1e-2  # rounding to 4dp perturbs unit norm
+
+
+def test_resize_plan_geometry(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal import (
+        _RESIZE_TARGET,
+        mm_resize_plan,
+    )
+
+    rows = mm_resize_plan(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # the long side hits the target exactly; aspect never inverts
+        assert max(r["dst_w"], r["dst_h"]) == _RESIZE_TARGET
+        assert 1 <= min(r["dst_w"], r["dst_h"]) <= _RESIZE_TARGET
+        if r["src_w"] >= r["src_h"]:
+            assert r["dst_w"] >= r["dst_h"]
+        else:
+            assert r["dst_h"] >= r["dst_w"]
+        # floor-fit: dst aspect <= src aspect within one integer step
+        assert r["dst_h"] * r["src_w"] <= r["src_h"] * (r["dst_w"] + 1) + r["src_w"]

@@ -50,3 +50,28 @@ def test_q21_semi_anti_decorrelation(spark, sf_dir):
     df = QUERIES["q21_sole_blame_suppliers"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_skyline_is_pareto_frontier(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational4 import (
+        skyline_orders_cheap_early,
+    )
+
+    sky = skyline_orders_cheap_early(spark, sf_dir).collect()
+    assert sky
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    pts = [(r["o_orderdate"], r["o_totalprice"], r["o_orderkey"]) for r in orders]
+    sky_keys = {r["o_orderkey"] for r in sky}
+    # no skyline member is dominated (someone at-least-as-early AND
+    # strictly cheaper, with sort-order tie-breaking)
+    by_key = {k: (d, p) for d, p, k in pts}
+    for k in sky_keys:
+        d, p = by_key[k]
+        dominated = any(
+            (d2, p2, k2) < (d, p, k) and p2 < p for d2, p2, k2 in pts
+        )
+        assert not dominated, k
+    # frontier prices strictly decrease over time
+    ordered = sorted(sky, key=lambda r: r["order_date"])
+    prices = [r["o_totalprice"] for r in ordered]
+    assert prices == sorted(prices, reverse=True)
