@@ -210,3 +210,80 @@ def pipeline_stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document drop-reason diagnostics (the pipeline's debugging view)
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_drop_reasons",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the','a','and','of','to','in'))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio,
+             md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= {{MIN_TOKENS}} AND stop_ratio <= {{STOP_RATIO_MAX}}
+        AND lang IN ('en', 'es', 'de', 'fr')),
+    canon AS (SELECT fp, min(doc_id) AS cdoc FROM kept GROUP BY fp)
+    SELECT s.doc_id,
+           CASE
+             WHEN s.n_tokens < {{MIN_TOKENS}} THEN 'too_short'
+             WHEN s.stop_ratio > {{STOP_RATIO_MAX}} THEN 'low_quality'
+             WHEN s.lang NOT IN ('en','es','de','fr') THEN 'lang_filtered'
+             WHEN c.cdoc <> s.doc_id THEN 'exact_dup'
+             ELSE 'kept'
+           END AS verdict,
+           CASE WHEN c.cdoc <> s.doc_id THEN c.cdoc END AS canonical_doc
+    FROM scored s LEFT JOIN canon c ON c.fp = s.fp
+    """.format(MIN_TOKENS=MIN_TOKENS, STOP_RATIO_MAX=STOP_RATIO_MAX),
+)
+def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verdict table for the curation pipeline — the
+    debugging view every data engineer asks for first ("WHY did doc X
+    disappear?"): first failing gate in pipeline order (length →
+    quality → language → exact-dup) or 'kept', with the canonical
+    winner attached for dup losses. Gate expressions are shared with
+    pipeline_curated_documents, so the two can never drift apart.
+
+    Scale: the same single scan + fingerprint groupBy as the pipeline
+    itself; the verdict is a CASE over already-computed columns. At
+    100 TB this table IS the curation audit log, partitioned like the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = F.split("text", " ")
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to", "in"))
+    ) / F.size(toks)
+    fp = F.md5(F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        fp.alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("stop_ratio") <= STOP_RATIO_MAX)
+        & F.col("lang").isin("en", "es", "de", "fr")
+    )
+    canon = kept.groupBy("fp").agg(F.min("doc_id").alias("cdoc"))
+    is_dup = F.col("cdoc").isNotNull() & (F.col("cdoc") != F.col("doc_id"))
+    verdict = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("stop_ratio") > STOP_RATIO_MAX, "low_quality")
+        .when(~F.col("lang").isin("en", "es", "de", "fr"), "lang_filtered")
+        .when(is_dup, "exact_dup")
+        .otherwise("kept")
+    )
+    return scored.join(canon, "fp", "left").select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.when(is_dup, F.col("cdoc")).alias("canonical_doc"),
+    )

@@ -81,3 +81,22 @@ def test_stratified_sample_balanced_and_deterministic(spark, sf_dir, duck):
     again = {(r["lang"], r["doc_id"]) for r in
              QUERIES["pipeline_stratified_sample_by_lang"](spark, sf_dir).collect()}
     assert {(r["lang"], r["doc_id"]) for r in rows} == again
+
+
+def test_drop_reasons_partition_consistent_with_pipeline(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.pipelines import (
+        pipeline_curated_documents,
+        pipeline_drop_reasons,
+    )
+
+    verdicts = {r["doc_id"]: r for r in pipeline_drop_reasons(spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(verdicts) == n_docs
+    kept_ids = {r["doc_id"] for r in pipeline_curated_documents(spark, sf_dir).collect()}
+    # 'kept' verdicts are EXACTLY the pipeline's survivors
+    assert {d for d, r in verdicts.items() if r["verdict"] == "kept"} == kept_ids
+    for d, r in verdicts.items():
+        if r["verdict"] == "exact_dup":
+            assert r["canonical_doc"] in kept_ids and r["canonical_doc"] < d
+        else:
+            assert r["canonical_doc"] is None
