@@ -426,3 +426,92 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 4).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Collocation extraction (pointwise mutual information)
+# --------------------------------------------------------------------------
+_PMI_BOUND = 150
+_PMI_MIN_CO = 5
+_PMI_TOP = 20
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < {_PMI_BOUND})
+      WHERE w <> ''),
+    n AS (SELECT count(DISTINCT doc_id) AS nd
+          FROM documents WHERE doc_id < {_PMI_BOUND}),
+    df AS (SELECT w, count(*) AS dfreq FROM dw GROUP BY w),
+    co AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS cofreq
+      FROM dw a JOIN dw b ON b.doc_id = a.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN_CO}),
+    scored AS (
+      SELECT w1, w2, cofreq, da.dfreq AS df1, db.dfreq AS df2,
+             ln(cofreq * 1.0 * nd / (da.dfreq * 1.0 * db.dfreq)) AS pmi
+      FROM co JOIN df da ON da.w = w1 JOIN df db ON db.w = w2
+      CROSS JOIN n)
+    SELECT w1, w2, CAST(cofreq AS BIGINT) AS cofreq,
+           CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+           round(pmi, 4) AS pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOP}
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the top word pairs by document-level
+    pointwise mutual information (how much more often two words share a
+    document than independence predicts) — the phrase-mining signal
+    behind multi-word vocabulary entries and topic seeds.
+
+    Determinism: PMI = ln(cofreq * N / (df1 * df2)) on exact integers —
+    identical doubles in both engines; ranking tie-breaks on the words.
+    Scale: the co-occurrence join is doc-bucketed (pairs only within a
+    document, an inverted-index join like the shingle family — never
+    corpus x corpus); the min-cofreq HAVING prunes the tail before
+    scoring; top-k is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _PMI_BOUND
+    )
+    dw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("nd"))
+    df = dw.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    a = dw.select(F.col("doc_id"), F.col("w").alias("w1"))
+    b = dw.select(F.col("doc_id"), F.col("w").alias("w2"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cofreq"))
+        .filter(F.col("cofreq") >= _PMI_MIN_CO)
+    )
+    da = df.select(F.col("w").alias("w1"), F.col("dfreq").alias("df1"))
+    db = df.select(F.col("w").alias("w2"), F.col("dfreq").alias("df2"))
+    pmi = F.log(
+        F.col("cofreq") * 1.0 * F.col("nd") / (F.col("df1") * 1.0 * F.col("df2"))
+    )
+    return (
+        co.join(F.broadcast(da), "w1")
+        .join(F.broadcast(db), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            F.col("cofreq").cast("bigint").alias("cofreq"),
+            F.col("df1").cast("bigint").alias("df1"),
+            F.col("df2").cast("bigint").alias("df2"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )

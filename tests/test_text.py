@@ -63,3 +63,35 @@ def test_keywords_tfidf_shape(spark):
         for r in rs:
             # idf upper bound: a unique word in the slice
             assert r["score"] <= r["tf"] * math.log((n_docs + 1) / 2.0) + 1e-6
+
+
+def test_collocations_pmi_math(spark):
+    import math
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.text import (
+        _PMI_BOUND,
+        _PMI_MIN_CO,
+        text_collocations_pmi,
+    )
+    import pyspark.sql.functions as F
+
+    rows = text_collocations_pmi(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 20
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < _PMI_BOUND)
+        .collect()
+    )
+    word_docs: dict[str, set] = {}
+    for d in docs:
+        for w in set(x for x in d["text"].split(" ") if x):
+            word_docs.setdefault(w, set()).add(d["doc_id"])
+    nd = len(docs)
+    for r in rows:
+        s1, s2 = word_docs[r["w1"]], word_docs[r["w2"]]
+        co = len(s1 & s2)
+        assert co == r["cofreq"] >= _PMI_MIN_CO
+        assert (len(s1), len(s2)) == (r["df1"], r["df2"])
+        assert abs(r["pmi"] - round(math.log(co * nd / (len(s1) * len(s2))), 4)) < 1e-9

@@ -72,6 +72,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "text_keywords_tfidf": {
         "CART": "1-row corpus-size broadcast for the idf denominator"
     },
+    "text_collocations_pmi": {
+        "CART": "1-row corpus-size broadcast for the PMI denominator"
+    },
     "layout_partition_prune_advisor": {
         "EXCH": "9 candidate x template verdict rows union'd; each is a "
         "two-level aggregate over a bounded partition-key domain",
