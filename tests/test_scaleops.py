@@ -222,3 +222,33 @@ def test_cms_join_size_bounds(spark):
         .first()[0]
     )
     assert r["exact_join_size"] == want
+
+
+def test_shrinkage_contracts(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.scaleops import (
+        stats_shrunken_source_value,
+    )
+
+    rows = stats_shrunken_source_value(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # shrinkage always moves toward (never past) the global mean
+        assert r["shrunk_dev_from_global"] <= r["raw_dev_from_global"] + 1e-4
+        # shrunk lies between raw and global
+        lo = min(r["raw_mean"], r["raw_mean"] - r["raw_dev_from_global"])
+        hi = max(r["raw_mean"], r["raw_mean"] + r["raw_dev_from_global"])
+        assert lo - 1e-4 <= r["shrunk_mean"] <= hi + 1e-4
+
+
+def test_benford_audit_shape(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.scaleops import (
+        audit_benford_prices,
+    )
+
+    rows = {r["digit"]: r for r in audit_benford_prices(spark, SF).collect()}
+    assert set(rows) <= set(range(1, 10))
+    total_frac = sum(r["observed_frac"] for r in rows.values())
+    assert abs(total_frac - 1.0) < 1e-2
+    # Benford expectation is monotonically decreasing in the digit
+    fr = [rows[d]["benford_frac"] for d in sorted(rows)]
+    assert fr == sorted(fr, reverse=True)

@@ -72,6 +72,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "text_keywords_tfidf": {
         "CART": "1-row corpus-size broadcast for the idf denominator"
     },
+    "stats_shrunken_source_value": {
+        "CART": "1-row global-moments broadcast for the shrinkage prior"
+    },
+    "audit_benford_prices": {
+        "CART": "1-row total-count broadcast vs the 9-digit verdict table"
+    },
     "text_collocations_pmi": {
         "CART": "1-row corpus-size broadcast for the PMI denominator"
     },
