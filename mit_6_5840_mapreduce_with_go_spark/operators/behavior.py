@@ -337,3 +337,113 @@ def events_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion attribution (first-touch vs last-touch)
+# --------------------------------------------------------------------------
+@query(
+    "events_attribution_models",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {_PATH_GAP_MIN} * 60 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_no
+      FROM o),
+    t AS (
+      SELECT user_id, session_no, ts, event_id, event_type, vc,
+             first_value(event_type) OVER ws AS first_touch,
+             lag(event_type) OVER ws AS prev_type
+      FROM s
+      WINDOW ws AS (PARTITION BY user_id, session_no ORDER BY ts, event_id)),
+    conv AS (
+      SELECT first_touch,
+             coalesce(prev_type, 'direct') AS last_touch, vc
+      FROM t WHERE event_type = 'purchase'),
+    ft AS (SELECT first_touch AS touch_type, count(*) AS n_first,
+                  CAST(sum(vc) AS BIGINT) AS first_touch_cents
+           FROM conv GROUP BY 1),
+    lt AS (SELECT last_touch AS touch_type, count(*) AS n_last,
+                  CAST(sum(vc) AS BIGINT) AS last_touch_cents
+           FROM conv GROUP BY 1)
+    SELECT coalesce(ft.touch_type, lt.touch_type) AS touch_type,
+           CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+           CAST(coalesce(first_touch_cents, 0) AS BIGINT)
+             AS first_touch_cents,
+           CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+           CAST(coalesce(last_touch_cents, 0) AS BIGINT) AS last_touch_cents
+    FROM ft FULL OUTER JOIN lt ON lt.touch_type = ft.touch_type
+    """,
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution under two industry models at once: each
+    purchase's value credits (a) the session's FIRST touch and (b) the
+    immediately preceding touch ('direct' if the purchase opens its
+    session) — the first-touch/last-touch comparison every growth team
+    runs, and the canonical example of why attribution model choice
+    changes budget decisions.
+
+    Exactness: values in integer cents; sessionization is the proven
+    lag+cumsum construction shared with path mining. Scale: two
+    user-keyed windows (same shuffle — AQE reuses the partitioning),
+    then bounded |types|-row aggregates either side of one outer
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > _PATH_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        is_start.alias("is_start"),
+    ).withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    t = s.select(
+        "event_type",
+        "vc",
+        F.first("event_type").over(ws).alias("first_touch"),
+        F.lag("event_type").over(ws).alias("prev_type"),
+    )
+    conv = t.filter(F.col("event_type") == "purchase").select(
+        "first_touch",
+        F.coalesce("prev_type", F.lit("direct")).alias("last_touch"),
+        "vc",
+    )
+    ft = conv.groupBy(F.col("first_touch").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_first"),
+        F.sum("vc").cast("bigint").alias("first_touch_cents"),
+    )
+    lt = conv.groupBy(F.col("last_touch").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_last"),
+        F.sum("vc").cast("bigint").alias("last_touch_cents"),
+    )
+    return (
+        ft.join(lt, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("n_first", F.lit(0)).cast("bigint").alias("n_first"),
+            F.coalesce("first_touch_cents", F.lit(0))
+            .cast("bigint")
+            .alias("first_touch_cents"),
+            F.coalesce("n_last", F.lit(0)).cast("bigint").alias("n_last"),
+            F.coalesce("last_touch_cents", F.lit(0))
+            .cast("bigint")
+            .alias("last_touch_cents"),
+        )
+    )

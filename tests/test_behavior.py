@@ -26,3 +26,35 @@ def test_welch_t_matches_numpy(spark, sf_dir):
     assert abs(r["t_stat"] - t) < 1e-3
     assert abs(r["welch_df"] - df) < 1e-1
     assert abs(r["mean_a"] - a.mean()) < 1e-3
+
+
+def test_attribution_conservation(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.behavior import (
+        events_attribution_models,
+    )
+
+    rows = events_attribution_models(spark, sf_dir).collect()
+    assert rows
+    total_purchase_cents = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .first()[0]
+    )
+    n_purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    # both models attribute EVERY purchase exactly once (conservation)
+    assert sum(r["first_touch_cents"] for r in rows) == total_purchase_cents
+    assert sum(r["last_touch_cents"] for r in rows) == total_purchase_cents
+    assert sum(r["n_first"] for r in rows) == n_purchases
+    assert sum(r["n_last"] for r in rows) == n_purchases
+    # 'direct' only exists under last-touch (a session can't START with
+    # a null first touch)
+    direct = [r for r in rows if r["touch_type"] == "direct"]
+    if direct:
+        assert direct[0]["n_first"] == 0
