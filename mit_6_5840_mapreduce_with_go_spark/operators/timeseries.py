@@ -995,3 +995,83 @@ def events_theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.expr("percentile(slope, 0.5)"), 4).alias("theilsen_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend recursion)
+# --------------------------------------------------------------------------
+@query(
+    "events_holt_smoothing",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 50),
+    r AS (
+      SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             o.value * 0.5 + (r.l + r.b) * 0.5,
+             (o.value * 0.5 + (r.l + r.b) * 0.5 - r.l) * 0.25 + r.b * 0.75
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + b, 4) AS forecast_next
+    FROM (SELECT user_id, rn, l, b,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY rn DESC) AS k
+          FROM r)
+    WHERE k = 1
+    """,
+)
+def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (level + trend, the
+    step past EWMA when streams drift): l = a*v + (1-a)(l+b),
+    b = g*(l-l_prev) + (1-g)*b, one-step-ahead forecast l+b.
+
+    Engine-exactness: a = 1/2 and g = 1/4 with 1-g = 3/4 — every
+    smoothing multiply is by an exactly-representable dyadic constant
+    (one rounding per multiply, identical in IEEE), and the fold order
+    is pinned by sort_array, so the recursion is bit-identical to the
+    recursive-CTE oracle. Scale: same shape as the EWMA fold — one
+    shuffle on the key, O(1) state per key (streaming twin would carry
+    (l, b) in keyed state)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        F.col("ordered"),
+        F.expr(
+            "named_struct('l', CAST(NULL AS DOUBLE), 'b', CAST(0.0 AS DOUBLE))"
+        ),
+        lambda acc, x: F.when(
+            acc["l"].isNull(),
+            F.struct(x["value"].alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(
+            F.struct(
+                (x["value"] * 0.5 + (acc["l"] + acc["b"]) * 0.5).alias("l"),
+                (
+                    (x["value"] * 0.5 + (acc["l"] + acc["b"]) * 0.5 - acc["l"])
+                    * 0.25
+                    + acc["b"] * 0.75
+                ).alias("b"),
+            )
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("ordered"))
+        .select(
+            "user_id",
+            F.size("ordered").cast("bigint").alias("n_events"),
+            fold.alias("st"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("st.l"), 4).alias("level"),
+            F.round(F.col("st.b"), 4).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
+        )
+    )

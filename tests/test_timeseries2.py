@@ -203,3 +203,31 @@ def test_theilsen_matches_python(spark):
         r = rows[t]
         assert r["n_pairs"] == len(slopes)
         assert abs(r["theilsen_slope"] - round(statistics.median(slopes), 4)) < 1e-9
+
+
+def test_holt_matches_python_fold(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_holt_smoothing,
+    )
+
+    rows = {r["user_id"]: r for r in events_holt_smoothing(spark, SF).collect()}
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") < 50)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list[float]] = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e["value"])
+    for uid, vals in by_user.items():
+        l, b = vals[0], 0.0
+        for v in vals[1:]:
+            l_new = v * 0.5 + (l + b) * 0.5
+            b = (l_new - l) * 0.25 + b * 0.75
+            l = l_new
+        r = rows[uid]
+        assert r["n_events"] == len(vals)
+        assert abs(r["level"] - round(l, 4)) < 1e-9
+        assert abs(r["trend"] - round(b, 4)) < 1e-9
+        assert abs(r["forecast_next"] - round(l + b, 4)) < 1e-9
