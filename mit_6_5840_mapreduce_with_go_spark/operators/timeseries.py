@@ -1075,3 +1075,101 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Lead-lag cross-correlation between event-type series
+# --------------------------------------------------------------------------
+_XC_LAGS = (-2, -1, 0, 1, 2)
+
+
+@query(
+    "events_leadlag_xcorr",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    lags AS (SELECT unnest(ARRAY{list(_XC_LAGS)}) AS lag),
+    j AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             a.c AS x, b.c AS y
+      FROM h a
+      CROSS JOIN lags l
+      JOIN h b ON b.hr = a.hr + to_hours(l.lag)
+             AND a.event_type < b.event_type),
+    m AS (
+      SELECT type_a, type_b, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM j GROUP BY 1, 2, 3)
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n,
+           round((n * sxy - sx * sy) * 1.0
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                 4) AS xcorr
+    FROM m
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def events_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type hourly series at
+    lags -2..+2 hours — the "do clicks lead purchases?" diagnostic:
+    Pearson correlation of (count_a at t, count_b at t+lag), the lag
+    with the peak identifying the causal ordering candidate.
+
+    Engine-exactness: all five moment sums are exact integers; the
+    Pearson formula is a single fixed-order double expression — no
+    float ever accumulates. Scale: hourly compression first (bounded
+    |types| x hours), then a lag-shifted equi-join on the compressed
+    grid; the moment aggregate collapses to |pairs| x |lags| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lags = spark.createDataFrame(
+        [(lag,) for lag in _XC_LAGS], "lag int"
+    )
+    a = h.select(
+        F.col("event_type").alias("type_a"), "hr", F.col("c").alias("x")
+    )
+    b = h.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hr").alias("hr_b"),
+        F.col("c").alias("y"),
+    )
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (
+                F.col("hr_b")
+                == F.col("hr") + F.make_interval(hours=F.col("lag"))
+            )
+            & (F.col("type_a") < F.col("type_b")),
+        )
+    )
+    m = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.filter((vx > 0) & (vy > 0)).select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1.0
+            / F.sqrt(vx * 1.0 * vy),
+            4,
+        ).alias("xcorr"),
+    )

@@ -231,3 +231,42 @@ def test_holt_matches_python_fold(spark):
         assert abs(r["level"] - round(l, 4)) < 1e-9
         assert abs(r["trend"] - round(b, 4)) < 1e-9
         assert abs(r["forecast_next"] - round(l + b, 4)) < 1e-9
+
+
+def test_leadlag_xcorr_math(spark):
+    import math
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_leadlag_xcorr,
+    )
+
+    rows = events_leadlag_xcorr(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["xcorr"] <= 1.0 + 1e-9
+        assert r["lag"] in (-2, -1, 0, 1, 2)
+    # python replica for one pair/lag
+    import collections
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    grid: dict[tuple, int] = collections.Counter()
+    for e in ev:
+        grid[(e["event_type"], e["ts"].replace(minute=0, second=0, microsecond=0))] += 1
+    r0 = rows[0]
+    xs, ys = [], []
+    import datetime as dt
+
+    for (t, hr), c in grid.items():
+        if t == r0["type_a"]:
+            other = (r0["type_b"], hr + dt.timedelta(hours=int(r0["lag"])))
+            if other in grid:
+                xs.append(c)
+                ys.append(grid[other])
+    n = len(xs)
+    assert n == r0["n"]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r0["xcorr"] - round(want, 4)) < 1e-9

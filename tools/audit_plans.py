@@ -72,6 +72,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "text_keywords_tfidf": {
         "CART": "1-row corpus-size broadcast for the idf denominator"
     },
+    "events_leadlag_xcorr": {
+        "CART": "5-row lag-vector broadcast against the compressed hourly grid"
+    },
     "stats_shrunken_source_value": {
         "CART": "1-row global-moments broadcast for the shrinkage prior"
     },
