@@ -1,0 +1,332 @@
+"""Retrieval + semantic-dedup flagships: BM25 ranked search, SemDeDup-style
+cluster-then-dedup over embeddings, and directed shingle-containment dedup
+(quote/expansion detection).
+
+No reference counterpart (SURVEY.md §2.D — the reference has no retrieval
+or similarity surface); these are north-star additions for the
+training-data-curation role of the engine:
+
+- BM25 is the standard lexical ranking function (Robertson & Zaragoza,
+  "The Probabilistic Relevance Framework: BM25 and Beyond", public) — the
+  retrieval twin of `sim_tfidf_topk`.
+- SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public) deduplicates by
+  clustering embeddings first and comparing pairs only WITHIN a cluster —
+  the trick that turns O(N^2) semantic dedup into k * O((N/k)^2).
+- Containment |A∩B|/|A| is the asymmetric Jaccard variant (Broder's
+  containment measure) that catches a short doc fully quoted inside a
+  longer one — a case symmetric Jaccard misses when lengths differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+from ..registry import query
+from ..sources import load_table
+
+# BM25 constants (the universal defaults from the literature)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 20  # docs with doc_id < _BM25_NQ act as queries
+_BM25_TOPK = 5
+
+_SEM_K = 8  # SemDeDup cluster count (scales as ~N/target_cluster_size)
+_SEM_TAU = 0.35  # within-cluster cosine threshold for "semantic duplicate"
+
+_CONT_N_DOCS = 200  # bound the oracle's shingle self-join
+_CONT_THRESH = 0.25  # directed containment threshold
+
+
+@query(
+    "sim_bm25_topk",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    idf AS (
+      SELECT word,
+             ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5)
+                      / (count(*) + 0.5)) AS idf
+      FROM terms GROUP BY word),
+    qterms AS (SELECT DISTINCT doc_id AS query_id, word
+               FROM terms WHERE doc_id < {_BM25_NQ}),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             sum(i.idf * t.tf * ({_BM25_K1} + 1.0)
+                 / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * d.dl / (SELECT avgdl FROM stats)))) AS score
+      FROM terms t
+      JOIN dl d ON d.doc_id = t.doc_id
+      JOIN idf i ON i.word = t.word
+      JOIN qterms q ON q.word = t.word AND q.query_id <> t.doc_id
+      GROUP BY 1, 2)
+    SELECT query_id, doc_id, rank, round(score, 4) AS bm25
+    FROM (SELECT query_id, doc_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: the first {nq} docs act as bag-of-words
+    queries; every other doc is scored ``sum_w idf(w) * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl))`` over shared terms and the top-{k} per
+    query are returned.  idf = ln(1 + (N-df+0.5)/(df+0.5)) — the
+    standard "plus one" form that never goes negative.
+
+    Plan shape (the 100 TB-critical choices, mirroring sim_tfidf_topk):
+    the postings table joins its per-doc length on doc_id (the key it is
+    already partitioned on), idf — one row per vocab word — broadcasts,
+    the (N, avgdl) scalar is a 1-row broadcast crossJoin (never a driver
+    collect feeding a literal), and the ≤{nq}-doc query term set
+    broadcasts so the corpus postings NEVER shuffle on the hot `word`
+    key.  The only wide exchange is the final (query_id, doc_id) partial
+    aggregation.  Ranking ties break on the ROUNDED score then doc_id so
+    both engines cut the same top-k despite double-sum association order.
+    """.format(nq=_BM25_NQ, k=_BM25_TOPK)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    idf = (
+        terms.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats).select("n"))
+        .select(
+            "word",
+            F.log(
+                F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    qterms = (
+        terms.filter(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+    scored = (
+        terms.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats).select("avgdl"))
+        .join(F.broadcast(idf), "word")
+        .join(F.broadcast(qterms), "word")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rank", F.round("score", 4).alias("bm25"))
+    )
+
+
+@query(
+    "dedup_semdedup",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {_SEM_K}),
+    asg AS (SELECT vec_id, v, cid FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+      FROM emb e CROSS JOIN c0 c) WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id, b.cid
+      FROM asg a JOIN asg b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_TAU})
+    SELECT asg.cid,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+    FROM asg LEFT JOIN dropped d ON d.vec_id = asg.vec_id
+    GROUP BY asg.cid
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): assign
+    every embedding to its nearest of k={k} seed centroids (cosine,
+    seeds = the {k} smallest vec_ids, ties to the lower centroid id),
+    then compare pairs ONLY within a cluster and drop any vector whose
+    cosine to a lower-id cluster-mate is >= tau={tau}.  Returns the
+    per-cluster keep/drop census.
+
+    Scale shape: this is the trick that makes semantic dedup feasible at
+    100 TB — the all-pairs O(N^2) becomes k * O((N/k)^2) because pairs
+    never materialize across clusters.  In production k grows with N to
+    hold the cluster size bounded (SemDeDup uses k=50k over LAION);
+    assignment is a broadcast-k scored argmax (hash-agg max(struct), no
+    window sort — the points table never shuffles to be scored), and the
+    within-cluster pair join shuffles each side once, keyed on cid.  The
+    drop rule (duplicate-of-lower-id) is a one-pass semi-join, not an
+    iterative clustering.
+    """.format(k=_SEM_K, tau=_SEM_TAU)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    # argmax assignment as a hash aggregate (max over (sim, -cid)) — the
+    # broadcast crossJoin preserves the point partitioning so the partial
+    # collapses k scored rows back to one per point map-side.
+    asg = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine(F.col("embedding"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim").alias("sim"),
+                    (-F.col("cid")).alias("neg_cid"),
+                    F.col("cid").alias("cid"),
+                    F.col("embedding").alias("embedding"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.embedding").alias("v"))
+    )
+    a = asg.select(
+        F.col("cid"), F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = asg.select(
+        F.col("cid"), F.col("vec_id").alias("vec_id"), F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= _SEM_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        asg.join(dropped, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS shingles
+      FROM documents WHERE doc_id < {_CONT_N_DOCS}),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    directed AS (
+      SELECT doc_a AS contained_doc, doc_b AS container_doc,
+             n_common * 1.0 / sa.n AS containment
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+      UNION ALL
+      SELECT doc_b, doc_a, n_common * 1.0 / sb.n
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT contained_doc, container_doc, round(containment, 4) AS containment
+    FROM directed WHERE containment >= {_CONT_THRESH}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment |A∩B| / |A| (Broder's containment
+    measure): flags a document mostly CONTAINED in another — the
+    quote-expansion / boilerplate-wrapper case that symmetric Jaccard
+    under-scores when lengths differ (a 50-shingle doc fully inside a
+    1000-shingle doc has Jaccard 0.05 but containment 1.0).  Emits both
+    directions of each candidate pair, filtered at containment >=
+    {thr}.
+
+    Scale shape: identical to dedup_ngram_jaccard — candidate pairs come
+    from the shingle inverted-index self-join (docs only pair where they
+    share a shingle; no cross join), sizes join back on doc_id.  The
+    containment is an exact ratio of integers so both engines compute
+    bit-identical doubles.
+    """.format(thr=_CONT_THRESH)
+    from .dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _CONT_N_DOCS
+    )
+    sh = _shingles(docs)
+    sizes = sh.select("doc_id", F.col("n_shingles").alias("n"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    joined = common.join(sa, F.col("sa.doc_id") == F.col("doc_a")).join(
+        sb, F.col("sb.doc_id") == F.col("doc_b")
+    )
+    fwd = joined.select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        (F.col("n_common") / F.col("sa.n")).alias("containment"),
+    )
+    rev = joined.select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        (F.col("n_common") / F.col("sb.n")).alias("containment"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .filter(F.col("containment") >= _CONT_THRESH)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round("containment", 4).alias("containment"),
+        )
+    )

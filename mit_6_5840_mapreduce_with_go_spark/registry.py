@@ -143,6 +143,7 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        retrieval,
         scaleops,
         sessions,
         similarity,
