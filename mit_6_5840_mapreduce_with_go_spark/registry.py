@@ -87,7 +87,6 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_incremental_batch",
     # Timeseries / events
     "events_time_weighted_avg",
-    "events_gap_fill_hourly",
     "events_sessionization",
     # rate_anomaly rotated out (plain z-score arithmetic, mirror-checked)
     # for the session's tokenizer-training flagship:
@@ -97,11 +96,16 @@ WINDOW_PRIORITY: list[str] = [
     # the forward-asof twin rotated out (directional mirror of the row
     # above, mirror-checked) for the fixed-point PCA flagship:
     "mm_pca_power_iteration",
-    # Sketches (all oracle-checked: HLL bound-booleans, Count-Min, KMV)
+    # Sketches (KMV rotated out this session — redundant with the HLL +
+    # Count-Min window rows, still mirror-checked — for the third-session
+    # flagships sim_bm25_topk / dedup_semdedup below)
     "sketch_distinct_users",
     "sketch_countmin_user_counts",
-    "sketch_kmv_distinct_users",
-    # Round-2 flagship additions (curation + compressed ANN)
+    # Round-2 flagship additions (curation + compressed ANN + retrieval
+    # + clustered semantic dedup; events_gap_fill_hourly rotated out —
+    # plain generate_series+join SQL, mirror-checked — to fit these)
+    "sim_bm25_topk",
+    "dedup_semdedup",
     "sim_topk_pq_adc",
     "text_repetition_quality",
     "pipeline_contamination_check",
