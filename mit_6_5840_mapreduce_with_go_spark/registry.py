@@ -138,6 +138,7 @@ def load_all() -> None:
         curation3,
         curation4,
         dedup,
+        evaluation,
         kv,
         layout,
         multimodal,
