@@ -255,3 +255,77 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
         F.round(F.max("c") * 1.0 / F.sum("c"), 4).alias("top_value_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy-style noisy histogram release — completes the
+# privacy release gate: k-anonymity / l-diversity audit the classes,
+# PII scrub cleans the payload, this releases the aggregate.
+# --------------------------------------------------------------------------
+_DP_EPS = 0.5  # release budget recorded with every row
+_DP_B = 3  # bounded-noise half-width (~1/eps scale stand-in)
+
+# Deterministic per-key "noise": charfold-hash the key (the repo's
+# cross-engine fold, h*31+c mod 2^32) and map it into [-B, B].  A real
+# release swaps this for a two-sided-geometric sampler — SAME plan, the
+# noise column is one expression either way; the deterministic stand-in
+# makes the release end-to-end oracle-checkable (same pattern as the
+# multimodal decode stub and the pseudo-PII injector above).
+_DP_NOISE_SPARK = (
+    "CAST((aggregate(transform(sequence(1, length(lang)),"
+    " i -> CAST(ascii(substring(lang, i, 1)) AS BIGINT)),"
+    f" CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 4294967296)) % {2 * _DP_B + 1}"
+    f" - {_DP_B} AS BIGINT)"
+)
+_DP_NOISE_DUCK = (
+    "CAST((list_reduce(list_prepend(CAST(7 AS BIGINT),"
+    " list_transform(range(1, length(lang) + 1),"
+    " i -> CAST(ascii(substr(lang, i, 1)) AS BIGINT))),"
+    f" (h, c) -> (h * 31 + c) % 4294967296)) % {2 * _DP_B + 1}"
+    f" - {_DP_B} AS BIGINT)"
+)
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH h AS (SELECT lang, CAST(count(*) AS BIGINT) AS true_count
+               FROM documents GROUP BY lang)
+    SELECT lang, true_count,
+           {_DP_NOISE_DUCK} AS noise,
+           greatest(CAST(0 AS BIGINT), true_count + {_DP_NOISE_DUCK})
+             AS released_count,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon,
+           CAST(1 AS BIGINT) AS sensitivity
+    FROM h
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-histogram release of per-language document counts, the
+    differential-privacy release shape: sensitivity-1 counting query +
+    per-cell additive noise + non-negativity post-processing, with the
+    (epsilon, sensitivity) accounting columns a release log records.
+    The noise here is a DETERMINISTIC bounded stand-in (charfold hash of
+    the key into [-{b}, {b}]) so the driver hash-verifies the release
+    end to end; a production release swaps the one noise expression for
+    a calibrated two-sided-geometric sampler on the identical plan.
+    `true_count` is emitted for the oracle compare and would be dropped
+    from a real release.
+
+    Scale: one map-side-combinable count over the bounded lang domain;
+    noise + clamp are per-ROW expressions on the tiny aggregate — the
+    noisy release of a 100 TB table costs exactly the histogram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("true_count"))
+    noise = F.expr(_DP_NOISE_SPARK)
+    return h.select(
+        "lang",
+        "true_count",
+        noise.alias("noise"),
+        F.greatest(F.lit(0).cast("long"), F.col("true_count") + noise).alias(
+            "released_count"
+        ),
+        F.lit(_DP_EPS).alias("epsilon"),
+        F.lit(1).cast("long").alias("sensitivity"),
+    )

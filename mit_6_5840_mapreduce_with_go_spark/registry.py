@@ -139,6 +139,7 @@ def load_all() -> None:
         curation4,
         dedup,
         evaluation,
+        graphs2,
         kv,
         layout,
         multimodal,
