@@ -330,3 +330,178 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("containment", 4).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+# public) — the diversity-aware final stage of a retrieval pipeline:
+# greedily pick results that are relevant to the query but dissimilar to
+# what's already selected.  Greedy loops look driver-shaped; with a fixed
+# selection depth the loop UNROLLS into pure DataFrame algebra (the same
+# trick as the 2-iteration k-means and 3-hop BFS), so the SQL oracle can
+# replay it exactly.
+# --------------------------------------------------------------------------
+_MMR_NQ = 5  # queries: vec_id < 5
+_MMR_CANDS = 10  # relevance top-10 candidates enter the re-ranker
+_MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
+
+_MMR_DUCK_COS = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {_MMR_NQ}),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    cand AS (
+      SELECT query_id, cand_id, cv, rel FROM (
+        SELECT query_id, cand_id, cv,
+               {_MMR_DUCK_COS.format(a='qv', b='cv')} AS rel,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_MMR_DUCK_COS.format(a='qv', b='cv')} DESC, cand_id) AS rn
+        FROM q JOIN c ON query_id <> cand_id)
+      WHERE rn <= {_MMR_CANDS}),
+    s1 AS (
+      SELECT query_id, cand_id AS s1_id, cv AS s1v, rel AS s1_rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, cand_id) AS rn FROM cand) WHERE rn = 1),
+    m2 AS (
+      SELECT cand.query_id, cand_id, cv, rel,
+             {_MMR_LAMBDA} * rel - {1 - _MMR_LAMBDA}
+               * {_MMR_DUCK_COS.format(a='cv', b='s1v')} AS mmr
+      FROM cand JOIN s1 ON cand.query_id = s1.query_id
+      WHERE cand_id <> s1_id),
+    s2 AS (
+      SELECT query_id, cand_id AS s2_id, cv AS s2v, mmr AS s2_mmr FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY mmr DESC, cand_id) AS rn FROM m2) WHERE rn = 1),
+    m3 AS (
+      SELECT m2.query_id, cand_id, rel,
+             {_MMR_LAMBDA} * rel - {1 - _MMR_LAMBDA}
+               * greatest({_MMR_DUCK_COS.format(a='cv', b='s1v')},
+                          {_MMR_DUCK_COS.format(a='cv', b='s2v')}) AS mmr
+      FROM m2 JOIN s1 ON m2.query_id = s1.query_id
+              JOIN s2 ON m2.query_id = s2.query_id
+      WHERE cand_id <> s2_id),
+    s3 AS (
+      SELECT query_id, cand_id AS s3_id, mmr AS s3_mmr FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY mmr DESC, cand_id) AS rn FROM m3) WHERE rn = 1)
+    SELECT query_id, s1_id AS vec_id, 1 AS sel_rank,
+           round({_MMR_LAMBDA} * s1_rel, 4) AS mmr_score FROM s1
+    UNION ALL
+    SELECT query_id, s2_id, 2, round(s2_mmr, 4) FROM s2
+    UNION ALL
+    SELECT query_id, s3_id, 3, round(s3_mmr, 4) FROM s3
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: per query (vec_id < {nq}), take the
+    relevance top-{nc} candidates, then greedily select 3 maximizing
+    lambda*rel - (1-lambda)*max_sim_to_selected (lambda={lam}; ties to
+    the lower candidate id; the rank-1 penalty term is 0, so its score
+    is lambda*rel).  The greedy loop is unrolled — each selection step
+    is a per-query struct-max HASH aggregate over the bounded candidate
+    table, then a broadcast join back; no window sort and no driver
+    loop.
+
+    Scale: candidate generation is the existing ANN plan (broadcast
+    queries, one narrow scored pass + per-query top-k).  Everything
+    after operates on Q x {nc} rows — size governed by the QUERY set,
+    not the corpus — so the re-rank cost is constant in corpus size.
+    All scores are IEEE +,*,/ over identical doubles in both engines.
+    """.format(nq=_MMR_NQ, nc=_MMR_CANDS, lam=_MMR_LAMBDA)
+    from ..functions.vector import dot, norm
+
+    lam, mu = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    q = emb.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "rel", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    wnd = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= _MMR_CANDS)
+        .select("query_id", "cand_id", "cv", "cn", "rel")
+    )
+
+    def argmax(df: DataFrame, score: str, id_col: str, keep: list[str]) -> DataFrame:
+        """Per-query struct-max hash-agg argmax (ties -> lower id)."""
+        fields = [
+            F.col(score).alias("score"),
+            (-F.col(id_col)).alias("neg_id"),
+            F.col(id_col).alias("sel_id"),
+        ] + [F.col(k).alias(k) for k in keep]
+        b = df.groupBy("query_id").agg(F.max(F.struct(*fields)).alias("b"))
+        out = b.select(
+            "query_id",
+            F.col("b.sel_id").alias("sel_id"),
+            F.col("b.score").alias("score"),
+            *[F.col(f"b.{k}").alias(k) for k in keep],
+        )
+        return out
+
+    s1 = argmax(cand, "rel", "cand_id", ["cv", "cn"]).select(
+        "query_id",
+        F.col("sel_id").alias("s1_id"),
+        F.col("score").alias("s1_rel"),
+        F.col("cv").alias("s1v"),
+        F.col("cn").alias("s1n"),
+    )
+    m2 = (
+        cand.join(F.broadcast(s1), "query_id")
+        .filter(F.col("cand_id") != F.col("s1_id"))
+        .withColumn("sim1", dot(F.col("cv"), F.col("s1v")) / (F.col("cn") * F.col("s1n")))
+        .withColumn("mmr", lam * F.col("rel") - mu * F.col("sim1"))
+    )
+    s2 = argmax(m2, "mmr", "cand_id", ["cv", "cn"]).select(
+        "query_id",
+        F.col("sel_id").alias("s2_id"),
+        F.col("score").alias("s2_mmr"),
+        F.col("cv").alias("s2v"),
+        F.col("cn").alias("s2n"),
+    )
+    m3 = (
+        m2.join(F.broadcast(s2), "query_id")
+        .filter(F.col("cand_id") != F.col("s2_id"))
+        .withColumn("sim2", dot(F.col("cv"), F.col("s2v")) / (F.col("cn") * F.col("s2n")))
+        .withColumn(
+            "mmr3",
+            lam * F.col("rel") - mu * F.greatest(F.col("sim1"), F.col("sim2")),
+        )
+    )
+    s3 = argmax(m3, "mmr3", "cand_id", [])
+    r1 = s1.select(
+        "query_id",
+        F.col("s1_id").alias("vec_id"),
+        F.lit(1).alias("sel_rank"),
+        F.round(lam * F.col("s1_rel"), 4).alias("mmr_score"),
+    )
+    r2 = s2.select(
+        "query_id",
+        F.col("s2_id").alias("vec_id"),
+        F.lit(2).alias("sel_rank"),
+        F.round(F.col("s2_mmr"), 4).alias("mmr_score"),
+    )
+    r3 = s3.select(
+        "query_id",
+        F.col("sel_id").alias("vec_id"),
+        F.lit(3).alias("sel_rank"),
+        F.round(F.col("score"), 4).alias("mmr_score"),
+    )
+    return r1.unionAll(r2).unionAll(r3)

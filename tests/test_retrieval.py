@@ -117,3 +117,47 @@ def test_containment_directed_bounds(spark, sf_dir):
     for (a, c), v in pairs.items():
         if v == 1.0 and (c, a) in pairs:
             assert pairs[(c, a)] <= 1.0
+
+
+def test_mmr_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        R.sim_mmr_rerank(spark, sf_dir), duck, ORACLES["sim_mmr_rerank"]
+    )
+
+
+def test_mmr_greedy_reference(spark, sf_dir):
+    """Replay the greedy MMR selection in plain Python from the raw
+    embeddings and demand identical selections + scores."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    lam = R._MMR_LAMBDA
+    want = {}
+    for q in range(R._MMR_NQ):
+        rel = {c: cos(emb[q], v) for c, v in emb.items() if c != q}
+        cands = sorted(rel, key=lambda c: (-rel[c], c))[: R._MMR_CANDS]
+        sel = []
+        for rank in range(1, 4):
+            def score(c):
+                pen = max((cos(emb[c], emb[s]) for s, _ in sel), default=0.0)
+                return lam * rel[c] - (1 - lam) * pen
+            pick = min((c for c in cands if c not in [s for s, _ in sel]),
+                       key=lambda c: (-score(c), c))
+            sc = round(score(pick), 4)  # BEFORE appending (self-sim is 1.0)
+            sel.append((pick, sc))
+            want[(q, rank)] = (pick, sc)
+    got = {
+        (r["query_id"], r["sel_rank"]): (r["vec_id"], r["mmr_score"])
+        for r in R.sim_mmr_rerank(spark, sf_dir).collect()
+    }
+    assert len(got) == R._MMR_NQ * 3
+    for k, (vid, sc) in want.items():
+        assert got[k][0] == vid, (k, got[k], (vid, sc))
+        assert abs(got[k][1] - sc) < 2e-4
