@@ -145,6 +145,7 @@ def load_all() -> None:
         multimodal,
         pipelines,
         privacy,
+        projection,
         relational,
         relational2,
         relational3,
