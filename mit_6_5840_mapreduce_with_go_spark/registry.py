@@ -154,6 +154,7 @@ def load_all() -> None:
         scaleops,
         sessions,
         similarity,
+        sketches2,
         text,
         timeseries,
         udafs,

@@ -66,3 +66,35 @@ def test_spacesaving_matches_reference_and_bounds(spark, sf_dir):
         for k, n in exact.items():
             if k % N_BUCKETS == b and n > floor:
                 assert (b, k) in got, (b, k, n, floor)
+
+
+def test_quantile_histogram_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import sketches2 as SK
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        SK.sketch_quantile_histogram(spark, sf_dir), duck,
+        ORACLES["sketch_quantile_histogram"],
+    )
+
+
+def test_quantile_histogram_accuracy(spark, sf_dir):
+    """Histogram estimate must be within one bin width of exact, and
+    the reported rel_err consistent with the two columns."""
+    from mit_6_5840_mapreduce_with_go_spark.operators import sketches2 as SK
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = SK.sketch_quantile_histogram(spark, sf_dir).collect()
+    assert {r["p"] for r in rows} == set(SK._QH_PS)
+    mm = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_totalprice"), F.max("o_totalprice"))
+        .collect()[0]
+    )
+    width = (mm[1] - mm[0]) / SK._QH_BINS
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) <= width + 1e-6
+        want = round(abs(r["est"] - r["exact"]) / r["exact"], 6)
+        assert abs(r["rel_err"] - want) < 1e-5
