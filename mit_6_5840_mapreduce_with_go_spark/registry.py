@@ -80,10 +80,13 @@ WINDOW_PRIORITY: list[str] = [
     # round 2 — plainest contracts of the family, all mirror-checked — to
     # make room for the scale-ops + incremental-dedup flagships below)
     "text_quality_score",
-    "text_lang_guess",
+    # text_lang_guess + layout_range_partition_plan rotated out (both
+    # mirror-checked; text + layout families keep other window rows) for
+    # the third-session flagships eval_quality_auc / sim_mmr_rerank
+    "eval_quality_auc",
+    "sim_mmr_rerank",
     # Scale-ops planning + incremental curation (round-2 session flagships)
     "stats_key_skew_profile",
-    "layout_range_partition_plan",
     "dedup_incremental_batch",
     # Timeseries / events
     "events_time_weighted_avg",
