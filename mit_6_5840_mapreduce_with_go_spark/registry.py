@@ -145,6 +145,7 @@ def load_all() -> None:
         graphs2,
         kv,
         layout,
+        market,
         multimodal,
         pipelines,
         privacy,
