@@ -135,6 +135,7 @@ def load_all() -> None:
     from .mapreduce import apps  # noqa: F401
     from .operators import (  # noqa: F401
         behavior,
+        bloom,
         clusters,
         curation,
         curation2,

@@ -98,3 +98,40 @@ def test_quantile_histogram_accuracy(spark, sf_dir):
         assert abs(r["est"] - r["exact"]) <= width + 1e-6
         want = round(abs(r["est"] - r["exact"]) / r["exact"], 6)
         assert abs(r["rel_err"] - want) < 1e-5
+
+
+def test_bloom_prune_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import bloom as BL
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        BL.sketch_bloom_partition_prune(spark, sf_dir), duck,
+        ORACLES["sketch_bloom_partition_prune"],
+    )
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """The bloom guarantee: every truly-present (partition, key) must be
+    in the maybe set — n_present == exact per-partition present count."""
+    from mit_6_5840_mapreduce_with_go_spark.operators import bloom as BL
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["pmonth"]: r for r in
+            BL.sketch_bloom_partition_prune(spark, sf_dir).collect()}
+    exact = {
+        r["pmonth"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < BL._BL_PROBE)
+        .select(F.month("o_orderdate").alias("pmonth"), "o_custkey")
+        .distinct()
+        .groupBy("pmonth")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for m, n in exact.items():
+        assert rows[m]["n_present"] == n  # no false negatives, ever
+        assert rows[m]["n_maybe"] >= n
+        assert rows[m]["n_false_positive"] == rows[m]["n_maybe"] - n
+        assert rows[m]["fp_rate"] < 0.5  # 1024 bits / ~150 keys: low FP
