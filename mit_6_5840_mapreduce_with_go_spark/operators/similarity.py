@@ -872,3 +872,123 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("hit_ivf") * 1.0 / F.count(F.lit(1)), 4).alias("recall_ivf"),
         F.round(F.count("hit_lsh") * 1.0 / F.count(F.lit(1)), 4).alias("recall_lsh"),
     )
+
+
+# --------------------------------------------------------------------------
+# Graded ranking eval: rational-discount nDCG + MRR of the IVF index
+# against the exact ranking — the graded companion to sim_ann_recall_eval
+# (recall treats all top-k hits equally; nDCG rewards putting the BEST
+# neighbors first).
+# --------------------------------------------------------------------------
+_NDCG_LCM = 60  # lcm(2..6): makes every discount 60/(rank+1) an integer
+
+
+def _ivf_topk_cte() -> str:
+    """IVF ranking CTE (same derivation as sim_topk_ivf / recall eval),
+    exposing the approximate rank."""
+    return f"""
+    cent AS (SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+             WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {DUCK_COS.format(a='e.embedding', b='cent.centv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent)
+      WHERE rn = 1),
+    ivf AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {DUCK_COS.format(a='q.qv', b='c.cv')} DESC,
+                          c.neighbor_id) AS INTEGER) AS rank
+        FROM (SELECT e.vec_id AS query_id, e.embedding AS qv, a.centroid_id
+              FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+              WHERE e.vec_id < {N_QUERIES}) q
+        JOIN (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.centroid_id
+              FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id) c
+          ON q.centroid_id = c.centroid_id AND query_id <> neighbor_id)
+      WHERE rank <= {TOP_K})"""
+
+
+@query(
+    "sim_ann_ndcg_eval",
+    oracle=f"""
+    WITH {_BF_TOPK_CTE.strip()},
+    {_ivf_topk_cte().strip()},
+    graded AS (
+      SELECT bf.query_id,
+             CAST({TOP_K} + 1 - bf.rank AS BIGINT) AS gain,
+             ivf.rank AS arank
+      FROM bf LEFT JOIN ivf ON bf.query_id = ivf.query_id
+                           AND bf.neighbor_id = ivf.neighbor_id),
+    agg AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN arank IS NULL THEN 0
+                           ELSE gain * ({_NDCG_LCM} / (arank + 1)) END)
+                  AS BIGINT) AS dcg60,
+             CAST(sum(gain * ({_NDCG_LCM}
+                      / (({TOP_K} + 1 - gain) + 1))) AS BIGINT) AS idcg60,
+             CAST(count(arank) AS BIGINT) AS n_hit,
+             min(arank) AS best_rank
+      FROM graded GROUP BY query_id)
+    SELECT query_id, n_hit, dcg60, idcg60,
+           round(dcg60 * 1.0 / idcg60, 6) AS ndcg,
+           round(CASE WHEN best_rank IS NULL THEN 0.0
+                      ELSE ({_NDCG_LCM} / best_rank) / {_NDCG_LCM}.0 END, 6)
+             AS mrr
+    FROM agg
+    """,
+)
+def sim_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-discount nDCG@k + MRR of the IVF index against the exact
+    top-k: gain = k+1-exact_rank (linear), discount = 1/(approx_rank+1)
+    — scaled by lcm(2..6)=60 so DCG and ideal-DCG are EXACT INTEGERS
+    (the classic log2 discount would sum libm doubles whose association
+    order differs across engines; the rational discount keeps the same
+    monotone rank-weighting with integer-exact cross-engine math).  MRR
+    uses 1/best_approx_rank, also exact (60/rank divides evenly).
+
+    Scale: same as the recall eval — exact ground truth only for the
+    query SAMPLE; the IVF side reuses the production index plan; the
+    grading join touches k x queries rows."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("erank")
+    )
+    ivf = sim_topk_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("arank")
+    )
+    graded = bf.join(ivf, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        (F.lit(TOP_K + 1) - F.col("erank")).cast("long").alias("gain"),
+        "arank",
+    )
+    dcg60 = F.sum(
+        F.when(F.col("arank").isNull(), F.lit(0)).otherwise(
+            F.col("gain") * (_NDCG_LCM / (F.col("arank") + 1)).cast("long")
+        )
+    )
+    idcg60 = F.sum(
+        F.col("gain")
+        * (_NDCG_LCM / ((F.lit(TOP_K + 1) - F.col("gain")) + 1)).cast("long")
+    )
+    agg = graded.groupBy("query_id").agg(
+        dcg60.cast("long").alias("dcg60"),
+        idcg60.cast("long").alias("idcg60"),
+        F.count("arank").alias("n_hit"),
+        F.min("arank").alias("best_rank"),
+    )
+    return agg.select(
+        "query_id",
+        "n_hit",
+        "dcg60",
+        "idcg60",
+        F.round(F.col("dcg60") * 1.0 / F.col("idcg60"), 6).alias("ndcg"),
+        F.round(
+            F.when(F.col("best_rank").isNull(), F.lit(0.0)).otherwise(
+                (_NDCG_LCM / F.col("best_rank")).cast("long") / float(_NDCG_LCM)
+            ),
+            6,
+        ).alias("mrr"),
+    )

@@ -223,3 +223,25 @@ def test_ann_recall_eval_matches_direct_overlap(spark, sf_dir):
         assert r["n_hit_lsh"] == len(bf[q] & lsh.get(q, set()))
         assert 0.0 <= r["recall_ivf"] <= 1.0
         assert 0.0 <= r["recall_lsh"] <= 1.0
+
+
+def test_ndcg_eval_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        S.sim_ann_ndcg_eval(spark, sf_dir), duck, ORACLES["sim_ann_ndcg_eval"]
+    )
+
+
+def test_ndcg_consistent_with_recall(spark, sf_dir):
+    """n_hit must equal the recall eval's IVF hit count; ndcg/mrr bounded
+    and zero exactly when there are no hits."""
+    ndcg = {r["query_id"]: r for r in S.sim_ann_ndcg_eval(spark, sf_dir).collect()}
+    rec = {r["query_id"]: r for r in S.sim_ann_recall_eval(spark, sf_dir).collect()}
+    assert set(ndcg) == set(rec)
+    for q, r in ndcg.items():
+        assert r["n_hit"] == rec[q]["n_hit_ivf"]
+        assert 0.0 <= r["ndcg"] <= 1.0 and 0.0 <= r["mrr"] <= 1.0
+        assert (r["n_hit"] == 0) == (r["ndcg"] == 0.0) == (r["mrr"] == 0.0)
+        assert r["dcg60"] <= r["idcg60"]
