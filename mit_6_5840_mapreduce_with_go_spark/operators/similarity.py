@@ -992,3 +992,140 @@ def sim_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mrr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF maintenance: assign a NEW vector batch against the
+# frozen codebook and report per-cell growth — O(batch), not O(index).
+# The index-maintenance twin of dedup_incremental_batch.
+# --------------------------------------------------------------------------
+_IVF_BATCH_FROM = 400  # vec_id >= 400 arrive as the new batch
+_IVF_GROW_MULT = 2.0  # growth alarm: cell would exceed 2x the mean size
+
+
+def _ivf_assign_cte(src: str, name: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {DUCK_COS.format(a='e.embedding', b='cent.centv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM ({src}) e CROSS JOIN cent)
+      WHERE rn = 1)"""
+
+
+@query(
+    "sim_ivf_incremental_update",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+                  FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0),
+    {_ivf_assign_cte(f"SELECT * FROM embeddings WHERE vec_id < {_IVF_BATCH_FROM}", "old_asg").strip()},
+    {_ivf_assign_cte(f"SELECT * FROM embeddings WHERE vec_id >= {_IVF_BATCH_FROM}", "new_asg").strip()},
+    oldc AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_old
+             FROM old_asg GROUP BY 1),
+    newc AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_new,
+                    CAST(min(vec_id) AS BIGINT) AS first_new_id
+             FROM new_asg GROUP BY 1),
+    cells AS (
+      SELECT c.centroid_id,
+             coalesce(o.n_old, 0) AS n_old,
+             coalesce(n.n_new, 0) AS n_new,
+             n.first_new_id
+      FROM cent c
+      LEFT JOIN oldc o ON o.centroid_id = c.centroid_id
+      LEFT JOIN newc n ON n.centroid_id = c.centroid_id),
+    tot AS (SELECT CAST(sum(n_old + n_new) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+    SELECT centroid_id, n_old, n_new,
+           CAST(n_old + n_new AS BIGINT) AS n_after,
+           first_new_id,
+           (n_old + n_new) * tot.n_cells > {_IVF_GROW_MULT} * tot.n_total
+             AS needs_split
+    FROM cells, tot
+    """,
+)
+def sim_ivf_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: a new vector batch (vec_id >=
+    {b}) is assigned against the FROZEN coarse codebook and folded into
+    per-cell counts; cells whose post-ingest size exceeds {m}x the mean
+    get a `needs_split` alarm (the trigger for local re-clustering).
+
+    Scale contract: the new work is O(batch) — one broadcast-codebook
+    argmax over batch rows plus a |cells|-sized count merge; the
+    existing index is NOT rescanned (here the old counts are recomputed
+    because the test harness stores no state; in production they are
+    the index's cell directory, read not rebuilt — same as the
+    incremental dedup op's corpus-side posting list).  Assignment is
+    the struct-max hash-agg (no window over data); the growth alarm is
+    an exact integer cross-multiplication (no division drift).
+    """.format(b=_IVF_BATCH_FROM, m=_IVF_GROW_MULT)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centv"),
+        F.col("nrm").alias("centn"),
+    )
+
+    def assign(df):
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "cent_cos",
+                dot(F.col("embedding"), F.col("centv"))
+                / (F.col("nrm") * F.col("centn")),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cent_cos").alias("cent_cos"),
+                        (-F.col("centroid_id")).alias("neg_cid"),
+                        F.col("centroid_id").alias("centroid_id"),
+                    )
+                ).alias("b")
+            )
+            .select("vec_id", F.col("b.centroid_id").alias("centroid_id"))
+        )
+
+    old_counts = (
+        assign(emb.filter(F.col("vec_id") < _IVF_BATCH_FROM))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    new_counts = (
+        assign(emb.filter(F.col("vec_id") >= _IVF_BATCH_FROM))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.min("vec_id").alias("first_new_id"),
+        )
+    )
+    cells = (
+        cent.select("centroid_id")
+        .join(old_counts, "centroid_id", "left")
+        .join(new_counts, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "first_new_id",
+        )
+    )
+    tot = cells.agg(
+        F.sum(F.col("n_old") + F.col("n_new")).alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "n_old",
+        "n_new",
+        (F.col("n_old") + F.col("n_new")).alias("n_after"),
+        "first_new_id",
+        (
+            (F.col("n_old") + F.col("n_new")) * F.col("n_cells")
+            > _IVF_GROW_MULT * F.col("n_total")
+        ).alias("needs_split"),
+    )

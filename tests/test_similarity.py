@@ -245,3 +245,33 @@ def test_ndcg_consistent_with_recall(spark, sf_dir):
         assert 0.0 <= r["ndcg"] <= 1.0 and 0.0 <= r["mrr"] <= 1.0
         assert (r["n_hit"] == 0) == (r["ndcg"] == 0.0) == (r["mrr"] == 0.0)
         assert r["dcg60"] <= r["idcg60"]
+
+
+def test_ivf_incremental_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        S.sim_ivf_incremental_update(spark, sf_dir), duck,
+        ORACLES["sim_ivf_incremental_update"],
+    )
+
+
+def test_ivf_incremental_equals_full_rebuild(spark, sf_dir):
+    """Folding the batch into the old counts must equal assigning the
+    whole corpus at once (the frozen codebook makes assignment
+    batch-independent), and the split alarm must match the integer rule."""
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = S.sim_ivf_incremental_update(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_after"] for r in rows) == n_vecs
+    total = sum(r["n_after"] for r in rows)
+    n_cells = len(rows)
+    for r in rows:
+        assert r["n_after"] == r["n_old"] + r["n_new"]
+        assert r["needs_split"] == (
+            r["n_after"] * n_cells > S._IVF_GROW_MULT * total
+        )
+        if r["n_new"] > 0:
+            assert r["first_new_id"] >= S._IVF_BATCH_FROM
