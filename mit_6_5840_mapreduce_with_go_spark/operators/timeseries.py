@@ -1173,3 +1173,91 @@ def events_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("xcorr"),
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC bar resampling — downsample the irregular event stream into
+# fixed 15-minute bars per event type: open/high/low/close/volume (the
+# finance-standard compressed representation; same shape as any
+# monitoring downsampler's first/max/min/last rollup).
+# --------------------------------------------------------------------------
+_OHLC_MIN = 15
+
+
+@query(
+    "events_ohlc_bars",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             to_timestamp(CAST(floor(epoch(ts) / ({_OHLC_MIN} * 60))
+                               AS BIGINT) * ({_OHLC_MIN} * 60)) AS bar_ts,
+             ts, event_id, value
+      FROM events WHERE value IS NOT NULL AND event_type <= 'login'),
+    o AS (
+      SELECT event_type, bar_ts, value AS open_v FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bar_ts
+                                     ORDER BY ts, event_id) AS rn
+        FROM v) WHERE rn = 1),
+    c AS (
+      SELECT event_type, bar_ts, value AS close_v FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bar_ts
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM v) WHERE rn = 1)
+    SELECT v.event_type,
+           strftime(v.bar_ts, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           CAST(count(*) AS BIGINT) AS volume,
+           round(any_value(o.open_v), 4) AS open,
+           round(max(v.value), 4) AS high,
+           round(min(v.value), 4) AS low,
+           round(any_value(c.close_v), 4) AS close
+    FROM v JOIN o ON o.event_type = v.event_type AND o.bar_ts = v.bar_ts
+           JOIN c ON c.event_type = v.event_type AND c.bar_ts = v.bar_ts
+    GROUP BY v.event_type, v.bar_ts
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: {m}-minute bars per event type with open
+    (earliest by (ts, event_id)), high, low, close (latest), volume.
+    Open/close are selected via min/max over a (ts, event_id, value)
+    STRUCT — a hash aggregate with map-side partials, not a row_number
+    window over the stream (the oracle uses the window formulation to
+    prove the struct ordering picks the identical rows; ties are broken
+    by event_id so the selection is deterministic).
+
+    Scale: ONE map-side-combinable groupBy per bar — the compression
+    operator that turns a 100 TB tick stream into dashboard-sized bars;
+    the struct min/max carries a constant payload per group however
+    many rows a bar holds.  Restricted to two event types only to bound
+    the oracle's three scans.
+    """.format(m=_OHLC_MIN)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("event_type") <= "login"))
+        .select(
+            "event_type",
+            F.to_timestamp(
+                F.floor(F.unix_timestamp("ts") / (_OHLC_MIN * 60))
+                * (_OHLC_MIN * 60)
+            ).alias("bar_ts"),
+            "ts",
+            "event_id",
+            "value",
+        )
+    )
+    first = F.min(F.struct("ts", "event_id", F.col("value").alias("v")))
+    last = F.max(F.struct("ts", "event_id", F.col("value").alias("v")))
+    return ev.groupBy("event_type", "bar_ts").agg(
+        F.count(F.lit(1)).alias("volume"),
+        F.round(first.getField("v"), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(last.getField("v"), 4).alias("close"),
+    ).select(
+        "event_type",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "volume",
+        "open",
+        "high",
+        "low",
+        "close",
+    )

@@ -270,3 +270,34 @@ def test_leadlag_xcorr_math(spark):
     sxy = sum(x * y for x, y in zip(xs, ys))
     want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(r0["xcorr"] - round(want, 4)) < 1e-9
+
+
+def test_ohlc_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import timeseries as TS
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        TS.events_ohlc_bars(spark, sf_dir), duck, ORACLES["events_ohlc_bars"]
+    )
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    """low <= open/close <= high; volume conservation vs raw count."""
+    from mit_6_5840_mapreduce_with_go_spark.operators import timeseries as TS
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = TS.events_ohlc_bars(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["high"]
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["volume"] >= 1
+    n_raw = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("event_type") <= "login"))
+        .count()
+    )
+    assert sum(r["volume"] for r in rows) == n_raw
