@@ -175,3 +175,60 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("order_key").alias("max_key"),
         (F.sum(F.col("pos") * F.col("doc_id")) % _EP_CHK).alias("order_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Padding-waste accounting for length-bucketed batching — the data-loader
+# economics report behind sequence bucketing.
+# --------------------------------------------------------------------------
+_PW_BUCKET = 16  # token-length bucket width
+
+
+@query(
+    "pipeline_padding_waste",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    b AS (SELECT n_tok // {_PW_BUCKET} AS bucket, n_tok FROM lens)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS max_len,
+           CAST(sum(n_tok) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_tokens,
+           round((count(*) * max(n_tok) - sum(n_tok)) * 1.0
+                 / (count(*) * max(n_tok)), 6) AS pad_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def pipeline_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report for length-bucketed batching: docs bucket by
+    token length ({w}-token ranges); padding every doc in a bucket to
+    the bucket max costs pad_tokens = n*max - sum — the exact-integer
+    waste a training data-loader pays.  Comparing pad_frac here against
+    the single-bucket baseline (everything padded to the global max)
+    quantifies what bucketing buys; the test asserts bucketing strictly
+    wins.
+
+    Scale: one narrow length projection + one map-side-combinable
+    bounded-cardinality groupBy — the whole report is a single pass with
+    ~max_len/{w} output rows, no sort (fixed-width buckets, not
+    ntile-by-rank, exactly so the global sort disappears).
+    """.format(w=_PW_BUCKET)
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    b = lens.select(
+        F.expr(f"n_tok div {_PW_BUCKET}").alias("bucket"), "n_tok"
+    )
+    pad = F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_len"),
+        F.sum("n_tok").alias("sum_len"),
+        pad.alias("pad_tokens"),
+        F.round(pad * 1.0 / (F.count(F.lit(1)) * F.max("n_tok")), 6).alias(
+            "pad_frac"
+        ),
+    )

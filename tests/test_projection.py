@@ -72,3 +72,26 @@ def test_epoch_shuffle_is_permutation(spark, sf_dir):
         assert 0 <= r["shard"] < PJ._EP_SHARDS
         assert 0 <= r["min_key"] <= r["max_key"] < PJ._EP_P
         assert 0 <= r["order_checksum"] < PJ._EP_CHK
+
+
+def test_padding_waste_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        PJ.pipeline_padding_waste(spark, sf_dir), duck,
+        ORACLES["pipeline_padding_waste"],
+    )
+
+
+def test_padding_bucketing_beats_global_pad(spark, sf_dir):
+    """Bucketed padding must waste strictly fewer tokens than padding
+    everything to the global max (unless all docs are equal length)."""
+    rows = PJ.pipeline_padding_waste(spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in rows)
+    total = sum(r["sum_len"] for r in rows)
+    gmax = max(r["max_len"] for r in rows)
+    bucketed_waste = sum(r["pad_tokens"] for r in rows)
+    global_waste = n * gmax - total
+    assert bucketed_waste < global_waste
+    for r in rows:
+        assert r["pad_tokens"] == r["n_docs"] * r["max_len"] - r["sum_len"]
+        assert 0.0 <= r["pad_frac"] < 1.0
+        assert r["max_len"] // PJ._PW_BUCKET == r["bucket"]
