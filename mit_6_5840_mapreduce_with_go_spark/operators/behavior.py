@@ -447,3 +447,121 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("last_touch_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# User-journey similarity: order-sensitive trigram cosine between users'
+# event-type sequences — the join-friendly trajectory-similarity
+# formulation (sequence shingles play the role of a trajectory's local
+# reference segments; cf. the distributed trajectory top-k literature).
+# --------------------------------------------------------------------------
+_UJ_USERS = 50  # compare the first 50 user ids
+_UJ_TOPK = 3
+
+
+@query(
+    "behavior_journey_similarity",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM events WHERE user_id < {_UJ_USERS} GROUP BY user_id),
+    grams AS (
+      SELECT user_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT user_id, unnest(list_transform(
+          generate_series(1, len(s) - 2),
+          i -> s[i] || '>' || s[i+1] || '>' || s[i+2])) AS g
+        FROM seq) GROUP BY user_id, g),
+    nrm AS (SELECT user_id, CAST(sum(c * c) AS BIGINT) AS n2
+            FROM grams GROUP BY user_id),
+    dots AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(sum(a.c * b.c) AS BIGINT) AS dp
+      FROM grams a JOIN grams b
+        ON a.g = b.g AND a.user_id < b.user_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT user_a, user_b,
+             dp / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cos_raw
+      FROM dots JOIN nrm na ON na.user_id = user_a
+                JOIN nrm nb ON nb.user_id = user_b)
+    SELECT user_a, user_b, rank, round(cos_raw, 4) AS journey_cos
+    FROM (SELECT user_a, user_b, cos_raw,
+                 CAST(row_number() OVER (PARTITION BY user_a
+                        ORDER BY round(cos_raw, 4) DESC, user_b) AS INTEGER)
+                   AS rank
+          FROM scored)
+    WHERE rank <= {_UJ_TOPK}
+    """,
+)
+def behavior_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive user-journey similarity: each user's event-type
+    sequence (ordered by ts, event_id) shingles into trigrams; cosine
+    over trigram COUNT vectors ranks the top-{k} most similar journeys
+    per user (user_id < {u}).  Unlike the co-activity graph (same hour)
+    or the Markov matrix (aggregate transitions), this compares the
+    SHAPE of each user's path — the trajectory-similarity primitive.
+
+    Cross-engine determinism: dot products and squared norms are exact
+    integers; the cosine divides identical doubles; ranking ties break
+    on the ROUNDED score then user_b (the BM25 discipline).
+
+    Scale: sequence assembly is one keyed shuffle (sort_array of
+    (ts, event_id, type) structs — no global sort); pairs materialize
+    only through the trigram inverted-index join, never user x user; a
+    hot trigram (every user shares it) is the stop-word case and would
+    be df-capped exactly like the TF-IDF path.
+    """.format(k=_UJ_TOPK, u=_UJ_USERS)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < _UJ_USERS)
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("t")))
+            ),
+            lambda s: s["t"],
+        ).alias("s")
+    )
+    grams = (
+        seq.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 2),"
+                    " i -> concat(s[i-1], '>', s[i], '>', s[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("user_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nrm = grams.groupBy("user_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = grams.select(F.col("user_id").alias("user_a"), "g", F.col("c").alias("ca"))
+    b = grams.select(F.col("user_id").alias("user_b"), "g", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dp"))
+    )
+    na = nrm.select(F.col("user_id").alias("user_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("user_id").alias("user_b"), F.col("n2").alias("nb2"))
+    scored = (
+        dots.join(F.broadcast(na), "user_a")
+        .join(F.broadcast(nb), "user_b")
+        .withColumn(
+            "cos_raw",
+            F.col("dp")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+        )
+    )
+    w = W.partitionBy("user_a").orderBy(
+        F.round("cos_raw", 4).desc(), F.col("user_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _UJ_TOPK)
+        .select("user_a", "user_b", "rank", F.round("cos_raw", 4).alias("journey_cos"))
+    )

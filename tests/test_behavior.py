@@ -58,3 +58,51 @@ def test_attribution_conservation(spark, sf_dir):
     direct = [r for r in rows if r["touch_type"] == "direct"]
     if direct:
         assert direct[0]["n_first"] == 0
+
+
+def test_journey_similarity_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import behavior as B
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        B.behavior_journey_similarity(spark, sf_dir), duck,
+        ORACLES["behavior_journey_similarity"],
+    )
+
+
+def test_journey_similarity_python_replay(spark, sf_dir):
+    """Replay trigram cosine for a few pairs in plain Python."""
+    import math
+
+    from mit_6_5840_mapreduce_with_go_spark.operators import behavior as B
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < B._UJ_USERS)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    seqs: dict[int, list[str]] = {}
+    for r in ev:
+        seqs.setdefault(r["user_id"], []).append(r["event_type"])
+
+    def grams(s):
+        out: dict[str, int] = {}
+        for i in range(len(s) - 2):
+            g = ">".join(s[i : i + 3])
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    gv = {u: grams(s) for u, s in seqs.items()}
+    rows = B.behavior_journey_similarity(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:20]:
+        ga, gb = gv[r["user_a"]], gv[r["user_b"]]
+        dp = sum(c * gb.get(g, 0) for g, c in ga.items())
+        na = math.sqrt(sum(c * c for c in ga.values()))
+        nb = math.sqrt(sum(c * c for c in gb.values()))
+        assert abs(r["journey_cos"] - round(dp / (na * nb), 4)) < 2e-4
