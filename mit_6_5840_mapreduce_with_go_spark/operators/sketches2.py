@@ -131,3 +131,179 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window Count-Min merge: CMS is LINEAR, so per-hour sketches
+# sum into any window — the mergeability property that makes sketches
+# the distributed answer (per-partition build, associative combine).
+# Evaluated against the exact trailing counts for a probe user set.
+# --------------------------------------------------------------------------
+_CMS_D = 2  # rows
+_CMS_W = 32  # counters per row
+_CMS_WIN_H = 6  # trailing window, hours
+_CMS_PROBE = 10  # probe users: user_id < 10
+_CMS_A = [2654435761 % 999983, 97531]
+_CMS_B = [15485863, 32452843]
+_CMS_P = 999983
+
+
+def _cms_idx(row: int, key: str) -> str:
+    return (
+        f"(({_CMS_A[row]} * ({key} % {_CMS_P}) + {_CMS_B[row]})"
+        f" % {_CMS_P}) % {_CMS_W}"
+    )
+
+
+@query(
+    "sketch_cms_sliding_counts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      FROM events),
+    hours AS (SELECT DISTINCT h FROM ev),
+    raw AS (
+      SELECT h, r, idx, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT h, 0 AS r, {_cms_idx(0, "user_id")} AS idx FROM ev
+        UNION ALL
+        SELECT h, 1 AS r, {_cms_idx(1, "user_id")} AS idx FROM ev)
+      GROUP BY 1, 2, 3),
+    -- densify: a sliding window over SPARSE counter rows would miss
+    -- hours with no new arrivals for that cell
+    cells AS (SELECT hours.h, t.r, u.idx
+              FROM hours,
+                   unnest([0, 1]) AS t(r),
+                   unnest(generate_series(0, {_CMS_W - 1})) AS u(idx)),
+    counters AS (
+      SELECT cells.h, cells.r, cells.idx, coalesce(raw.c, 0) AS c
+      FROM cells LEFT JOIN raw
+        ON raw.h = cells.h AND raw.r = cells.r AND raw.idx = cells.idx),
+    summed AS (
+      SELECT h, r, idx,
+             CAST(sum(c) OVER (PARTITION BY r, idx ORDER BY h
+               RANGE BETWEEN {_CMS_WIN_H - 1} PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw
+      FROM counters),
+    probes AS (SELECT DISTINCT user_id, {_cms_idx(0, "user_id")} AS idx0,
+                      {_cms_idx(1, "user_id")} AS idx1
+               FROM ev WHERE user_id < {_CMS_PROBE}),
+    grid AS (SELECT p.user_id, p.idx0, p.idx1, hours.h
+             FROM probes p CROSS JOIN hours),
+    est AS (
+      SELECT g.user_id, g.h, least(s0.cw, s1.cw) AS est
+      FROM grid g
+      JOIN summed s0 ON s0.h = g.h AND s0.r = 0 AND s0.idx = g.idx0
+      JOIN summed s1 ON s1.h = g.h AND s1.r = 1 AND s1.idx = g.idx1),
+    peru AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS c
+             FROM ev WHERE user_id < {_CMS_PROBE} GROUP BY 1, 2),
+    exact AS (
+      SELECT g.user_id, g.h,
+             CAST(sum(coalesce(p.c, 0)) OVER (PARTITION BY g.user_id
+               ORDER BY g.h RANGE BETWEEN {_CMS_WIN_H - 1} PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS exact
+      FROM grid g LEFT JOIN peru p ON p.user_id = g.user_id AND p.h = g.h)
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(x.exact) AS BIGINT) AS total_exact,
+           CAST(sum(e.est) AS BIGINT) AS total_est,
+           CAST(min(e.est - x.exact) AS BIGINT) >= 0 AS never_underestimates,
+           CAST(max(e.est - x.exact) AS BIGINT) AS max_overestimate
+    FROM est e JOIN exact x ON x.user_id = e.user_id AND x.h = e.h
+    GROUP BY e.user_id
+    """,
+)
+def sketch_cms_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window frequency estimation by MERGING per-hour Count-Min
+    sketches: each hour builds a d={d} x w={w} counter grid; because CMS
+    is a linear sketch, the trailing-{win}h sketch is just the
+    RANGE-window SUM of hourly counters — no re-scan of raw events.
+    The counter grid is DENSIFIED over (hour, row, idx) first: a sliding
+    window over sparse counter rows silently misses hours where a cell
+    received no new arrivals (found by the oracle during development —
+    the exact bug class this harness exists to catch).  Probe users
+    (user_id < {p}) are then estimated as min-over-rows and scored
+    against the exact trailing counts: per user, totals, the
+    never-underestimates guarantee, and the worst overestimate.
+
+    Scale: hourly counters are a bounded (hour x {d} x {w}) grid
+    REGARDLESS of event volume (24*365*{d}*{w} rows/year); the sliding
+    merge is a keyed window over that grid, never the data; the probe is
+    a broadcast-sized join.  This is the pattern for continuous
+    monitoring at 100 TB/day: tiny linear sketches per partition/hour,
+    combined associatively for ANY window.  All arithmetic is exact
+    integers — both engines agree bit-for-bit.
+    """.format(d=_CMS_D, w=_CMS_W, win=_CMS_WIN_H, p=_CMS_PROBE)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    )
+    raw = (
+        ev.select("h", F.lit(0).alias("r"), F.expr(_cms_idx(0, "user_id")).alias("idx"))
+        .unionAll(
+            ev.select(
+                "h", F.lit(1).alias("r"), F.expr(_cms_idx(1, "user_id")).alias("idx")
+            )
+        )
+        .groupBy("h", "r", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hours = ev.select("h").distinct()
+    cells = (
+        hours.crossJoin(spark.range(_CMS_D).select(F.col("id").alias("r")))
+        .crossJoin(spark.range(_CMS_W).select(F.col("id").alias("idx")))
+    )
+    counters = cells.join(raw, ["h", "r", "idx"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    win = (
+        W.partitionBy("r", "idx")
+        .orderBy("h")
+        .rangeBetween(-(_CMS_WIN_H - 1), 0)
+    )
+    summed = counters.withColumn("cw", F.sum("c").over(win))
+    probes = (
+        ev.filter(F.col("user_id") < _CMS_PROBE)
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            *[
+                F.expr(_cms_idx(r, "user_id")).alias(f"idx{r}")
+                for r in range(_CMS_D)
+            ],
+        )
+    )
+    g = probes.crossJoin(hours)
+    for r in range(_CMS_D):
+        s_r = summed.filter(F.col("r") == r).select(
+            F.col("h"), F.col("idx").alias(f"idx{r}"), F.col("cw").alias(f"cw{r}")
+        )
+        g = g.join(s_r, ["h", f"idx{r}"])
+    est = g.select(
+        "user_id",
+        "h",
+        F.least(*[F.col(f"cw{r}") for r in range(_CMS_D)]).alias("est"),
+    )
+    peru = (
+        ev.filter(F.col("user_id") < _CMS_PROBE)
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exw = W.partitionBy("user_id").orderBy("h").rangeBetween(-(_CMS_WIN_H - 1), 0)
+    exact = (
+        probes.select("user_id")
+        .crossJoin(hours)
+        .join(peru, ["user_id", "h"], "left")
+        .withColumn("cx", F.coalesce("c", F.lit(0)))
+        .withColumn("exact", F.sum("cx").over(exw))
+        .select("user_id", "h", "exact")
+    )
+    j = est.join(exact, ["user_id", "h"])
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("exact").alias("total_exact"),
+        F.sum("est").alias("total_est"),
+        (F.min(F.col("est") - F.col("exact")) >= 0).alias("never_underestimates"),
+        F.max(F.col("est") - F.col("exact")).alias("max_overestimate"),
+    )

@@ -135,3 +135,27 @@ def test_bloom_no_false_negatives(spark, sf_dir):
         assert rows[m]["n_maybe"] >= n
         assert rows[m]["n_false_positive"] == rows[m]["n_maybe"] - n
         assert rows[m]["fp_rate"] < 0.5  # 1024 bits / ~150 keys: low FP
+
+
+def test_cms_sliding_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import sketches2 as SK
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        SK.sketch_cms_sliding_counts(spark, sf_dir), duck,
+        ORACLES["sketch_cms_sliding_counts"],
+    )
+
+
+def test_cms_sliding_guarantee(spark, sf_dir):
+    """The CMS guarantee after merging: estimates never underestimate,
+    and totals are consistent."""
+    from mit_6_5840_mapreduce_with_go_spark.operators import sketches2 as SK
+
+    rows = SK.sketch_cms_sliding_counts(spark, sf_dir).collect()
+    assert len(rows) == SK._CMS_PROBE or len(rows) > 0
+    for r in rows:
+        assert r["never_underestimates"] is True
+        assert r["total_est"] >= r["total_exact"]
+        assert r["max_overestimate"] >= 0
