@@ -159,3 +159,29 @@ def test_cms_sliding_guarantee(spark, sf_dir):
         assert r["never_underestimates"] is True
         assert r["total_est"] >= r["total_exact"]
         assert r["max_overestimate"] >= 0
+
+
+def test_hll_sliding_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import sketches2 as SK
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        SK.sketch_hll_sliding_union(spark, sf_dir), duck,
+        ORACLES["sketch_hll_sliding_union"],
+    )
+
+
+def test_hll_sliding_error_reasonable(spark, sf_dir):
+    """At the tiny test SF windows hold only a handful of distinct users,
+    so the raw (uncorrected) estimator's small-range bias dominates —
+    its floor is ~alpha*m ≈ 45 however empty the window.  Assert the
+    error is explained by that bias, not unbounded garbage."""
+    from mit_6_5840_mapreduce_with_go_spark.operators import sketches2 as SK
+
+    row = SK.sketch_hll_sliding_union(spark, sf_dir).collect()[0]
+    assert row["n_windows"] > 0 and row["total_exact"] > 0
+    mean_card = row["total_exact"] / row["n_windows"]
+    bias_floor = SK._HLL_ALPHA * SK._HLL_M  # raw estimate of an empty sketch
+    assert 0.0 <= row["mean_rel_err"] <= bias_floor / max(mean_card, 1.0) + 0.6
+    assert row["mean_rel_err"] <= row["max_rel_err"]
