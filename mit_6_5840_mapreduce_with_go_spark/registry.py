@@ -144,6 +144,7 @@ def load_all() -> None:
         dedup,
         evaluation,
         graphs2,
+        ivm,
         kv,
         layout,
         market,
