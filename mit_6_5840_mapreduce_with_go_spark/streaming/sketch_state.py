@@ -78,3 +78,41 @@ def kmv_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming Count-Min build: hourly sketch counters as a tumbling-window
+# aggregate — the continuous twin of the batch hourly grid in
+# operators/sketches2.py::sketch_cms_sliding_counts.  CMS is linear, so
+# the stream needs NO custom state: the windowed count IS the sketch,
+# and downstream window merges are sums over the emitted grid.
+# --------------------------------------------------------------------------
+
+
+def cms_counter_stream(events: DataFrame) -> DataFrame:
+    """Per-hour CMS counters from the event stream: each event
+    contributes one increment per sketch row r at column idx_r(user);
+    a tumbling 1-hour window + (r, idx) groupBy emits the identical
+    counter grid the batch op builds.  State is the in-flight hour's
+    d x w counters per window — bounded however many events arrive,
+    which is the linear-sketch property doing the work."""
+    from ..operators.sketches2 import _CMS_D, _cms_idx
+
+    rows = [
+        events.select(
+            "ts", F.lit(r).alias("r"), F.expr(_cms_idx(r, "user_id")).alias("idx")
+        )
+        for r in range(_CMS_D)
+    ]
+    union = rows[0].unionAll(rows[1])
+    return (
+        union.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "r", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "r",
+            "idx",
+            "c",
+        )
+    )

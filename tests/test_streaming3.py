@@ -157,3 +157,54 @@ def test_streaming_ewma_checkpoint_restart(spark, sf_dir, tmp_path):
     for uid, (n, _) in got.items():
         assert n == want[uid][0], uid
         assert rounded[uid] == want[uid][1], uid
+
+
+def test_cms_counter_stream_equals_batch(spark, sf_dir):
+    """The streaming CMS counter grid must equal the batch hourly grid
+    (linear sketches build identically in either mode)."""
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.sketches2 import (
+        _CMS_D,
+        _cms_idx,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from mit_6_5840_mapreduce_with_go_spark.streaming.sketch_state import (
+        cms_counter_stream,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+    )
+
+    q = run_to_memory(
+        cms_counter_stream(stream_events(spark, sf_dir)), "t_cms_grid", "complete"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["hour"], r["r"], r["idx"]): r["c"]
+            for r in spark.table("t_cms_grid").collect()
+        }
+    finally:
+        q.stop()
+    ev = load_table(spark, sf_dir, "events")
+    rows = [
+        ev.select(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            F.lit(r).alias("r"),
+            F.expr(_cms_idx(r, "user_id")).alias("idx"),
+        )
+        for r in range(_CMS_D)
+    ]
+    want = {
+        (r["hour"], r["r"], r["idx"]): r["c"]
+        for r in rows[0]
+        .unionAll(rows[1])
+        .groupBy("hour", "r", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
