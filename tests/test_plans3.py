@@ -1,0 +1,91 @@
+"""Plan-shape pins for the third-session flagships: the physical
+strategies that make these ops scale are asserted, not assumed."""
+
+from __future__ import annotations
+
+import re
+
+from mit_6_5840_mapreduce_with_go_spark.operators.bloom import (
+    sketch_bloom_partition_prune,
+)
+from mit_6_5840_mapreduce_with_go_spark.operators.evaluation import (
+    eval_threshold_sweep,
+)
+from mit_6_5840_mapreduce_with_go_spark.operators.ivm import (
+    maintenance_ivm_join_view,
+)
+from mit_6_5840_mapreduce_with_go_spark.operators.projection import (
+    mm_jl_projection,
+    pipeline_epoch_shuffle,
+)
+from mit_6_5840_mapreduce_with_go_spark.operators.retrieval import (
+    dedup_semdedup,
+    sim_bm25_topk,
+)
+from mit_6_5840_mapreduce_with_go_spark.plans.explain import physical_plan
+
+
+def _n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are the point)
+    return len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+
+
+def test_jl_projection_is_shuffle_free(spark, sf_dir):
+    """The whole projection must be ONE narrow pass: no shuffle exchange
+    anywhere (fan_out's round-robin repartition of the single test file
+    is the only allowed exchange, and only when the scan is 1 split)."""
+    plan = physical_plan(mm_jl_projection(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bm25_broadcasts_everything_but_postings(spark, sf_dir):
+    """idf, query terms, and the (N, avgdl) scalar broadcast; the
+    corpus postings never shuffle on the word key."""
+    plan = physical_plan(sim_bm25_topk(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar crossJoins
+    assert "SortMergeJoin" not in plan  # the pair join itself never SMJs
+    # the only word-keyed exchange is the idf/df aggregate (map-side
+    # partials compress it to vocab size); the JOIN side must not add one
+    assert plan.count("hashpartitioning(word") <= 1
+
+
+def test_semdedup_assignment_is_hash_agg_not_window(spark, sf_dir):
+    """Centroid assignment must be the struct-max hash aggregate — a
+    window formulation would show a Window + sort over scored rows."""
+    plan = physical_plan(dedup_semdedup(spark, sf_dir))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_threshold_sweep_is_single_aggregation(spark, sf_dir):
+    """9 thresholds fold into ONE pass: a single shuffle for the final
+    9-group aggregate and no join shuffles."""
+    plan = physical_plan(eval_threshold_sweep(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert _n_exchanges(plan) <= 2  # fan_out repartition + final agg
+
+
+def test_epoch_shuffle_sorts_within_shards_only(spark, sf_dir):
+    """The per-shard ordering must be a partition-local sort under the
+    window — never a global range sort of the table."""
+    plan = physical_plan(pipeline_epoch_shuffle(spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_ivm_dim_join_broadcasts(spark, sf_dir):
+    plan = physical_plan(maintenance_ivm_join_view(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # delta/before legs prune on the key predicate at the scan
+    assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_bloom_build_is_partial_aggregable(spark, sf_dir):
+    """The word build must partial-aggregate map-side (HashAggregate
+    pairs) and the probe join must broadcast the probe keys."""
+    plan = physical_plan(sketch_bloom_partition_prune(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
