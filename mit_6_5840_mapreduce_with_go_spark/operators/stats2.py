@@ -1,0 +1,183 @@
+"""One-scan multivariate statistics: chi-square independence over a
+contingency table and the full pairwise Pearson correlation matrix from
+exact integer moments.
+
+No reference counterpart (SURVEY.md §2.D) — north-star additions.  Both
+follow the repo's one-pass moment discipline (profile_orders_columns,
+events_ab_welch_t): quantize to integers, accumulate every moment
+side-by-side in ONE scan, divide exact integers at the very end.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_CHI2_CRIT_95_DOF = {  # chi-square 95th percentile by dof (public table)
+    76: 97.35,  # (5-1)(20-1) for the lang x source grid
+}
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2),
+    rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    grid AS (
+      SELECT rt.lang, ct.source, coalesce(o.obs, 0) AS obs,
+             rt.r * ct.c * 1.0 / n.n AS expected
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+    cells AS (
+      SELECT CAST(floor((obs - expected) * (obs - expected) / expected
+                        * 1000000) AS BIGINT) AS contrib_micro
+      FROM grid),
+    agg AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+    dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS nr,
+                    (SELECT CAST(count(*) AS BIGINT) FROM ct) AS nc)
+    SELECT round(chi2_micro / 1000000.0, 4) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           n_cells,
+           chi2_micro / 1000000.0 > 97.35 AS reject_independence_95
+    FROM agg, dims
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence for the (lang, source)
+    contingency table: chi2 = sum (O-E)^2/E with E = row*col/N, compared
+    against the 95th-percentile critical value for dof=(R-1)(C-1)=76
+    (97.35, standard table).  Per-cell contributions are identical
+    doubles in both engines (exact-integer inputs, same IEEE ops) and
+    are floor-quantized to micros before the SUM, so the statistic is
+    association-order-free.  No p-value: that needs the incomplete
+    gamma, i.e. libm — the critical-value comparison is the portable
+    formulation.
+
+    Scale: the contingency table is a bounded (|langs| x |sources|)
+    aggregate with map-side partials; margins and the final sum run
+    over the tiny grid.  Independence testing of a 100 TB table costs
+    one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    grid = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            (F.col("r") * F.col("c") * 1.0 / F.col("n")).alias("expected"),
+        )
+    )
+    contrib = F.floor(
+        (F.col("obs") - F.col("expected"))
+        * (F.col("obs") - F.col("expected"))
+        / F.col("expected")
+        * 1_000_000
+    ).cast("long")
+    agg = grid.select(contrib.alias("cm")).agg(
+        F.sum("cm").alias("chi2_micro"), F.count(F.lit(1)).alias("n_cells")
+    )
+    dims = rt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    return agg.crossJoin(F.broadcast(dims)).select(
+        F.round(F.col("chi2_micro") / 1_000_000.0, 4).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        "n_cells",
+        (F.col("chi2_micro") / 1_000_000.0 > 97.35).alias(
+            "reject_independence_95"
+        ),
+    )
+
+
+def _corr_moment_cols():
+    """All moments needed for every pair, computed side-by-side."""
+    singles = [(c, f"s_{c}") for c in _CORR_COLS] + [
+        (f"{c} * {c}", f"ss_{c}") for c in _CORR_COLS
+    ]
+    pairs = [
+        (f"{a} * {b}", f"sp_{a}__{b}") for a, b in combinations(_CORR_COLS, 2)
+    ]
+    return singles + pairs
+
+
+@query(
+    "stats_correlation_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT {", ".join(f"CAST(floor(CAST({c} AS DOUBLE) * 100) AS BIGINT) AS {c}"
+                        for c in _CORR_COLS)}
+      FROM lineitem),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {", ".join(f"CAST(sum(CAST({expr} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS {name}"
+                        for expr, name in _corr_moment_cols())}
+      FROM q)
+    {" UNION ALL ".join(
+        f'''SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+             round((CAST(n AS DOUBLE) * CAST(sp_{a}__{b} AS DOUBLE)
+                    - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                           - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                             - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))),
+                   6) AS pearson_r
+        FROM m''' for a, b in combinations(_CORR_COLS, 2))}
+    """,
+)
+def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over the lineitem
+    numeric columns, from ONE scan: values quantize to integer cents,
+    every moment (4 sums, 4 sums of squares, 6 cross products)
+    accumulates side-by-side in exact DECIMAL(38,0), and each r is the
+    closed-form moment ratio — identical doubles in both engines.
+
+    Scale: this is the textbook one-pass correlation — a single
+    map-side-combinable aggregate over 100 TB, then a 1-row fan-out to
+    the C(k,2) pair rows.  Never k passes, never a sort, no sampling."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            F.floor(F.col(c).cast("double") * 100).cast("long").alias(c)
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for expr, name in _corr_moment_cols():
+        aggs.append(F.sum(F.expr(expr).cast("decimal(38,0)")).alias(name))
+    m = li.agg(*aggs)
+    outs = []
+    for a, b in combinations(_CORR_COLS, 2):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}__{b}").cast("double")
+        r = (n * sp - sa * sb) / (
+            F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+        )
+        outs.append(
+            m.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n"),
+                F.round(r, 6).alias("pearson_r"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionAll(df)
+    return out

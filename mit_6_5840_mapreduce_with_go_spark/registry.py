@@ -161,6 +161,7 @@ def load_all() -> None:
         sessions,
         similarity,
         sketches2,
+        stats2,
         text,
         timeseries,
         udafs,
