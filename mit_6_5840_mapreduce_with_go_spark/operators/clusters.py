@@ -713,3 +713,124 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("d") == 3).cast("long")).cast("bigint").alias("n_hop3"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
     )
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette — the clustering-quality score that closes the
+# loop on k-means: for each point, a = distance to OWN centroid, b =
+# distance to nearest OTHER centroid, s = (b - a) / max(a, b).  The
+# "simplified" (centroid-based) variant is the standard at-scale
+# substitute for the O(N^2) pairwise silhouette (public; used by e.g.
+# scikit-learn's docs as the fast proxy).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cluster_silhouette_simplified",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {_KM_K}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(e.v, c.cv) AS sim
+      FROM emb e CROSS JOIN c0 c),
+    ranked AS (
+      SELECT vec_id, cid, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM scored),
+    ab AS (
+      SELECT o.vec_id, o.cid,
+             1.0 - o.sim AS a,
+             1.0 - n.sim AS b
+      FROM (SELECT * FROM ranked WHERE rn = 1) o
+      JOIN (SELECT * FROM ranked WHERE rn = 2) n ON n.vec_id = o.vec_id),
+    s AS (
+      SELECT cid,
+             CAST(floor((b - a) / greatest(a, b) * 1000000) AS BIGINT)
+               AS s_micro
+      FROM ab)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(s_micro) AS BIGINT) / (count(*) * 1000000.0), 6)
+             AS mean_silhouette
+    FROM s GROUP BY cid
+    """,
+)
+def cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster, cosine
+    distance, seed centroids = the {k} smallest vec_ids (matching the
+    SemDeDup assignment): a = 1 - cos(point, own centroid), b = 1 -
+    cos(point, runner-up centroid), s = (b-a)/max(a,b); per-cluster mean
+    accumulates floor(s * 1e6) integers so the average is
+    association-order-free.
+
+    Scale: one broadcast-k scored pass; own/runner-up selection is two
+    struct-extremes over k scored rows per point (here a bounded window
+    in the oracle, a hash-agg of max and second-max structs in the
+    plan); the exact pairwise silhouette would be O(N^2) — this is the
+    standard linear-time proxy.  Clustering quality of a 100 TB
+    embedding table costs one pass over the points."""
+    from ..functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding"
+    )
+    cents = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    # best and runner-up in ONE hash aggregate: max(struct) for the own
+    # centroid, then max over the remaining via a two-field trick —
+    # collect the top-2 as max(struct) and max(struct excluding argmax)
+    # needs the argmax first, so compute both extremes from a single
+    # groupBy via sorted top-2 of a small k-array (k rows per vec).
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("sim").alias("sim"), (-F.col("cid")).alias("ncid"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("b1")
+    )
+    runner = (
+        scored.join(
+            best.select(
+                "vec_id", F.col("b1.cid").alias("best_cid")
+            ),
+            "vec_id",
+        )
+        .filter(F.col("cid") != F.col("best_cid"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim").alias("sim"), (-F.col("cid")).alias("ncid"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("b2")
+        )
+    )
+    ab = best.join(runner, "vec_id").select(
+        "vec_id",
+        F.col("b1.cid").alias("cid"),
+        (1.0 - F.col("b1.sim")).alias("a"),
+        (1.0 - F.col("b2.sim")).alias("b"),
+    )
+    s_micro = F.floor(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")) * 1_000_000
+    ).cast("long")
+    return (
+        ab.select("cid", s_micro.alias("sm"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("sm") / (F.count(F.lit(1)) * 1_000_000.0), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+    )

@@ -287,3 +287,96 @@ def pipeline_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict.alias("verdict"),
         F.when(is_dup, F.col("cdoc")).alias("canonical_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe as-of feature/label assembly — the supervised-training
+# data contract: features strictly BEFORE the cutoff, label strictly
+# AFTER, from one events scan.
+# --------------------------------------------------------------------------
+_FL_CUTOFF = "2024-01-24 00:00:00"
+_FL_FEAT_DAYS = 14
+
+
+@query(
+    "pipeline_labels_asof_features",
+    oracle=f"""
+    WITH fw AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events_fw,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types_fw,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents_fw,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS days_active_fw,
+             CAST(floor(date_diff('second', max(ts),
+                                  TIMESTAMP '{_FL_CUTOFF}') / 3600.0)
+                  AS BIGINT) AS last_seen_gap_h
+      FROM events
+      WHERE ts < TIMESTAMP '{_FL_CUTOFF}'
+        AND ts >= TIMESTAMP '{_FL_CUTOFF}' - INTERVAL {_FL_FEAT_DAYS} DAY
+      GROUP BY user_id),
+    lw AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts > TIMESTAMP '{_FL_CUTOFF}')
+    SELECT fw.user_id, n_events_fw, n_types_fw, value_cents_fw,
+           days_active_fw, last_seen_gap_h,
+           CASE WHEN lw.user_id IS NULL THEN 0 ELSE 1 END AS label_active
+    FROM fw LEFT JOIN lw ON lw.user_id = fw.user_id
+    """,
+)
+def pipeline_labels_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-training example assembly with a hard leakage
+    boundary: features aggregate ONLY events in [cutoff-{d}d, cutoff);
+    the churn/activity label looks ONLY at events after the cutoff.
+    Emits per-user behavioral features (counts, distinct types,
+    integer-cent value sum, active days, hours-since-last-seen) and the
+    binary label.  The test suite proves leakage-safety by recomputing
+    features on a post-cutoff-truncated table and demanding equality —
+    the check a feature-store backfill runs before training.
+
+    Scale: two time-pruned scans (the ts predicates reach the parquet
+    scan; on date-partitioned data this is partition pruning) + one
+    map-side-combinable per-user aggregate + a semi-join-shaped label
+    lookup.  All features integer-exact.
+    """.format(d=_FL_FEAT_DAYS)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_FL_CUTOFF).cast("timestamp")
+    fw = (
+        ev.filter(
+            (F.col("ts") < cutoff)
+            & (F.col("ts") >= F.lit(_FL_CUTOFF).cast("timestamp") - F.expr(f"INTERVAL {_FL_FEAT_DAYS} DAY"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_fw"),
+            F.countDistinct("event_type").alias("n_types_fw"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents_fw"
+            ),
+            F.countDistinct(F.col("ts").cast("date")).alias("days_active_fw"),
+            F.floor(
+                (F.unix_timestamp(cutoff) - F.unix_timestamp(F.max("ts")))
+                / 3600.0
+            )
+            .cast("long")
+            .alias("last_seen_gap_h"),
+        )
+    )
+    lw = (
+        ev.filter(F.col("ts") > cutoff)
+        .select("user_id")
+        .distinct()
+        .withColumn("post", F.lit(1))
+    )
+    return fw.join(lw, "user_id", "left").select(
+        "user_id",
+        "n_events_fw",
+        "n_types_fw",
+        "value_cents_fw",
+        "days_active_fw",
+        "last_seen_gap_h",
+        F.when(F.col("post").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "label_active"
+        ),
+    )

@@ -100,3 +100,75 @@ def test_drop_reasons_partition_consistent_with_pipeline(spark, sf_dir):
             assert r["canonical_doc"] in kept_ids and r["canonical_doc"] < d
         else:
             assert r["canonical_doc"] is None
+
+
+def test_silhouette_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators.clusters import (
+        cluster_silhouette_simplified,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        cluster_silhouette_simplified(spark, sf_dir), duck,
+        ORACLES["cluster_silhouette_simplified"],
+    )
+
+
+def test_silhouette_bounds_and_membership(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.clusters import (
+        cluster_silhouette_simplified,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = cluster_silhouette_simplified(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n
+    for r in rows:
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+def test_asof_features_match_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators.pipelines import (
+        pipeline_labels_asof_features,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        pipeline_labels_asof_features(spark, sf_dir), duck,
+        ORACLES["pipeline_labels_asof_features"],
+    )
+
+
+def test_asof_features_leakage_safe(spark, sf_dir):
+    """Truncating the table at the cutoff must not change ANY feature
+    column — proof that no feature reads post-cutoff data."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_with_go_spark.operators import pipelines as P
+    from mit_6_5840_mapreduce_with_go_spark.sources import TABLE_NAMES, load_table
+
+    full = {
+        r["user_id"]: r
+        for r in P.pipeline_labels_asof_features(spark, sf_dir).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        load_table(spark, sf_dir, "events").filter(
+            F.col("ts") < F.lit(P._FL_CUTOFF).cast("timestamp")
+        ).write.parquet(f"{tmp}/events.parquet")
+        trunc = {
+            r["user_id"]: r
+            for r in P.pipeline_labels_asof_features(spark, tmp).collect()
+        }
+    assert set(full) == set(trunc)
+    feat_cols = [
+        "n_events_fw", "n_types_fw", "value_cents_fw", "days_active_fw",
+        "last_seen_gap_h",
+    ]
+    for u, r in full.items():
+        for c in feat_cols:
+            assert r[c] == trunc[u][c], (u, c)
+        assert trunc[u]["label_active"] == 0  # no post-cutoff data left
