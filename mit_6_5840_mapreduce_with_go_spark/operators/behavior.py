@@ -565,3 +565,115 @@ def behavior_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _UJ_TOPK)
         .select("user_a", "user_b", "rank", F.round("cos_raw", 4).alias("journey_cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-pattern matching over sessions (MATCH_RECOGNIZE lite): encode
+# each session as a string of event-type initials and count sessions
+# matching fixed regex patterns — row-pattern analytics without the
+# MATCH_RECOGNIZE clause (patterns stay in the RE2/Java common subset).
+# --------------------------------------------------------------------------
+from .sessions import SESSION_GAP_MIN  # noqa: E402  (same gap as sessionization)
+
+_SP_PATTERNS = [
+    ("view_click_purchase", "v.*c.*p"),
+    ("double_error", "ee"),
+    ("login_start", "^l"),
+]
+
+
+@query(
+    "events_pattern_sessions",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             substr(event_type, 1, 1) AS init,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, init, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked),
+    seqs AS (
+      SELECT user_id, session_no,
+             string_agg(init, '' ORDER BY ts, event_id) AS seq
+      FROM numbered GROUP BY user_id, session_no),
+    pats AS (SELECT * FROM (VALUES
+      {", ".join(f"('{n}', '{p}')" for n, p in _SP_PATTERNS)})
+      AS t(pattern_name, pat)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM seqs)
+    SELECT p.pattern_name,
+           CAST(sum(CASE WHEN regexp_matches(s.seq, p.pat)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           tot.n_sessions,
+           round(sum(CASE WHEN regexp_matches(s.seq, p.pat)
+                          THEN 1 ELSE 0 END) * 1.0 / tot.n_sessions, 6)
+             AS match_share
+    FROM seqs s CROSS JOIN pats p CROSS JOIN tot
+    GROUP BY p.pattern_name, tot.n_sessions
+    """,
+)
+def events_pattern_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern analytics (MATCH_RECOGNIZE lite): each session (the
+    {gap}-minute-gap sessions proven equivalent to session_window in
+    events_sessionization) becomes a string of event-type initials in
+    (ts, event_id) order; fixed regex patterns — funnel order
+    view..click..purchase, an immediate error repeat, login-opened
+    sessions — are counted with their session share.  Patterns use only
+    the RE2/Java common subset (no backrefs/lookaround) so both engines
+    match identically.
+
+    Scale: sessionization is one keyed shuffle; the session string is a
+    bounded per-session reduction (sessions are minutes long — the
+    string is small by construction); pattern counting is a conditional
+    sum over |patterns| broadcast rows — one pass over sessions for
+    the whole pattern battery.  This is how sequence mining stays
+    declarative at 100 TB: encode once, regex many."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts",
+                                "event_id",
+                                F.substring("event_type", 1, 1).alias("i"),
+                            )
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+            ).alias("seq")
+        )
+        .select("seq")
+    )
+    pats = spark.createDataFrame(
+        list(_SP_PATTERNS), "pattern_name string, pat string"
+    )
+    tot = seqs.agg(F.count(F.lit(1)).alias("n_sessions"))
+    matched = F.sum(
+        F.when(F.expr("seq rlike pat"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        seqs.crossJoin(F.broadcast(pats))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("pattern_name", "n_sessions")
+        .agg(
+            matched.alias("n_matched"),
+            F.round(matched * 1.0 / F.col("n_sessions"), 6).alias("match_share"),
+        )
+        .select("pattern_name", "n_matched", "n_sessions", "match_share")
+    )

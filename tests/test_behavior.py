@@ -106,3 +106,53 @@ def test_journey_similarity_python_replay(spark, sf_dir):
         na = math.sqrt(sum(c * c for c in ga.values()))
         nb = math.sqrt(sum(c * c for c in gb.values()))
         assert abs(r["journey_cos"] - round(dp / (na * nb), 4)) < 2e-4
+
+
+def test_pattern_sessions_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import behavior as B
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        B.events_pattern_sessions(spark, sf_dir), duck,
+        ORACLES["events_pattern_sessions"],
+    )
+
+
+def test_pattern_sessions_python_replay(spark, sf_dir):
+    """Replay sessionization + regex matching in plain Python."""
+    import re as _re
+    from datetime import timedelta
+
+    from mit_6_5840_mapreduce_with_go_spark.operators import behavior as B
+    from mit_6_5840_mapreduce_with_go_spark.operators.sessions import (
+        SESSION_GAP_MIN,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    gap = timedelta(minutes=SESSION_GAP_MIN)
+    seqs = []
+    cur, last = None, None
+    for r in ev:
+        key = r["user_id"]
+        if cur is None or key != cur[0] or r["ts"] - last >= gap:
+            seqs.append([key, ""])
+            cur = seqs[-1]
+        cur[1] += r["event_type"][0]
+        seqs[-1][1] = cur[1]
+        last = r["ts"]
+        cur[0] = key
+    strings = [s for _, s in seqs]
+    got = {
+        r["pattern_name"]: (r["n_matched"], r["n_sessions"])
+        for r in B.events_pattern_sessions(spark, sf_dir).collect()
+    }
+    for name, pat in B._SP_PATTERNS:
+        want = sum(1 for s in strings if _re.search(pat, s))
+        assert got[name] == (want, len(strings)), (name, got[name], want)
