@@ -515,3 +515,97 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Positional-index phrase search — exact multi-word phrase lookup via
+# consecutive-position joins, the classic IR positional-index pattern
+# (how a search engine answers "exact phrase" without re-scanning text).
+# --------------------------------------------------------------------------
+_PHRASES = [
+    ("hash value table", "hash value table"),
+    ("fast merge batch", "fast merge batch"),
+    ("key agg row", "key agg row"),
+]
+
+
+@query(
+    "text_phrase_search",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i - 1 AS p, string_split(text, ' ')[i] AS w
+      FROM documents,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i)),
+    phrases AS (SELECT * FROM (VALUES
+      {", ".join(f"('{n}', '{p.split()[0]}', '{p.split()[1]}', '{p.split()[2]}')" for n, p in _PHRASES)})
+      AS t(phrase, w1, w2, w3)),
+    hits AS (
+      SELECT ph.phrase, p1.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM phrases ph
+      JOIN pos p1 ON p1.w = ph.w1
+      JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.p = p1.p + 1
+                 AND p2.w = ph.w2
+      JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.p = p1.p + 2
+                 AND p3.w = ph.w3
+      GROUP BY 1, 2)
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_occurrences) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM hits GROUP BY phrase
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through a positional inverted index: tokens
+    carry their position; a 3-word phrase is three self-joins of the
+    postings on (doc, position+k) — the standard positional-index
+    algorithm, no text re-scan, no regex.  Per phrase: matching docs,
+    total occurrences, first doc id.
+
+    Scale: the positional index is built once (posexplode — the same
+    narrow pass as `posexplode_doc_tokens`) and would be written as a
+    bucketed table keyed on word at 100 TB; each phrase lookup then
+    touches only the phrase words' postings (the first join leg prunes
+    to the rarest word's list).  The consecutive-position joins are
+    keyed on (doc_id, position) — co-located after the first join, no
+    extra shuffle per additional phrase word."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    )
+    phrases = spark.createDataFrame(
+        [(n, p.split()[0], p.split()[1], p.split()[2]) for n, p in _PHRASES],
+        "phrase string, w1 string, w2 string, w3 string",
+    )
+    p1 = pos.join(F.broadcast(phrases), pos.w == phrases.w1).select(
+        "phrase", "doc_id", "p", "w2", "w3"
+    )
+    p2 = pos.select(
+        F.col("doc_id").alias("doc_id"), F.col("p").alias("p2"), F.col("w").alias("wb")
+    )
+    p3 = pos.select(
+        F.col("doc_id").alias("doc_id"), F.col("p").alias("p3"), F.col("w").alias("wc")
+    )
+    hits = (
+        p1.join(
+            p2,
+            (p1.doc_id == p2.doc_id)
+            & (F.col("p2") == F.col("p") + 1)
+            & (F.col("wb") == F.col("w2")),
+        )
+        .drop(p2.doc_id)
+        .join(
+            p3,
+            (p1.doc_id == p3.doc_id)
+            & (F.col("p3") == F.col("p") + 2)
+            & (F.col("wc") == F.col("w3")),
+        )
+        .drop(p3.doc_id)
+        .groupBy("phrase", p1.doc_id)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return hits.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

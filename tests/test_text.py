@@ -95,3 +95,44 @@ def test_collocations_pmi_math(spark):
         assert co == r["cofreq"] >= _PMI_MIN_CO
         assert (len(s1), len(s2)) == (r["df1"], r["df2"])
         assert abs(r["pmi"] - round(math.log(co * nd / (len(s1) * len(s2))), 4)) < 1e-9
+
+
+def test_phrase_search_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import text as TX
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        TX.text_phrase_search(spark, sf_dir), duck, ORACLES["text_phrase_search"]
+    )
+
+
+def test_phrase_search_python_replay(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators import text as TX
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    want = {}
+    for name, phrase in TX._PHRASES:
+        ws = phrase.split()
+        per_doc = {}
+        for d, toks in docs.items():
+            n = sum(
+                1
+                for i in range(len(toks) - 2)
+                if toks[i : i + 3] == ws
+            )
+            if n:
+                per_doc[d] = n
+        if per_doc:
+            want[name] = (
+                len(per_doc), sum(per_doc.values()), min(per_doc)
+            )
+    got = {
+        r["phrase"]: (r["n_docs"], r["n_occurrences"], r["first_doc_id"])
+        for r in TX.text_phrase_search(spark, sf_dir).collect()
+    }
+    assert got == want
