@@ -181,3 +181,93 @@ def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionAll(df)
     return out
+
+
+# --------------------------------------------------------------------------
+# Winsorized moments — robust mean/std by clamping at exact p01/p99:
+# the outlier-containment transform a metrics pipeline applies before
+# z-scoring; reported against the raw moments so the effect is visible.
+# --------------------------------------------------------------------------
+_WZ_LO, _WZ_HI = 0.01, 0.99
+
+
+@query(
+    "stats_winsorized_moments",
+    oracle=f"""
+    WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    b AS (SELECT quantile_cont(c, {_WZ_LO}) AS lo,
+                 quantile_cont(c, {_WZ_HI}) AS hi FROM v),
+    w AS (SELECT CAST(least(greatest(CAST(v.c AS DOUBLE), b.lo), b.hi) AS BIGINT)
+                   AS wc,
+                 v.c
+          FROM v, b),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+                 CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS ss,
+                 CAST(sum(CAST(wc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ws,
+                 CAST(sum(CAST(wc AS DECIMAL(38,0)) * CAST(wc AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS wss
+          FROM w)
+    SELECT n,
+           round((SELECT lo FROM b) / 100.0, 4) AS p01,
+           round((SELECT hi FROM b) / 100.0, 4) AS p99,
+           round(CAST(s AS DOUBLE) / n / 100.0, 4) AS mean_raw,
+           round(CAST(ws AS DOUBLE) / n / 100.0, 4) AS mean_wins,
+           round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                       * CAST(s AS DOUBLE) / n) / n) / 100.0, 4) AS std_raw,
+           round(sqrt((CAST(wss AS DOUBLE) - CAST(ws AS DOUBLE)
+                       * CAST(ws AS DOUBLE) / n) / n) / 100.0, 4) AS std_wins
+    FROM m
+    """,
+)
+def stats_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/std of order totals: clamp at the exact p01/p99
+    (integer-cent percentiles, both engines share the (n-1)p linear
+    definition), then accumulate raw and clamped moments side-by-side
+    in exact DECIMAL(38,0) — one extra column pair, not a second scan.
+    Winsorized std must shrink; the report shows by how much.
+
+    Scale: the percentile legs are the verification-grade exact path
+    (production swaps in the histogram-quantile estimator above for the
+    cut points — same clamp plan); the moment pass is one map-side
+    combinable aggregate.  All comparisons divide exact integers."""
+    v = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    b = v.agg(
+        F.expr(f"percentile(c, {_WZ_LO})").alias("lo"),
+        F.expr(f"percentile(c, {_WZ_HI})").alias("hi"),
+    )
+    w = v.crossJoin(F.broadcast(b)).select(
+        "c",
+        F.least(F.greatest(F.col("c").cast("double"), F.col("lo")), F.col("hi"))
+        .cast("long")
+        .alias("wc"),
+        "lo",
+        "hi",
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c")).alias("s"),
+        F.sum(dec("c") * dec("c")).alias("ss"),
+        F.sum(dec("wc")).alias("ws"),
+        F.sum(dec("wc") * dec("wc")).alias("wss"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    n = F.col("n")
+    sd = lambda ss, s: F.sqrt(  # noqa: E731
+        (ss.cast("double") - s.cast("double") * s.cast("double") / n) / n
+    )
+    return m.select(
+        "n",
+        F.round(F.col("lo") / 100.0, 4).alias("p01"),
+        F.round(F.col("hi") / 100.0, 4).alias("p99"),
+        F.round(F.col("s").cast("double") / n / 100.0, 4).alias("mean_raw"),
+        F.round(F.col("ws").cast("double") / n / 100.0, 4).alias("mean_wins"),
+        F.round(sd(F.col("ss"), F.col("s")) / 100.0, 4).alias("std_raw"),
+        F.round(sd(F.col("wss"), F.col("ws")) / 100.0, 4).alias("std_wins"),
+    )

@@ -68,3 +68,17 @@ def test_corr_python_replica(spark, sf_dir):
         )
         assert abs(got[(a, b)] - round(r, 6)) < 1e-5
         assert -1.0 <= got[(a, b)] <= 1.0
+
+
+def test_winsorized_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        S2.stats_winsorized_moments(spark, sf_dir), duck,
+        ORACLES["stats_winsorized_moments"],
+    )
+
+
+def test_winsorized_shrinks_std(spark, sf_dir):
+    r = S2.stats_winsorized_moments(spark, sf_dir).collect()[0]
+    assert r["p01"] <= r["p99"]
+    assert r["std_wins"] <= r["std_raw"]
+    assert r["p01"] <= r["mean_wins"] <= r["p99"]
