@@ -272,3 +272,110 @@ def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal coverage — distribution-free prediction intervals
+# (Vovk et al.; split-conformal variant, public): calibrate a
+# nonconformity quantile on pre-split data, verify coverage post-split.
+# --------------------------------------------------------------------------
+_CF_SPLIT = "2024-01-16 00:00:00"
+_CF_ALPHA = 0.9  # target coverage
+
+
+@query(
+    "eval_conformal_coverage",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, ts,
+             CAST(floor(value * 1000000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL),
+    mu AS (
+      SELECT event_type,
+             CAST(sum(vm) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM ev WHERE ts <= TIMESTAMP '{_CF_SPLIT}' GROUP BY 1),
+    scores AS (
+      SELECT e.event_type,
+             abs(e.vm - CAST(mu.s AS DOUBLE) / mu.n) AS score
+      FROM ev e JOIN mu ON mu.event_type = e.event_type
+      WHERE e.ts <= TIMESTAMP '{_CF_SPLIT}'),
+    q AS (
+      SELECT event_type, quantile_cont(score, {_CF_ALPHA}) AS qhat
+      FROM scores GROUP BY event_type),
+    test AS (
+      SELECT e.event_type,
+             abs(e.vm - CAST(mu.s AS DOUBLE) / mu.n) <= q.qhat AS covered
+      FROM ev e
+      JOIN mu ON mu.event_type = e.event_type
+      JOIN q ON q.event_type = e.event_type
+      WHERE e.ts > TIMESTAMP '{_CF_SPLIT}')
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           round(sum(CASE WHEN covered THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS coverage
+    FROM test GROUP BY event_type
+    """,
+)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval check: the "model" is the per-type
+    pre-split mean (integer-micro sums, one exact double division);
+    nonconformity = |value - mean|; the calibration quantile q_alpha
+    ({a}) comes from pre-split scores (exact percentile — both engines
+    share the (n-1)p definition); post-split events count as covered
+    when their nonconformity is <= q_alpha.  Coverage near {a} is the
+    distribution-free guarantee; the per-type report is the conformal
+    calibration table a forecasting pipeline ships.
+
+    Scale: two time-pruned scans + bounded per-type aggregates; the
+    calibration quantile is per event type (a bounded domain) — at
+    100 TB the exact percentile swaps for the histogram-quantile
+    estimator above, same plan.  All doubles derive from identical
+    exact integers."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+        )
+    )
+    split = F.lit(_CF_SPLIT).cast("timestamp")
+    mu = (
+        ev.filter(F.col("ts") <= split)
+        .groupBy("event_type")
+        .agg(F.sum("vm").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    scores = (
+        ev.filter(F.col("ts") <= split)
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("vm") - F.col("s").cast("double") / F.col("n")).alias(
+                "score"
+            ),
+        )
+    )
+    q = scores.groupBy("event_type").agg(
+        F.expr(f"percentile(score, {_CF_ALPHA})").alias("qhat")
+    )
+    test = (
+        ev.filter(F.col("ts") > split)
+        .join(F.broadcast(mu), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("vm") - F.col("s").cast("double") / F.col("n"))
+                <= F.col("qhat")
+            ).alias("covered"),
+        )
+    )
+    cov = F.sum(F.when(F.col("covered"), 1).otherwise(0))
+    return test.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        cov.alias("n_covered"),
+        F.round(cov * 1.0 / F.count(F.lit(1)), 6).alias("coverage"),
+    )

@@ -81,3 +81,23 @@ def test_calibration_conserves_docs(spark, sf_dir):
         assert 0.0 <= r["mean_pred"] <= 1.0
         assert 0.0 <= r["frac_pos"] <= 1.0
         assert abs(r["gap"] - round(abs(r["mean_pred"] - r["frac_pos"]), 6)) <= 1e-6
+
+
+def test_conformal_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        E.eval_conformal_coverage(spark, sf_dir), duck,
+        ORACLES["eval_conformal_coverage"],
+    )
+
+
+def test_conformal_coverage_near_alpha(spark, sf_dir):
+    """Split-conformal guarantee: coverage should sit near alpha for a
+    stationary stream (events are synthetic-stationary); allow slack for
+    per-type small test sets."""
+    rows = E.eval_conformal_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["n_covered"] <= r["n_test"]
+        if r["n_test"] >= 200:
+            assert abs(r["coverage"] - E._CF_ALPHA) < 0.1
