@@ -196,11 +196,9 @@ _WZ_LO, _WZ_HI = 0.01, 0.99
     oracle=f"""
     WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
                FROM orders),
-    b AS (SELECT quantile_cont(c, {_WZ_LO}) AS lo,
-                 quantile_cont(c, {_WZ_HI}) AS hi FROM v),
-    w AS (SELECT CAST(least(greatest(CAST(v.c AS DOUBLE), b.lo), b.hi) AS BIGINT)
-                   AS wc,
-                 v.c
+    b AS (SELECT CAST(quantile_disc(c, {_WZ_LO}) AS BIGINT) AS lo,
+                 CAST(quantile_disc(c, {_WZ_HI}) AS BIGINT) AS hi FROM v),
+    w AS (SELECT least(greatest(v.c, b.lo), b.hi) AS wc, v.c
           FROM v, b),
     m AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
@@ -223,9 +221,11 @@ _WZ_LO, _WZ_HI = 0.01, 0.99
     """,
 )
 def stats_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized mean/std of order totals: clamp at the exact p01/p99
-    (integer-cent percentiles, both engines share the (n-1)p linear
-    definition), then accumulate raw and clamped moments side-by-side
+    """Winsorized mean/std of order totals: clamp at the exact
+    DISCRETE p01/p99 (order statistics in integer cents — interpolation
+    is deliberately avoided: a cont percentile differs by an ulp across
+    engines and flips the clamp), then accumulate raw and clamped
+    moments side-by-side
     in exact DECIMAL(38,0) — one extra column pair, not a second scan.
     Winsorized std must shrink; the report shows by how much.
 
@@ -236,15 +236,18 @@ def stats_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "orders").select(
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("c")
     )
+    # DISCRETE percentiles (actual order statistics, integer cents):
+    # percentile_approx at max accuracy == DuckDB quantile_disc exactly,
+    # while interpolated cont percentiles differ by an ulp between
+    # engines and flip the clamp for boundary rows (caught by the
+    # sf0.01 mirror).
     b = v.agg(
-        F.expr(f"percentile(c, {_WZ_LO})").alias("lo"),
-        F.expr(f"percentile(c, {_WZ_HI})").alias("hi"),
+        F.expr(f"percentile_approx(c, {_WZ_LO}, 2147483647)").alias("lo"),
+        F.expr(f"percentile_approx(c, {_WZ_HI}, 2147483647)").alias("hi"),
     )
     w = v.crossJoin(F.broadcast(b)).select(
         "c",
-        F.least(F.greatest(F.col("c").cast("double"), F.col("lo")), F.col("hi"))
-        .cast("long")
-        .alias("wc"),
+        F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi")).alias("wc"),
         "lo",
         "hi",
     )
