@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -273,4 +273,227 @@ def stats_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ws").cast("double") / n / 100.0, 4).alias("mean_wins"),
         F.round(sd(F.col("ss"), F.col("s")) / 100.0, 4).alias("std_raw"),
         F.round(sd(F.col("wss"), F.col("ws")) / 100.0, 4).alias("std_wins"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov via binned CDFs — the distribution-drift
+# test for continuous columns (chi-square above covers categorical).
+# --------------------------------------------------------------------------
+_KS_BINS = 256
+_KS_A, _KS_B = "click", "purchase"  # compare value distributions
+# critical coefficient c(alpha) for alpha=0.05 (public KS table)
+_KS_C05 = 1.358
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, value FROM events
+      WHERE value IS NOT NULL AND event_type IN ('{_KS_A}', '{_KS_B}')),
+    mm AS (SELECT min(value) AS mn, max(value) AS mx FROM v),
+    b AS (
+      SELECT event_type,
+             least({_KS_BINS - 1},
+                   CAST(floor((value - mm.mn) * {_KS_BINS}.0
+                              / (mm.mx - mm.mn)) AS BIGINT)) AS bin
+      FROM v, mm),
+    counts AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM b GROUP BY bin),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                   CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+    cdf AS (
+      SELECT bin,
+             CAST(sum(ca) OVER (ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+      FROM counts),
+    d AS (
+      SELECT max(abs(cuma * 1.0 / tot.na - cumb * 1.0 / tot.nb)) AS ks_d
+      FROM cdf, tot)
+    SELECT round(d.ks_d, 6) AS ks_d,
+           tot.na AS n_a, tot.nb AS n_b,
+           round({_KS_C05} * sqrt((tot.na + tot.nb) * 1.0
+                                  / (tot.na * tot.nb)), 6) AS crit_05,
+           d.ks_d > {_KS_C05} * sqrt((tot.na + tot.nb) * 1.0
+                                     / (tot.na * tot.nb))
+             AS reject_same_dist_05
+    FROM d, tot
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov over {b}-bin CDFs: D = max |F_a -
+    F_b| between the '{ea}' and '{eb}' value distributions, with the
+    alpha=0.05 decision D > c * sqrt((n+m)/nm) (c={c}, standard table;
+    sqrt is IEEE-correctly-rounded, not libm-approximated, so the
+    verdict is deterministic).  Binning makes D a max over exact-integer
+    CDF ratios — the at-scale KS (the exact test needs a global sort of
+    both samples; the binned D under-estimates by at most one bin's
+    mass, the standard trade).
+
+    Scale: one shared min/max pass, one (bin, type) count aggregate,
+    CDFs + max over the {b}-row bin table.  Drift-testing two 100 TB
+    cohorts costs two scans.
+    """.format(b=_KS_BINS, ea=_KS_A, eb=_KS_B, c=_KS_C05)
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isin(_KS_A, _KS_B))
+        .select("event_type", "value")
+    )
+    mm = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = v.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.least(
+            F.lit(_KS_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                * float(_KS_BINS)
+                / (F.col("mx") - F.col("mn"))
+            ),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = W.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cdf = counts.select(
+        "bin",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    )
+    d = (
+        cdf.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cuma") * 1.0 / F.col("na")
+                - F.col("cumb") * 1.0 / F.col("nb")
+            ).alias("diff")
+        )
+        .agg(F.max("diff").alias("ks_d"))
+    )
+    crit = F.lit(_KS_C05) * F.sqrt(
+        (F.col("na") + F.col("nb")) * 1.0 / (F.col("na") * F.col("nb"))
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.round("ks_d", 6).alias("ks_d"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("ks_d") > crit).alias("reject_same_dist_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve / Gini coefficient of revenue concentration — the
+# inequality statistic behind "top X% of customers drive Y% of revenue".
+# --------------------------------------------------------------------------
+_GINI_BINS = 256
+
+
+@query(
+    "stats_lorenz_gini",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM rev),
+    b AS (
+      SELECT least({_GINI_BINS - 1},
+                   CAST(((cents - mm.mn) * {_GINI_BINS})
+                        // (mm.mx - mm.mn + 1) AS BIGINT)) AS bin,
+             cents
+      FROM rev, mm),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM b GROUP BY bin),
+    cum AS (
+      SELECT bin, n, s,
+             CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cn,
+             CAST(sum(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cs
+      FROM bins),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts
+            FROM cum WHERE bin = (SELECT max(bin) FROM cum)
+            GROUP BY ()),
+    tt AS (SELECT max(cn) AS tn, max(cs) AS ts FROM cum),
+    -- trapezoid area under the binned Lorenz curve, x = pop share,
+    -- y = revenue share; all terms exact integers scaled by 2*tn*ts
+    area2 AS (
+      SELECT CAST(sum(n * (2 * cs - s)) AS BIGINT) AS a2 FROM cum)
+    SELECT (SELECT tn FROM tt) AS n_customers,
+           round((SELECT ts FROM tt) / 100.0, 2) AS total_revenue,
+           round(1.0 - CAST((SELECT a2 FROM area2) AS DOUBLE)
+                       / ((SELECT tn FROM tt) * 1.0
+                          * (SELECT ts FROM tt)), 6) AS gini
+    """,
+)
+def stats_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue from a {b}-bin Lorenz
+    curve: customers bucket by revenue (integer arithmetic), the Lorenz
+    curve is the cumulative (population share, revenue share) polyline
+    over ascending bins, and Gini = 1 - 2*AUC via the trapezoid rule —
+    the numerator sum(n_b * (2*cum_s_b - s_b)) stays an exact integer,
+    so both engines divide the same numbers.
+
+    Scale: per-customer revenue is one map-side-combinable aggregate;
+    the curve runs over the {b}-row bin table (the exact Gini needs a
+    global sort by revenue; binning bounds the error by one bin's
+    share).  Concentration analysis of a 100 TB ledger is two passes.
+    """.format(b=_GINI_BINS)
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    mm = rev.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    b = rev.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"least({_GINI_BINS - 1},"
+               f" ((cents - mn) * {_GINI_BINS}) div (mx - mn + 1))").alias("bin"),
+        "cents",
+    )
+    bins = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    w = W.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    tt = cum.agg(F.max("cn").alias("tn"), F.max("cs").alias("ts"))
+    area2 = cum.agg(F.sum(F.col("n") * (2 * F.col("cs") - F.col("s"))).alias("a2"))
+    return (
+        area2.crossJoin(F.broadcast(tt))
+        .select(
+            F.col("tn").alias("n_customers"),
+            F.round(F.col("ts") / 100.0, 2).alias("total_revenue"),
+            F.round(
+                1.0 - F.col("a2").cast("double") / (F.col("tn") * 1.0 * F.col("ts")),
+                6,
+            ).alias("gini"),
+        )
     )

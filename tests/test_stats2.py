@@ -82,3 +82,72 @@ def test_winsorized_shrinks_std(spark, sf_dir):
     assert r["p01"] <= r["p99"]
     assert r["std_wins"] <= r["std_raw"]
     assert r["p01"] <= r["mean_wins"] <= r["p99"]
+
+
+def test_ks_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        S2.stats_ks_two_sample(spark, sf_dir), duck,
+        ORACLES["stats_ks_two_sample"],
+    )
+
+
+def test_ks_python_replica(spark, sf_dir):
+    """Binned-CDF KS replicated in plain Python."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(S2._KS_A, S2._KS_B)
+        )
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = [(r["event_type"], r["value"]) for r in rows]
+    mn = min(v for _, v in vals)
+    mx = max(v for _, v in vals)
+    B = S2._KS_BINS
+    ca = [0] * B
+    cb = [0] * B
+    for t, v in vals:
+        b = min(B - 1, int((v - mn) * B / (mx - mn)))
+        (ca if t == S2._KS_A else cb)[b] += 1
+    na, nb = sum(ca), sum(cb)
+    d, xa, xb = 0.0, 0, 0
+    for i in range(B):
+        xa += ca[i]
+        xb += cb[i]
+        d = max(d, abs(xa / na - xb / nb))
+    got = S2.stats_ks_two_sample(spark, sf_dir).collect()[0]
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert abs(got["ks_d"] - round(d, 6)) < 1e-5
+
+
+def test_gini_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        S2.stats_lorenz_gini(spark, sf_dir), duck, ORACLES["stats_lorenz_gini"]
+    )
+
+
+def test_gini_bounds_and_exact_comparison(spark, sf_dir):
+    """Binned Gini must sit close to the exact (sorted) Gini and inside
+    [0, 1)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+        .collect()
+    )
+    xs = sorted(r["c"] for r in rows)
+    n, s = len(xs), sum(xs)
+    # exact Gini via the sorted formula
+    exact = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s) / (
+        n * s
+    )
+    got = S2.stats_lorenz_gini(spark, sf_dir).collect()[0]
+    assert got["n_customers"] == n
+    assert 0.0 <= got["gini"] < 1.0
+    assert abs(got["gini"] - exact) < 0.02  # within binning error
