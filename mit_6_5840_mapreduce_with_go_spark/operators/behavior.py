@@ -677,3 +677,117 @@ def events_pattern_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pattern_name", "n_matched", "n_sessions", "match_share")
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival: time-to-first-purchase (hours since a user's
+# first event), right-censored at the corpus end for users who never
+# purchase — the standard censored time-to-event estimator.  The
+# cumulative product folds over the BOUNDED hour table as a sequential
+# array fold — identical order in both engines, so the survival doubles
+# match bit-for-bit (a window-product via exp(sum(log)) would
+# reintroduce libm).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_kaplan_meier",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id),
+    horizon AS (SELECT max(ts) AS tend FROM events),
+    obs AS (
+      SELECT CASE WHEN tp IS NOT NULL
+                  THEN CAST(floor(date_diff('second', t0, tp) / 3600.0)
+                            AS BIGINT)
+                  ELSE CAST(floor(date_diff('second', t0, horizon.tend)
+                                  / 3600.0) AS BIGINT) END AS dur_h,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM firsts, horizon),
+    tallies AS (
+      SELECT dur_h AS h, CAST(count(*) AS BIGINT) AS n_here,
+             CAST(sum(converted) AS BIGINT) AS n_events
+      FROM obs GROUP BY dur_h),
+    risked AS (
+      SELECT h, n_here, n_events,
+             CAST(sum(n_here) OVER (ORDER BY h DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+      FROM tallies),
+    curve AS (
+      SELECT h, n_risk, n_events,
+             list_reduce(
+               list_prepend(CAST(1.0 AS DOUBLE),
+                 list_transform(
+                   (SELECT list(struct_pack(h := t2.h, n_risk := t2.n_risk,
+                                            n_events := t2.n_events)
+                            ORDER BY t2.h) FROM risked t2),
+                   x -> CASE WHEN x.h <= risked.h
+                             THEN 1.0 - CAST(x.n_events AS DOUBLE) / x.n_risk
+                             ELSE 1.0 END)),
+               (acc, f) -> acc * f) AS surv
+      FROM risked)
+    SELECT h AS hour, n_risk, n_events, round(surv, 6) AS survival
+    FROM curve WHERE n_events > 0
+    """,
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase: duration = hours from a
+    user's first event to their first 'purchase'; users who never
+    purchase are right-CENSORED at the corpus horizon (they leave the
+    risk set without counting as an event — dropping them instead would
+    bias conversion optimistically, which is the whole point of KM).
+    S(t) = prod_{h<=t} (1 - events_h / at_risk_h), computed as a
+    SEQUENTIAL fold over the sorted bounded hour table in both engines
+    (identical association order -> identical doubles; exp(sum(log))
+    would reintroduce libm ulp skew).
+
+    Scale: per-user firsts are one groupBy with min() partials; the
+    hour tally is bounded by the corpus span; the at-risk counts are a
+    reverse cumulative sum and the fold both run over that bounded
+    table, never the users.  Survival analysis of a 100 TB event log
+    costs two aggregates.  Output rows: the KM step hours."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    horizon = ev.agg(F.max("ts").alias("tend"))
+    dur = F.when(
+        F.col("tp").isNotNull(),
+        F.floor((F.unix_timestamp("tp") - F.unix_timestamp("t0")) / 3600.0),
+    ).otherwise(
+        F.floor((F.unix_timestamp("tend") - F.unix_timestamp("t0")) / 3600.0)
+    )
+    obs = firsts.crossJoin(F.broadcast(horizon)).select(
+        dur.cast("long").alias("dur_h"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    tallies = obs.groupBy(F.col("dur_h").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_here"), F.sum("converted").alias("n_events")
+    )
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("h").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    risked = tallies.withColumn("n_risk", F.sum("n_here").over(w))
+    factors = risked.agg(
+        F.array_sort(F.collect_list(F.struct("h", "n_risk", "n_events"))).alias(
+            "fs"
+        )
+    )
+    curve = risked.crossJoin(F.broadcast(factors)).withColumn(
+        "surv",
+        F.expr(
+            "aggregate(fs, CAST(1.0 AS DOUBLE),"
+            " (acc, x) -> acc * CASE WHEN x.h <= h"
+            " THEN 1.0 - CAST(x.n_events AS DOUBLE) / x.n_risk"
+            " ELSE 1.0 END)"
+        ),
+    )
+    return curve.filter(F.col("n_events") > 0).select(
+        F.col("h").alias("hour"),
+        "n_risk",
+        "n_events",
+        F.round("surv", 6).alias("survival"),
+    )

@@ -156,3 +156,64 @@ def test_pattern_sessions_python_replay(spark, sf_dir):
     for name, pat in B._SP_PATTERNS:
         want = sum(1 for s in strings if _re.search(pat, s))
         assert got[name] == (want, len(strings)), (name, got[name], want)
+
+
+def test_kaplan_meier_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.operators import behavior as B
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        B.events_kaplan_meier(spark, sf_dir), duck,
+        ORACLES["events_kaplan_meier"],
+    )
+
+
+def test_kaplan_meier_python_replica(spark, sf_dir):
+    """Replay the KM estimator in plain Python (lifelines-free)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators import behavior as B
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    t0, tp = {}, {}
+    tend = max(r["ts"] for r in rows)
+    for r in rows:
+        u = r["user_id"]
+        if u not in t0 or r["ts"] < t0[u]:
+            t0[u] = r["ts"]
+        if r["event_type"] == "purchase" and (u not in tp or r["ts"] < tp[u]):
+            tp[u] = r["ts"]
+    obs = []
+    for u, s in t0.items():
+        if u in tp:
+            obs.append((int((tp[u] - s).total_seconds() // 3600), 1))
+        else:
+            obs.append((int((tend - s).total_seconds() // 3600), 0))
+    from collections import Counter
+
+    here = Counter(h for h, _ in obs)
+    events = Counter(h for h, c in obs if c)
+    surv, want = 1.0, {}
+    at_risk = len(obs)
+    for h in sorted(here):
+        d = events.get(h, 0)
+        if d:
+            surv *= 1.0 - d / at_risk
+            want[h] = (at_risk, d, round(surv, 6))
+        at_risk -= here[h]
+    got = {
+        r["hour"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in B.events_kaplan_meier(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for h, (nr, ne, s) in want.items():
+        assert got[h][0] == nr and got[h][1] == ne
+        assert abs(got[h][2] - s) < 2e-6
+    # survival is non-increasing over the step hours
+    hs = sorted(got)
+    for a, b in zip(hs, hs[1:]):
+        assert got[b][2] <= got[a][2] + 1e-9
