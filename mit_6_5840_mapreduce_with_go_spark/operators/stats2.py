@@ -497,3 +497,105 @@ def stats_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval — THE distributed bootstrap
+# (resampling n rows with replacement needs global coordination; giving
+# every row an independent Poisson(1) weight per replica does not).
+# Weights here come from a deterministic hash so the driver can verify
+# the whole pipeline; swapping in true Poisson draws is one expression.
+# --------------------------------------------------------------------------
+_PB_B = 32  # bootstrap replicas
+_PB_A, _PB_C, _PB_D, _PB_P = 48271, 12345, 67891, 999983
+# integer-micro thresholds approximating Poisson(1) pmf:
+# P(0)=P(1)=0.367879, P(2)=0.183939, P(3)=rest (tail lumped)
+_PB_T0, _PB_T1, _PB_T2 = 367879, 735758, 919697
+
+
+@query(
+    "stats_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH v AS (SELECT o_orderkey AS k,
+                      CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+    reps AS (SELECT unnest(generate_series(0, {_PB_B - 1})) AS b),
+    wtd AS (
+      SELECT reps.b, v.c,
+             CASE WHEN u < {_PB_T0} THEN 0
+                  WHEN u < {_PB_T1} THEN 1
+                  WHEN u < {_PB_T2} THEN 2
+                  ELSE 3 END AS w
+      FROM v CROSS JOIN reps,
+           LATERAL (SELECT ({_PB_A} * (v.k % {_PB_P}) + {_PB_C} * reps.b
+                            + {_PB_D}) % {_PB_P} AS u) t),
+    means AS (
+      SELECT b,
+             CAST(sum(w * c) AS BIGINT) * 1.0
+               / (CAST(sum(w) AS BIGINT) * 100.0) AS mean_b
+      FROM wtd GROUP BY b),
+    full_m AS (
+      SELECT CAST(sum(c) AS BIGINT) * 1.0 / (count(*) * 100.0) AS est FROM v)
+    SELECT round((SELECT est FROM full_m), 4) AS estimate,
+           CAST(count(*) AS BIGINT) AS n_replicas,
+           round(quantile_disc(mean_b, 0.05), 4) AS ci_lo,
+           round(quantile_disc(mean_b, 0.95), 4) AS ci_hi
+    FROM means
+    """,
+)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% CI for the mean order total: every row gets
+    an independent pseudo-Poisson(1) weight per replica (hash-thresholded
+    into 0/1/2/3 — deterministic for the oracle; a production run swaps
+    in true Poisson draws, same plan), each of the {b} replicas reduces
+    to an exact integer-weighted mean, and the CI is the DISCRETE
+    p05/p95 of the replica means (order statistics — cont interpolation
+    would reintroduce the cross-engine ulp hazard).
+
+    Scale: this is why the Poisson bootstrap exists — classic resampling
+    needs to know n and coordinate draws; here each row independently
+    weights itself, so the whole bootstrap is ONE pass producing {b}
+    weighted partial aggregates (map-side combinable), no shuffles of
+    the data beyond the {b}-group reduce.  Bootstrap CIs over 100 TB
+    cost one scan.
+    """.format(b=_PB_B)
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    reps = spark.range(_PB_B).select(F.col("id").alias("b"))
+    u = (F.lit(_PB_A) * (F.col("k") % _PB_P) + F.lit(_PB_C) * F.col("b") + _PB_D) % _PB_P
+    w = (
+        F.when(u < _PB_T0, 0)
+        .when(u < _PB_T1, 1)
+        .when(u < _PB_T2, 2)
+        .otherwise(3)
+    )
+    means = (
+        v.crossJoin(F.broadcast(reps))
+        .select("b", "c", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("c")) * 1.0
+                / (F.sum("w") * 100.0)
+            ).alias("mean_b")
+        )
+    )
+    full_m = v.agg(
+        (F.sum("c") * 1.0 / (F.count(F.lit(1)) * 100.0)).alias("est")
+    )
+    return (
+        means.agg(
+            F.count(F.lit(1)).alias("n_replicas"),
+            F.expr("percentile_approx(mean_b, 0.05, 2147483647)").alias("lo"),
+            F.expr("percentile_approx(mean_b, 0.95, 2147483647)").alias("hi"),
+        )
+        .crossJoin(F.broadcast(full_m))
+        .select(
+            F.round("est", 4).alias("estimate"),
+            "n_replicas",
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+        )
+    )

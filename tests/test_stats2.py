@@ -151,3 +151,21 @@ def test_gini_bounds_and_exact_comparison(spark, sf_dir):
     assert got["n_customers"] == n
     assert 0.0 <= got["gini"] < 1.0
     assert abs(got["gini"] - exact) < 0.02  # within binning error
+
+
+def test_bootstrap_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        S2.stats_poisson_bootstrap_ci(spark, sf_dir), duck,
+        ORACLES["stats_poisson_bootstrap_ci"],
+    )
+
+
+def test_bootstrap_ci_contains_estimate(spark, sf_dir):
+    r = S2.stats_poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r["n_replicas"] == S2._PB_B
+    assert r["ci_lo"] <= r["ci_hi"]
+    # a 90% bootstrap CI on a mean should straddle the point estimate
+    assert r["ci_lo"] <= r["estimate"] <= r["ci_hi"]
+    # and be non-degenerate but not absurdly wide (CLT scale check)
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 0 < width < r["estimate"]
