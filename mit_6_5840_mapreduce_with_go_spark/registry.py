@@ -85,8 +85,10 @@ WINDOW_PRIORITY: list[str] = [
     # the third-session flagships eval_quality_auc / sim_mmr_rerank
     "eval_quality_auc",
     "sim_mmr_rerank",
-    # Scale-ops planning + incremental curation (round-2 session flagships)
-    "stats_key_skew_profile",
+    # Scale-ops planning + incremental curation; stats_key_skew_profile
+    # rotated out (plain TakeOrdered counts, mirror-checked) for the
+    # session-3 IVM flagship whose delta identity self-verifies in-row
+    "maintenance_ivm_join_view",
     "dedup_incremental_batch",
     # Timeseries / events
     "events_time_weighted_avg",
@@ -94,7 +96,9 @@ WINDOW_PRIORITY: list[str] = [
     # rate_anomaly rotated out (plain z-score arithmetic, mirror-checked)
     # for the session's tokenizer-training flagship:
     "vocab_bpe_merges",
-    "events_funnel_conversion",
+    # events_funnel_conversion rotated out (ordered conditional counts,
+    # mirror-checked) for the mergeable-sketch flagship:
+    "sketch_cms_sliding_counts",
     "asof_join_last_order_before_event",
     # the forward-asof twin rotated out (directional mirror of the row
     # above, mirror-checked) for the fixed-point PCA flagship:
