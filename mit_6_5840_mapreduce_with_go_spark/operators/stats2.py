@@ -599,3 +599,120 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hi", 4).alias("ci_hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences — the workhorse quasi-experimental estimator:
+# compare outcome changes across a cutoff between a treated and a
+# control cohort; the double difference cancels both group-level and
+# period-level confounds.
+# --------------------------------------------------------------------------
+_DID_CUT = "2024-01-16 00:00:00"
+_DID_TREAT_FIRST = "error"  # treated: users whose first event is an error
+
+
+@query(
+    "stats_diff_in_diff",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, event_type AS first_type FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1),
+    x AS (
+      SELECT CASE WHEN f.first_type = '{_DID_TREAT_FIRST}'
+                  THEN 1 ELSE 0 END AS treated,
+             CASE WHEN e.ts >= TIMESTAMP '{_DID_CUT}' THEN 1 ELSE 0 END
+               AS post,
+             CAST(floor(e.value * 1000000) AS BIGINT) AS vm
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.value IS NOT NULL),
+    cells AS (
+      SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS s
+      FROM x GROUP BY treated, post),
+    m AS (
+      SELECT
+        (SELECT CAST(s AS DOUBLE) / n / 1000000.0 FROM cells
+         WHERE treated = 1 AND post = 0) AS t_pre,
+        (SELECT CAST(s AS DOUBLE) / n / 1000000.0 FROM cells
+         WHERE treated = 1 AND post = 1) AS t_post,
+        (SELECT CAST(s AS DOUBLE) / n / 1000000.0 FROM cells
+         WHERE treated = 0 AND post = 0) AS c_pre,
+        (SELECT CAST(s AS DOUBLE) / n / 1000000.0 FROM cells
+         WHERE treated = 0 AND post = 1) AS c_post,
+        (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS n_obs)
+    SELECT round(t_pre, 6) AS treated_pre, round(t_post, 6) AS treated_post,
+           round(c_pre, 6) AS control_pre, round(c_post, 6) AS control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate,
+           n_obs
+    FROM m
+    """,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on event values: treated = users whose
+    FIRST event (by ts, event_id — deterministic) is an
+    '{t}'; periods split at {c}.  DiD = (treated_post - treated_pre) -
+    (control_post - control_pre) — the parallel-trends double
+    difference.  All four cell means are exact-integer-micro sums over
+    exact counts, so the estimate is identical cross-engine.
+
+    Scale: cohort assignment is one arg-min groupBy (struct-min
+    hash-agg, no window); the 2x2 cell table is a map-side-combinable
+    aggregate over the joined stream (user cohort broadcast if small,
+    shuffle-joined otherwise).  Causal dashboards over 100 TB = two
+    aggregates.
+    """.format(t=_DID_TREAT_FIRST, c=_DID_CUT)
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct("ts", "event_id", F.col("event_type").alias("t"))
+            ).alias("b")
+        )
+        .select("user_id", F.col("b.t").alias("first_type"))
+    )
+    x = (
+        ev.filter(F.col("value").isNotNull())
+        .join(firsts, "user_id")
+        .select(
+            F.when(F.col("first_type") == _DID_TREAT_FIRST, 1)
+            .otherwise(0)
+            .alias("treated"),
+            F.when(
+                F.col("ts") >= F.lit(_DID_CUT).cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+        )
+    )
+    cells = x.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vm").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n") / 1_000_000.0
+    # collect the 2x2 cells via conditional aggregation in one pass
+    agg = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p), mean
+                )
+            ).alias(f"m_{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        F.sum("n").alias("n_obs"),
+    )
+    return agg.select(
+        F.round(F.col("m_10"), 6).alias("treated_pre"),
+        F.round(F.col("m_11"), 6).alias("treated_post"),
+        F.round(F.col("m_00"), 6).alias("control_pre"),
+        F.round(F.col("m_01"), 6).alias("control_post"),
+        F.round(
+            (F.col("m_11") - F.col("m_10")) - (F.col("m_01") - F.col("m_00")), 6
+        ).alias("did_estimate"),
+        "n_obs",
+    )

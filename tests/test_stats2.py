@@ -169,3 +169,41 @@ def test_bootstrap_ci_contains_estimate(spark, sf_dir):
     # and be non-degenerate but not absurdly wide (CLT scale check)
     width = r["ci_hi"] - r["ci_lo"]
     assert 0 < width < r["estimate"]
+
+
+def test_did_matches_oracle(spark, sf_dir, duck):
+    assert_df_matches_oracle(
+        S2.stats_diff_in_diff(spark, sf_dir), duck,
+        ORACLES["stats_diff_in_diff"],
+    )
+
+
+def test_did_python_replica(spark, sf_dir):
+    from datetime import datetime
+
+    rows = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    first = {}
+    for r in rows:
+        first.setdefault(r["user_id"], r["event_type"])
+    cut = datetime.fromisoformat(S2._DID_CUT)
+    cells = {}
+    for r in rows:
+        if r["value"] is None:
+            continue
+        t = int(first[r["user_id"]] == S2._DID_TREAT_FIRST)
+        p = int(r["ts"] >= cut)
+        c = cells.setdefault((t, p), [0, 0])
+        c[0] += 1
+        c[1] += int(r["value"] * 1_000_000 // 1)
+    import math
+
+    m = {k: v[1] / v[0] / 1e6 for k, v in cells.items()}
+    want = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    got = S2.stats_diff_in_diff(spark, sf_dir).collect()[0]
+    assert abs(got["did_estimate"] - round(want, 6)) < 2e-5
+    assert got["n_obs"] == sum(v[0] for v in cells.values())
