@@ -116,3 +116,30 @@ def cms_counter_stream(events: DataFrame) -> DataFrame:
             "c",
         )
     )
+
+
+def hll_register_stream(events: DataFrame) -> DataFrame:
+    """Per-hour HLL register grid from the event stream: tumbling
+    1-hour window + (bucket) groupBy taking MAX(rho) — the max-merge
+    twin of cms_counter_stream; downstream sliding unions merge the
+    emitted grids under element-wise max exactly as the batch op does.
+    State per in-flight hour is the m-register grid, bounded however
+    many events arrive."""
+    from ..operators.sketches2 import _HLL_M, _hll_hash, _hll_rho_spark
+
+    hexpr = _hll_hash("user_id")
+    hashed = events.select(
+        "ts",
+        F.expr(f"{hexpr} % {_HLL_M}").alias("bucket"),
+        F.expr(_hll_rho_spark(hexpr)).alias("rho"),
+    )
+    return (
+        hashed.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "bucket",
+            "r",
+        )
+    )

@@ -208,3 +208,51 @@ def test_cms_counter_stream_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_hll_register_stream_equals_batch(spark, sf_dir):
+    """The streaming HLL register grid must equal the batch hourly grid
+    (max-merge sketches build identically in either mode)."""
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.sketches2 import (
+        _HLL_M,
+        _hll_hash,
+        _hll_rho_spark,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from mit_6_5840_mapreduce_with_go_spark.streaming.sketch_state import (
+        hll_register_stream,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+    )
+
+    q = run_to_memory(
+        hll_register_stream(stream_events(spark, sf_dir)), "t_hll_grid", "complete"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["hour"], r["bucket"]): r["r"]
+            for r in spark.table("t_hll_grid").collect()
+        }
+    finally:
+        q.stop()
+    hexpr = _hll_hash("user_id")
+    want = {
+        (r["hour"], r["bucket"]): r["r"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            F.expr(f"{hexpr} % {_HLL_M}").alias("bucket"),
+            F.expr(_hll_rho_spark(hexpr)).alias("rho"),
+        )
+        .groupBy("hour", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .collect()
+    }
+    assert got == want
