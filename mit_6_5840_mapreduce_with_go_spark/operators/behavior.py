@@ -522,7 +522,11 @@ def behavior_journey_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     grams = (
-        seq.select(
+        # journeys shorter than 3 events have no trigrams; without the
+        # filter, sequence(1, size-2) COUNTS DOWN for size < 3 and emits
+        # null grams the oracle never produces
+        seq.filter(F.expr("size(s) >= 3"))
+        .select(
             "user_id",
             F.explode(
                 F.expr(

@@ -49,6 +49,7 @@ def _hashes(key: str) -> list[str]:
       FROM bits GROUP BY 1, 2),
     probe AS (SELECT c_custkey AS key FROM customer
               WHERE c_custkey < {_BL_PROBE}),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM probe),
     phits AS (
       SELECT w.pmonth, p.key,
              CAST(count(*) AS BIGINT) AS nbits
@@ -68,8 +69,9 @@ def _hashes(key: str) -> list[str]:
       GROUP BY 1)
     SELECT pmonth, n_maybe, n_present,
            CAST(n_maybe - n_present AS BIGINT) AS n_false_positive,
-           round((n_maybe - n_present) * 1.0 / {_BL_PROBE}, 6) AS fp_rate
-    FROM verdicts
+           round((n_maybe - n_present) * 1.0
+                 / nullif(np.n_probe - n_present, 0), 6) AS fp_rate
+    FROM verdicts, np
     """,
 )
 def sketch_bloom_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,12 +139,18 @@ def sketch_bloom_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("present").alias("n_present"),
         )
     )
-    return verdicts.select(
+    n_probe = probe.agg(F.count(F.lit(1)).alias("n_probe"))
+    return verdicts.crossJoin(F.broadcast(n_probe)).select(
         "pmonth",
         "n_maybe",
         "n_present",
         (F.col("n_maybe") - F.col("n_present")).alias("n_false_positive"),
+        # FP rate over the keys that are actually ABSENT from the
+        # partition (probed minus present) — dividing by the raw probe
+        # count would understate the filter's false-positive behavior
         F.round(
-            (F.col("n_maybe") - F.col("n_present")) * 1.0 / _BL_PROBE, 6
+            (F.col("n_maybe") - F.col("n_present")) * 1.0
+            / F.nullif(F.col("n_probe") - F.col("n_present"), F.lit(0)),
+            6,
         ).alias("fp_rate"),
     )

@@ -497,6 +497,34 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MULT = 2.0  # edge threshold: pair weight >= 2x the mean pair weight
 
 
+
+def coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared co-activity edge derivation (triangle census, k-hop BFS,
+    and LPA in graphs2.py all run on THIS graph): users are linked when
+    they co-occur in the same (hour, event_type) slot at >= _TRI_MULT x
+    the mean pair rate.  Undirected, u < v, one row per edge."""
+    ev = load_table(spark, sf_dir, "events")
+    slots = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+    ).distinct()
+    a = slots.select(F.col("user_id").alias("u"), "h", "event_type")
+    b = slots.select(F.col("user_id").alias("v"), "h", "event_type")
+    pairs = (
+        a.join(b, ["h", "event_type"])
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = pairs.agg(F.sum("w").alias("sw"), F.count(F.lit(1)).alias("c"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") >= _TRI_MULT * F.col("sw") / F.col("c"))
+        .select("u", "v")
+    )
+
+
 @query(
     "graph_triangle_census",
     oracle=f"""
@@ -543,28 +571,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded ratio.  Reference parity: triangle counting is the canonical
     'beyond wordcount' MapReduce workload the reference's engine family
     was built for."""
-    ev = load_table(spark, sf_dir, "events")
-    slots = ev.select(
-        "user_id",
-        F.date_trunc("hour", F.col("ts")).alias("h"),
-        "event_type",
-    ).distinct()
-    a = slots.select(F.col("user_id").alias("u"), "h", "event_type")
-    b = slots.select(F.col("user_id").alias("v"), "h", "event_type")
-    pairs = (
-        a.join(b, ["h", "event_type"])
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tot = pairs.agg(
-        F.sum("w").alias("sw"), F.count(F.lit(1)).alias("c")
-    )
-    e = (
-        pairs.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") >= _TRI_MULT * F.col("sw") / F.col("c"))
-        .select("u", "v")
-    )
+    e = coactivity_edges(spark, sf_dir)
     e.persist()
     deg = (
         e.select(F.col("u").alias("x"))
@@ -665,29 +672,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization beyond the (already threshold-pruned) edge list.
     All counts exact integers. Same unrolled-iteration pattern as
     k-means/PageRank (fixed k, no driver loop state)."""
-    ev = load_table(spark, sf_dir, "events")
-    slots = ev.select(
-        "user_id",
-        F.date_trunc("hour", F.col("ts")).alias("h"),
-        "event_type",
-    ).distinct()
-    a = slots.select(F.col("user_id").alias("u"), "h", "event_type")
-    b = slots.select(F.col("user_id").alias("v"), "h", "event_type")
-    pairs = (
-        a.join(b, ["h", "event_type"])
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tot = pairs.agg(
-        F.sum("w").cast("bigint").alias("sw"),
-        F.count(F.lit(1)).cast("bigint").alias("c"),
-    )
-    e = (
-        pairs.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") >= _TRI_MULT * F.col("sw") / F.col("c"))
-        .select("u", "v")
-    )
+    e = coactivity_edges(spark, sf_dir)
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()

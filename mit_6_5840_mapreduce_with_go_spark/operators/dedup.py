@@ -42,9 +42,15 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
         .select(
             "doc_id",
             F.array_distinct(
+                # docs shorter than n tokens have NO shingles (a bare
+                # greatest(...) floor would emit one PARTIAL shingle the
+                # SQL oracles' generate_series(1, len - n + 1) never
+                # produces — latent cross-engine divergence on short docs)
                 F.expr(
-                    f"transform(sequence(0, greatest(size(toks) - {n}, 0)),"
-                    f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                    f"CASE WHEN size(toks) < {n}"
+                    f" THEN CAST(array() AS ARRAY<STRING>)"
+                    f" ELSE transform(sequence(0, size(toks) - {n}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {n}))) END"
                 )
             ).alias("shingles"),
         )

@@ -300,7 +300,7 @@ _CF_ALPHA = 0.9  # target coverage
       FROM ev e JOIN mu ON mu.event_type = e.event_type
       WHERE e.ts <= TIMESTAMP '{_CF_SPLIT}'),
     q AS (
-      SELECT event_type, quantile_cont(score, {_CF_ALPHA}) AS qhat
+      SELECT event_type, quantile_disc(score, {_CF_ALPHA}) AS qhat
       FROM scores GROUP BY event_type),
     test AS (
       SELECT e.event_type,
@@ -322,8 +322,9 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal interval check: the "model" is the per-type
     pre-split mean (integer-micro sums, one exact double division);
     nonconformity = |value - mean|; the calibration quantile q_alpha
-    ({a}) comes from pre-split scores (exact percentile — both engines
-    share the (n-1)p definition); post-split events count as covered
+    ({a}) comes from pre-split scores as a DISCRETE order statistic
+    (an interpolated percentile differs by an ulp across engines and
+    this is a comparison threshold); post-split events count as covered
     when their nonconformity is <= q_alpha.  Coverage near {a} is the
     distribution-free guarantee; the per-type report is the conformal
     calibration table a forecasting pipeline ships.
@@ -358,8 +359,11 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # DISCRETE order statistic, not the interpolated percentile: cont
+    # interpolation differs by an ulp across engines and this value is a
+    # <= decision threshold (the winsorize clamp lesson)
     q = scores.groupBy("event_type").agg(
-        F.expr(f"percentile(score, {_CF_ALPHA})").alias("qhat")
+        F.expr(f"percentile_approx(score, {_CF_ALPHA}, 2147483647)").alias("qhat")
     )
     test = (
         ev.filter(F.col("ts") > split)

@@ -49,28 +49,13 @@ _LPA_STEP_DUCK = """
 
 
 def _coactivity_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized co-activity edge list, same derivation as the
-    triangle census (clusters.py): users co-occurring in an (hour,
-    event_type) slot at >= 2x the mean pair rate."""
-    ev = load_table(spark, sf_dir, "events")
-    slots = ev.select(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
-    ).distinct()
-    a = slots.select(F.col("user_id").alias("u"), "h", "event_type")
-    b = slots.select(F.col("user_id").alias("v"), "h", "event_type")
-    pairs = (
-        a.join(b, ["h", "event_type"])
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tot = pairs.agg(F.sum("w").alias("sw"), F.count(F.lit(1)).alias("c"))
-    e = (
-        pairs.crossJoin(F.broadcast(tot))
-        .filter(F.col("w") >= _TRI_MULT * F.col("sw") / F.col("c"))
-        .select("u", "v")
-    )
-    return e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    """Symmetrized co-activity edge list — the SHARED derivation
+    exported by clusters.py (one definition for the triangle census,
+    k-hop BFS, and LPA)."""
+    from .clusters import coactivity_edges
+
+    e = coactivity_edges(spark, sf_dir)
+    return e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 @query(

@@ -186,13 +186,9 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     a self-join of the (tiny) frequent-pair list.  Exact-integer
     support ratios.
     """.format(ms=_FT_MIN_SUPPORT)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-    ).persist()
+    from .market import brand_baskets
+
+    baskets = brand_baskets(spark, sf_dir).persist()
     n = baskets.agg(F.countDistinct("okey").alias("n_orders"))
     a = baskets.select(F.col("okey"), F.col("brand").alias("b1"))
     b = baskets.select(F.col("okey"), F.col("brand").alias("b2"))

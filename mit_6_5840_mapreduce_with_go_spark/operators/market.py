@@ -23,6 +23,20 @@ _AR_MIN_SUPPORT = 0.01  # pair support floor (fraction of orders)
 _MK_SPLIT = "2024-01-16 00:00:00"  # temporal train/test boundary
 
 
+
+def brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order distinct brand baskets — the shared input of the
+    association rules here and the apriori triples in ivm.py (one
+    definition so the downward-closure invariant holds across ops)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+
+
 @query(
     "basket_association_rules",
     oracle=f"""
@@ -67,13 +81,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey this is exchange-free; a degenerate giant basket would be
     capped the way LSH bucket sizes are (dedup.py MAX_BUCKET).
     """.format(ms=_AR_MIN_SUPPORT)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
+    baskets = brand_baskets(spark, sf_dir)
     n = baskets.agg(F.countDistinct("okey").alias("n_orders"))
     item = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n_item"))
     a = baskets.select(F.col("okey"), F.col("brand").alias("brand_a"))

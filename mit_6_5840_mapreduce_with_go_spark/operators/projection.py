@@ -140,7 +140,13 @@ _EP_CHK = 1_000_000_007
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(order_key) AS BIGINT) AS min_key,
            CAST(max(order_key) AS BIGINT) AS max_key,
-           CAST(sum(pos * doc_id) % {_EP_CHK} AS BIGINT) AS order_checksum
+           -- terms reduced mod p BEFORE the sum, sum in exact decimal:
+           -- a bare int64 sum of pos*doc_id wraps at scale in Spark
+           -- while DuckDB promotes to HUGEINT
+           CAST(CAST(sum(CAST((pos % {_EP_CHK}) * (doc_id % {_EP_CHK})
+                              % {_EP_CHK} AS DECIMAL(38,0)))
+                     AS DECIMAL(38,0)) % {_EP_CHK} AS BIGINT)
+             AS order_checksum
     FROM sharded GROUP BY shard
     """,
 )
@@ -169,11 +175,17 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = keyed.withColumn("shard", F.col("order_key") % _EP_SHARDS)
     w = W.partitionBy("shard").orderBy("order_key", "doc_id")
     pos = sharded.withColumn("pos", F.row_number().over(w))
+    # reduce each term mod p (bounded < p^2 ~ 1e18, inside int64), then
+    # sum in exact DECIMAL so the aggregate can never wrap — the same
+    # reduce-residues-first discipline as the split hash
+    term = (
+        (F.col("pos") % _EP_CHK) * (F.col("doc_id") % _EP_CHK) % _EP_CHK
+    ).cast("decimal(38,0)")
     return pos.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("order_key").alias("min_key"),
         F.max("order_key").alias("max_key"),
-        (F.sum(F.col("pos") * F.col("doc_id")) % _EP_CHK).alias("order_checksum"),
+        (F.sum(term) % _EP_CHK).cast("long").alias("order_checksum"),
     )
 
 

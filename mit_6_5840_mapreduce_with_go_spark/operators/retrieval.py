@@ -345,7 +345,7 @@ _MMR_NQ = 5  # queries: vec_id < 5
 _MMR_CANDS = 10  # relevance top-10 candidates enter the re-ranker
 _MMR_LAMBDA = 0.7  # relevance weight; (1 - lambda) penalizes redundancy
 
-_MMR_DUCK_COS = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+from .similarity import DUCK_COS as _MMR_DUCK_COS  # one cosine macro, not a drifting copy
 
 
 @query(

@@ -238,13 +238,16 @@ def sketch_cms_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
     )
-    raw = (
-        ev.select("h", F.lit(0).alias("r"), F.expr(_cms_idx(0, "user_id")).alias("idx"))
-        .unionAll(
-            ev.select(
-                "h", F.lit(1).alias("r"), F.expr(_cms_idx(1, "user_id")).alias("idx")
-            )
+    from functools import reduce
+
+    row_dfs = [
+        ev.select(
+            "h", F.lit(r).alias("r"), F.expr(_cms_idx(r, "user_id")).alias("idx")
         )
+        for r in range(_CMS_D)
+    ]
+    raw = (
+        reduce(lambda a, b: a.unionAll(b), row_dfs)
         .groupBy("h", "r", "idx")
         .agg(F.count(F.lit(1)).alias("c"))
     )

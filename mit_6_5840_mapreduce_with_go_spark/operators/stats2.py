@@ -18,10 +18,6 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import load_table
 
-_CHI2_CRIT_95_DOF = {  # chi-square 95th percentile by dof (public table)
-    76: 97.35,  # (5-1)(20-1) for the lang x source grid
-}
-
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -50,7 +46,9 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     SELECT round(chi2_micro / 1000000.0, 4) AS chi2,
            CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
            n_cells,
-           chi2_micro / 1000000.0 > 97.35 AS reject_independence_95
+           CASE WHEN (nr - 1) * (nc - 1) = 76
+                THEN chi2_micro / 1000000.0 > 97.35 END
+             AS reject_independence_95_dof76
     FROM agg, dims
     """,
 )
@@ -58,7 +56,9 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence for the (lang, source)
     contingency table: chi2 = sum (O-E)^2/E with E = row*col/N, compared
     against the 95th-percentile critical value for dof=(R-1)(C-1)=76
-    (97.35, standard table).  Per-cell contributions are identical
+    (97.35, standard table; the verdict column is NULL if the data's
+    cardinalities ever make dof differ from 76 — better than a silently
+    wrong comparison).  Per-cell contributions are identical
     doubles in both engines (exact-integer inputs, same IEEE ops) and
     are floor-quantized to micros before the SUM, so the statistic is
     association-order-free.  No p-value: that needs the incomplete
@@ -99,9 +99,13 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("chi2_micro") / 1_000_000.0, 4).alias("chi2"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
         "n_cells",
-        (F.col("chi2_micro") / 1_000_000.0 > 97.35).alias(
-            "reject_independence_95"
-        ),
+        # the 97.35 critical value is the 95th percentile for dof=76
+        # (the (5 langs - 1) x (20 sources - 1) grid); NULL rather than a
+        # wrong verdict if the data's cardinalities ever change
+        F.when(
+            (F.col("nr") - 1) * (F.col("nc") - 1) == 76,
+            F.col("chi2_micro") / 1_000_000.0 > 97.35,
+        ).alias("reject_independence_95_dof76"),
     )
 
 
@@ -428,9 +432,6 @@ _GINI_BINS = 256
              CAST(sum(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
                   AS BIGINT) AS cs
       FROM bins),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts
-            FROM cum WHERE bin = (SELECT max(bin) FROM cum)
-            GROUP BY ()),
     tt AS (SELECT max(cn) AS tn, max(cs) AS ts FROM cum),
     -- trapezoid area under the binned Lorenz curve, x = pop share,
     -- y = revenue share; all terms exact integers scaled by 2*tn*ts

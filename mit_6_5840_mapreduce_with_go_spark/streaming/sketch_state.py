@@ -98,13 +98,15 @@ def cms_counter_stream(events: DataFrame) -> DataFrame:
     which is the linear-sketch property doing the work."""
     from ..operators.sketches2 import _CMS_D, _cms_idx
 
+    from functools import reduce
+
     rows = [
         events.select(
             "ts", F.lit(r).alias("r"), F.expr(_cms_idx(r, "user_id")).alias("idx")
         )
         for r in range(_CMS_D)
     ]
-    union = rows[0].unionAll(rows[1])
+    union = reduce(lambda a, b: a.unionAll(b), rows)
     return (
         union.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("win"), "r", "idx")

@@ -91,3 +91,19 @@ def test_minhash_pr_eval_consistent(spark, sf_dir):
     assert abs(r["precision_"] - r["n_hits"] / max(r["n_candidates"], 1)) < 1e-3
     assert abs(r["recall_"] - r["n_hits"] / max(r["n_truth"], 1)) < 1e-3
     assert r["recall_"] >= 0.9
+
+
+def test_shingles_empty_for_short_docs(spark):
+    """Docs with fewer than n tokens must produce ZERO shingles (the SQL
+    oracles' generate_series construction yields none) — not a partial
+    shingle."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.dedup import _shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one"), (3, "a b c"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["n_shingles"], r["shingles"]) for r in _shingles(df).collect()}
+    assert rows[1][0] == 0 and rows[2][0] == 0
+    assert rows[3] == (1, ["a b c"])
+    assert rows[4][0] == 2

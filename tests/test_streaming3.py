@@ -201,8 +201,7 @@ def test_cms_counter_stream_equals_batch(spark, sf_dir):
     ]
     want = {
         (r["hour"], r["r"], r["idx"]): r["c"]
-        for r in rows[0]
-        .unionAll(rows[1])
+        for r in __import__("functools").reduce(lambda a, b: a.unionAll(b), rows)
         .groupBy("hour", "r", "idx")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
