@@ -1129,3 +1129,107 @@ def sim_ivf_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             > _IVF_GROW_MULT * F.col("n_total")
         ).alias("needs_split"),
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka prefix-dimension retrieval eval (Kusupati et al. 2022,
+# arXiv:2205.13147, public): score ANN quality using only the first k
+# dimensions of each embedding — the storage/latency knob modern
+# embedding models expose.  Recall@k per prefix length vs the full-dim
+# exact ranking.
+# --------------------------------------------------------------------------
+_MAT_PREFIXES = [8, 16, 32]
+
+
+def _mat_topk_cte(k: int) -> str:
+    sliced = f"CAST(embedding[1:{k}] AS DOUBLE[])"
+    return f"""
+    p{k} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                          c.neighbor_id) AS INTEGER) AS rank
+        FROM (SELECT vec_id AS query_id, {sliced} AS qv FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        JOIN (SELECT vec_id AS neighbor_id, {sliced} AS cv
+              FROM embeddings) c
+          ON query_id <> neighbor_id)
+      WHERE rank <= {TOP_K})"""
+
+
+@query(
+    "sim_matryoshka_prefix_recall",
+    oracle=f"""
+    WITH {_BF_TOPK_CTE.strip()},
+    {",".join(_mat_topk_cte(k).strip() for k in _MAT_PREFIXES)}
+    SELECT k, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(hit) AS BIGINT) AS n_hit,
+           round(count(hit) * 1.0 / count(*), 4) AS recall
+    FROM (
+      {" UNION ALL ".join(
+        f'''SELECT {k} AS k, bf.query_id, bf.neighbor_id, p.neighbor_id AS hit
+        FROM bf LEFT JOIN p{k} p ON p.query_id = bf.query_id
+                                AND p.neighbor_id = bf.neighbor_id'''
+        for k in _MAT_PREFIXES)})
+    GROUP BY k
+    """,
+)
+def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension eval: re-rank with only the
+    first k of 64 dims (k in {ks}) and measure recall@{t} against the
+    full-dimension exact top-{t}.  The dimension-budget/recall curve
+    tells a vector store how far it can truncate stored embeddings —
+    an 8x storage cut is free if recall holds.
+
+    Scale: each prefix ranking reuses the brute-force plan with SLICED
+    arrays (the slice happens in the scan projection — shorter folds,
+    proportionally cheaper dot products); the grading joins touch
+    k x queries rows.  At 100 TB the prefix rankings would run against
+    a truncated copy of the index — same plan, smaller table.
+    """.format(ks=_MAT_PREFIXES, t=TOP_K)
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    outs = []
+    for k in _MAT_PREFIXES:
+        emb = load_table(spark, sf_dir, "embeddings", fan_out=True).select(
+            "vec_id", F.slice("embedding", 1, k).alias("pv")
+        ).withColumn("pn", norm(F.col("pv")))
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("pv").alias("qv"),
+            F.col("pn").alias("qn"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("pv").alias("cv"),
+            F.col("pn").alias("cn"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cos_p",
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cos_p").desc(), F.col("neighbor_id")
+        )
+        pk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+        outs.append(
+            bf.join(pk, ["query_id", "neighbor_id"], "left").select(
+                F.lit(k).alias("k"), "hit"
+            )
+        )
+    allk = outs[0]
+    for df in outs[1:]:
+        allk = allk.unionAll(df)
+    return allk.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hit"),
+        F.round(F.count("hit") * 1.0 / F.count(F.lit(1)), 4).alias("recall"),
+    )

@@ -275,3 +275,26 @@ def test_ivf_incremental_equals_full_rebuild(spark, sf_dir):
         )
         if r["n_new"] > 0:
             assert r["first_new_id"] >= S._IVF_BATCH_FROM
+
+
+def test_matryoshka_matches_oracle(spark, sf_dir, duck):
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+    from conftest import assert_df_matches_oracle
+
+    assert_df_matches_oracle(
+        S.sim_matryoshka_prefix_recall(spark, sf_dir), duck,
+        ORACLES["sim_matryoshka_prefix_recall"],
+    )
+
+
+def test_matryoshka_recall_monotone_in_dims(spark, sf_dir):
+    """More prefix dimensions must not hurt recall much: demand the
+    longest prefix beats the shortest (random projections of random
+    data: recall grows with k), and all recalls are valid fractions."""
+    rows = {r["k"]: r for r in S.sim_matryoshka_prefix_recall(spark, sf_dir).collect()}
+    ks = sorted(rows)
+    assert ks == sorted(S._MAT_PREFIXES)
+    for r in rows.values():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_hit"] <= r["n_exact"]
+    assert rows[ks[-1]]["recall"] >= rows[ks[0]]["recall"]
