@@ -733,7 +733,9 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN (SELECT * FROM ranked WHERE rn = 2) n ON n.vec_id = o.vec_id),
     s AS (
       SELECT cid,
-             CAST(floor((b - a) / greatest(a, b) * 1000000) AS BIGINT)
+             CASE WHEN greatest(a, b) <= 0 THEN 0
+                  ELSE CAST(floor((b - a) / greatest(a, b) * 1000000)
+                            AS BIGINT) END
                AS s_micro
       FROM ab)
     SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
@@ -806,9 +808,20 @@ def cluster_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame
         (1.0 - F.col("b1.sim")).alias("a"),
         (1.0 - F.col("b2.sim")).alias("b"),
     )
-    s_micro = F.floor(
-        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")) * 1_000_000
-    ).cast("long")
+    # s = 0 when max(a, b) = 0 (point at cosine 1.0 to both centroids) —
+    # the scikit-learn convention; an unguarded 0/0 would NaN-poison the
+    # cluster mean in both engines.
+    s_micro = (
+        F.when(F.greatest(F.col("a"), F.col("b")) <= 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col("b") - F.col("a"))
+                / F.greatest(F.col("a"), F.col("b"))
+                * 1_000_000
+            )
+        )
+        .cast("long")
+    )
     return (
         ab.select("cid", s_micro.alias("sm"))
         .groupBy("cid")

@@ -188,7 +188,11 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(ms=_FT_MIN_SUPPORT)
     from .market import brand_baskets
 
-    baskets = brand_baskets(spark, sf_dir).persist()
+    # no persist: the baskets lineage is cheap to recompute and a query
+    # function returns a lazy plan — a persist here would pin cached
+    # blocks for the whole session during full-registry sweeps (230
+    # queries share one SparkSession) with no one to unpersist them.
+    baskets = brand_baskets(spark, sf_dir)
     n = baskets.agg(F.countDistinct("okey").alias("n_orders"))
     a = baskets.select(F.col("okey"), F.col("brand").alias("b1"))
     b = baskets.select(F.col("okey"), F.col("brand").alias("b2"))

@@ -26,7 +26,8 @@ _QH_PS = [0.5, 0.9, 0.99]
                   CAST(count(*) AS BIGINT) AS n FROM v),
     b AS (SELECT least({_QH_BINS - 1},
                        CAST(floor((x - mm.mn) * {_QH_BINS}.0
-                                  / (mm.mx - mm.mn)) AS BIGINT)) AS bin
+                                  / greatest(mm.mx - mm.mn, 1e-12))
+                            AS BIGINT)) AS bin
           FROM v, mm),
     bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
              FROM b GROUP BY bin),
@@ -84,7 +85,13 @@ def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.lit(_QH_BINS - 1),
             F.floor(
-                (F.col("x") - F.col("mn")) * float(_QH_BINS) / (F.col("mx") - F.col("mn"))
+                (F.col("x") - F.col("mn"))
+                * float(_QH_BINS)
+                # greatest(span, eps): a constant column (mx == mn) would
+                # make every bin NULL/Inf; with the guard all rows land in
+                # bin 0 and the estimate degenerates to mn — defined, and
+                # identical in both engines.
+                / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-12))
             ).cast("long"),
         ).alias("bin")
     )

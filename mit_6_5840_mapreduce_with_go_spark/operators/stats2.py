@@ -301,7 +301,8 @@ _KS_C05 = 1.358
       SELECT event_type,
              least({_KS_BINS - 1},
                    CAST(floor((value - mm.mn) * {_KS_BINS}.0
-                              / (mm.mx - mm.mn)) AS BIGINT)) AS bin
+                              / greatest(mm.mx - mm.mn, 1e-12))
+                        AS BIGINT)) AS bin
       FROM v, mm),
     counts AS (
       SELECT bin,
@@ -359,7 +360,9 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 (F.col("value") - F.col("mn"))
                 * float(_KS_BINS)
-                / (F.col("mx") - F.col("mn"))
+                # guarded span: an all-equal value column yields bin 0 for
+                # every row (D = 0) instead of NULL/Inf bins
+                / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-12))
             ),
         )
         .cast("long")

@@ -207,3 +207,54 @@ def test_did_python_replica(spark, sf_dir):
     got = S2.stats_diff_in_diff(spark, sf_dir).collect()[0]
     assert abs(got["did_estimate"] - round(want, 6)) < 2e-5
     assert got["n_obs"] == sum(v[0] for v in cells.values())
+
+
+def test_percentile_approx_matches_quantile_disc_convention(spark, duck):
+    """stats_winsorized_moments / stats_poisson_bootstrap_ci /
+    eval_conformal_coverage assume Spark `percentile_approx(c, p,
+    2147483647)` picks the SAME order statistic as DuckDB
+    `quantile_disc(c, p)`.  That rank-convention equality is not a
+    documented identity of either engine, so pin it with a property
+    sweep: many group sizes (1..~400, odd/even, with ties), several
+    fractions, exact integer values — any off-by-one rank divergence
+    fails loudly here before it can flip a clamp/coverage boolean.
+    """
+    import duckdb
+    from pyspark.sql import functions as F
+
+    ps = [0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+    rows = []
+    # deterministic LCG so both engines see identical data; sizes cover
+    # n=1, tiny odd/even, prime, and larger-with-heavy-ties regimes
+    for grp, n in enumerate([1, 2, 3, 4, 5, 7, 8, 16, 17, 100, 101, 128, 199, 256, 400]):
+        x = 12345 + grp
+        for _ in range(n):
+            x = (1103515245 * x + 12345) % (2**31)
+            # modulus varies per group: small modulus => many ties
+            rows.append((grp, x % (10 if grp % 3 == 0 else 10_000)))
+    df = spark.createDataFrame(rows, "grp int, c long")
+    got = (
+        df.groupBy("grp")
+        .agg(
+            *[
+                F.expr(f"percentile_approx(c, {p}, 2147483647)").alias(f"q{i}")
+                for i, p in enumerate(ps)
+            ]
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp INT, c BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    qcols = ", ".join(f"quantile_disc(c, {p}) AS q{i}" for i, p in enumerate(ps))
+    want = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"SELECT grp, {qcols} FROM t GROUP BY grp ORDER BY grp"
+        ).fetchall()
+    }
+    for r in got:
+        for i, p in enumerate(ps):
+            assert r[f"q{i}"] == want[r["grp"]][i], (
+                f"grp={r['grp']} p={p}: spark={r[f'q{i}']} duckdb={want[r['grp']][i]}"
+            )
