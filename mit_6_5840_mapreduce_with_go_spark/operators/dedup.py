@@ -15,7 +15,15 @@ No reference counterpart — north-star LLM-pipeline additions
   sub-quadratic near-dup pipeline (Broder '97 / MMDS ch.3);
 - SimHash is a 64-bit per-doc fingerprint (Charikar '02): near-dup
   candidates share prefix buckets; here computed entirely with native
-  expressions over xxhash64.
+  expressions.
+
+Token hashing is the engine-portable char-fold polynomial (h = (h*m + c)
+mod 2^32) in BOTH engines, so the full MinHash-LSH and SimHash pipelines
+are oracle-checked end to end (signature build, banding, candidate
+generation, estimated Jaccard / fingerprint assembly).  In production the
+fold swaps for `xxhash64` (JVM-intrinsic, ~2× faster token hashing) with
+an identical plan shape — the swap is one line in `_shingle_hashes` /
+`dedup_simhash` and changes no operator structure.
 """
 
 from __future__ import annotations
@@ -29,6 +37,29 @@ from ..sources import load_table
 
 N_PERM = 32
 BAND_SIZE = 4  # 8 bands x 4 rows
+_M32 = 4294967296  # 2^32 — the char-fold / shingle-mix modulus
+
+
+def charfold_spark(var: str = "t", seed: int = 7, mult: int = 31) -> str:
+    """Spark SQL expression: char-fold polynomial hash of string ``var``
+    (h = (h*mult + codepoint) mod 2^32).  Deterministic and identical in
+    DuckDB (see :func:`charfold_duck`) — the portable token hash that
+    makes the whole dedup family oracle-checkable."""
+    return (
+        f"aggregate(transform(sequence(1, greatest(length({var}), 1)),"
+        f" i -> CAST(ascii(substring({var}, i, 1)) AS BIGINT)),"
+        f" CAST({seed} AS BIGINT), (h, c) -> (h * {mult} + c) % {_M32})"
+    )
+
+
+def charfold_duck(var: str = "t", seed: int = 7, mult: int = 31) -> str:
+    """DuckDB twin of :func:`charfold_spark` (list_reduce over codepoints)."""
+    return (
+        f"list_reduce(list_prepend(CAST({seed} AS BIGINT),"
+        f" list_transform(range(1, greatest(length({var}), 1) + 1),"
+        f" i -> CAST(ascii(substr({var}, i, 1)) AS BIGINT))),"
+        f" (h, c) -> (h * {mult} + c) % {_M32})"
+    )
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
@@ -162,44 +193,113 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingle_hashes(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id + distinct 32-bit hashes of word n-gram shingles, computed
     WITHOUT ever materializing shingle strings: hash each token once
-    (xxhash64 → 32-bit), then mix n consecutive token hashes with integer
-    arithmetic. Saves the per-shingle slice+concat string allocations and
-    hashes each token once instead of n times — ~1.5-2× faster than the
-    string-shingle pass, and the only consumer (MinHash) needs hashes
-    only. Stays in int64: coefficients < 2^20 × values < 2^32."""
+    (portable char fold → 32-bit), then mix n consecutive token hashes
+    with integer arithmetic. Saves the per-shingle slice+concat string
+    allocations and hashes each token once instead of n times, and the
+    only consumer (MinHash) needs hashes only. Stays in int64:
+    coefficients < 2^20 × values < 2^32.  Production swaps the char fold
+    for ``pmod(xxhash64(t), 4294967296)`` — same plan, faster hashing."""
     return (
         df.select("doc_id", F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
-            F.expr("transform(toks, t -> pmod(xxhash64(t), 4294967296))").alias("th"),
+            F.expr(f"transform(toks, t -> {charfold_spark('t')})").alias("th"),
         )
         .select(
             "doc_id",
             F.expr(
                 f"array_distinct(transform(sequence(0, greatest(size(th) - {n}, 0)),"
-                " i -> pmod(element_at(th, i + 1) * 1048573"
+                " i -> (element_at(th, i + 1) * 1048573"
                 " + element_at(th, least(i + 2, size(th))) * 8191"
-                " + element_at(th, least(i + 3, size(th))), 4294967296)))"
+                f" + element_at(th, least(i + 3, size(th)))) % {_M32}))"
             ).alias("hashes"),
         )
     )
 
 
-@query("dedup_minhash_lsh")  # engine-specific hash (xxhash64) → rows-only check
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle → xxhash64 → N_PERM
-    universal-hash minima → 8 banded signatures → bucket join → verified
-    estimated Jaccard (signature agreement rate).
+_LSH_MAX_BUCKET = 200
 
-    Everything is native expressions (xxhash64, transform, array_min) —
+
+def _lsh_bucket_duck(cols: list[str]) -> str:
+    """DuckDB band-bucket fold over the band's signature values — same
+    arithmetic as the Spark ``F.aggregate`` over the sig slice."""
+    e = "CAST(7 AS BIGINT)"
+    for c in cols:
+        e = f"(({e}) * 31 + {c}) % {_M32}"
+    return e
+
+
+def _lsh_oracle() -> str:
+    perms = minhash_perm_params(N_PERM)
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(hashes, x ->"
+        f" (CAST({a} AS BIGINT) * x + {b}) % {MERSENNE_PRIME})) AS s{k}"
+        for k, (a, b) in enumerate(perms)
+    )
+    n_bands = N_PERM // BAND_SIZE
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {j} AS band_id,"
+        f" {_lsh_bucket_duck([f's{BAND_SIZE * j + r}' for r in range(BAND_SIZE)])}"
+        f" AS bucket FROM sigs"
+        for j in range(n_bands)
+    )
+    agree = " + ".join(f"CAST(sa.s{k} = sb.s{k} AS INT)" for k in range(N_PERM))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    th AS (
+      SELECT doc_id, list_transform(toks, t -> {charfold_duck('t')}) AS th
+      FROM toks),
+    h AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(th) - 2, 1)),
+               i -> (th[i + 1] * 1048573
+                     + th[least(i + 2, len(th))] * 8191
+                     + th[least(i + 3, len(th))]) % {_M32})) AS hashes
+      FROM th),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM h),
+    bands AS (
+{band_rows}),
+    sized AS (
+      SELECT doc_id, band_id, bucket,
+             count(*) OVER (PARTITION BY band_id, bucket) AS bsz
+      FROM bands),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sized a JOIN sized b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+      WHERE a.bsz <= {_LSH_MAX_BUCKET})
+    SELECT p.doc_a, p.doc_b,
+           round(({agree}) / {N_PERM}.0, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    WHERE ({agree}) / {N_PERM}.0 >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → portable token hash →
+    N_PERM universal-hash minima → 8 banded signatures → bucket join →
+    verified estimated Jaccard (signature agreement rate).
+
+    Everything is native expressions (char fold, transform, aggregate) —
     the signature build is a single narrow pass; the only shuffle is the
     band-bucket groupBy. At 100 TB: bands partition the candidate space so
     no executor ever sees more than one bucket's docs; skewed buckets
     (boilerplate docs) would be salted or capped.
 
-    Not SQL-expressible in DuckDB (xxhash64 differs) → rows-only check;
-    correctness is covered by planted-duplicate tests
-    (tests/test_dedup.py).
+    The ENTIRE pipeline is oracle-checked (hashing → signatures → band
+    buckets → candidate pairs → estimated Jaccard) because both the token
+    hash and the band-bucket fold are engine-portable integer arithmetic;
+    production swaps the token fold for xxhash64 (one line in
+    `_shingle_hashes`) with no plan change.  Planted-duplicate behavior is
+    additionally covered in tests/test_dedup.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     # NOTE: no size(hashes)>0 filter — _shingle_hashes always yields ≥1
@@ -237,6 +337,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster — the standard materialize-signatures step).
     sigs = hashed.select("doc_id", sig_fold.alias("sig")).persist()
     n_bands = N_PERM // BAND_SIZE
+    # Band bucket = char-fold of the band's signature values (portable
+    # integer arithmetic, same fold as the oracle) — replaces murmur3
+    # F.hash so the bucket assignment itself is cross-engine-checked.
+    bucket_of = lambda band: F.aggregate(  # noqa: E731
+        F.slice("sig", band * BAND_SIZE + 1, BAND_SIZE),
+        F.lit(7).cast("long"),
+        lambda h, x: (h * 31 + x) % F.lit(_M32),
+    )
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -245,9 +353,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band_id"),
-                        F.hash(F.slice("sig", band * BAND_SIZE + 1, BAND_SIZE)).alias(
-                            "bucket"
-                        ),
+                        bucket_of(band).alias("bucket"),
                     )
                     for band in range(n_bands)
                 ]
@@ -260,11 +366,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (boilerplate/empty docs): a bucket of B docs yields B^2/2 pairs, so
     # at 100 TB an uncapped hot bucket is the failure mode; capped buckets
     # lose only candidates that other bands still recover.
-    MAX_BUCKET = 200
     pairs = (
         bands.groupBy("band_id", "bucket")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _LSH_MAX_BUCKET))
         .select(
             F.explode(
                 F.expr(
@@ -293,21 +398,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # engine-specific hash (xxhash64) → rows-only check
+# Two independent 32-bit char folds supply the 64 simhash bits (low word
+# from fold B, high word from fold A) — a single portable fold only has 32
+# bits of entropy, and a 64-bit fold would overflow int64 mid-fold.
+_SIMHASH_FOLD_A = (7, 31)  # bits 32..63
+_SIMHASH_FOLD_B = (31, 131)  # bits 0..31
+
+
+def _simhash_oracle() -> str:
+    sa, ma = _SIMHASH_FOLD_A
+    sb, mb = _SIMHASH_FOLD_B
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN ((h{'a' if i >= 32 else 'b'} >> {i - 32 if i >= 32 else i})"
+        f" & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    low63 = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for i in range(63)
+    )
+    # bit 63 as the two's-complement offset (BIGINT cannot hold +2^63)
+    sign = "CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
+    prefix = " + ".join(
+        f"CASE WHEN v{48 + j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for j in range(16)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents) u
+      WHERE t <> ''),
+    h AS (
+      SELECT doc_id,
+             {charfold_duck('t', sa, ma)} AS ha,
+             {charfold_duck('t', sb, mb)} AS hb
+      FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id,
+           ({sign}) + ({low63}) AS simhash,
+           {prefix} AS prefix16
+    FROM votes
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprint per doc, fully JVM-side: token →
-    xxhash64 → per-bit +/-1 vote → sign → bit assembly. Emits the
-    fingerprint plus a 16-bit prefix bucket (the LSH probe key for
-    hamming-near candidates). Rows-only check (xxhash64 is
-    engine-specific); planted-duplicate behavior covered in tests."""
+    """SimHash 64-bit fingerprint per doc, fully JVM-side: distinct token
+    → two portable 32-bit char folds (low/high word) → per-bit +/-1 vote
+    → sign → bit assembly. Emits the fingerprint plus a 16-bit prefix
+    bucket (the LSH probe key for hamming-near candidates).
+
+    Oracle-checked end to end — the folds, votes, and two's-complement
+    bit assembly are identical integer arithmetic in DuckDB.  Production
+    swaps the folds for xxhash64 (all 64 bits from one JVM-intrinsic
+    hash) with the same vote/assembly plan.  Planted-duplicate behavior
+    covered in tests."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    sa_, ma = _SIMHASH_FOLD_A
+    sb_, mb = _SIMHASH_FOLD_B
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            F.expr(charfold_spark("tok", sa_, ma)).alias("ha"),
+            F.expr(charfold_spark("tok", sb_, mb)).alias("hb"),
+        )
+    )
     bit_votes = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(
+                    F.col("ha") if i >= 32 else F.col("hb"),
+                    i - 32 if i >= 32 else i,
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"bit_{i}")
         for i in range(64)
     ]
@@ -382,11 +557,7 @@ X_BAND_ROWS = 2  # 4 bands x 2 rows
 X_MAX_DOC = 500
 _XPERMS = minhash_perm_params(X_N_PERM)
 
-_CHARFOLD_SPARK = (
-    "aggregate(transform(sequence(1, greatest(length(t), 1)),"
-    " i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),"
-    " CAST(7 AS BIGINT), (h, c) -> (h * 31 + c) % 4294967296)"
-)
+_CHARFOLD_SPARK = charfold_spark("t")
 
 _SHINGLE_SPARK = (
     "array_distinct(transform(sequence(0, greatest(size(th) - 3, 0)),"
