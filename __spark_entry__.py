@@ -3,9 +3,9 @@
 ``entry(spark)`` — flagship query (TPC-H Q1 shape) on sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 (+ north-star
 LLM-pipeline ops), as (spark, sf_dir) -> DataFrame callables.
-``oracle_sql()`` — matching DuckDB SQL per query; omitted only for
-engine-specific-hash ops (MinHash/SimHash use xxhash64) which get the
-weaker rows-only check.
+``oracle_sql()`` — matching DuckDB SQL for EVERY registered query
+(230/230 since round 3: MinHash/SimHash now use an engine-portable
+char-fold hash, so nothing is rows-only anymore).
 """
 
 from __future__ import annotations

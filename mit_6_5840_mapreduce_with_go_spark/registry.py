@@ -36,99 +36,81 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
-# (registration order == dict insertion order).  This list pins the window
-# to the flagship operators — the full 22-query TPC-H sweep, similarity
-# search, text analysis, timeseries, sessionization, as-of joins, sketches,
-# and the MapReduce-parity headline — so the hard cross-engine signal lands
-# on the operators that matter most.  Everything not listed keeps its
-# module-import registration order after these (all still covered by the
-# local mirror, tools/check_correctness.py, over all queries).  Entries
-# with no oracle (engine-specific hashes) are deliberately NOT in the
-# window; their oracle-checked *_xengine twins are.
+# (registration order == dict insertion order).  The window ROTATES each
+# round so the hard cross-engine signal accumulates across the registry:
+# round 1 pinned the TPC-H sweep + flagships, round 2 swapped in the
+# session-2/3 flagships (both 50/50 green — see CORRECTNESS_r01/r02.json),
+# and this round-3 window covers the next 50 highest-value queries that
+# have never had a driver-green row (plus the KV/graph/dedup rows that
+# were driver-green only in round 1, re-verified after two rounds of
+# changes, and the two newly-oracled MinHash/SimHash pipelines).  Overlap
+# with the round-2 window: 1 query (mr_wordcount, the MapReduce-parity
+# headline kept for cross-round continuity).  Everything rotated out
+# stays mirror-checked by tools/check_correctness.py over all queries.
 WINDOW_PRIORITY: list[str] = [
-    # MapReduce parity headline (the reference's core workload)
+    # MapReduce parity headline (continuity row, in every round's window)
     "mr_wordcount",
-    # TPC-H sweep, q1..q22
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_late_shipment_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_item_customers",
-    "q11_important_parts",
-    "q12_priority_lateness",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_part_suppliers",
-    "q21_sole_blame_suppliers",
-    "q22_inactive_wealthy_customers",
-    # Similarity search
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "sim_tfidf_topk",
-    # Text analysis (token_stats/fingerprint/bpe_token_count rotated out in
-    # round 2 — plainest contracts of the family, all mirror-checked — to
-    # make room for the scale-ops + incremental-dedup flagships below)
-    "text_quality_score",
-    # text_lang_guess + layout_range_partition_plan rotated out (both
-    # mirror-checked; text + layout families keep other window rows) for
-    # the third-session flagships eval_quality_auc / sim_mmr_rerank
-    "eval_quality_auc",
-    "sim_mmr_rerank",
-    # Scale-ops planning + incremental curation; stats_key_skew_profile
-    # rotated out (plain TakeOrdered counts, mirror-checked) for the
-    # session-3 IVM flagship whose delta identity self-verifies in-row
-    "maintenance_ivm_join_view",
-    "dedup_incremental_batch",
-    # Timeseries / events
-    "events_time_weighted_avg",
-    "events_sessionization",
-    # rate_anomaly rotated out (plain z-score arithmetic, mirror-checked)
-    # for the session's tokenizer-training flagship:
-    "vocab_bpe_merges",
-    # events_funnel_conversion rotated out (ordered conditional counts,
-    # mirror-checked) for the mergeable-sketch flagship:
-    "sketch_cms_sliding_counts",
-    "asof_join_last_order_before_event",
-    # the forward-asof twin rotated out (directional mirror of the row
-    # above, mirror-checked) for the fixed-point PCA flagship:
-    "mm_pca_power_iteration",
-    # Sketches (KMV rotated out this session — redundant with the HLL +
-    # Count-Min window rows, still mirror-checked — for the third-session
-    # flagships sim_bm25_topk / dedup_semdedup below)
-    "sketch_distinct_users",
-    "sketch_countmin_user_counts",
-    # Round-2 flagship additions (curation + compressed ANN + retrieval
-    # + clustered semantic dedup; events_gap_fill_hourly rotated out —
-    # plain generate_series+join SQL, mirror-checked — to fit these)
-    "sim_bm25_topk",
-    "dedup_semdedup",
-    "sim_topk_pq_adc",
-    "text_repetition_quality",
-    "pipeline_contamination_check",
-    "pipeline_pack_sequences",
-    # Distinctive engine surfaces
-    "scd2_user_value_history",
-    # Round-2 session flagships: real-corpus tokenizer parity through the
-    # wholetext connector, and the Z-order layout op. Rotated out to make
-    # room: udtf_doc_sentences, percentile_prices_by_status (plainest SQL
-    # of the set — relational breadth is already carried by the TPC-H
-    # sweep; both stay mirror-checked like every registered query).
-    "mr_wordcount_gutenberg",
-    "layout_zorder_buckets",
-    # The one red row in CORRECTNESS_r01 (DuckDB HUGEINT sum, since fixed):
-    # kept in-window so the fix is driver-verified.
-    "pipeline_train_val_test_split",
+    # Newly oracle-checked end-to-end this round (were rows-only): the
+    # portable-hash MinHash-LSH and SimHash pipelines
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # ANN / similarity: the compressed + hybrid + evaluation surfaces
+    "sim_topk_ivfpq",
+    "sim_hybrid_rrf",
+    "sim_ann_recall_eval",
+    "sim_ann_ndcg_eval",
+    "sim_range_search_lsh",
+    "sim_matryoshka_prefix_recall",
+    "sim_ivf_incremental_update",
+    # Dedup family: candidate generation + election + eval
+    "dedup_ngram_jaccard",
+    "dedup_minhash_xengine",
+    "dedup_minhash_pr_eval",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_containment",
+    # Graph primitives over the duplicate-pair graph
+    "graph_pagerank_dup_clusters",
+    "graph_triangle_census",
+    "graph_khop_reachability",
+    "graph_lpa_communities",
+    "cluster_silhouette_simplified",
+    # KV/shard surface (driver-green only in r01; re-pinned)
+    "kv_cas_replay",
+    "kv_get_lookup",
+    "kv_shard_distribution",
+    # Curation tranches: the corpus-assembly operators
+    "pipeline_curated_documents",
+    "pipeline_pretrain_corpus",
+    "pipeline_domain_cap",
+    "pipeline_quality_resample",
+    "pipeline_corpus_composition",
+    "pipeline_mixture_weights",
+    "pipeline_group_split",
+    "pipeline_weighted_sample",
+    "pipeline_paragraph_dedup",
+    "pipeline_chunk_documents",
+    "pipeline_drop_reasons",
+    # Tokenizer: BPE apply (merges were driver-green in r02)
+    "vocab_bpe_apply",
+    # Text analysis breadth
+    "text_token_stats",
+    "text_lang_guess",
+    "text_fingerprint",
+    "text_char_entropy",
+    "text_ngram_novelty",
+    "text_keywords_tfidf",
+    "text_collocations_pmi",
+    # Stats / eval family (winsorized: rank convention pinned this round;
+    # silhouette + quantile histogram: degenerate-input guards added)
+    "stats_chi2_independence",
+    "stats_winsorized_moments",
+    "stats_lorenz_gini",
+    "eval_calibration_bins",
+    "eval_threshold_sweep",
+    "sketch_quantile_histogram",
+    # Privacy surface
+    "privacy_k_anonymity",
 ]
 
 
