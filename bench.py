@@ -51,6 +51,12 @@ HEADLINE = [
     "events_sessionization",
     "percentile_prices_by_status",
     "pipeline_curated_documents",
+    # round-2 flagships, perf-pinned from round 3 on
+    "sim_topk_pq_adc",
+    "sim_bm25_topk",
+    "dedup_incremental_batch",
+    "vocab_bpe_merges",
+    "mm_pca_power_iteration",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]
