@@ -94,7 +94,7 @@ def run_mapreduce_to_dir(
     spark: SparkSession,
     map_fn: MapFn,
     reduce_fn: ReduceFn,
-    inputs: Iterable[tuple[str, str]],
+    inputs: Iterable[tuple[str, str]] | str,
     out_dir: str,
     n_reduce: int = 10,
 ) -> None:
@@ -102,10 +102,25 @@ def run_mapreduce_to_dir(
     files via the committer protocol instead of collect() — the form that
     scales (collect() of a 100 TB job's output is the anti-pattern;
     ``run_mapreduce`` keeps it only because the reference contract is
-    compared as an in-memory sorted line set)."""
+    compared as an in-memory sorted line set).
+
+    ``inputs`` may be an iterable of (filename, contents) pairs, or a
+    PATH GLOB string: the glob path reads through the ``wholetext`` data
+    source (sources/textfiles.py — one row AND one input partition per
+    file, the reference's map-task granularity), so file contents stream
+    from source tasks straight into map tasks with ZERO driver
+    materialization — input, shuffle, and output are all distributed,
+    the end-to-end 100 TB-safe parity path."""
     sc = spark.sparkContext
-    files = list(inputs)
-    rdd = sc.parallelize(files, numSlices=max(1, len(files)))
+    if isinstance(inputs, str):
+        from ..sources.textfiles import read_whole_text_source
+
+        # Row(file, content) -> (filename, contents); partitioning (one
+        # per file) carries through the DataFrame->RDD conversion.
+        rdd = read_whole_text_source(spark, inputs).rdd.map(tuple)
+    else:
+        files = list(inputs)
+        rdd = sc.parallelize(files, numSlices=max(1, len(files)))
     pairs = rdd.flatMap(lambda fc: map_fn(fc[0], fc[1]))
     grouped = pairs.groupByKey(numPartitions=n_reduce, partitionFunc=fnv32a)
     lines = grouped.map(lambda kv: f"{kv[0]} {reduce_fn(kv[0], list(kv[1]))}")
