@@ -11,6 +11,18 @@ state unchanged. The batch twin (operators/kv.py kv_cas_replay) is the
 oracle — tests/test_streaming.py asserts the final streaming state equals
 the batch replay.
 
+Fault model (labrpc.go:241-252 analog — drops, duplicates, reorders):
+the fold carries a per-key (ts_us, event_id) high-water mark and skips
+any op at or below it, so a REPLAYED or RE-DELIVERED op (checkpoint
+restore re-feeding a batch, or a client resend of an already-folded op
+id) folds exactly once — the streaming side of the at-most-once
+algebra (a resent APPLIED put is also intrinsically idempotent: its
+expected version is behind the advanced state, so CAS rejects it).
+Reorders WITHIN a micro-batch are repaired by the sort; an op arriving
+in a later batch than a higher-(ts, event_id) sibling is late data and
+is dropped by the same watermark — tests/test_streaming_faults.py pins
+all three behaviors against seeded fault schedules.
+
 Scale notes: state is O(distinct keys) and partitioned by key; RocksDB
 state store + changelog checkpointing is the production config for
 billions of keys.
@@ -44,6 +56,8 @@ STATE_SCHEMA = T.StructType(
         T.StructField("version", T.LongType()),
         T.StructField("n_ok", T.LongType()),
         T.StructField("n_errversion", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
     ]
 )
 
@@ -51,19 +65,26 @@ STATE_SCHEMA = T.StructType(
 def cas_update(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Fold one key's micro-batch ops through the CAS transition."""
+    """Fold one key's micro-batch ops through the CAS transition,
+    skipping already-folded positions on replay/re-delivery (the EWMA
+    twin's high-water-mark pattern, streaming/ewma.py)."""
     if state.exists:
-        value, version, n_ok, n_err = state.get
+        value, version, n_ok, n_err, last_us, last_id = state.get
     else:
-        value, version, n_ok, n_err = None, 0, 0, 0
+        value, version, n_ok, n_err, last_us, last_id = None, 0, 0, 0, -1, -1
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for expected, v in zip(pdf["expected"], pdf["value"]):
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, eid, expected, v in zip(
+            pdf["ts_us"], pdf["event_id"], pdf["expected"], pdf["value"]
+        ):
+            if (ts_us, eid) <= (last_us, last_id):
+                continue  # replayed / re-delivered op — already folded
             if expected == version:
                 value, version, n_ok = v, version + 1, n_ok + 1
             else:
                 n_err += 1
-    state.update((value, version, n_ok, n_err))
+            last_us, last_id = int(ts_us), int(eid)
+    state.update((value, version, n_ok, n_err, last_us, last_id))
     yield pd.DataFrame(
         [
             {
@@ -85,7 +106,7 @@ def kv_cas_stream(events: DataFrame) -> DataFrame:
         F.col("user_id").cast("string").alias("key"),
         F.col("event_id").cast("string").alias("value"),
         (F.col("event_id") % 4).alias("expected"),
-        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
         "event_id",
     )
     return ops.groupBy("key").applyInPandasWithState(
