@@ -194,6 +194,115 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_MIN_TOKENS = 8
+# 1000 covers the whole doc table at sf<=0.01 and the first fifth at
+# sf0.1 — where the planted near-dup pairs live (non-vacuous at all SFs)
+_SPAN_MAX_DOC = 1000
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < {_SPAN_MAX_DOC}),
+    pos AS (
+      SELECT doc_id, p,
+             toks[p + 1] || ' ' || toks[p + 2] || ' ' || toks[p + 3] AS s
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS p
+            FROM toks WHERE len(toks) >= 3)),
+    matched AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, a.p - b.p AS diag
+      FROM pos a JOIN pos b
+        ON a.s = b.s AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM matched),
+    islands AS (
+      SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY doc_a, doc_b, diag, grp),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(max(run_len) + 2 AS BIGINT) AS longest_span_tokens
+      FROM islands GROUP BY doc_a, doc_b),
+    shared AS (
+      SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_positions
+      FROM matched GROUP BY doc_a, doc_b)
+    SELECT s.doc_a, s.doc_b, s.longest_span_tokens, h.n_shared_positions
+    FROM spans s JOIN shared h
+      ON h.doc_a = s.doc_a AND h.doc_b = s.doc_b
+    WHERE s.longest_span_tokens >= {_SPAN_MIN_TOKENS}
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring duplication between documents — the repeated-span
+    metric behind exact-substring dedup (Lee et al. '21, "Deduplicating
+    Training Data Makes Language Models Better"), relationally: longest
+    shared TOKEN span per candidate pair, no suffix array needed.
+
+    Positioned word-3-grams self-join on the shingle STRING (candidate
+    pairs only materialize for docs sharing a trigram — the inverted
+    index join, never all pairs), then matched positions group by the
+    alignment DIAGONAL (pa - pb) and consecutive-run islands are found
+    with the classic gaps-and-islands trick (pa - row_number); a run of
+    k consecutive matching trigram starts = a shared span of k+2 tokens.
+    Emits pairs whose longest span >= {m} tokens.
+
+    Scale: the shingle join is the same bucketed candidate generation as
+    dedup_ngram_jaccard; the island window runs per (pair, diagonal) —
+    bounded by document length, never corpus size.  At 100 TB the
+    shingle index would be salted on hot (boilerplate) shingles; doc_id
+    < {d} bounds the oracle's work here.
+    """.format(m=_SPAN_MIN_TOKENS, d=_SPAN_MAX_DOC)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id") < _SPAN_MAX_DOC
+    )
+    pos = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> struct(CAST(i AS BIGINT) AS p,"
+                    " concat_ws(' ', slice(toks, i + 1, 3)) AS s))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.p", "x.s")
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    matched = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = matched.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    spans = islands.groupBy("doc_a", "doc_b").agg(
+        (F.max("run_len") + F.lit(2)).cast("long").alias("longest_span_tokens")
+    )
+    shared = matched.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_positions")
+    )
+    return (
+        spans.join(shared, ["doc_a", "doc_b"])
+        .filter(F.col("longest_span_tokens") >= _SPAN_MIN_TOKENS)
+        .select("doc_a", "doc_b", "longest_span_tokens", "n_shared_positions")
+    )
+
+
 def _shingle_hashes(df: DataFrame, n: int = 3) -> DataFrame:
     """doc_id + distinct 32-bit hashes of word n-gram shingles, computed
     WITHOUT ever materializing shingle strings: hash each token once

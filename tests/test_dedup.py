@@ -107,3 +107,31 @@ def test_shingles_empty_for_short_docs(spark):
     assert rows[1][0] == 0 and rows[2][0] == 0
     assert rows[3] == (1, ["a b c"])
     assert rows[4][0] == 2
+
+
+def test_repeated_spans_planted_overlap(spark, tmp_path):
+    """Two docs sharing an exact 12-token run (at different offsets, with
+    unrelated prefixes/suffixes) must report longest_span_tokens == 12;
+    a pair sharing only scattered trigrams must stay below threshold."""
+    import mit_6_5840_mapreduce_with_go_spark.operators.dedup as dd
+
+    span = "the quick brown fox jumps over the lazy dog near riverbank tonight"
+    assert len(span.split()) == 12
+    docs = [
+        (1, "alpha beta gamma " + span + " omega end"),
+        (2, "unrelated preamble words here " + span),
+        # doc 3 shares only ONE trigram with 1/2 (run of 1 -> span 3)
+        (3, "the quick brown completely different continuation of words"),
+        (4, "nothing in common with anything else at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["longest_span_tokens"], r["n_shared_positions"])
+        for r in dd.dedup_repeated_spans(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 2)][0] == 12
+    assert (1, 3) not in got and (2, 3) not in got and (3, 4) not in got
+    # 12 shared tokens = 10 matching trigram starts on one diagonal
+    assert got[(1, 2)][1] == 10
