@@ -1233,3 +1233,177 @@ def sim_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hit"),
         F.round(F.count("hit") * 1.0 / F.count(F.lit(1)), 4).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF probe sweep: the cost/recall CURVE that tunes nprobe — recall@k and
+# candidate volume at nprobe in {1, 2, 4}, in ONE query.  Companion to
+# sim_ann_recall_eval (which fixes nprobe=1) and the LSH pr_eval: the
+# "measure, don't guess" loop for the IVF index's one tuning knob.
+# --------------------------------------------------------------------------
+_PROBE_LEVELS = [1, 2, 4]
+
+
+def _probe_sweep_oracle() -> str:
+    return f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings
+                  WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {DUCK_COS.format(a='e.embedding', b='cent.centv')} DESC,
+                          cent.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid_id, probe_rank FROM (
+        SELECT e.vec_id AS query_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {DUCK_COS.format(a='e.embedding', b='cent.centv')} DESC,
+                          cent.centroid_id) AS probe_rank
+        FROM embeddings e CROSS JOIN cent
+        WHERE e.vec_id < {N_QUERIES})
+      WHERE probe_rank <= {max(_PROBE_LEVELS)}),
+    levels AS (SELECT unnest([{", ".join(str(p) for p in _PROBE_LEVELS)}]) AS np),
+    scored AS (
+      SELECT l.np, p.query_id, c.vec_id AS neighbor_id,
+             {DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cos_raw
+      FROM levels l
+      JOIN probes p ON p.probe_rank <= l.np
+      JOIN assign a ON a.centroid_id = p.centroid_id
+      JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id),
+    ranked AS (
+      SELECT np, query_id, neighbor_id,
+             row_number() OVER (PARTITION BY np, query_id
+               ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {DUCK_COS.format(a='q.embedding', b='c.embedding')} DESC,
+                          c.vec_id) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+        JOIN embeddings c ON c.vec_id <> q.vec_id)
+      WHERE rank <= {TOP_K}),
+    hits AS (
+      SELECT r.np, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ranked r JOIN bf ON bf.query_id = r.query_id
+                           AND bf.neighbor_id = r.neighbor_id
+      WHERE r.rank <= {TOP_K}
+      GROUP BY r.np),
+    cost AS (
+      SELECT np, CAST(count(*) AS BIGINT) AS total_candidates
+      FROM scored GROUP BY np)
+    SELECT c.np, CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           c.total_candidates, coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) * 1.0
+                 / ({N_QUERIES} * {TOP_K}), 4) AS mean_recall
+    FROM cost c LEFT JOIN hits h ON h.np = c.np
+    """
+
+
+@query("sim_ivf_probe_sweep", oracle=_probe_sweep_oracle())
+def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs candidate volume at nprobe in {np} — the IVF tuning
+    curve as one query: probe assignment ranks each query's centroids
+    once, every probe level reuses the same scored candidates, and the
+    report pairs mean recall against total candidates (the cost axis a
+    1000-executor deployment actually budgets).
+
+    Scale: centroids broadcast; the only per-level work is the bounded
+    window over each query's candidate cells (cells x cell-size rows per
+    query, never the corpus); the brute-force ground truth runs only on
+    the {q}-query sample, as in sim_ann_recall_eval.
+    """.format(np=_PROBE_LEVELS, q=N_QUERIES)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centv"),
+        F.col("nrm").alias("centn"),
+    )
+    # corpus assignment: hash-agg argmax (one row per vector pre-exchange)
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cent_cos",
+            dot(F.col("embedding"), F.col("centv")) / (F.col("nrm") * F.col("centn")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cent_cos").alias("cent_cos"),
+                    (-F.col("centroid_id")).alias("neg_cid"),
+                    F.col("centroid_id").alias("centroid_id"),
+                    F.col("embedding").alias("embedding"),
+                    F.col("nrm").alias("nrm"),
+                )
+            ).alias("b")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("b.embedding").alias("cv"),
+            F.col("b.nrm").alias("cn"),
+            F.col("b.centroid_id").alias("centroid_id"),
+        )
+    )
+    # query probe ranking: top-max(np) centroids per query (tiny window)
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("probe_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "probe_cos",
+            dot(F.col("qv"), F.col("centv")) / (F.col("qn") * F.col("centn")),
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= max(_PROBE_LEVELS))
+        .select("query_id", "qv", "qn", "centroid_id", "probe_rank")
+    )
+    levels = spark.createDataFrame([(p,) for p in _PROBE_LEVELS], "np int")
+    scored = (
+        assign.join(
+            F.broadcast(
+                probes.join(F.broadcast(levels), F.col("probe_rank") <= F.col("np"))
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_raw", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        .select("np", "query_id", "neighbor_id", "cos_raw")
+    )
+    wr = W.partitionBy("np", "query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(wr))
+    bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ranked.filter(F.col("rank") <= TOP_K)
+        .join(bf, ["query_id", "neighbor_id"])
+        .groupBy("np")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    cost = scored.groupBy("np").agg(F.count(F.lit(1)).alias("total_candidates"))
+    return cost.join(hits, "np", "left").select(
+        "np",
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        "total_candidates",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) * 1.0 / (N_QUERIES * TOP_K), 4
+        ).alias("mean_recall"),
+    )

@@ -298,3 +298,24 @@ def test_matryoshka_recall_monotone_in_dims(spark, sf_dir):
         assert 0.0 <= r["recall"] <= 1.0
         assert r["n_hit"] <= r["n_exact"]
     assert rows[ks[-1]]["recall"] >= rows[ks[0]]["recall"]
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """More probes can only help: recall and candidate volume must be
+    non-decreasing in nprobe, and recall at max nprobe must beat the
+    single-cell baseline on this data."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.similarity import (
+        _PROBE_LEVELS,
+        sim_ivf_probe_sweep,
+    )
+
+    rows = sorted(
+        sim_ivf_probe_sweep(spark, sf_dir).collect(), key=lambda r: r["np"]
+    )
+    assert [r["np"] for r in rows] == sorted(_PROBE_LEVELS)
+    for a, b in zip(rows, rows[1:]):
+        assert b["total_candidates"] >= a["total_candidates"]
+        assert b["n_hits"] >= a["n_hits"]
+    assert rows[-1]["mean_recall"] > rows[0]["mean_recall"]
+    for r in rows:
+        assert 0.0 <= r["mean_recall"] <= 1.0
