@@ -426,3 +426,141 @@ def migrate_shard(src: ShardGroup, dst: ShardGroup, shard: int, num: int) -> str
     if err != "OK":
         return err
     return src.delete_shard(shard, num)
+
+
+# --------------------------------------------------------------------------
+# Consistent-hash ring vs mod-N routing under a shard-count change — the
+# quantified version of WHY the reference freezes/installs/deletes whole
+# shards on reconfiguration (shardcfg.go's fixed NShards sidesteps this;
+# a system that changed N directly would reshuffle nearly every key under
+# mod-N, while a ring moves ~1/(N+1) of them).
+# --------------------------------------------------------------------------
+_RING_N_OLD = 12
+_RING_N_NEW = 13
+_RING_VNODES = 8
+
+
+def _ring_points(n_shards: int) -> list[tuple[int, int]]:
+    """(shard_id, ring_point) for n_shards x VNODES virtual nodes; points
+    are FNV-32a of the vnode label, so the first N_OLD shards' points are
+    IDENTICAL in both epochs — the property that bounds movement."""
+    from ..functions.hashing import fnv32a_py
+
+    return [
+        (sid, fnv32a_py(f"s{sid}r{j}"))
+        for sid in range(n_shards)
+        for j in range(_RING_VNODES)
+    ]
+
+
+def _ring_movement_oracle() -> str:
+    def values(points):
+        return ", ".join(f"({sid}, {p})" for sid, p in points)
+
+    ring_cte = """
+    {name} AS (
+      SELECT key, sid FROM (
+        SELECT k.key, r.sid,
+               row_number() OVER (PARTITION BY k.key
+                 ORDER BY (r.point - k.h + 4294967296) % 4294967296,
+                          r.point, r.sid) AS rn
+        FROM keys k CROSS JOIN {ring} r)
+      WHERE rn = 1)"""
+    return f"""
+    WITH keys AS (
+      SELECT key,
+             list_reduce(
+               list_prepend(CAST(2166136261 AS BIGINT),
+                            list_transform(string_split(key, ''),
+                                           c -> CAST(ord(c) AS BIGINT))),
+               (h, b) -> (xor(h, b) * 16777619) % 4294967296) AS h
+      FROM (SELECT DISTINCT CAST(event_id AS VARCHAR) AS key FROM events)),
+    ring_old(sid, point) AS (VALUES {values(_ring_points(_RING_N_OLD))}),
+    ring_new(sid, point) AS (VALUES {values(_ring_points(_RING_N_NEW))}),
+    {ring_cte.format(name="asg_old", ring="ring_old")},
+    {ring_cte.format(name="asg_new", ring="ring_new")},
+    ring_stat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN o.sid <> n.sid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved
+      FROM asg_old o JOIN asg_new n ON n.key = o.key),
+    mod_stat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN h % {_RING_N_OLD} <> h % {_RING_N_NEW}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+      FROM keys)
+    SELECT 'mod' AS strategy, n_keys, n_moved,
+           round(n_moved * 1.0 / n_keys, 4) AS moved_frac FROM mod_stat
+    UNION ALL
+    SELECT 'ring', n_keys, n_moved,
+           round(n_moved * 1.0 / n_keys, 4) FROM ring_stat
+    """
+
+
+@query("kv_consistent_hash_movement", oracle=_ring_movement_oracle())
+def kv_consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key movement when the shard count grows {o} -> {n}, mod-N routing
+    vs a consistent-hash ring ({v} virtual nodes per shard, FNV-32a
+    points): mod-N remaps ~(1 - 1/N) of all keys, the ring only the keys
+    whose forward-distance successor changed (~1/(N+1)) — measured
+    exactly on the engine's own key population.
+
+    Ring lookup is formulated without wraparound special-casing: the
+    owner is the point minimizing (point - h) mod 2^32 (forward ring
+    distance), found with the map-side hash-agg argmin, so the only
+    exchange carries one row per key; ring tables are literal broadcast
+    constants.
+    """.format(o=_RING_N_OLD, n=_RING_N_NEW, v=_RING_VNODES)
+    from ..functions.hashing import fnv32a_col
+
+    # event_id keys: the larger population (vs ~150 user ids, whose
+    # short-numeric-string FNV hashes cluster enough that the new
+    # shard's 8 ring arcs can catch zero of them)
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_id").cast("string").alias("key"))
+        .distinct()
+        .select("key", fnv32a_col(F.col("key")).alias("h"))
+    )
+
+    def assign(points: list[tuple[int, int]], out: str) -> DataFrame:
+        ring = spark.createDataFrame(points, "sid int, point long")
+        dist = (F.col("point") - F.col("h") + F.lit(4294967296)) % F.lit(4294967296)
+        return (
+            keys.crossJoin(F.broadcast(ring))
+            .select(
+                "key",
+                F.struct(
+                    dist.alias("dist"), F.col("point").alias("point"),
+                    F.col("sid").alias("sid"),
+                ).alias("cand"),
+            )
+            .groupBy("key")
+            .agg(F.min("cand").alias("b"))
+            .select("key", F.col("b.sid").alias(out))
+        )
+
+    moved = F.sum(F.when(F.col("sid_old") != F.col("sid_new"), 1).otherwise(0))
+    ring_stat = (
+        assign(_ring_points(_RING_N_OLD), "sid_old")
+        .join(assign(_ring_points(_RING_N_NEW), "sid_new"), "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            moved.cast("long").alias("n_moved"),
+        )
+        .select(
+            F.lit("ring").alias("strategy"), "n_keys", "n_moved",
+            F.round(F.col("n_moved") * 1.0 / F.col("n_keys"), 4).alias("moved_frac"),
+        )
+    )
+    mod_moved = F.sum(
+        F.when(F.col("h") % _RING_N_OLD != F.col("h") % _RING_N_NEW, 1).otherwise(0)
+    )
+    mod_stat = keys.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        mod_moved.cast("long").alias("n_moved"),
+    ).select(
+        F.lit("mod").alias("strategy"), "n_keys", "n_moved",
+        F.round(F.col("n_moved") * 1.0 / F.col("n_keys"), 4).alias("moved_frac"),
+    )
+    return mod_stat.unionByName(ring_stat)

@@ -231,3 +231,40 @@ def test_shard_migration_random_churn_conserves_keys():
         owners = [g for g in groups.values() if g.get(k)[2] == "OK"]
         assert len(owners) == 1
         assert owners[0].get(k) == (val, ver, "OK")
+
+
+def test_consistent_hash_movement_contrast(spark, sf_dir):
+    """Growing 12 -> 13 shards: mod-N must remap ~(1 - 1/13) of keys;
+    the ring only the keys inside the new shard's arcs (a small
+    fraction, and strictly fewer than mod)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.kv import (
+        kv_consistent_hash_movement,
+    )
+
+    rows = {r["strategy"]: r for r in kv_consistent_hash_movement(spark, sf_dir).collect()}
+    mod, ring = rows["mod"], rows["ring"]
+    assert mod["n_keys"] == ring["n_keys"] > 0
+    assert abs(mod["moved_frac"] - (1 - 1 / 13)) < 0.02
+    assert 0 < ring["n_moved"] < mod["n_moved"]
+    assert ring["moved_frac"] < 0.15
+
+
+def test_ring_assignment_matches_python_model(spark, sf_dir):
+    """The Spark hash-agg argmin ring lookup equals the direct python
+    successor search for every key (spot population)."""
+    from mit_6_5840_mapreduce_with_go_spark.functions.hashing import fnv32a_py
+    from mit_6_5840_mapreduce_with_go_spark.operators.kv import (
+        _RING_N_NEW,
+        _ring_points,
+    )
+
+    ring = _ring_points(_RING_N_NEW)
+
+    def owner(h):
+        return min(ring, key=lambda sp: ((sp[1] - h) % 2**32, sp[1], sp[0]))[0]
+
+    # distance formulation == successor-with-wraparound formulation
+    pts = sorted(ring, key=lambda sp: (sp[1], sp[0]))
+    for h in [0, 1, 2**31, 2**32 - 1] + [fnv32a_py(str(k)) for k in range(50)]:
+        succ = next((sp for sp in pts if sp[1] >= h), pts[0])
+        assert owner(h) == succ[0]
