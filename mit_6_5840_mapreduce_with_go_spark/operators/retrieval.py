@@ -505,3 +505,205 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score"), 4).alias("mmr_score"),
     )
     return r1.unionAll(r2).unionAll(r3)
+
+
+# --------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3-lite): run BM25, mine expansion terms
+# from each query's top-k feedback docs, re-score with the expanded
+# weighted query.  The classic two-pass retrieval quality lever
+# (Rocchio/RM3 family, public literature), composed entirely from the
+# BM25 building blocks above.
+# --------------------------------------------------------------------------
+_PRF_M = 5  # expansion terms per query
+_PRF_BETA = 0.5  # expansion-term weight (original terms weigh 1.0)
+
+
+@query(
+    "sim_bm25_prf_expansion",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    idf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df,
+             ln(1.0 + ((SELECT n FROM stats) - count(*) + 0.5)
+                      / (count(*) + 0.5)) AS idf
+      FROM terms GROUP BY word),
+    qterms AS (SELECT DISTINCT doc_id AS query_id, word
+               FROM terms WHERE doc_id < {_BM25_NQ}),
+    pass1 AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(score, 4) DESC, doc_id) AS rank
+        FROM (
+          SELECT q.query_id, t.doc_id,
+                 sum(i.idf * t.tf * ({_BM25_K1} + 1.0)
+                     / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                        + {_BM25_B} * d.dl / (SELECT avgdl FROM stats)))) AS score
+          FROM terms t
+          JOIN dl d ON d.doc_id = t.doc_id
+          JOIN idf i ON i.word = t.word
+          JOIN qterms q ON q.word = t.word AND q.query_id <> t.doc_id
+          GROUP BY 1, 2))
+      WHERE rank <= {_BM25_TOPK}),
+    mined AS (
+      SELECT p.query_id, t.word,
+             CAST(sum(t.tf) AS BIGINT) AS fb_tf, min(i.df) AS df
+      FROM pass1 p JOIN terms t ON t.doc_id = p.doc_id
+      JOIN idf i ON i.word = t.word
+      WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                        WHERE q.query_id = p.query_id AND q.word = t.word)
+      GROUP BY 1, 2),
+    expansion AS (
+      SELECT query_id, word FROM (
+        SELECT query_id, word,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY fb_tf DESC, df ASC, word) AS rn
+        FROM mined)
+      WHERE rn <= {_PRF_M}),
+    wq AS (
+      SELECT query_id, word, 1.0 AS qw FROM qterms
+      UNION ALL
+      SELECT query_id, word, {_PRF_BETA} AS qw FROM expansion),
+    scored2 AS (
+      SELECT wq.query_id, t.doc_id,
+             sum(wq.qw * i.idf * t.tf * ({_BM25_K1} + 1.0)
+                 / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * d.dl / (SELECT avgdl FROM stats)))) AS score
+      FROM terms t
+      JOIN dl d ON d.doc_id = t.doc_id
+      JOIN idf i ON i.word = t.word
+      JOIN wq ON wq.word = t.word AND wq.query_id <> t.doc_id
+      GROUP BY 1, 2)
+    SELECT query_id, doc_id, rank, round(score, 4) AS prf_score,
+           EXISTS (SELECT 1 FROM pass1 p WHERE p.query_id = r.query_id
+                   AND p.doc_id = r.doc_id) AS in_first_pass
+    FROM (SELECT query_id, doc_id, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY round(score, 4) DESC, doc_id) AS INTEGER) AS rank
+          FROM scored2) r
+    WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass pseudo-relevance feedback: BM25 top-{k} feedback docs per
+    query, mine the {m} strongest expansion terms, re-score the corpus
+    with the weighted expanded query (original terms 1.0, expansion
+    {b}), emit the final top-{k} with an ``in_first_pass`` flag showing
+    what the expansion changed.
+
+    Expansion-term mining is INTEGER-exact by design: candidate terms
+    rank by (feedback tf sum DESC, df ASC, word) — no float in the
+    selection boundary (an idf-weighted mine would put ln() in a top-M
+    cut, where a last-ulp divergence flips the chosen term set; the
+    float idf stays in the SCORING sums, whose ties break on the rounded
+    value — the proven BM25 discipline).
+
+    Plan shape: both passes share one postings/dl/idf derivation; the
+    feedback set (≤ nq x k rows) and expanded term set (≤ nq x (|q| +
+    {m}) rows) broadcast, so corpus postings never shuffle on `word` in
+    either pass — two bounded broadcast joins instead of two corpus
+    shuffles at 100 TB.
+    """.format(k=_BM25_TOPK, m=_PRF_M, b=_PRF_BETA)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    idf = (
+        terms.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats).select("n"))
+        .select(
+            "word",
+            "df",
+            F.log(
+                F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    qterms = (
+        terms.filter(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+    bm25_w = lambda qw: (  # noqa: E731
+        qw
+        * F.col("idf")
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    base = (
+        terms.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats).select("avgdl"))
+        .join(F.broadcast(idf), "word")
+    )
+    wrank = W.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id")
+    )
+    pass1 = (
+        base.join(F.broadcast(qterms), "word")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn("w", bm25_w(F.lit(1.0)))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+        .withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id")
+    )
+    mined = (
+        terms.join(F.broadcast(pass1), "doc_id")
+        .join(F.broadcast(idf.select("word", "df")), "word")
+        .join(qterms, ["query_id", "word"], "left_anti")
+        .groupBy("query_id", "word")
+        .agg(F.sum("tf").alias("fb_tf"), F.min("df").alias("df"))
+    )
+    wexp = W.partitionBy("query_id").orderBy(
+        F.col("fb_tf").desc(), F.col("df").asc(), F.col("word")
+    )
+    expansion = (
+        mined.withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= _PRF_M)
+        .select("query_id", "word")
+    )
+    wq = qterms.withColumn("qw", F.lit(1.0)).unionByName(
+        expansion.withColumn("qw", F.lit(_PRF_BETA))
+    )
+    scored2 = (
+        base.join(F.broadcast(wq), "word")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn("w", bm25_w(F.col("qw")))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+    return (
+        scored2.withColumn("rank", F.row_number().over(wrank))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .join(
+            pass1.withColumn("in_first_pass", F.lit(True)),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round("score", 4).alias("prf_score"),
+            F.coalesce("in_first_pass", F.lit(False)).alias("in_first_pass"),
+        )
+    )

@@ -161,3 +161,27 @@ def test_mmr_greedy_reference(spark, sf_dir):
     for k, (vid, sc) in want.items():
         assert got[k][0] == vid, (k, got[k], (vid, sc))
         assert abs(got[k][1] - sc) < 2e-4
+
+
+def test_prf_expansion_properties(spark, sf_dir):
+    """PRF output: k rows per query, ranks 1..k, and the expansion
+    genuinely reorders — across the query set some final top-k docs were
+    NOT in the first pass."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.retrieval import (
+        _BM25_NQ,
+        _BM25_TOPK,
+        sim_bm25_prf_expansion,
+    )
+
+    rows = sim_bm25_prf_expansion(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == _BM25_NQ
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, _BM25_TOPK + 1))
+        assert all(r["doc_id"] != q for r in rs)
+    assert any(not r["in_first_pass"] for r in rows), (
+        "expansion changed nothing — feedback loop is inert"
+    )
+    assert any(r["in_first_pass"] for r in rows)

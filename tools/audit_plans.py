@@ -118,6 +118,12 @@ ALLOW: dict[str, dict[str, str]] = {
         "EXCH": "multi-consumer postings pipeline (idf + tf legs re-exchange "
         "the bounded postings)"
     },
+    "sim_bm25_prf_expansion": {
+        "EXCH": "two-pass PRF re-derives the shared postings/dl/idf chain "
+        "per consumer in the one-shot query form; a deployed two-pass "
+        "retriever materializes them once (documented in the docstring) "
+        "and every exchange carries key-sized aggregates"
+    },
     "dedup_embedding_cosine": {"CART": "blocked pair enumeration, bounded block"},
     "join_cross_region_nation": {"CART": "explicit CROSS JOIN query (25x5 dims)"},
     "sim_tfidf_topk": {"EXCH": "multi-consumer postings pipeline; ReusedExchange reprints per consumer"},
