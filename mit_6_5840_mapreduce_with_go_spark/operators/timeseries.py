@@ -1261,3 +1261,134 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low",
         "close",
     )
+
+
+# --------------------------------------------------------------------------
+# Changepoint detection via binary segmentation (one split): the day t*
+# maximizing the between-segment variance reduction of daily value sums.
+# Companion to events_cusum_drift (which ACCUMULATES drift evidence);
+# binary segmentation LOCATES the single best breakpoint — the first
+# recursion step of the classic changepoint algorithm (Scott & Knott /
+# binary segmentation, public literature).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_changepoint_binary_seg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS HUGEINT) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+                   CAST(sum(s) AS HUGEINT) AS ss FROM daily),
+    pre AS (
+      SELECT d,
+             CAST(sum(n) OVER (ORDER BY d) AS HUGEINT) AS n1,
+             CAST(sum(s) OVER (ORDER BY d) AS HUGEINT) AS s1
+      FROM daily),
+    cand AS (
+      SELECT pre.d, n1, s1, tot.nn - n1 AS n2, tot.ss - s1 AS s2,
+             s1 * s1 * (tot.nn - n1) + (tot.ss - s1) * (tot.ss - s1) * n1
+               AS num,
+             n1 * (tot.nn - n1) AS den
+      FROM pre, tot
+      WHERE n1 > 0 AND tot.nn - n1 > 0),
+    best AS (
+      SELECT * FROM cand c1
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand c2
+        WHERE c2.num * c1.den > c1.num * c2.den
+           OR (c2.num * c1.den = c1.num * c2.den AND c2.d < c1.d)))
+    SELECT best.d AS split_day,
+           CAST(n1 AS BIGINT) AS n_before, CAST(n2 AS BIGINT) AS n_after,
+           round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0, 4)
+             AS mean_before,
+           round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0, 4)
+             AS mean_after,
+           round((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                  - CAST(tot.ss AS DOUBLE) * CAST(tot.ss AS DOUBLE)
+                    / CAST(tot.nn AS DOUBLE))
+                 / (10000.0 * CAST(tot.nn AS DOUBLE)), 4) AS var_gain
+    FROM best, tot
+    """,
+)
+def events_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary segmentation over daily value sums: the split
+    day t* (segment = days <= t*) maximizing s1²/n1 + s2²/n2 — the exact
+    argmax of between-segment variance reduction.
+
+    The argmax is a BOUNDARY decision, so it never touches floats: daily
+    sums quantize to integer cents, candidate scores are exact-integer
+    fractions num(t)/den(t) (DECIMAL(38,0) / HUGEINT), and t* is the
+    candidate no rival beats under exact cross-multiplied comparison
+    (num2*den1 > num1*den2 — magnitudes bounded: cent-sums ≤ ~6e9, so
+    the 4-term product stays under 1e35 « 1e38).  Only the REPORTED
+    means/gain are floats, computed from the exact integers in one fixed
+    expression.
+
+    Scale: one daily aggregate (map-side combinable), a ~30-row prefix
+    window, and a ~30x30 pairwise argmax — the candidate table is
+    calendar-sized, never data-sized; recursing into segments repeats
+    the same plan on a filter."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("s_raw"),
+        )
+        .select("d", dec(F.col("n")).alias("n"), dec(F.col("s_raw")).alias("s"))
+    )
+    tot = daily.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+    )
+    wp = W.partitionBy(F.lit(0)).orderBy("d")
+    pre = daily.select(
+        "d",
+        F.sum("n").over(wp).cast("decimal(38,0)").alias("n1"),
+        F.sum("s").over(wp).cast("decimal(38,0)").alias("s1"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter((F.col("n1") > 0) & (F.col("nn") - F.col("n1") > 0))
+        .select(
+            "d",
+            "n1",
+            "s1",
+            (F.col("nn") - F.col("n1")).alias("n2"),
+            (F.col("ss") - F.col("s1")).alias("s2"),
+            (
+                F.col("s1") * F.col("s1") * (F.col("nn") - F.col("n1"))
+                + (F.col("ss") - F.col("s1"))
+                * (F.col("ss") - F.col("s1"))
+                * F.col("n1")
+            ).alias("num"),
+            (F.col("n1") * (F.col("nn") - F.col("n1"))).alias("den"),
+        )
+    )
+    rival = cand.select(
+        F.col("d").alias("d2"), F.col("num").alias("num2"), F.col("den").alias("den2")
+    )
+    beats = (F.col("num2") * F.col("den") > F.col("num") * F.col("den2")) | (
+        (F.col("num2") * F.col("den") == F.col("num") * F.col("den2"))
+        & (F.col("d2") < F.col("d"))
+    )
+    best = cand.join(F.broadcast(rival), beats, "left_anti")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("split_day"),
+        F.col("n1").cast("long").alias("n_before"),
+        F.col("n2").cast("long").alias("n_after"),
+        F.round(dbl("s1") / dbl("n1") / 100.0, 4).alias("mean_before"),
+        F.round(dbl("s2") / dbl("n2") / 100.0, 4).alias("mean_after"),
+        F.round(
+            (dbl("num") / dbl("den") - dbl("ss") * dbl("ss") / dbl("nn"))
+            / (10000.0 * dbl("nn")),
+            4,
+        ).alias("var_gain"),
+    )

@@ -301,3 +301,41 @@ def test_ohlc_bar_invariants(spark, sf_dir):
         .count()
     )
     assert sum(r["volume"] for r in rows) == n_raw
+
+
+def test_changepoint_python_replica(spark, sf_dir):
+    """Exact replica: daily cent-sums, integer-fraction argmax of
+    s1^2/n1 + s2^2/n2 — must pick the same split day."""
+    from collections import defaultdict
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.timeseries import (
+        events_changepoint_binary_seg,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        if r["value"] is None:
+            continue
+        d = r["ts"].date()
+        agg[d][0] += 1
+        agg[d][1] += int(r["value"] * 100 // 1)
+    days = sorted(agg)
+    NN = sum(v[0] for v in agg.values())
+    SS = sum(v[1] for v in agg.values())
+    best, n1 = None, 0
+    s1 = 0
+    for d in days:
+        n1 += agg[d][0]
+        s1 += agg[d][1]
+        n2, s2 = NN - n1, SS - s1
+        if n1 == 0 or n2 == 0:
+            continue
+        num = s1 * s1 * n2 + s2 * s2 * n1
+        den = n1 * n2
+        if best is None or num * best[2] > best[1] * den:
+            best = (d, num, den, n1, n2)
+    got = events_changepoint_binary_seg(spark, sf_dir).collect()[0]
+    assert got["split_day"] == best[0]
+    assert got["n_before"] == best[3] and got["n_after"] == best[4]

@@ -103,6 +103,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "sketch_hll_sliding_union": {
         "CART": "probe broadcast vs the fixed-size register table"
     },
+    "events_changepoint_binary_seg": {
+        "CART": "pairwise exact-fraction argmax over the calendar-sized "
+        "candidate table (~30 rows/month — bounded by days, not data)"
+    },
     # exchange-count waivers: unrolled iterations / multi-leg pipelines
     # whose exchanges all carry key-sized aggregates:
     "basket_frequent_triples": {
