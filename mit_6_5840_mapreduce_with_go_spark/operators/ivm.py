@@ -239,3 +239,147 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_triple") * 1.0 / F.col("n_orders"), 6).alias("support"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Aggregate view under retraction: the SUM/COUNT delta rule with DELETES
+# (dV = +agg(inserts) - agg(deletes)), including the case IVM papers
+# call out as the subtle one — a group whose count reaches zero must
+# VANISH from the view, which plain additive merge gets wrong.  The
+# insert-only join-view twin above handles dV = dA ⋈ B; this one closes
+# the retraction half of the classic incremental-maintenance algebra.
+# --------------------------------------------------------------------------
+_IVM_INS_MOD = 10  # o_orderkey % 10 == 7 arrive as the insert batch
+_IVM_DEL_MOD = 10  # o_orderkey % 10 == 3 are retracted
+# this (status, priority) group is FULLY retracted (every base member
+# deleted, inserts excluded) — it must disappear from the view
+_IVM_GONE_STATUS = "F"
+_IVM_GONE_PRIO = "1-URGENT"
+
+
+@query(
+    "maintenance_ivm_agg_retraction",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    ins AS (
+      SELECT * FROM o
+      WHERE o_orderkey % {_IVM_INS_MOD} = 7
+        AND NOT (status = '{_IVM_GONE_STATUS}' AND prio = '{_IVM_GONE_PRIO}')),
+    base AS (
+      SELECT * FROM o WHERE NOT (o_orderkey % {_IVM_INS_MOD} = 7
+        AND NOT (status = '{_IVM_GONE_STATUS}' AND prio = '{_IVM_GONE_PRIO}'))),
+    del_ AS (
+      SELECT * FROM base
+      WHERE (status = '{_IVM_GONE_STATUS}' AND prio = '{_IVM_GONE_PRIO}')
+         OR o_orderkey % {_IVM_DEL_MOD} = 3),
+    v_base AS (
+      SELECT status, prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM base GROUP BY 1, 2),
+    delta AS (
+      SELECT status, prio, CAST(sum(sgn) AS BIGINT) AS dn,
+             CAST(sum(sgn * cents) AS BIGINT) AS dcents
+      FROM (SELECT status, prio, 1 AS sgn, cents FROM ins
+            UNION ALL
+            SELECT status, prio, -1, cents FROM del_)
+      GROUP BY 1, 2),
+    incr AS (
+      SELECT coalesce(v.status, d.status) AS status,
+             coalesce(v.prio, d.prio) AS prio,
+             coalesce(v.n, 0) + coalesce(d.dn, 0) AS n,
+             coalesce(v.total_cents, 0) + coalesce(d.dcents, 0) AS total_cents
+      FROM v_base v FULL JOIN delta d
+        ON d.status = v.status AND d.prio = v.prio),
+    live AS (SELECT * FROM incr WHERE n > 0),
+    recompute AS (
+      SELECT status, prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM (SELECT * FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del_)
+            UNION ALL SELECT * FROM ins)
+      GROUP BY 1, 2)
+    SELECT coalesce(l.status, r.status) AS status,
+           coalesce(l.prio, r.prio) AS prio,
+           coalesce(l.n, -1) AS n,
+           coalesce(l.total_cents, -1) AS total_cents,
+           (l.n IS NOT NULL AND r.n IS NOT NULL
+            AND l.n = r.n AND l.total_cents = r.total_cents)
+             AS matches_full_recompute
+    FROM live l FULL JOIN recompute r
+      ON r.status = l.status AND r.prio = l.prio
+    """,
+)
+def maintenance_ivm_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable aggregate view "orders per (status, priority)" under
+    an insert batch AND a delete batch: the stored view merges signed
+    delta aggregates (+1 inserts, -1 deletes, exact integer cents), and
+    groups whose count reaches zero are dropped — one (status, priority)
+    group is fully retracted by construction and must VANISH.  Every
+    output row carries `matches_full_recompute` (full outer join, so a
+    group present on only one side surfaces as false).
+
+    Scale: deltas aggregate map-side before touching the view; the merge
+    is a view-sized outer join on the group key — work scales with the
+    delta and the view, never the base table.  AVG/stddev derive from
+    (n, sum, sum-of-squares) the same way; MIN/MAX are NOT retractable
+    this way and need the per-group heap or recompute (documented
+    limitation of the algebra)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    gone = (F.col("status") == _IVM_GONE_STATUS) & (F.col("prio") == _IVM_GONE_PRIO)
+    ins_pred = (F.col("o_orderkey") % _IVM_INS_MOD == 7) & ~gone
+    ins = o.filter(ins_pred)
+    base = o.filter(~ins_pred)
+    del_ = base.filter(gone | (F.col("o_orderkey") % _IVM_DEL_MOD == 3))
+    v_base = base.groupBy("status", "prio").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
+    delta = (
+        ins.select("status", "prio", F.lit(1).alias("sgn"), "cents")
+        .unionByName(del_.select("status", "prio", F.lit(-1).alias("sgn"), "cents"))
+        .groupBy("status", "prio")
+        .agg(
+            F.sum("sgn").alias("dn"),
+            F.sum(F.col("sgn") * F.col("cents")).alias("dcents"),
+        )
+    )
+    live = (
+        v_base.join(delta, ["status", "prio"], "full")
+        .select(
+            "status",
+            "prio",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce("total_cents", F.lit(0)) + F.coalesce("dcents", F.lit(0))
+            ).alias("total_cents"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    recompute = (
+        base.join(del_.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(ins)
+        .groupBy("status", "prio")
+        .agg(F.count(F.lit(1)).alias("rn"), F.sum("cents").alias("rcents"))
+    )
+    return (
+        live.join(recompute, ["status", "prio"], "full")
+        .select(
+            "status",
+            "prio",
+            F.coalesce("n", F.lit(-1)).alias("n"),
+            F.coalesce("total_cents", F.lit(-1)).alias("total_cents"),
+            (
+                F.col("n").isNotNull()
+                & F.col("rn").isNotNull()
+                & (F.col("n") == F.col("rn"))
+                & (F.col("total_cents") == F.col("rcents"))
+            ).alias("matches_full_recompute"),
+        )
+    )

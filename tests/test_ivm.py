@@ -49,3 +49,21 @@ def test_triples_downward_closure(spark, sf_dir):
                 assert t["support"] <= pairs[(pa, pb)] + 1e-9
         assert t["b1"] < t["b2"] < t["b3"]
         assert t["support"] >= IV._FT_MIN_SUPPORT
+
+
+def test_agg_retraction_identity_and_group_vanishes(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.ivm import (
+        _IVM_GONE_PRIO,
+        _IVM_GONE_STATUS,
+        maintenance_ivm_agg_retraction,
+    )
+
+    rows = maintenance_ivm_agg_retraction(spark, sf_dir).collect()
+    assert rows, "empty view"
+    assert all(r["matches_full_recompute"] for r in rows)
+    assert all(r["n"] > 0 for r in rows)
+    # the fully-retracted group must have vanished from BOTH sides
+    assert not any(
+        r["status"] == _IVM_GONE_STATUS and r["prio"] == _IVM_GONE_PRIO
+        for r in rows
+    )
