@@ -367,3 +367,201 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps-law fit: vocabulary growth V(T) ~ K * T^beta across the corpus —
+# the companion diagnostic to text_zipf_fit (Zipf describes the frequency
+# distribution at a point in time; Heaps describes how vocabulary GROWS
+# as the corpus grows, the curve that predicts tokenizer OOV rates and
+# vocab-size needs at 100x the data).
+# --------------------------------------------------------------------------
+_HEAPS_SAMPLES = 10  # decile sample points along the doc_id growth order
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''),
+    dl AS (
+      SELECT d.doc_id, coalesce(t.ntok, 0) AS ntok
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+                 FROM toks GROUP BY doc_id) t ON t.doc_id = d.doc_id),
+    nw AS (
+      SELECT fdoc AS doc_id, CAST(count(*) AS BIGINT) AS new_words
+      FROM (SELECT w, min(doc_id) AS fdoc FROM toks GROUP BY w)
+      GROUP BY fdoc),
+    cum AS (
+      SELECT dl.doc_id,
+             row_number() OVER (ORDER BY dl.doc_id) AS r,
+             CAST(sum(dl.ntok) OVER (ORDER BY dl.doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(sum(coalesce(nw.new_words, 0)) OVER (ORDER BY dl.doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      FROM dl LEFT JOIN nw ON nw.doc_id = dl.doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dl),
+    samples AS (
+      SELECT * FROM cum, tot
+      WHERE (r * {_HEAPS_SAMPLES}) // tot.d
+            > ((r - 1) * {_HEAPS_SAMPLES}) // tot.d
+        AND cum_tokens > 0 AND cum_vocab > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 4) AS heaps_beta,
+           round(regr_intercept(ln(cum_vocab), ln(cum_tokens)), 4)
+             AS heaps_intercept,
+           round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 4) AS heaps_r2,
+           max(cum_tokens) AS n_tokens, max(cum_vocab) AS n_vocab
+    FROM samples
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit: regress ln(cumulative vocabulary) on ln(cumulative
+    tokens) at {s} decile sample points along the deterministic doc_id
+    growth order.  beta near 0.5 is the natural-language signature; beta
+    drifting toward 0 flags a corpus going repetitive (templated or
+    deduplicatable), toward 1 random noise.
+
+    Plan shape: word counts and first-occurrence docs are map-side
+    combinable aggregates; the cumulative pass is ONE window over the
+    per-doc table joined EQUI (first-occurrence counts per doc — no
+    inequality join against the sample points); the regression runs over
+    {s} rows.  The only corpus-sized work is the token explode.
+    """.format(s=_HEAPS_SAMPLES)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    dl = (
+        docs.select("doc_id")
+        .join(
+            toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ntok")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("ntok", F.lit(0)).alias("ntok"))
+    )
+    nw = (
+        toks.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    wp = W.partitionBy(F.lit(0)).orderBy("doc_id")
+    cum = (
+        dl.join(nw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.row_number().over(wp).alias("r"),
+            F.sum("ntok").over(wp.rowsBetween(W.unboundedPreceding, 0)).alias(
+                "cum_tokens"
+            ),
+            F.sum(F.coalesce("new_words", F.lit(0)))
+            .over(wp.rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum_vocab"),
+        )
+    )
+    tot = dl.agg(F.count(F.lit(1)).alias("d"))
+    samples = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            (
+                F.floor(F.col("r") * _HEAPS_SAMPLES / F.col("d"))
+                > F.floor((F.col("r") - 1) * _HEAPS_SAMPLES / F.col("d"))
+            )
+            & (F.col("cum_tokens") > 0)
+            & (F.col("cum_vocab") > 0)
+        )
+    )
+    x = F.log("cum_tokens")
+    y = F.log("cum_vocab")
+    return samples.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope(y, x), 4).alias("heaps_beta"),
+        F.round(F.regr_intercept(y, x), 4).alias("heaps_intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("heaps_r2"),
+        F.max("cum_tokens").alias("n_tokens"),
+        F.max("cum_vocab").alias("n_vocab"),
+    )
+
+
+@query(
+    "text_heaps_law_gutenberg",
+    oracle=r"""
+    WITH toks AS (
+      SELECT filename AS f, w FROM (
+        SELECT filename, unnest(string_split_regex(content, '[^\pL]+')) AS w
+        FROM read_text('/root/reference/src/main/pg-*.txt'))
+      WHERE w <> ''),
+    dl AS (SELECT f, CAST(count(*) AS BIGINT) AS ntok FROM toks GROUP BY f),
+    nw AS (
+      SELECT ff AS f, CAST(count(*) AS BIGINT) AS new_words
+      FROM (SELECT w, min(f) AS ff FROM toks GROUP BY w)
+      GROUP BY ff),
+    cum AS (
+      SELECT row_number() OVER (ORDER BY dl.f) AS r,
+             CAST(sum(dl.ntok) OVER (ORDER BY dl.f
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(sum(coalesce(nw.new_words, 0)) OVER (ORDER BY dl.f
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      FROM dl LEFT JOIN nw ON nw.f = dl.f)
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 4) AS heaps_beta,
+           round(regr_intercept(ln(cum_vocab), ln(cum_tokens)), 4)
+             AS heaps_intercept,
+           round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 4) AS heaps_r2,
+           max(cum_tokens) AS n_tokens, max(cum_vocab) AS n_vocab
+    FROM cum
+    """,
+)
+def text_heaps_law_gutenberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law fit over the reference's REAL 8-book Gutenberg corpus
+    (every book a sample point, growth order = filename): natural text
+    shows the textbook sub-linear vocabulary growth the synthetic
+    31-word corpus cannot (text_heaps_law there measures saturation —
+    beta 0 — correctly but degenerately).  Tokenizer matches the wc
+    parity queries (split on non-letters, case-sensitive); input streams
+    through the wholetext data source, the oracle re-reads the same
+    files via read_text.  ``sf_dir`` unused — the corpus is fixed."""
+    from ..sources.textfiles import read_whole_text_source
+
+    toks = (
+        read_whole_text_source(spark, "/root/reference/src/main/pg-*.txt")
+        .select(
+            F.col("file").alias("f"),
+            F.explode(F.split("content", r"[^\p{L}]+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    dl = toks.groupBy("f").agg(F.count(F.lit(1)).alias("ntok"))
+    nw = (
+        toks.groupBy("w")
+        .agg(F.min("f").alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    wp = W.partitionBy(F.lit(0)).orderBy("f")
+    cum = (
+        dl.join(nw, "f", "left")
+        .select(
+            F.sum("ntok").over(wp.rowsBetween(W.unboundedPreceding, 0)).alias(
+                "cum_tokens"
+            ),
+            F.sum(F.coalesce("new_words", F.lit(0)))
+            .over(wp.rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum_vocab"),
+        )
+    )
+    x = F.log("cum_tokens")
+    y = F.log("cum_vocab")
+    return cum.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope(y, x), 4).alias("heaps_beta"),
+        F.round(F.regr_intercept(y, x), 4).alias("heaps_intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("heaps_r2"),
+        F.max("cum_tokens").alias("n_tokens"),
+        F.max("cum_vocab").alias("n_vocab"),
+    )

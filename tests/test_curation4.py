@@ -158,3 +158,34 @@ def test_langid_confusion_rows_partition_corpus(spark, sf_dir):
         by_lang[r["lang"]] += r["frac_of_lang"]
     for lang, tot in by_lang.items():
         assert abs(tot - 1.0) < 1e-2, (lang, tot)
+
+
+def test_heaps_law_structure(spark, sf_dir):
+    """Synthetic corpus: saturating 31-word vocabulary -> beta ~ 0 with
+    exact totals; replica checks tokens/vocab counts."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation4 import text_heaps_law
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+    r = text_heaps_law(spark, sf_dir).collect()[0]
+    rows = load_table(spark, sf_dir, "documents").select("text").collect()
+    toks = [w for row in rows for w in row["text"].split(" ") if w != ""]
+    assert r["n_tokens"] == len(toks)
+    assert r["n_vocab"] == len(set(toks))
+    assert r["n_points"] >= 5
+    assert 0.0 <= r["heaps_beta"] <= 1.0
+
+
+def test_heaps_law_gutenberg_signature(spark):
+    """Real text must show the textbook sub-linear growth: beta in the
+    classic 0.4-0.8 band with a tight log-log fit."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation4 import (
+        text_heaps_law_gutenberg,
+    )
+
+    r = text_heaps_law_gutenberg(spark, "unused").collect()[0]
+    assert r["n_points"] == 8
+    assert 0.4 <= r["heaps_beta"] <= 0.8
+    assert r["heaps_r2"] >= 0.95
+    # cross-check against the known corpus word count (22,107 distinct
+    # words — the mr_wordcount_gutenberg output size)
+    assert r["n_vocab"] == 22107
