@@ -565,3 +565,151 @@ def text_heaps_law_gutenberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cum_tokens").alias("n_tokens"),
         F.max("cum_vocab").alias("n_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+# EXACT capped mixture weights — the fixed point the soft-cap op
+# (pipeline_mixture_weights) documents as "would iterate": clipped
+# sources sit at EXACTLY the cap and the remainder redistributes
+# proportionally among the unclipped (water-filling).  Closed form, no
+# iteration: sort by share, the unique consistent clip count k falls out
+# of integer prefix-sum conditions.  Cap = 1/4 as an exact rational so
+# every clip decision is an INTEGER comparison — no float boundary.
+# --------------------------------------------------------------------------
+_MIXX_CAP_NUM = 1
+_MIXX_CAP_DEN = 4
+_MIXX_BUDGET = 1000
+
+
+@query(
+    "pipeline_mixture_weights_exact",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS m FROM g),
+    ranked AS (
+      SELECT lang, n,
+             row_number() OVER (ORDER BY n DESC, lang) AS r,
+             CAST(sum(n) OVER (ORDER BY n DESC, lang
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+      FROM g),
+    -- candidate clip counts 0..m with the unclipped mass U_k = nn - pre_k;
+    -- k is consistent iff the k-th source deserves the cap and the
+    -- (k+1)-th does not: n_k*(CD-k) >= U_k  and  n_(k+1)*(CD-k) < U_k
+    cand AS (
+      SELECT 0 AS k, tot.nn AS u, NULL AS nk,
+             (SELECT n FROM ranked WHERE r = 1) AS nk1
+      FROM tot
+      UNION ALL
+      SELECT r AS k, tot.nn - pre AS u, n AS nk,
+             lead(n) OVER (ORDER BY r) AS nk1
+      FROM ranked, tot),
+    chosen AS (
+      SELECT k, u FROM cand, tot
+      WHERE k < {_MIXX_CAP_DEN}
+        AND (k = 0 OR nk * ({_MIXX_CAP_DEN} - k) >= u)
+        AND (nk1 IS NULL OR nk1 * ({_MIXX_CAP_DEN} - k) < u)
+      ORDER BY k LIMIT 1)
+    SELECT ranked.lang, ranked.n AS n_docs,
+           round(ranked.n * 1.0 / tot.nn, 4) AS natural_share,
+           ranked.r <= chosen.k AS is_clipped,
+           round(CASE WHEN ranked.r <= chosen.k
+                      THEN {_MIXX_CAP_NUM} * 1.0 / {_MIXX_CAP_DEN}
+                      ELSE ranked.n * ({_MIXX_CAP_DEN} - chosen.k) * 1.0
+                           / ({_MIXX_CAP_DEN} * chosen.u) END, 4)
+             AS target_share,
+           CASE WHEN ranked.r <= chosen.k
+                THEN {_MIXX_BUDGET} * {_MIXX_CAP_NUM} // {_MIXX_CAP_DEN}
+                ELSE ({_MIXX_BUDGET} * ranked.n * ({_MIXX_CAP_DEN} - chosen.k))
+                     // ({_MIXX_CAP_DEN} * chosen.u) END AS planned_docs
+    FROM ranked, chosen, tot
+    """,
+)
+def pipeline_mixture_weights_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 25%-capped mixture over languages: clipped languages receive
+    EXACTLY the cap, the rest share the remaining mass proportionally —
+    the water-filling fixed point, found in closed form: sort shares
+    descending, the unique clip count k satisfies the integer conditions
+    n_k*(4-k) >= U_k > n_(k+1)*(4-k) (U_k = unclipped doc mass), so no
+    clip decision ever compares floats.  Integer-floor document
+    allocations against a {b}-doc budget ride along.
+
+    Scale: one groupBy(lang) reduces the corpus to one row per language;
+    everything after runs on that tiny table (two windows + a LIMIT-1
+    candidate pick).  The en-heavy corpus genuinely clips (en at ~44%
+    natural share -> pinned at exactly 0.25).
+    """.format(b=_MIXX_BUDGET)
+    g = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = g.agg(F.sum("n").alias("nn"), F.count(F.lit(1)).alias("m"))
+    wr = W.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("lang"))
+    ranked = g.select(
+        "lang",
+        "n",
+        F.row_number().over(wr).alias("r"),
+        F.sum("n").over(wr.rowsBetween(W.unboundedPreceding, 0)).alias("pre"),
+    )
+    CD = _MIXX_CAP_DEN
+    first_n = ranked.filter(F.col("r") == 1).select(F.col("n").alias("nk1"))
+    cand0 = (
+        tot.crossJoin(F.broadcast(first_n))
+        .select(
+            F.lit(0).alias("k"),
+            F.col("nn").alias("u"),
+            F.lit(None).cast("long").alias("nk"),
+            "nk1",
+        )
+    )
+    wl = W.partitionBy(F.lit(0)).orderBy("r")
+    candk = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias("k"),
+            (F.col("nn") - F.col("pre")).alias("u"),
+            F.col("n").alias("nk"),
+            F.lead("n").over(wl).alias("nk1"),
+        )
+    )
+    chosen = (
+        cand0.unionByName(candk)
+        .filter(
+            (F.col("k") < CD)
+            & ((F.col("k") == 0) | (F.col("nk") * (CD - F.col("k")) >= F.col("u")))
+            & (F.col("nk1").isNull() | (F.col("nk1") * (CD - F.col("k")) < F.col("u")))
+        )
+        .orderBy("k")
+        .limit(1)
+        .select("k", "u")
+    )
+    clipped = F.col("r") <= F.col("k")
+    return (
+        ranked.crossJoin(F.broadcast(chosen))
+        .crossJoin(F.broadcast(tot.select("nn")))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("n") * 1.0 / F.col("nn"), 4).alias("natural_share"),
+            clipped.alias("is_clipped"),
+            F.round(
+                F.when(clipped, F.lit(_MIXX_CAP_NUM / _MIXX_CAP_DEN)).otherwise(
+                    F.col("n") * (CD - F.col("k")) * 1.0 / (CD * F.col("u"))
+                ),
+                4,
+            ).alias("target_share"),
+            F.when(
+                clipped, F.lit(_MIXX_BUDGET * _MIXX_CAP_NUM // _MIXX_CAP_DEN)
+            )
+            .otherwise(
+                F.floor(
+                    (_MIXX_BUDGET * F.col("n") * (CD - F.col("k")))
+                    / (CD * F.col("u"))
+                )
+            )
+            .cast("long")
+            .alias("planned_docs"),
+        )
+    )

@@ -189,3 +189,42 @@ def test_heaps_law_gutenberg_signature(spark):
     # cross-check against the known corpus word count (22,107 distinct
     # words — the mr_wordcount_gutenberg output size)
     assert r["n_vocab"] == 22107
+
+
+def test_mixture_weights_exact_fixpoint(spark, sf_dir):
+    """Exact cap: clipped sources sit at EXACTLY 0.25, targets sum to 1,
+    and the result is the water-filling fixed point (python replica)."""
+    from fractions import Fraction
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation4 import (
+        pipeline_mixture_weights_exact,
+    )
+
+    rows = pipeline_mixture_weights_exact(spark, sf_dir).collect()
+    cap = Fraction(1, 4)
+    counts = {r["lang"]: r["n_docs"] for r in rows}
+    # replica: iterate clip-renormalize to fixed point on exact rationals
+    clipped: set[str] = set()
+    while True:
+        u = sum(n for l, n in counts.items() if l not in clipped)
+        lam_num = 1 - cap * len(clipped)
+        new = {
+            l
+            for l, n in counts.items()
+            if l not in clipped and Fraction(n, u) * lam_num >= cap
+        }
+        if not new:
+            break
+        clipped |= new
+    u = sum(n for l, n in counts.items() if l not in clipped)
+    for r in rows:
+        want = (
+            cap
+            if r["lang"] in clipped
+            else Fraction(counts[r["lang"]], u) * (1 - cap * len(clipped))
+        )
+        assert r["is_clipped"] == (r["lang"] in clipped)
+        assert abs(r["target_share"] - float(want)) < 1e-3, r
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-3
+    assert any(r["is_clipped"] for r in rows), "cap never bound — vacuous"
+    assert sum(r["planned_docs"] for r in rows) <= 1000

@@ -103,6 +103,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "sketch_hll_sliding_union": {
         "CART": "probe broadcast vs the fixed-size register table"
     },
+    "pipeline_mixture_weights_exact": {
+        "CART": "1-row clip-count pick (LIMIT 1 over the <=|langs|+1 "
+        "candidate table) + language-table broadcasts"
+    },
     "events_changepoint_binary_seg": {
         "CART": "pairwise exact-fraction argmax over the calendar-sized "
         "candidate table (~30 rows/month — bounded by days, not data)"
