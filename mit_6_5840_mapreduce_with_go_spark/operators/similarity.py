@@ -1407,3 +1407,97 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)) * 1.0 / (N_QUERIES * TOP_K), 4
         ).alias("mean_recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Paired sign test: is IVF's per-query recall advantage over LSH
+# statistically meaningful, or noise?  The exact two-sided binomial sign
+# test over the query sample — closing the eval loop sim_ann_recall_eval
+# opens (that op reports the recalls; this one reports whether the
+# difference survives n=10 queries).  Everything is exact integer
+# arithmetic: binomial coefficients via the integer-divisible recurrence,
+# the p-value an exact rational, and the 0.05 verdict an integer
+# comparison (20 * p_num < 2^n) — no float boundary anywhere.
+# --------------------------------------------------------------------------
+
+
+def _sign_test_oracle() -> str:
+    from ..registry import ORACLES
+
+    recall = ORACLES["sim_ann_recall_eval"].strip()
+    return f"""
+    WITH wl AS (
+      SELECT CAST(sum(CASE WHEN n_hit_ivf > n_hit_lsh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS w,
+             CAST(sum(CASE WHEN n_hit_lsh > n_hit_ivf THEN 1 ELSE 0 END)
+                  AS BIGINT) AS l,
+             CAST(sum(CASE WHEN n_hit_ivf = n_hit_lsh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t
+      FROM ({recall}) r),
+    p AS (
+      SELECT w, l, t, w + l AS n,
+             2 * list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(0, least(w, l) + 1), i ->
+                       list_reduce(
+                         list_prepend(CAST(1 AS BIGINT),
+                           list_transform(range(1, i + 1),
+                                          j -> CAST(j AS BIGINT))),
+                         (c, j) -> (c * ((w + l) - j + 1)) // j))),
+                   (acc, x) -> acc + x) AS p_num
+      FROM wl)
+    SELECT n AS n_informative, w AS ivf_wins, l AS lsh_wins, t AS ties,
+           round(least(p_num * 1.0 / power(2, n), 1.0), 6) AS p_value,
+           CASE WHEN n = 0 THEN FALSE
+                ELSE 20 * p_num < CAST(power(2, n) AS BIGINT) END
+             AS significant_05
+    FROM p
+    """
+
+
+@query("eval_ann_sign_test", oracle=_sign_test_oracle())
+def eval_ann_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided exact binomial sign test on per-query recall: wins =
+    queries where IVF recovered strictly more exact neighbors than LSH,
+    losses the reverse, ties dropped; p = 2 * sum_(i<=min(w,l)) C(n,i)
+    / 2^n (capped at 1).  Coefficients come from the sequential integer
+    recurrence c <- c*(n-j+1)/j (each division exact — the prefix
+    product is always divisible), the p-value is an exact rational, and
+    the alpha=0.05 verdict is the integer comparison 20*p_num < 2^n.
+
+    Scale: the per-query recall legs reuse the production index
+    pipelines over the query SAMPLE (sim_ann_recall_eval's design); the
+    sign test itself folds over <= n+1 integers in one row."""
+    recall = sim_ann_recall_eval(spark, sf_dir)
+    wl = recall.agg(
+        F.sum(F.when(F.col("n_hit_ivf") > F.col("n_hit_lsh"), 1).otherwise(0))
+        .cast("long")
+        .alias("w"),
+        F.sum(F.when(F.col("n_hit_lsh") > F.col("n_hit_ivf"), 1).otherwise(0))
+        .cast("long")
+        .alias("l"),
+        F.sum(F.when(F.col("n_hit_ivf") == F.col("n_hit_lsh"), 1).otherwise(0))
+        .cast("long")
+        .alias("t"),
+    )
+    # sequence(1, 0) is NOT empty in Spark (it steps backward), so the
+    # i = 0 binomial C(n,0) = 1 is cased explicitly instead of folding
+    p_num = F.expr(
+        "2 * aggregate(sequence(0, least(w, l)), CAST(0 AS BIGINT), (acc, i) ->"
+        " acc + (CASE WHEN i = 0 THEN CAST(1 AS BIGINT) ELSE"
+        " aggregate(sequence(1, i), CAST(1 AS BIGINT),"
+        " (c, j) -> (c * ((w + l) - j + 1)) div j) END))"
+    )
+    n = F.col("w") + F.col("l")
+    return wl.select(
+        n.alias("n_informative"),
+        F.col("w").alias("ivf_wins"),
+        F.col("l").alias("lsh_wins"),
+        F.col("t").alias("ties"),
+        F.round(
+            F.least(p_num * 1.0 / F.pow(F.lit(2.0), n), F.lit(1.0)), 6
+        ).alias("p_value"),
+        F.when(n == 0, F.lit(False))
+        .otherwise(F.lit(20) * p_num < F.pow(F.lit(2.0), n).cast("long"))
+        .alias("significant_05"),
+    )

@@ -319,3 +319,26 @@ def test_ivf_probe_sweep_monotone(spark, sf_dir):
     assert rows[-1]["mean_recall"] > rows[0]["mean_recall"]
     for r in rows:
         assert 0.0 <= r["mean_recall"] <= 1.0
+
+
+def test_ann_sign_test_exact_binomial(spark, sf_dir):
+    """Replica: recompute wins/losses from the recall eval and the exact
+    two-sided binomial p-value with python integers."""
+    from math import comb
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.similarity import (
+        eval_ann_sign_test,
+        sim_ann_recall_eval,
+    )
+
+    per_q = sim_ann_recall_eval(spark, sf_dir).collect()
+    w = sum(1 for r in per_q if r["n_hit_ivf"] > r["n_hit_lsh"])
+    l = sum(1 for r in per_q if r["n_hit_lsh"] > r["n_hit_ivf"])
+    n = w + l
+    got = eval_ann_sign_test(spark, sf_dir).collect()[0]
+    assert (got["ivf_wins"], got["lsh_wins"]) == (w, l)
+    assert got["ties"] == len(per_q) - n
+    if n:
+        p_num = 2 * sum(comb(n, i) for i in range(min(w, l) + 1))
+        assert abs(got["p_value"] - min(p_num / 2**n, 1.0)) < 1e-6
+        assert got["significant_05"] == (20 * p_num < 2**n)

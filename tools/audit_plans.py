@@ -55,6 +55,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "sim_ann_recall_eval": {
         "CART": "inherited: query-side + centroid broadcasts of the graded indexes"
     },
+    "eval_ann_sign_test": {
+        "CART": "inherited: the recall-eval legs' query-side + centroid "
+        "broadcasts (same waiver as sim_ann_recall_eval)"
+    },
     "sim_ivf_probe_sweep": {
         "CART": "centroid broadcast scoring + probe-rank<=np level join "
         "(max(np) probes x 3 levels per query — bounded by the knob domain)"
