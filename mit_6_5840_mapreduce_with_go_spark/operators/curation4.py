@@ -713,3 +713,149 @@ def pipeline_mixture_weights_exact(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("planned_docs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-safe train/val/test split: the split decision rides the NEAR-DUP
+# CLUSTER (connected components of the n-gram-Jaccard pair graph), so a
+# document can never land in train while its near-duplicate sits in test
+# — the leakage mode a doc-level OR source-level split misses (near-dups
+# cross sources).  The output contrasts the two policies: the doc-level
+# hash split on the same population straddles a measurable number of
+# clusters; the cluster-keyed split straddles zero by construction (both
+# counted from the data, not asserted).
+# --------------------------------------------------------------------------
+
+
+def _csplit_hash(col: str) -> str:
+    return f"(({_SPLIT_A_RED} * ({col} % {_SPLIT_P}) + {_SPLIT_B}) % {_SPLIT_P}) % 100"
+
+
+@query(
+    "pipeline_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3])) AS shingles
+      FROM documents WHERE doc_id < 200
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM exploded a JOIN exploded b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.05
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    labels AS (
+      SELECT d.doc_id,
+             coalesce(m.cluster_id, d.doc_id) AS cluster_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+      LEFT JOIN (SELECT doc_id, min(lbl) AS cluster_id
+                 FROM reach GROUP BY doc_id) m ON m.doc_id = d.doc_id),
+    assigned AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN {_csplit_hash('cluster_id')} < 80 THEN 'train'
+                  WHEN {_csplit_hash('cluster_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN {_csplit_hash('doc_id')} < 80 THEN 'train'
+                  WHEN {_csplit_hash('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM labels),
+    straddle AS (
+      SELECT
+        CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS straddling_cluster_policy,
+        CAST(sum(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS straddling_doc_policy
+      FROM (SELECT cluster_id,
+                   count(DISTINCT split) AS n_splits,
+                   count(DISTINCT naive_split) AS n_naive
+            FROM assigned GROUP BY cluster_id
+            HAVING count(*) > 1))
+    SELECT a.split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+           s.straddling_cluster_policy, s.straddling_doc_policy
+    FROM assigned a, straddle s
+    GROUP BY a.split, s.straddling_cluster_policy, s.straddling_doc_policy
+    """,
+)
+def pipeline_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on the NEAR-DUP CLUSTER id (connected
+    components of the n-gram-Jaccard graph, doc_id < 200; singletons are
+    their own cluster): per-split membership plus, measured from the
+    data, how many multi-doc clusters straddle a split boundary under
+    this policy (zero by construction) versus under the naive doc-hash
+    policy (the leakage a per-doc split silently ships to eval).
+
+    Scale: cluster labels come from the iterative label-propagation CC
+    (operators/clusters.py — O(diameter) supersteps, bucketed edges);
+    the split decision is a pure integer hash of the cluster id, and
+    the straddle audit is one groupBy over cluster-sized rows."""
+    from .clusters import connected_components
+    from .dedup import dedup_ngram_jaccard
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs).select("doc_id", "cluster_id")
+    assigned = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+
+    def split_of(col: str) -> F.Column:
+        b = (
+            F.lit(_SPLIT_A_RED) * (F.col(col) % _SPLIT_P) + F.lit(_SPLIT_B)
+        ) % _SPLIT_P % 100
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    assigned = assigned.select(
+        "doc_id",
+        "cluster_id",
+        split_of("cluster_id").alias("split"),
+        split_of("doc_id").alias("naive_split"),
+    )
+    straddle = (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("split").alias("n_splits"),
+            F.countDistinct("naive_split").alias("n_naive"),
+        )
+        .filter(F.col("sz") > 1)
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("straddling_cluster_policy"),
+            F.sum(F.when(F.col("n_naive") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("straddling_doc_policy"),
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )

@@ -228,3 +228,17 @@ def test_mixture_weights_exact_fixpoint(spark, sf_dir):
     assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-3
     assert any(r["is_clipped"] for r in rows), "cap never bound — vacuous"
     assert sum(r["planned_docs"] for r in rows) <= 1000
+
+
+def test_cluster_safe_split_no_straddle(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation4 import (
+        pipeline_cluster_safe_split,
+    )
+
+    rows = pipeline_cluster_safe_split(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["straddling_cluster_policy"] == 0 for r in rows)
+    # the naive doc-hash policy must show the leakage this op prevents
+    # (data-dependent; non-zero on every shipped SF)
+    assert all(r["straddling_doc_policy"] >= 1 for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 200
