@@ -57,6 +57,11 @@ HEADLINE = [
     "dedup_incremental_batch",
     "vocab_bpe_merges",
     "mm_pca_power_iteration",
+    # round-3 flagships
+    "dedup_repeated_spans",
+    "sim_bm25_prf_expansion",
+    "kv_consistent_hash_movement",
+    "sim_ivf_probe_sweep",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]

@@ -523,35 +523,43 @@ def kv_consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", fnv32a_col(F.col("key")).alias("h"))
     )
 
-    def assign(points: list[tuple[int, int]], out: str) -> DataFrame:
-        ring = spark.createDataFrame(points, "sid int, point long")
-        dist = (F.col("point") - F.col("h") + F.lit(4294967296)) % F.lit(4294967296)
-        return (
-            keys.crossJoin(F.broadcast(ring))
-            .select(
-                "key",
-                F.struct(
-                    dist.alias("dist"), F.col("point").alias("point"),
-                    F.col("sid").alias("sid"),
-                ).alias("cand"),
-            )
-            .groupBy("key")
-            .agg(F.min("cand").alias("b"))
-            .select("key", F.col("b.sid").alias(out))
-        )
-
-    moved = F.sum(F.when(F.col("sid_old") != F.col("sid_new"), 1).otherwise(0))
-    ring_stat = (
-        assign(_ring_points(_RING_N_OLD), "sid_old")
-        .join(assign(_ring_points(_RING_N_NEW), "sid_new"), "key")
-        .agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            moved.cast("long").alias("n_moved"),
-        )
+    # ONE pass over the union ring: the old epoch's points are a strict
+    # subset of the new epoch's (shards 0..N_OLD-1 keep their vnodes), so
+    # both owners fall out of a single keys x ring join — min(cand) over
+    # all points = new owner, min over sid < N_OLD = old owner.  Halves
+    # the scored rows vs two separate assignment passes (measured ~2x).
+    # all ring points are distinct (asserted below), so for a fixed key
+    # the forward distance alone identifies the owner — the (dist, point,
+    # sid) struct ordering collapses to min over ONE encoded long,
+    # dist * 256 + sid (dist < 2^32, 256 > n_shards), which makes the
+    # argmin a primitive long min instead of a struct comparison.
+    points = _ring_points(_RING_N_NEW)
+    assert len({p for _, p in points}) == len(points)
+    ring = spark.createDataFrame(points, "sid int, point long")
+    dist = (F.col("point") - F.col("h") + F.lit(4294967296)) % F.lit(4294967296)
+    enc = dist * 256 + F.col("sid")
+    assigned = (
+        keys.crossJoin(F.broadcast(ring))
         .select(
-            F.lit("ring").alias("strategy"), "n_keys", "n_moved",
-            F.round(F.col("n_moved") * 1.0 / F.col("n_keys"), 4).alias("moved_frac"),
+            "key",
+            enc.alias("cand"),
+            F.when(F.col("sid") < _RING_N_OLD, enc).alias("cand_old"),
         )
+        .groupBy("key")
+        .agg(F.min("cand").alias("bn"), F.min("cand_old").alias("bo"))
+        .select(
+            "key",
+            (F.col("bo") % 256).cast("int").alias("sid_old"),
+            (F.col("bn") % 256).cast("int").alias("sid_new"),
+        )
+    )
+    moved = F.sum(F.when(F.col("sid_old") != F.col("sid_new"), 1).otherwise(0))
+    ring_stat = assigned.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        moved.cast("long").alias("n_moved"),
+    ).select(
+        F.lit("ring").alias("strategy"), "n_keys", "n_moved",
+        F.round(F.col("n_moved") * 1.0 / F.col("n_keys"), 4).alias("moved_frac"),
     )
     mod_moved = F.sum(
         F.when(F.col("h") % _RING_N_OLD != F.col("h") % _RING_N_NEW, 1).otherwise(0)
