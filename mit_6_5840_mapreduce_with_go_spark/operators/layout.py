@@ -358,3 +358,155 @@ def layout_partition_prune_advisor(spark: SparkSession, sf_dir: str) -> DataFram
             )
             out = r if out is None else out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# MEASURED file-skip benefit of the Z-order layout: for representative
+# box predicates, how many "files" (buckets with min/max footers) must be
+# scanned under the Z-order clustering vs a single-column (custkey-
+# linear) clustering with the same file count budget.  Quantifies what
+# layout_zorder_buckets only previews — the number a table-OPTIMIZE
+# decision actually weighs.
+# --------------------------------------------------------------------------
+_SKIP_QUERIES = [
+    # (name, ck_lo, ck_hi, dt_lo, dt_hi) — None = unbounded side
+    ("custkey_slice", 100, 400, None, None),
+    ("date_halfyear", None, None, "1996-01-01", "1996-06-30"),
+    ("conjunction_box", 100, 400, "1996-01-01", "1996-06-30"),
+]
+
+
+def _skip_oracle() -> str:
+    qrows = ", ".join(
+        "({i}, '{n}', {cl}, {ch}, {dl}, {dh})".format(
+            i=i,
+            n=n,
+            cl="NULL" if cl is None else cl,
+            ch="NULL" if ch is None else ch,
+            dl="NULL" if dl is None else f"DATE '{dl}'",
+            dh="NULL" if dh is None else f"DATE '{dh}'",
+        )
+        for i, (n, cl, ch, dl, dh) in enumerate(_SKIP_QUERIES)
+    )
+    return f"""
+    WITH q AS (
+      SELECT o_custkey, o_orderdate,
+             {_XQ_SQL} AS xq, {_YQ_SQL} AS yq
+      FROM orders),
+    stats AS (
+      SELECT 'zorder' AS layout,
+             {_zvalue_sql("xq", "yq")} // {1 << Z_BUCKET_SHIFT} AS bucket,
+             min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+             min(CAST(o_orderdate AS DATE)) AS min_dt,
+             max(CAST(o_orderdate AS DATE)) AS max_dt
+      FROM q GROUP BY 1, 2
+      UNION ALL
+      SELECT 'custkey_linear', xq // {1 << (Z_BITS - 6)},
+             min(o_custkey), max(o_custkey),
+             min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))
+      FROM q GROUP BY 1, 2),
+    preds(qid, qname, ck_lo, ck_hi, dt_lo, dt_hi) AS (VALUES {qrows}),
+    scan AS (
+      SELECT s.layout, p.qname,
+             CASE WHEN (p.ck_hi IS NOT NULL AND s.min_ck > p.ck_hi)
+                    OR (p.ck_lo IS NOT NULL AND s.max_ck < p.ck_lo)
+                    OR (p.dt_hi IS NOT NULL AND s.min_dt > p.dt_hi)
+                    OR (p.dt_lo IS NOT NULL AND s.max_dt < p.dt_lo)
+                  THEN 0 ELSE 1 END AS scanned
+      FROM stats s CROSS JOIN preds p)
+    SELECT layout, qname, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(scanned) AS BIGINT) AS n_scanned,
+           round(1.0 - sum(scanned) * 1.0 / count(*), 4) AS skip_frac
+    FROM scan GROUP BY layout, qname
+    """
+
+
+@query("layout_zorder_skip_measure", oracle=_skip_oracle())
+def layout_zorder_skip_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skip fractions for {n} box predicates under two layouts with
+    the same file-count budget: Z-order on (custkey, orderdate) vs
+    custkey-linear clustering.  A file is scanned iff its (min, max)
+    footer box intersects the predicate box — exactly parquet row-group
+    pruning.
+
+    What the measurement surfaces (and a notebook guess would miss): the
+    linear layout prunes custkey slices but scans EVERY file for date
+    predicates, while Z-order's balance depends on the QUANTIZER DOMAIN
+    — the append-stable fixed-domain quantizer is sized for the full
+    ~150k-custkey table, so a small-SF corpus occupies a narrow x-slice,
+    the low interleaved bits barely vary, and Z degenerates toward
+    date-major there (strong date pruning, weak custkey pruning);
+    conjunction boxes prune well under both.  That domain-mismatch trade
+    is precisely what an OPTIMIZE decision needs measured per table.
+
+    Scale: both layouts reduce to one map-side-combinable groupBy to
+    ~64 footer rows; the predicate check is a {n}x-files constant join.
+    """.format(n=len(_SKIP_QUERIES))
+    orders = load_table(spark, sf_dir, "orders")
+    xq = F.least(
+        (F.col("o_custkey") * (1 << Z_BITS) / 150000).cast("long"),
+        F.lit((1 << Z_BITS) - 1),
+    )
+    yq = F.least(
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+            * (1 << Z_BITS)
+            / _DAYS_SPAN
+        ).cast("long"),
+        F.lit((1 << Z_BITS) - 1),
+    )
+    base = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("dt"),
+        xq.alias("xq"),
+        yq.alias("yq"),
+    )
+
+    def stats(df, bucket: F.Column, layout: str):
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.min("o_custkey").alias("min_ck"),
+            F.max("o_custkey").alias("max_ck"),
+            F.min("dt").alias("min_dt"),
+            F.max("dt").alias("max_dt"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    zb = (_zvalue_col(F.col("xq"), F.col("yq")) / (1 << Z_BUCKET_SHIFT)).cast(
+        "long"
+    )
+    lb = (F.col("xq") / (1 << (Z_BITS - 6))).cast("long")
+    st = stats(base, zb, "zorder").unionByName(stats(base, lb, "custkey_linear"))
+    preds = spark.createDataFrame(
+        [
+            (n, cl, ch, dl, dh)
+            for (n, cl, ch, dl, dh) in _SKIP_QUERIES
+        ],
+        "qname string, ck_lo long, ck_hi long, dt_lo string, dt_hi string",
+    ).select(
+        "qname",
+        "ck_lo",
+        "ck_hi",
+        F.col("dt_lo").cast("date").alias("dt_lo"),
+        F.col("dt_hi").cast("date").alias("dt_hi"),
+    )
+    pruned = (
+        (F.col("ck_hi").isNotNull() & (F.col("min_ck") > F.col("ck_hi")))
+        | (F.col("ck_lo").isNotNull() & (F.col("max_ck") < F.col("ck_lo")))
+        | (F.col("dt_hi").isNotNull() & (F.col("min_dt") > F.col("dt_hi")))
+        | (F.col("dt_lo").isNotNull() & (F.col("max_dt") < F.col("dt_lo")))
+    )
+    return (
+        st.crossJoin(F.broadcast(preds))
+        .select(
+            "layout",
+            "qname",
+            F.when(pruned, 0).otherwise(1).alias("scanned"),
+        )
+        .groupBy("layout", "qname")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("scanned").cast("long").alias("n_scanned"),
+            F.round(
+                1.0 - F.sum("scanned") * 1.0 / F.count(F.lit(1)), 4
+            ).alias("skip_frac"),
+        )
+    )

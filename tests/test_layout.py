@@ -113,3 +113,35 @@ def test_partition_prune_advisor_semantics(spark, sf_dir):
     for r in rows.values():
         assert 0.0 <= r["prune_frac"] <= 1.0
         assert r["partitions_skipped"] <= r["n_partitions"]
+
+
+def test_zorder_skip_measure_pruning_laws(spark, sf_dir):
+    """Invariants that hold regardless of quantizer-domain effects:
+    the custkey-linear layout can never prune a date-only predicate,
+    always prunes the custkey slice, and conjunction pruning is at
+    least as strong as each single-predicate pruning per layout."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.layout import (
+        layout_zorder_skip_measure,
+    )
+
+    rows = {
+        (r["layout"], r["qname"]): r
+        for r in layout_zorder_skip_measure(spark, sf_dir).collect()
+    }
+    lin_date = rows[("custkey_linear", "date_halfyear")]
+    assert lin_date["skip_frac"] == 0.0
+    lin_ck = rows[("custkey_linear", "custkey_slice")]
+    # with one linear file (sf0.001: all 150 custkeys quantize to xq=0
+    # under the fixed 150k domain) nothing can prune; with several, the
+    # slice must prune
+    if lin_ck["n_files"] > 1:
+        assert lin_ck["skip_frac"] > 0.0
+    for layout in ("zorder", "custkey_linear"):
+        conj = rows[(layout, "conjunction_box")]
+        for single in ("custkey_slice", "date_halfyear"):
+            assert conj["n_scanned"] <= rows[(layout, single)]["n_scanned"]
+    # zorder must beat linear on the date predicate (its reason to exist)
+    assert (
+        rows[("zorder", "date_halfyear")]["skip_frac"]
+        > rows[("custkey_linear", "date_halfyear")]["skip_frac"]
+    )
