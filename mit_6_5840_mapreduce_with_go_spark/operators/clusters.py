@@ -18,7 +18,7 @@ At 100 TB you'd checkpoint every few rounds to truncate lineage —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -495,14 +495,25 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the third standard graph primitive (clustering structure).
 # --------------------------------------------------------------------------
 _TRI_MULT = 2.0  # edge threshold: pair weight >= 2x the mean pair weight
-
+# Degree cap: each node KEEPS only its _TRI_DEG_CAP strongest edges
+# (rank by weight desc, neighbor id asc); an edge survives if EITHER
+# endpoint keeps it (union-kNN sparsification).  This bounds the graph's
+# max effective degree, which bounds the triangle join's wedge count by
+# N * K^2 at ANY scale — without it, the synthetic sf1 decade (10x users
+# in the same time window => quadratically denser co-activity slots)
+# produced a 3.97M-edge, avg-degree-529 graph whose 2e9-wedge triangle
+# join blew up the local executor.  At sf0.01 the cap is a no-op (max
+# degree 17); from sf0.1 up it genuinely sparsifies.
+_TRI_DEG_CAP = 32
 
 
 def coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared co-activity edge derivation (triangle census, k-hop BFS,
     and LPA in graphs2.py all run on THIS graph): users are linked when
     they co-occur in the same (hour, event_type) slot at >= _TRI_MULT x
-    the mean pair rate.  Undirected, u < v, one row per edge."""
+    the mean pair rate, then sparsified to each node's _TRI_DEG_CAP
+    strongest edges (kept if either endpoint ranks it).  Undirected,
+    u < v, one row per edge."""
     ev = load_table(spark, sf_dir, "events")
     slots = ev.select(
         "user_id",
@@ -518,11 +529,26 @@ def coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     tot = pairs.agg(F.sum("w").alias("sw"), F.count(F.lit(1)).alias("c"))
-    return (
+    thresholded = (
         pairs.crossJoin(F.broadcast(tot))
         .filter(F.col("w") >= _TRI_MULT * F.col("sw") / F.col("c"))
-        .select("u", "v")
+        .select("u", "v", "w")
     )
+    directed = thresholded.select("u", "v", "w").unionAll(
+        thresholded.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "w"
+        )
+    )
+    wd = W.partitionBy("u").orderBy(F.col("w").desc(), F.col("v"))
+    kept = (
+        directed.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _TRI_DEG_CAP)
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    return kept
 
 
 @query(
@@ -538,7 +564,12 @@ def coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
               GROUP BY 1, 2),
     t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS c
           FROM pairs),
-    e AS (SELECT u, v FROM pairs, t WHERE w >= {_TRI_MULT} * sw / c),
+    e0 AS (SELECT u, v, w FROM pairs, t WHERE w >= {_TRI_MULT} * sw / c),
+    dir AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+    e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+            SELECT u, v, row_number() OVER (PARTITION BY u
+              ORDER BY w DESC, v) AS rn FROM dir)
+          WHERE rn <= {_TRI_DEG_CAP}),
     deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
             FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
             GROUP BY 1),
@@ -633,7 +664,12 @@ _KHOP_K = 3
               GROUP BY 1, 2),
     t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS c
           FROM pairs),
-    e AS (SELECT u, v FROM pairs, t WHERE w >= {_TRI_MULT} * sw / c),
+    e0 AS (SELECT u, v, w FROM pairs, t WHERE w >= {_TRI_MULT} * sw / c),
+    dir AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+    e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+            SELECT u, v, row_number() OVER (PARTITION BY u
+              ORDER BY w DESC, v) AS rn FROM dir)
+          WHERE rn <= {_TRI_DEG_CAP}),
     sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     seeds AS (SELECT DISTINCT u AS s FROM sym ORDER BY s LIMIT {_KHOP_SEEDS}),
     r0 AS (SELECT s, s AS node, 0 AS d FROM seeds),

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import load_table
 
-from .clusters import _TRI_MULT
+from .clusters import _TRI_DEG_CAP, _TRI_MULT
 
 _LPA_ITERS = 2  # fixed + unrolled so the SQL oracle replays identically
 
@@ -32,7 +32,12 @@ _EDGES_DUCK = f"""
               GROUP BY 1, 2),
     t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS c
           FROM pairs),
-    e AS (SELECT u, v FROM pairs, t WHERE w >= {_TRI_MULT} * sw / c),
+    e0 AS (SELECT u, v, w FROM pairs, t WHERE w >= {_TRI_MULT} * sw / c),
+    dir AS (SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0),
+    e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM (
+            SELECT u, v, row_number() OVER (PARTITION BY u
+              ORDER BY w DESC, v) AS rn FROM dir)
+          WHERE rn <= {_TRI_DEG_CAP}),
     sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)"""
 
 _LPA_STEP_DUCK = """

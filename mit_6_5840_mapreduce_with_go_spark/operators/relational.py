@@ -40,38 +40,72 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q1_pricing_summary",
+    # Money/discount/tax carry <= 2 decimals, so every aggregate runs in
+    # EXACT integer cents (charge terms in cent*percent*percent units,
+    # DECIMAL/HUGEINT sums) with ONE final division per output column.
+    # Raw double sums are association-order-sensitive: at the synthetic
+    # sf1 decade (6M rows, sums ~3e10) the Spark and DuckDB partial-sum
+    # orders diverged in the 4th decimal — caught by the decade mirror,
+    # fixed by the same integer-unit discipline the stats family uses.
     oracle="""
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT)             AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT)  AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT)       AS disc_c,
+             CAST(round(l_tax * 100) AS BIGINT)            AS tax_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4)                                        AS sum_qty,
-           round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           round(CAST(sum(qty) AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(price_c) AS DOUBLE) / 100.0, 4) AS sum_base_price,
+           round(CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0, 4)
+             AS sum_disc_price,
+           round(CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE)
+                 / 1000000.0, 4) AS sum_charge,
+           round(CAST(sum(qty) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(price_c) AS DOUBLE) / count(*) / 100.0, 4)
+             AS avg_price,
+           round(CAST(sum(disc_c) AS DOUBLE) / count(*) / 100.0, 4)
+             AS avg_disc,
+           count(*) AS count_order
+    FROM q
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 - exact at any SF
+    q = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        dec(F.round(F.col("l_quantity"), 0)).alias("qty"),
+        dec(F.round(F.col("l_extendedprice") * 100, 0)).alias("price_c"),
+        dec(F.round(F.col("l_discount") * 100, 0)).alias("disc_c"),
+        dec(F.round(F.col("l_tax") * 100, 0)).alias("tax_c"),
+    )
+    cnt = F.count(F.lit(1))
+    return q.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("qty").cast("double"), 4).alias("sum_qty"),
+        F.round(F.sum("price_c").cast("double") / 100.0, 4).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("price_c") * (100 - F.col("disc_c"))).cast("double")
+            / 10000.0,
+            4,
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(
+                F.col("price_c") * (100 - F.col("disc_c")) * (100 + F.col("tax_c"))
+            ).cast("double")
+            / 1000000.0,
+            4,
+        ).alias("sum_charge"),
+        F.round(F.sum("qty").cast("double") / cnt, 4).alias("avg_qty"),
+        F.round(F.sum("price_c").cast("double") / cnt / 100.0, 4).alias("avg_price"),
+        F.round(F.sum("disc_c").cast("double") / cnt / 100.0, 4).alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 
