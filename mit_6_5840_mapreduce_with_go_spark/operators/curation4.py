@@ -596,7 +596,9 @@ _MIXX_BUDGET = 1000
       FROM g),
     -- candidate clip counts 0..m with the unclipped mass U_k = nn - pre_k;
     -- k is consistent iff the k-th source deserves the cap and the
-    -- (k+1)-th does not: n_k*(CD-k) >= U_k  and  n_(k+1)*(CD-k) < U_k
+    -- (k+1)-th does not EXCEED it: n_k*(CD-k) >= U_k and
+    -- n_(k+1)*(CD-k) <= U_k (equality = exactly at cap, valid as
+    -- unclipped; smallest consistent k wins)
     cand AS (
       SELECT 0 AS k, tot.nn AS u, NULL AS nk,
              (SELECT n FROM ranked WHERE r = 1) AS nk1
@@ -609,7 +611,7 @@ _MIXX_BUDGET = 1000
       SELECT k, u FROM cand, tot
       WHERE k < {_MIXX_CAP_DEN}
         AND (k = 0 OR nk * ({_MIXX_CAP_DEN} - k) >= u)
-        AND (nk1 IS NULL OR nk1 * ({_MIXX_CAP_DEN} - k) < u)
+        AND (nk1 IS NULL OR nk1 * ({_MIXX_CAP_DEN} - k) <= u)
       ORDER BY k LIMIT 1)
     SELECT ranked.lang, ranked.n AS n_docs,
            round(ranked.n * 1.0 / tot.nn, 4) AS natural_share,
@@ -630,8 +632,8 @@ def pipeline_mixture_weights_exact(spark: SparkSession, sf_dir: str) -> DataFram
     """Exact 25%-capped mixture over languages: clipped languages receive
     EXACTLY the cap, the rest share the remaining mass proportionally —
     the water-filling fixed point, found in closed form: sort shares
-    descending, the unique clip count k satisfies the integer conditions
-    n_k*(4-k) >= U_k > n_(k+1)*(4-k) (U_k = unclipped doc mass), so no
+    descending, the chosen clip count k satisfies the integer conditions
+    n_k*(4-k) >= U_k >= n_(k+1)*(4-k) (U_k = unclipped doc mass), so no
     clip decision ever compares floats.  Integer-floor document
     allocations against a {b}-doc budget ride along.
 
@@ -679,7 +681,17 @@ def pipeline_mixture_weights_exact(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(
             (F.col("k") < CD)
             & ((F.col("k") == 0) | (F.col("nk") * (CD - F.col("k")) >= F.col("u")))
-            & (F.col("nk1").isNull() | (F.col("nk1") * (CD - F.col("k")) < F.col("u")))
+            # <= not <: a source sitting EXACTLY at the cap is valid as
+            # unclipped (its proportional weight equals the cap); the
+            # strict form rejected every candidate k on such corpora
+            # (e.g. four equal shares) and returned an EMPTY mixture.
+            # At exact boundaries two adjacent k are both consistent
+            # with identical weights; ORDER BY k LIMIT 1 picks the
+            # smallest deterministically.
+            & (
+                F.col("nk1").isNull()
+                | (F.col("nk1") * (CD - F.col("k")) <= F.col("u"))
+            )
         )
         .orderBy("k")
         .limit(1)

@@ -178,9 +178,16 @@ def test_heaps_law_structure(spark, sf_dir):
 def test_heaps_law_gutenberg_signature(spark):
     """Real text must show the textbook sub-linear growth: beta in the
     classic 0.4-0.8 band with a tight log-log fit."""
+    import glob as _glob
+
+    import pytest
+
     from mit_6_5840_mapreduce_with_go_spark.operators.curation4 import (
         text_heaps_law_gutenberg,
     )
+
+    if not _glob.glob("/root/reference/src/main/pg-*.txt"):
+        pytest.skip("reference Gutenberg corpus not present")
 
     r = text_heaps_law_gutenberg(spark, "unused").collect()[0]
     assert r["n_points"] == 8
@@ -242,3 +249,42 @@ def test_cluster_safe_split_no_straddle(spark, sf_dir):
     # (data-dependent; non-zero on every shipped SF)
     assert all(r["straddling_doc_policy"] >= 1 for r in rows)
     assert sum(r["n_docs"] for r in rows) == 200
+
+
+def test_mixture_weights_exact_boundary_corpus(spark, tmp_path):
+    """Regression: a corpus whose shares sit exactly at the cap (four
+    equal languages) must yield the identity mixture, not an empty
+    result (the strict < consistency condition rejected every k)."""
+    import duckdb
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation4 import (
+        pipeline_mixture_weights_exact,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.registry import ORACLES
+
+    rows = []
+    did = 0
+    for lang, n in [("en", 25), ("de", 25), ("fr", 25), ("es", 25)]:
+        for _ in range(n):
+            rows.append((did, f"text {did}", lang, "src0", 10))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        pipeline_mixture_weights_exact(spark, str(tmp_path)).collect(),
+        key=lambda r: r["lang"],
+    )
+    assert len(got) == 4, "boundary corpus produced an empty/partial mixture"
+    for r in got:
+        assert r["target_share"] == 0.25
+        assert r["planned_docs"] == 250
+    # oracle agrees on the same data
+    con = duckdb.connect()
+    # Spark writes a directory of part files; glob them for DuckDB
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    orows = con.execute(ORACLES["pipeline_mixture_weights_exact"]).fetchall()
+    assert len(orows) == 4

@@ -209,7 +209,7 @@ def test_did_python_replica(spark, sf_dir):
     assert got["n_obs"] == sum(v[0] for v in cells.values())
 
 
-def test_percentile_approx_matches_quantile_disc_convention(spark, duck):
+def test_percentile_approx_matches_quantile_disc_convention(spark):
     """stats_winsorized_moments / stats_poisson_bootstrap_ci /
     eval_conformal_coverage assume Spark `percentile_approx(c, p,
     2147483647)` picks the SAME order statistic as DuckDB

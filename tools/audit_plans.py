@@ -321,12 +321,21 @@ def _build_is_scalar(lines: list[str], root: int) -> bool:
         node = _node(lines[i])
         if re.match(r"(Hash|Sort|Object.*)?Aggregate\(key(s)?=\[\]", node):
             return True
-        # LocalTableScan / Scan ExistingRDD / Range = a driver-literal
+        # LocalTableScan / Scan ExistingRDD = a driver-literal
         # collection — in this repo always a constant parameter table
         # (thresholds, probe levels, percentile fractions, hash planes,
-        # replicate ids), bounded by construction.
-        if node.startswith(("LocalTableScan", "Scan ExistingRDD", "Range ")):
+        # replicate ids), bounded by construction.  CAVEAT (reviewed):
+        # a future createDataFrame(big_collected_list) would slip
+        # through this arm — the plan text carries no row count, so the
+        # audit cannot distinguish it; parameter tables that stop being
+        # literal must drop back to a manual ALLOW entry.
+        if node.startswith(("LocalTableScan", "Scan ExistingRDD")):
             return True
+        # Range prints its bounds AND step — accept only small ROW counts
+        m = re.match(r"Range \((-?\d+), (-?\d+), step=(-?\d+)", node)
+        if m:
+            lo, hi, step = (int(m.group(i)) for i in (1, 2, 3))
+            return step != 0 and abs((hi - lo) // step) <= 100_000
         # a join of two bounded sides is itself bounded (|A| x |B|)
         if node.startswith(("BroadcastNestedLoopJoin", "CartesianProduct",
                             "BroadcastHashJoin")):

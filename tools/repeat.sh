@@ -6,7 +6,7 @@
 # linearizability tests — the ones whose bugs are schedule-dependent.
 #
 # Usage: tools/repeat.sh [N]   (default 10)
-set -u
+set -u -o pipefail
 N="${1:-10}"
 cd "$(dirname "$0")/.."
 SUITES="tests/test_fault_tolerance.py tests/test_streaming_faults.py \
@@ -15,12 +15,6 @@ for i in $(seq 1 "$N"); do
   echo "=== repeat $i/$N ==="
   if ! python -m pytest $SUITES -q -p no:cacheprovider 2>&1 | tail -1; then
     echo "FAILED on iteration $i"
-    exit 1
-  fi
-  # pytest exit code is what matters; tail above is cosmetic
-  rc=${PIPESTATUS[0]}
-  if [ "$rc" -ne 0 ]; then
-    echo "FAILED on iteration $i (rc=$rc)"
     exit 1
   fi
 done

@@ -36,13 +36,6 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 
-# per-copy key offsets = max key + 1 headroom from the source tables
-SHIFTS = {
-    "customer": ("c_custkey", 100000),
-    "supplier": ("s_suppkey", 10000),
-    "part": ("p_partkey", 100000),
-}
-
 
 def stretch_tpch(con: duckdb.DuckDBPyConnection, out: str) -> None:
     for t in ("region", "nation"):
