@@ -4,7 +4,7 @@
 ``queries()`` — every implemented operator from SURVEY.md §2 (+ north-star
 LLM-pipeline ops), as (spark, sf_dir) -> DataFrame callables.
 ``oracle_sql()`` — matching DuckDB SQL for EVERY registered query
-(243/243 since round 3: MinHash/SimHash now use an engine-portable
+(244/244 since round 3: MinHash/SimHash now use an engine-portable
 char-fold hash, so nothing is rows-only anymore).
 """
 

@@ -275,3 +275,65 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+def _roundtrip_oracle() -> str:
+    # reuse the learn chain (s0..sN) from the apply oracle, then check
+    # losslessness + census the symbol inventory
+    learn = _apply_oracle().split(",\n    vocab AS")[0]
+    return f"""{learn},
+    rt AS (
+      SELECT w, cnt, replace(seq, chr(31), '') AS decoded,
+             list_filter(string_split(seq, chr(31)), x -> x <> '') AS syms
+      FROM s{_BPE_STEPS})
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab_words,
+           CAST(sum(CASE WHEN decoded = w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lossless,
+           CAST(count(*) - sum(CASE WHEN decoded = w THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupted,
+           (count(*) = sum(CASE WHEN decoded = w THEN 1 ELSE 0 END))
+             AS all_lossless,
+           (SELECT CAST(count(DISTINCT s) AS BIGINT)
+            FROM (SELECT unnest(syms) AS s FROM rt)) AS n_symbols,
+           (SELECT CAST(max(length(s)) AS BIGINT)
+            FROM (SELECT unnest(syms) AS s FROM rt)) AS max_symbol_len
+    FROM rt
+    """
+
+
+@query("vocab_bpe_roundtrip", oracle=_roundtrip_oracle())
+def vocab_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer integrity gate: decode every vocabulary word's fused
+    BPE sequence (concatenate symbols, drop separators) and verify it
+    reproduces the original word EXACTLY — the losslessness property a
+    merge-rewrite bug (separator collision, partial replace) would
+    break silently while token counts still look plausible.  Also
+    censuses the symbol inventory (distinct symbols, longest symbol)
+    the learned merges induce.
+
+    Scale: runs on the VOCABULARY (one row per distinct word), never
+    the corpus — the same reduction the apply op uses; the decode is a
+    per-row string expression."""
+    state, _steps = _learn(spark, sf_dir)
+    rt = state.select(
+        "w",
+        F.regexp_replace("seq", _SEP, "").alias("decoded"),
+        F.filter(F.split("seq", _SEP), lambda x: x != "").alias("syms"),
+    )
+    ok = F.sum(F.when(F.col("decoded") == F.col("w"), 1).otherwise(0)).cast(
+        "long"
+    )
+    stats = rt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        ok.alias("n_lossless"),
+        (F.count(F.lit(1)) - ok).cast("long").alias("n_corrupted"),
+        (F.count(F.lit(1)) == ok).alias("all_lossless"),
+    )
+    syms = (
+        rt.select(F.explode("syms").alias("s"))
+        .agg(
+            F.countDistinct("s").alias("n_symbols"),
+            F.max(F.length("s")).cast("long").alias("max_symbol_len"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(syms))

@@ -123,3 +123,17 @@ def test_bpe_apply_consistent_with_merges(spark):
         .first()[0]
     )
     assert total == final_total
+
+
+def test_bpe_roundtrip_lossless(spark, sf_dir):
+    from mit_6_5840_mapreduce_with_go_spark.operators.vocab import (
+        vocab_bpe_roundtrip,
+    )
+
+    r = vocab_bpe_roundtrip(spark, sf_dir).collect()[0]
+    assert r["all_lossless"] is True
+    assert r["n_corrupted"] == 0
+    assert r["n_lossless"] == r["n_vocab_words"] > 0
+    # 3 merges can grow a symbol to at most 4 chars (1+1 -> 2 -> 3 -> 4)
+    assert 2 <= r["max_symbol_len"] <= 4
+    assert r["n_symbols"] > 0

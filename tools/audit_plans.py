@@ -198,6 +198,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "vocab_bpe_apply": {
         "CART": "inherited: 1-row top-pair broadcasts in the shared learning chain"
     },
+    "vocab_bpe_roundtrip": {
+        "CART": "inherited: 1-row top-pair broadcasts in the shared "
+        "learning chain + 1-row symbol-census assembly"
+    },
     "vocab_bpe_merges": {
         "CART": "1-row top-pair + token-count broadcasts per unrolled BPE step"
     },
