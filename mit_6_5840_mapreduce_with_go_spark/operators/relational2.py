@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.stitch import PID, order_buckets
 from ..registry import query
 from ..sources import load_table
 
@@ -358,17 +359,86 @@ def scalar_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_rank_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Global (unpartitioned) window: fine at this scale, single-partition
-    # sort at 100 TB — a real deployment would partition by a bucket key.
+    """Global ranking via the stitched two-pass (plans/stitch.py): an
+    unpartitioned window would single-partition-sort the whole fact
+    table at 100 TB.  Instead: range-partition on the ordering key,
+    per-partition ranks/leads (P parallel sorts), then a P-row stats
+    table supplies prefix offsets, the global row count for ntile's
+    exact bucket arithmetic, and each partition's successor key for the
+    boundary lead — all integer math, so the stitched result is
+    row-identical to the single-window oracle.
+
+    rank() == row_number here because the ordering key ends in the
+    unique o_orderkey (no ties); dense_rank over the priority DOMAIN is
+    a row_number over the distinct values (bounded: |priorities|),
+    broadcast-joined back."""
     orders = _t(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    wp = W.orderBy("o_orderpriority")
-    return orders.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.rank().over(w).cast("long").alias("price_rank"),
-        F.dense_rank().over(wp).cast("long").alias("priority_rank"),
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    okey = F.struct((-F.col("o_totalprice")).alias("p"), F.col("o_orderkey").alias("k"))
+    base = order_buckets(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"), okey
+    )
+    wloc = W.partitionBy(PID).orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    local = base.withColumn("_lrn", F.row_number().over(wloc)).withColumn(
+        "_llead", F.lead("o_orderkey").over(wloc)
+    )
+    # P-row stats: row count + first key (by the same order) per range
+    # bucket; prefix sums / successor firsts stitch over those P rows.
+    stats = base.groupBy(PID).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min_by("o_orderkey", okey).alias("_first_key"),
+    )
+    wpid = W.orderBy(PID)
+    stitch = stats.select(
+        F.col(PID),
+        F.coalesce(
+            F.sum("_cnt").over(wpid.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("_offset"),
+        F.lead("_first_key").over(wpid).alias("_next_first"),
+    ).crossJoin(F.broadcast(stats.agg(F.sum("_cnt").alias("_n"))))
+    # dense_rank over a bounded domain: rank the distinct priorities
+    # (the _stitch_dom_ alias asserts boundedness to the plan audit).
+    prio = (
+        orders.select(F.col("o_orderpriority").alias("_stitch_dom_priority"))
+        .distinct()
+        .withColumn(
+            "priority_rank",
+            F.row_number().over(W.orderBy("_stitch_dom_priority")).cast("long"),
+        )
+    )
+    return (
+        local.join(F.broadcast(stitch), PID)
+        .join(
+            F.broadcast(prio),
+            F.col("o_orderpriority") == F.col("_stitch_dom_priority"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "priority_rank",
+            "_llead",
+            "_next_first",
+            "_n",
+            (F.col("_lrn") + F.col("_offset")).alias("_rn"),
+        )
+        .select(
+            "o_orderkey",
+            # exact ntile(4): the first N%4 buckets get ceil(N/4) rows
+            F.when(
+                F.col("_rn") <= (F.col("_n") % 4) * (F.expr("_n div 4") + 1),
+                F.expr("(_rn - 1) div (_n div 4 + 1) + 1"),
+            )
+            .otherwise(
+                F.col("_n") % 4
+                + F.expr("(_rn - (_n % 4) * (_n div 4 + 1) - 1) div (_n div 4) + 1")
+            )
+            .cast("int")
+            .alias("price_quartile"),
+            F.col("_rn").cast("long").alias("price_rank"),
+            "priority_rank",
+            # boundary lead: partition-last rows (local lead NULL) take the
+            # next range partition's first key; the global last row stays NULL
+            F.coalesce("_llead", "_next_first").alias("next_orderkey"),
+        )
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.stitch import PID, order_buckets
 from ..registry import query
 from ..sources import load_table
 
@@ -812,23 +813,35 @@ def skyline_orders_cheap_early(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Algorithm: the classic sorted-scan skyline — order by date, keep a
     running minimum price; a row is on the frontier iff it beats every
-    earlier price. One window pass, no pairwise dominance join (the
-    naive formulation is O(n^2)).
-
-    Scale caveat (honest): the running minimum needs a total order by
-    date; at 100 TB you'd range-partition by date and stitch partition
-    frontiers with each partition's prefix-minimum — same O(n log n)
-    shape, one extra tiny pass. The demo keeps the single window."""
+    earlier price — executed as the stitched two-pass (plans/stitch.py)
+    instead of one unpartitioned window: range-bucket by the sort key,
+    per-bucket running minima (P parallel sorts), then each bucket's
+    total minimum feeds a P-row prefix-min stitch broadcast back, and a
+    row's true "best before" is the lesser of its local running minimum
+    and every earlier bucket's minimum.  Same O(n log n) work, no
+    single-task sort of the fact table."""
     orders = load_table(spark, sf_dir, "orders")
-    w = (
-        W.orderBy("o_orderdate", "o_totalprice", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, -1)
+    skey = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderkey").alias("k"),
     )
-    c = orders.select(
-        "o_orderkey",
-        "o_totalprice",
-        "o_orderdate",
-        F.min("o_totalprice").over(w).alias("best_before"),
+    base = order_buckets(
+        orders.select("o_orderkey", "o_totalprice", "o_orderdate"), skey
+    )
+    wloc = W.partitionBy(PID).orderBy(
+        "o_orderdate", "o_totalprice", "o_orderkey"
+    ).rowsBetween(W.unboundedPreceding, -1)
+    local = base.withColumn("_lmin", F.min("o_totalprice").over(wloc))
+    stats = base.groupBy(PID).agg(F.min("o_totalprice").alias("_bmin"))
+    stitch = stats.select(
+        F.col(PID),
+        F.min("_bmin")
+        .over(W.orderBy(PID).rowsBetween(W.unboundedPreceding, -1))
+        .alias("_prefix_min"),
+    )
+    c = local.join(F.broadcast(stitch), PID).withColumn(
+        "best_before", F.least("_lmin", "_prefix_min")
     )
     return c.filter(
         F.col("best_before").isNull()

@@ -82,14 +82,18 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard "plus one" form that never goes negative.
 
     Plan shape (the 100 TB-critical choices, mirroring sim_tfidf_topk):
-    the postings table joins its per-doc length on doc_id (the key it is
-    already partitioned on), idf — one row per vocab word — broadcasts,
-    the (N, avgdl) scalar is a 1-row broadcast crossJoin (never a driver
-    collect feeding a literal), and the ≤{nq}-doc query term set
-    broadcasts so the corpus postings NEVER shuffle on the hot `word`
-    key.  The only wide exchange is the final (query_id, doc_id) partial
-    aggregation.  Ranking ties break on the ROUNDED score then doc_id so
-    both engines cut the same top-k despite double-sum association order.
+    corpus postings are pruned FIRST by a broadcast semi-join against the
+    bounded query vocabulary (≤ |queries|·|terms| words), so every
+    downstream join — per-doc length, idf, the qterms expansion — runs
+    over query-word postings only; idf is semi-joined to that same
+    bounded vocabulary BEFORE broadcasting (a full-vocab broadcast is
+    ~10 GB at a 100 TB corpus per the repo's own Heaps fit — never
+    broadcastable); the (N, avgdl) scalar is a 1-row broadcast crossJoin
+    (never a driver collect feeding a literal).  The corpus postings
+    NEVER shuffle on the hot `word` key, and the only wide exchange over
+    unpruned data is the tf/dl derivation itself.  Ranking ties break on
+    the ROUNDED score then doc_id so both engines cut the same top-k
+    despite double-sum association order.
     """.format(nq=_BM25_NQ, k=_BM25_TOPK)
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     terms = (
@@ -102,8 +106,21 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
     )
-    idf = (
-        terms.groupBy("word")
+    qterms = (
+        terms.filter(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+    # Bounded query vocabulary: prune corpus postings map-side before any
+    # other join.  A query word's df only needs that word's postings —
+    # all of which survive the semi-join — so idf is derived from the
+    # PRUNED postings and the broadcast is |query vocab|-sized, never
+    # |corpus vocab|-sized (a full-vocab broadcast is ~10 GB at 100 TB
+    # per the repo's Heaps fit).
+    qwords = qterms.select("word").distinct()
+    pruned = terms.join(F.broadcast(qwords), "word")
+    idf_q = (
+        pruned.groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(stats).select("n"))
         .select(
@@ -113,15 +130,10 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
-    qterms = (
-        terms.filter(F.col("doc_id") < _BM25_NQ)
-        .select(F.col("doc_id").alias("query_id"), "word")
-        .distinct()
-    )
     scored = (
-        terms.join(dl, "doc_id")
+        pruned.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats).select("avgdl"))
-        .join(F.broadcast(idf), "word")
+        .join(F.broadcast(idf_q), "word")
         .join(F.broadcast(qterms), "word")
         .filter(F.col("query_id") != F.col("doc_id"))
         .withColumn(
@@ -604,11 +616,14 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     float idf stays in the SCORING sums, whose ties break on the rounded
     value — the proven BM25 discipline).
 
-    Plan shape: both passes share one postings/dl/idf derivation; the
-    feedback set (≤ nq x k rows) and expanded term set (≤ nq x (|q| +
-    {m}) rows) broadcast, so corpus postings never shuffle on `word` in
-    either pass — two bounded broadcast joins instead of two corpus
-    shuffles at 100 TB.
+    Plan shape: each pass prunes corpus postings FIRST with a broadcast
+    semi-join against its bounded vocabulary (pass 1: query words;
+    pass 2: query + expansion words; term mining: feedback-doc words),
+    and derives df/idf from the pruned postings — a word's df only needs
+    that word's postings, all of which survive the semi-join — so every
+    idf broadcast is bounded by the active vocabulary, never the corpus
+    vocabulary (~10 GB at 100 TB per the repo's Heaps fit).  Corpus
+    postings never shuffle on `word` in either pass.
     """.format(k=_BM25_TOPK, m=_PRF_M, b=_PRF_BETA)
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     terms = (
@@ -621,23 +636,30 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
     )
-    idf = (
-        terms.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats).select("n"))
-        .select(
-            "word",
-            "df",
-            F.log(
-                F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
-    )
     qterms = (
         terms.filter(F.col("doc_id") < _BM25_NQ)
         .select(F.col("doc_id").alias("query_id"), "word")
         .distinct()
     )
+
+    def idf_for(pruned_terms: DataFrame) -> DataFrame:
+        """idf over a vocabulary-pruned postings set: a word's df only
+        needs that word's postings, so pruning before the aggregate is
+        exact — and keeps the broadcast bounded by the active vocab."""
+        return (
+            pruned_terms.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(stats).select("n"))
+            .select(
+                "word",
+                "df",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ).alias("idf"),
+            )
+        )
+
     bm25_w = lambda qw: (  # noqa: E731
         qw
         * F.col("idf")
@@ -648,27 +670,44 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
-    base = (
-        terms.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats).select("avgdl"))
-        .join(F.broadcast(idf), "word")
-    )
+    def scored_pass(weighted_terms: DataFrame, qcol: str) -> DataFrame:
+        """One BM25 scoring pass over postings pruned to the bounded
+        vocabulary of ``weighted_terms`` (query_id, word[, qw])."""
+        words = weighted_terms.select("word").distinct()
+        pruned = terms.join(F.broadcast(words), "word")
+        qw = F.col("qw") if qcol == "qw" else F.lit(1.0)
+        return (
+            pruned.join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats).select("avgdl"))
+            .join(F.broadcast(idf_for(pruned).select("word", "idf")), "word")
+            .join(F.broadcast(weighted_terms), "word")
+            .filter(F.col("query_id") != F.col("doc_id"))
+            .withColumn("w", bm25_w(qw))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("w").alias("score"))
+        )
+
     wrank = W.partitionBy("query_id").orderBy(
         F.round("score", 4).desc(), F.col("doc_id")
     )
     pass1 = (
-        base.join(F.broadcast(qterms), "word")
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .withColumn("w", bm25_w(F.lit(1.0)))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("w").alias("score"))
+        scored_pass(qterms, "")
         .withColumn("rank", F.row_number().over(wrank))
         .filter(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "doc_id")
     )
+    # Term mining: df for feedback-doc words comes from the corpus
+    # postings pruned to that bounded vocabulary — corpus-exact df
+    # without a full-vocab aggregate or broadcast.
+    fbterms = terms.join(F.broadcast(pass1), "doc_id")
+    fbwords = fbterms.select("word").distinct()
+    dff = (
+        terms.join(F.broadcast(fbwords), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     mined = (
-        terms.join(F.broadcast(pass1), "doc_id")
-        .join(F.broadcast(idf.select("word", "df")), "word")
+        fbterms.join(F.broadcast(dff), "word")
         .join(qterms, ["query_id", "word"], "left_anti")
         .groupBy("query_id", "word")
         .agg(F.sum("tf").alias("fb_tf"), F.min("df").alias("df"))
@@ -684,13 +723,7 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = qterms.withColumn("qw", F.lit(1.0)).unionByName(
         expansion.withColumn("qw", F.lit(_PRF_BETA))
     )
-    scored2 = (
-        base.join(F.broadcast(wq), "word")
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .withColumn("w", bm25_w(F.col("qw")))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("w").alias("score"))
-    )
+    scored2 = scored_pass(wq, "qw")
     return (
         scored2.withColumn("rank", F.row_number().over(wrank))
         .filter(F.col("rank") <= _BM25_TOPK)

@@ -138,12 +138,15 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange is identical in each, so ReusedExchange computes it once —
     # measured equal to an explicit persist() without the blocking
     # materialization job (and without persist's cold-run penalty).
-    # idf is one row per vocab word — broadcast it so the postings table
-    # keeps its (doc_id, word) partitioning instead of re-shuffling on
-    # word for the join. (A web-scale vocab is still ≲100 MB after
-    # df-capping — broadcastable; beyond that this becomes a shuffle
-    # join automatically.)
-    weighted = terms.join(F.broadcast(idf), "word").select(
+    # idf joins as a SHUFFLE join on word, NOT a broadcast: unlike the
+    # BM25 family (where scoring only needs the bounded query vocabulary),
+    # every posting needs its idf here — the per-doc NORMS sum over all
+    # words — and a full-vocab broadcast is ~10 GB at a 100 TB corpus per
+    # the repo's Heaps fit.  The join is free of extra exchanges anyway:
+    # idf comes out of terms.groupBy("word"), so both join sides share the
+    # hash-partition-on-word exchange (ReusedExchange) and the join is
+    # co-partitioned.
+    weighted = terms.join(idf, "word").select(
         "doc_id", "word", (F.col("tf") * F.col("idf")).alias("w")
     )
     norms = weighted.groupBy("doc_id").agg(
@@ -152,17 +155,25 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = weighted.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa")
     )
-    # Re-cluster the corpus postings by document BEFORE the pair join:
-    # weighted comes out hash-partitioned on (doc_id, word), which
-    # scatters a document's postings across partitions, so the
-    # (doc_a, doc_b) partial aggregation below combines almost nothing
-    # and the exchange carries ~every joined row. Partitioned by doc_b,
-    # each partition holds complete documents and the partials collapse
-    # to one row per pair (~30x fewer shuffled rows; measured faster at
-    # sf0.1 and structurally necessary at 100 TB).
-    b = weighted.select(
-        F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb")
-    ).repartition(F.col("doc_b"))
+    # Prune the corpus side to the QUERY vocabulary before anything else:
+    # only postings sharing a word with some query doc can contribute a
+    # dot product, and the broadcast semi-join drops them map-side —
+    # BEFORE the doc_b exchange below, which would otherwise shuffle the
+    # full corpus postings.
+    qwords = a.select("word").distinct()
+    # Re-cluster the surviving postings by document BEFORE the pair join:
+    # weighted comes out hash-partitioned on word, which scatters a
+    # document's postings across partitions, so the (doc_a, doc_b)
+    # partial aggregation below combines almost nothing and the exchange
+    # carries ~every joined row. Partitioned by doc_b, each partition
+    # holds complete documents and the partials collapse to one row per
+    # pair (~30x fewer shuffled rows; measured faster at sf0.1 and
+    # structurally necessary at 100 TB).
+    b = (
+        weighted.join(F.broadcast(qwords), "word")
+        .select(F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb"))
+        .repartition(F.col("doc_b"))
+    )
     # The query side is ~100 docs' postings — broadcast it so the full
     # postings table never shuffles on the hot `word` key (this is the
     # 100 TB-critical choice: the corpus side streams map-side).
