@@ -22,7 +22,11 @@ from mit_6_5840_mapreduce_with_go_spark.operators.retrieval import (
     dedup_semdedup,
     sim_bm25_topk,
 )
-from mit_6_5840_mapreduce_with_go_spark.plans.explain import physical_plan
+from mit_6_5840_mapreduce_with_go_spark.plans.explain import (
+    physical_plan,
+    plan_tree,
+    subtree_details,
+)
 
 
 def _n_exchanges(plan: str) -> int:
@@ -42,14 +46,35 @@ def test_jl_projection_is_shuffle_free(spark, sf_dir):
 
 def test_bm25_broadcasts_everything_but_postings(spark, sf_dir):
     """idf, query terms, and the (N, avgdl) scalar broadcast; the
-    corpus postings never shuffle on the word key."""
+    UNPRUNED corpus postings never shuffle on the word key.
+
+    Word-keyed exchanges are allowed ONLY over query-vocab-bounded
+    subtrees: every ``Exchange hashpartitioning(word...`` must root a
+    subtree that contains the ``doc_id < NQ`` query-side pushed filter —
+    either directly (the qwords distinct) or via the broadcast semi-join
+    that prunes the postings before the idf/df aggregate.  An idf derived
+    from unpruned postings (the 100 TB full-vocab hazard round 4 removed)
+    has no such filter in its subtree and fails this pin.
+    """
     plan = physical_plan(sim_bm25_topk(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar crossJoins
     assert "SortMergeJoin" not in plan  # the pair join itself never SMJs
-    # the only word-keyed exchange is the idf/df aggregate (map-side
-    # partials compress it to vocab size); the JOIN side must not add one
-    assert plan.count("hashpartitioning(word") <= 1
+    tree = plan_tree(plan)
+    word_exchanges = [
+        i
+        for i, (_nid, _d, detail) in enumerate(tree)
+        if detail.startswith(f"({_nid}) Exchange")
+        and "hashpartitioning(word" in detail
+    ]
+    assert word_exchanges, "expected the bounded qwords/idf exchanges"
+    assert len(word_exchanges) <= 3  # qwords x2 (pass + prune) + idf/df
+    for i in word_exchanges:
+        sub = subtree_details(tree, i)
+        assert any(
+            "LessThan(doc_id,20)" in d or "doc_id#" in d and "< 20" in d
+            for d in sub
+        ), f"word-keyed exchange over UNPRUNED postings:\n{tree[i][2]}"
 
 
 def test_semdedup_assignment_is_hash_agg_not_window(spark, sf_dir):
