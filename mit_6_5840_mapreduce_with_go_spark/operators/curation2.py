@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.stitch import stitched_order
 from ..registry import query
 from ..sources import load_table
 from .curation import _word_ngrams
@@ -133,12 +134,15 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative coverage up to that rank.
 
     Scale: the token explode + count is map-side combinable and shuffles
-    only (word, partial-count) pairs; the rank/cumsum window then runs
-    over the VOCABULARY (types, not tokens) — for natural-language
-    corpora that is millions of rows where the corpus is trillions, so
-    the single-partition ordered window is over the already-collapsed
-    small side, the same shape as every top-k in this repo. DuckDB
-    window sums over BIGINT widen to HUGEINT, hence the CASTs."""
+    only (word, partial-count) pairs.  The rank/cumsum then runs as the
+    STITCHED two-pass ordering (plans/stitch.py) — per-bucket windows
+    partitioned by the sampled range-bucket id plus a P-row offset
+    stitch — never a single-partition sort: the repo's own Heaps fit
+    (beta 0.56) puts a 100 TB corpus at ~3x10^8 word types, multi-GB on
+    one task under the naive global window (the hazard class the BM25
+    idf fix established; GWIN-checked).  The token total is a 1-row
+    broadcast.  DuckDB window sums over BIGINT widen to HUGEINT, hence
+    the oracle CASTs."""
     docs = _docs(spark, sf_dir)
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -146,17 +150,18 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    order = W.orderBy(F.col("cnt").desc(), "word")
-    total = F.sum("cnt").over(
-        W.partitionBy()
+    # descending frequency composes as an ascending struct key (-cnt, word)
+    key = F.struct((-F.col("cnt")).alias("_nc"), F.col("word").alias("_w"))
+    ranked = stitched_order(
+        counts, key, rank_col="rank", sum_cols={"cnt": "running"}
     )
-    running = F.sum("cnt").over(order.rowsBetween(W.unboundedPreceding, 0))
-    return counts.select(
-        F.row_number().over(order).cast("long").alias("rank"),
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col("rank").cast("long").alias("rank"),
         "word",
         "cnt",
-        F.round(F.col("cnt") * 1.0 / total, 4).alias("share"),
-        F.round(running * 1.0 / total, 4).alias("cum_share"),
+        F.round(F.col("cnt") * 1.0 / F.col("_total"), 4).alias("share"),
+        F.round(F.col("running") * 1.0 / F.col("_total"), 4).alias("cum_share"),
     )
 
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.stitch import stitched_order
 from ..registry import query
 from ..sources import load_table
 from .pipelines import _SPLIT_A_RED, _SPLIT_B, _SPLIT_P
@@ -233,11 +234,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     templated/generated text.
 
     Scale: the word count is the only wide shuffle (map-side
-    combinable). The global rank window runs over the POST-aggregation
-    vocabulary — one row per distinct word, ≤ a few million after
-    df-capping at web scale — so the single-partition window sort is
-    bounded by vocab size, not corpus size. The regression itself is a
-    one-pass distributive aggregate (regr_slope/regr_r2)."""
+    combinable). The global rank runs as the STITCHED two-pass ordering
+    (plans/stitch.py) — per-bucket row_number partitioned by the sampled
+    range-bucket id plus a P-row offset stitch — never a single-
+    partition sort of the vocabulary: word types grow with the corpus
+    (Heaps beta 0.56 → ~3x10^8 types at 100 TB, multi-GB on one task
+    under the naive global window; GWIN-checked). The regression itself
+    is a one-pass distributive aggregate (regr_slope/regr_r2)."""
     docs = _docs(spark, sf_dir)
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -245,9 +248,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = wc.withColumn(
-        "rnk", F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("w")))
-    )
+    key = F.struct((-F.col("cnt")).alias("_nc"), F.col("w").alias("_w"))
+    ranked = stitched_order(wc, key, rank_col="rnk")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_vocab"),
         F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 4).alias("zipf_slope"),
@@ -426,10 +428,13 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicatable), toward 1 random noise.
 
     Plan shape: word counts and first-occurrence docs are map-side
-    combinable aggregates; the cumulative pass is ONE window over the
-    per-doc table joined EQUI (first-occurrence counts per doc — no
-    inequality join against the sample points); the regression runs over
-    {s} rows.  The only corpus-sized work is the token explode.
+    combinable aggregates; the cumulative pass is the STITCHED two-pass
+    ordering (plans/stitch.py) over the per-doc table joined EQUI
+    (first-occurrence counts per doc — no inequality join against the
+    sample points) — per-doc_id-bucket windows plus a P-row offset
+    stitch, never a single-partition sort of the doc table (docs grow
+    with the corpus; GWIN-checked); the regression runs over {s} rows.
+    The only corpus-sized work is the token explode.
     """.format(s=_HEAPS_SAMPLES)
     docs = _docs(spark, sf_dir)
     toks = docs.select(
@@ -450,20 +455,14 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("new_words"))
     )
-    wp = W.partitionBy(F.lit(0)).orderBy("doc_id")
-    cum = (
-        dl.join(nw, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.row_number().over(wp).alias("r"),
-            F.sum("ntok").over(wp.rowsBetween(W.unboundedPreceding, 0)).alias(
-                "cum_tokens"
-            ),
-            F.sum(F.coalesce("new_words", F.lit(0)))
-            .over(wp.rowsBetween(W.unboundedPreceding, 0))
-            .alias("cum_vocab"),
-        )
-    )
+    cum = stitched_order(
+        dl.join(nw, "doc_id", "left").select(
+            "doc_id", "ntok", F.coalesce("new_words", F.lit(0)).alias("_nws")
+        ),
+        F.col("doc_id"),
+        rank_col="r",
+        sum_cols={"ntok": "cum_tokens", "_nws": "cum_vocab"},
+    ).select("doc_id", "r", "cum_tokens", "cum_vocab")
     tot = dl.agg(F.count(F.lit(1)).alias("d"))
     samples = (
         cum.crossJoin(F.broadcast(tot))

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.stitch import PID, order_buckets
 from ..registry import query
 from ..sources import load_table
 
@@ -221,33 +222,54 @@ def layout_rle_run_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     an RLE/dictionary page would see, which is how a writer picks its
     sort order when Z-order isn't warranted.
 
-    Scale caveat (honest): counting runs needs a total order, so the
-    demo sorts; a production estimator samples or reuses the existing
-    layout's page stats. The planning OUTPUT (runs per candidate
-    order) is what matters — waived GSORT with this justification."""
+    Scale shape: under the value-clustered order every status is one
+    contiguous run, so runs_sorted_by_value IS the distinct-status count
+    — one map-side-combinable aggregate, no sort at all.  The
+    key-clustered leg counts runs with the STITCHED two-pass ordering
+    (plans/stitch.py): per-bucket lag windows partitioned by the sampled
+    range-bucket id count local run starts (a bucket's first row always
+    opens a run), then the P-row boundary stitch subtracts one merge for
+    every adjacent bucket pair whose frontier statuses match.  No
+    single-partition sort of the fact table (the round-3/4 GWIN hazard
+    this rewrite closes)."""
     orders = load_table(spark, sf_dir, "orders")
-    by_status = orders.select(
-        F.when(
-            ~F.col("o_orderstatus").eqNullSafe(
-                F.lag("o_orderstatus").over(
-                    W.orderBy("o_orderstatus", "o_orderkey")
-                )
-            ),
-            1,
+    by_status = orders.agg(
+        F.countDistinct("o_orderstatus").cast("bigint").alias(
+            "runs_sorted_by_value"
         )
-        .otherwise(0)
-        .alias("chg")
-    ).agg(F.sum("chg").cast("bigint").alias("runs_sorted_by_value"))
-    by_key = orders.select(
-        F.when(
-            ~F.col("o_orderstatus").eqNullSafe(
-                F.lag("o_orderstatus").over(W.orderBy("o_orderkey"))
-            ),
-            1,
+    )
+    b = order_buckets(
+        orders.select("o_orderkey", "o_orderstatus"), F.col("o_orderkey")
+    )
+    wb = W.partitionBy(PID).orderBy("o_orderkey")
+    prev = F.lag("o_orderstatus").over(wb)
+    chg = F.when(
+        prev.isNull() | ~F.col("o_orderstatus").eqNullSafe(prev), 1
+    ).otherwise(0)
+    # per-bucket stats: local run count + frontier values (min_by/max_by
+    # on the ordering key — no second window needed)
+    stats = (
+        b.withColumn("chg", chg)
+        .groupBy(PID)
+        .agg(
+            F.sum("chg").alias("runs"),
+            F.min_by("o_orderstatus", "o_orderkey").alias("first_s"),
+            F.max_by("o_orderstatus", "o_orderkey").alias("last_s"),
         )
-        .otherwise(0)
-        .alias("chg")
-    ).agg(F.sum("chg").cast("bigint").alias("runs_sorted_by_key"))
+    )
+    ws = W.orderBy(PID)  # P-row boundary window (_stitch_pid-keyed)
+    merges = stats.withColumn("prev_last", F.lag("last_s").over(ws))
+    by_key = merges.agg(
+        (
+            F.sum("runs")
+            - F.sum(
+                F.when(F.col("prev_last").eqNullSafe(F.col("first_s")), 1)
+                .otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs_sorted_by_key")
+    )
     n = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     return (
         n.crossJoin(F.broadcast(by_status))

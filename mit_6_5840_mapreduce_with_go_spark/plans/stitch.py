@@ -3,8 +3,9 @@ UNPARTITIONED window over a fact table.
 
 An empty ``Window.orderBy(...)`` compiles to ``Exchange SinglePartition``
 + one task sorting the WHOLE table — the classic 100 TB plan killer (the
-plan audit's GWIN check flags it).  The equivalent distributed shape is
-the two-pass stitch used by every external sorter:
+plan audit's GWIN check in tools/audit_plans.py flags it).  The
+equivalent distributed shape is the two-pass stitch used by every
+external sorter:
 
 1. Assign each row a RANGE-BUCKET id that is monotone in the ordering
    key — bucket i holds keys strictly below bucket i+1.
@@ -23,17 +24,24 @@ evaluation of the subtree, and the stitch necessarily consumes the
 bucketed data twice (data pass + stats pass) — measured at sf0.01, two
 evaluations disagreed on boundaries by hundreds of rows, silently
 corrupting every downstream offset.  ``order_buckets`` instead derives
-the cut points ONCE, at plan-build time, from a seed-pinned sample
-(bounded to ~100·P single-key rows on the driver — the same sketch size
-RangePartitioner itself collects) and bakes them into the plan as
-literals, so the bucket id is a pure deterministic function of the row
-and every consumer agrees by construction.  A deployed engine would
-cache table-level range statistics instead of re-sampling per query.
+the cut points ONCE, at plan-build time, from a seed-pinned sample and
+bakes them into the plan as literals, so the bucket id is a pure
+deterministic function of the row and every consumer agrees by
+construction.  A deployed engine would cache table-level range
+statistics instead of re-sampling per query.
+
+Build-time cost (documented, deliberate): ``order_buckets`` runs TWO
+eager actions when the plan is constructed — a ``count()`` to size the
+sample fraction and a ``sample().collect()`` bounded to ~100·P
+single-key rows (the same sketch size Spark's own RangePartitioner
+collects).  A deployed engine amortizes this into cached table range
+statistics; in the one-shot query form it is 2 extra bounded passes.
 
 Bucket-stats aggregates are keyed by the ``_stitch_pid`` column and
 bounded-domain ranking tables by ``_stitch_dom_*`` columns — naming
-conventions tools/audit_plans.py recognizes as bounded-by-construction
-(P buckets / an explicitly asserted finite domain).
+conventions the GWIN check in tools/audit_plans.py recognizes as
+bounded-by-construction (P buckets / an explicitly asserted finite
+domain) and waives.
 
 No reference counterpart (the reference's sort is the in-memory
 per-reduce-task ``sort.Sort`` in /root/reference/src/mr/worker.go:160 —
@@ -42,7 +50,7 @@ single-process by design); this is the Spark-native scale pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 PID = "_stitch_pid"
@@ -83,13 +91,28 @@ def order_buckets(
     equal to a cut sort into the lower bucket; duplicate cuts just leave
     a bucket empty (harmless — the stitch window runs over the buckets
     actually present).
+
+    The bucket id is ``size(filter(cuts, c -> key > c))`` over the
+    literal cut array — one flat O(P) expression per row (a chained
+    ``when`` would nest P-deep and blow codegen at the thousands of
+    buckets a 100 TB run wants; a true O(log P) binary search is not
+    expressible with built-ins, so the documented ceiling is P ≲ a few
+    thousand, comfortably above any shuffle-partition count).
+
+    NULL top-level keys are dropped from the SAMPLE (Python can't order
+    None) and bucket into PID 0 by construction (`NULL > lit` is never
+    true); struct keys must have non-null FIELDS — Python tuple
+    comparison on a sampled Row raises on None.
     """
     target = _SAMPLE_PER_BUCKET * num_partitions
     n = df.count()
     frac = 1.0 if n <= target else min(1.0, (1.05 * target) / n)
     sampled = sorted(
         r["_k"]
-        for r in df.select(key.alias("_k")).sample(fraction=frac, seed=seed).collect()
+        for r in df.select(key.alias("_k"))
+        .na.drop()
+        .sample(fraction=frac, seed=seed)
+        .collect()
     )
     cuts: list[object] = []
     if sampled:
@@ -100,7 +123,64 @@ def order_buckets(
             if j not in seen:
                 seen.add(j)
                 cuts.append(sampled[j])
-    pid = F.lit(0)
-    for c in cuts:
-        pid = pid + F.when(key > _lit_key(c), 1).otherwise(0)
+    if not cuts:
+        return df.withColumn(PID, F.lit(0))
+    arr = F.array(*[_lit_key(c) for c in cuts])
+    pid = F.size(F.filter(arr, lambda c: key > c))
     return df.withColumn(PID, pid)
+
+
+def stitched_order(
+    df: DataFrame,
+    key: Column,
+    *,
+    rank_col: str | None = None,
+    sum_cols: dict[str, str] | None = None,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    seed: int = 42,
+) -> DataFrame:
+    """Global ``row_number`` (``rank_col``) and/or INCLUSIVE running sums
+    (``sum_cols``: source column -> output column) over ascending
+    ``key`` order, computed as the three-stage stitch instead of a
+    single-partition window.
+
+    ``key`` must be a TOTAL order (no ties) for the rank to be
+    deterministic — compose tie-breakers into a struct.  Each output
+    running sum is ``sum(src) over (order by key rows unbounded
+    preceding .. current)``; the rank is ``row_number() over (order by
+    key)`` widened to BIGINT (the per-bucket offset is a count).
+
+    Plan: one P-way shuffle of the data (hash on PID), one P-row stats
+    aggregate + P-row offset window (``_stitch_pid``-keyed — GWIN-waived
+    by convention), one broadcast join back.  Never a single-partition
+    sort of the data.
+    """
+    sums = sum_cols or {}
+    b = order_buckets(df, key, num_partitions=num_partitions, seed=seed)
+    wloc = W.partitionBy(PID).orderBy(key)
+    wrun = wloc.rowsBetween(W.unboundedPreceding, 0)
+    out = b.withColumn("_loc_rn", F.row_number().over(wloc))
+    for src, dst in sums.items():
+        out = out.withColumn(f"_loc_{dst}", F.sum(src).over(wrun))
+    stats = b.groupBy(PID).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(src).alias(f"_s_{dst}") for src, dst in sums.items()],
+    )
+    woff = W.orderBy(PID).rowsBetween(W.unboundedPreceding, -1)
+    offs = stats.select(
+        PID,
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off_n"),
+        *[
+            F.coalesce(F.sum(f"_s_{dst}").over(woff), F.lit(0)).alias(f"_off_{dst}")
+            for dst in sums.values()
+        ],
+    )
+    out = out.join(F.broadcast(offs), PID)
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("_off_n") + F.col("_loc_rn"))
+    for dst in sums.values():
+        out = out.withColumn(dst, F.col(f"_off_{dst}") + F.col(f"_loc_{dst}"))
+    drop = [PID, "_loc_rn", "_off_n"]
+    drop += [f"_loc_{d}" for d in sums.values()]
+    drop += [f"_off_{d}" for d in sums.values()]
+    return out.drop(*drop)

@@ -13,6 +13,13 @@ Flags per query:
            subquery), which can never reach a scan; real pushdown
            regressions are pinned per-query in tests/test_plans.py
   - GSORT  global Sort not under TakeOrderedAndProject (full-data sort)
+  - GWIN   unpartitioned Window: a Window fed by Exchange SinglePartition
+           whose input subtree is not bounded-by-construction — ONE task
+           sorts the whole input, the classic 100 TB plan killer.  Bounded
+           means: a provably-<=1-row chain (_build_is_scalar), or a
+           subtree keyed by the stitch conventions (plans/stitch.py):
+           `_stitch_pid` (P-row per-bucket stats) / `_stitch_dom_`
+           (explicitly asserted finite domains).
   - EXCH   exchange count (informational; flagged above threshold)
 
 Known-intentional exceptions are allow-listed with the reason inline.
@@ -109,11 +116,14 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "pipeline_mixture_weights_exact": {
         "CART": "1-row clip-count pick (LIMIT 1 over the <=|langs|+1 "
-        "candidate table) + language-table broadcasts"
+        "candidate table) + language-table broadcasts",
+        "GWIN": "row_number over the <=|langs|+1 clip-candidate table",
     },
     "events_changepoint_binary_seg": {
         "CART": "pairwise exact-fraction argmax over the calendar-sized "
-        "candidate table (~30 rows/month — bounded by days, not data)"
+        "candidate table (~30 rows/month — bounded by days, not data)",
+        "GWIN": "prefix sums over per-day aggregates (~30 rows/month — "
+        "calendar-bounded)",
     },
     # exchange-count waivers: unrolled iterations / multi-leg pipelines
     # whose exchanges all carry key-sized aggregates:
@@ -215,6 +225,42 @@ ALLOW: dict[str, dict[str, str]] = {
         "CART": "1-row threshold broadcast + 1-row census-stat assembly",
         "EXCH": "post-reduction exchanges over tiny aggregates; the only wide "
         "stages are the bucketed slot self-join and edge groupBy",
+    },
+    # GWIN waivers: unpartitioned windows whose input is a grouped
+    # aggregate over a domain bounded BY CONSTRUCTION — fixed bin counts,
+    # calendar spans, |sources|/|langs| category sets — which do NOT grow
+    # with corpus size (unlike vocabularies/doc tables, which get the
+    # stitched rewrite instead).  The plan text cannot prove the bound
+    # (keyed aggregates carry no row count), hence manual entries:
+    "eval_quality_auc": {
+        "GWIN": "prefix sum over the fixed _AUC_BINS-row score histogram"
+    },
+    "events_kaplan_meier": {
+        "GWIN": "reverse cumulative risk over the corpus-span hour tally "
+        "(calendar-bounded)"
+    },
+    "layout_range_partition_plan": {
+        "GWIN": "prefix sum over the fixed-width value histogram"
+    },
+    "pipeline_corpus_composition": {
+        "GWIN": "share window over (source, lang) aggregate rows "
+        "(bounded category domains)"
+    },
+    "pipeline_mixture_weights": {
+        "GWIN": "share window over |sources| aggregate rows"
+    },
+    "sketch_quantile_histogram": {
+        "GWIN": "prefix sum over the fixed bucket table"
+    },
+    "stats_ks_two_sample": {
+        "GWIN": "CDF prefix sums over the fixed _KS_BINS bin table"
+    },
+    "stats_lorenz_gini": {
+        "GWIN": "Lorenz prefix sums over the fixed _GINI_BINS bin table"
+    },
+    "text_heaps_law_gutenberg": {
+        "GWIN": "cumulative window over the per-FILE table of the "
+        "reference's 8-book Gutenberg corpus (fixed fixture)"
     },
     # mapreduce-parity ops keep the reference's gather-all RDD contract;
     # Python eval there reproduces Map/Reduce UDF semantics by design.
@@ -380,6 +426,42 @@ def _all_carts_scalar(plan: str) -> bool:
     return found
 
 
+def _parent(lines: list[str], i: int) -> int:
+    d = _depth(lines[i])
+    j = i - 1
+    while j >= 0 and _depth(lines[j]) >= d:
+        j -= 1
+    return j
+
+
+def _gwin_hits(plan: str) -> list[str]:
+    """Unpartitioned-window detection: every ``Exchange SinglePartition``
+    whose consumer chain (through partition-local Sort / WindowGroupLimit
+    wrappers) is a Window, and whose input subtree is neither provably
+    <=1 row nor marked bounded by the stitch naming conventions."""
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, line in enumerate(lines):
+        if not _node(line).startswith("Exchange SinglePartition"):
+            continue
+        j = _parent(lines, i)
+        while j >= 0 and _node(lines[j]).startswith(
+            ("Sort", "WindowGroupLimit", "Project", "Filter",
+             "WholeStageCodegen", "InputAdapter", "ColumnarToRow")
+        ):
+            j = _parent(lines, j)
+        if j < 0 or not _node(lines[j]).startswith("Window"):
+            continue
+        kids = _children(lines, i)
+        if len(kids) == 1 and _build_is_scalar(lines, kids[0]):
+            continue
+        sub = "\n".join(lines[k] for k in _subtree(lines, i))
+        if "_stitch_pid" in sub or "_stitch_dom_" in sub:
+            continue
+        hits.append(_node(lines[j]).split("windowspecdefinition")[0][:80])
+    return hits
+
+
 def audit(name: str, df) -> list[tuple[str, str]]:
     flags: list[tuple[str, str]] = []
     plan = final_plan(df)
@@ -398,6 +480,12 @@ def audit(name: str, df) -> list[tuple[str, str]]:
         # Sort shows as "Sort ... true, 0" (global=true)
         if re.search(r"Sort \[[^\]]*\], true,", plan):
             flags.append(("GSORT", "global sort outside top-k"))
+    gwin = _gwin_hits(plan)
+    if gwin:
+        flags.append(
+            ("GWIN", f"{len(gwin)} unpartitioned window(s) over unbounded "
+             f"input: {'; '.join(gwin[:3])}")
+        )
     n_exch = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
     if n_exch > EXCH_THRESHOLD:
         flags.append(("EXCH", f"{n_exch} exchanges"))
