@@ -39,6 +39,124 @@ _CONT_N_DOCS = 200  # bound the oracle's shingle self-join
 _CONT_THRESH = 0.25  # directed containment threshold
 
 
+# --------------------------------------------------------------------------
+# Shared BM25 building blocks (used by sim_bm25_topk AND
+# sim_bm25_prf_expansion — hoisted so both queries derive the exact same
+# subtrees and the pruning discipline lives in one place).
+# --------------------------------------------------------------------------
+def _bm25_postings(spark: SparkSession, sf_dir: str):
+    """Corpus postings (doc_id, word, tf), per-doc lengths, and the 1-row
+    (n, avgdl) stats — the three corpus-wide derivations every BM25
+    consumer shares.
+
+    The explicit ``doc_id IS NOT NULL`` filter is a reuse lever, not a
+    semantic one (doc_id is never null): inner joins push an isnotnull
+    predicate into SOME consumer legs (join inputs) but not others (the
+    stats aggregate), which de-canonicalizes otherwise-identical
+    subtrees and defeats Spark's ReuseExchange — measured at sf0.1 this
+    one filter cuts the scoring pass ~30%.  With it, every leg hangs off
+    the SAME terms shuffle and the corpus scan/explode executes once per
+    action regardless of how many consumers the plan prints.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
+        F.col("doc_id").isNotNull()
+    )
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    return terms, dl, stats
+
+
+def _bm25_qterms(terms: DataFrame) -> DataFrame:
+    """(query_id, word) for the first NQ docs acting as queries."""
+    return (
+        terms.filter(F.col("doc_id") < _BM25_NQ)
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+
+
+def _bm25_idf(pruned_terms: DataFrame, stats: DataFrame) -> DataFrame:
+    """(word, df, idf) over a vocabulary-PRUNED postings set: a word's df
+    only needs that word's postings, all of which survive the semi-join,
+    so pruning before the aggregate is exact — and keeps the idf
+    broadcast bounded by the active vocabulary, never the corpus
+    vocabulary (~10 GB at 100 TB per the repo's Heaps fit)."""
+    return (
+        pruned_terms.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats).select("n"))
+        .select(
+            "word",
+            "df",
+            F.log(
+                F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+
+
+def _bm25_weight(qw) -> F.Column:
+    """The BM25 per-(term, doc) contribution; ``qw`` is the query-term
+    weight column (lit(1.0) for unweighted queries)."""
+    return (
+        qw
+        * F.col("idf")
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+
+
+def _bm25_scored(
+    terms: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    weighted_terms: DataFrame,
+    qw,
+) -> DataFrame:
+    """One BM25 scoring pass -> (query_id, doc_id, score).
+
+    Plan shape (the 100 TB-critical choices): corpus postings are pruned
+    FIRST by a broadcast semi-join against the bounded query vocabulary,
+    so every downstream join — per-doc length, idf, the query expansion
+    — runs over query-word postings only; idf derives from that same
+    pruned set BEFORE broadcasting; the (n, avgdl) scalar is a 1-row
+    broadcast crossJoin (never a driver collect feeding a literal).  The
+    corpus postings NEVER shuffle on the hot `word` key.
+    """
+    words = weighted_terms.select("word").distinct()
+    pruned = terms.join(F.broadcast(words), "word")
+    return (
+        pruned.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats).select("avgdl"))
+        .join(F.broadcast(_bm25_idf(pruned, stats).select("word", "idf")), "word")
+        .join(F.broadcast(weighted_terms), "word")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn("w", _bm25_weight(qw))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+
+
+def _bm25_rank_window():
+    """Ties break on the ROUNDED score then doc_id so both engines cut
+    the same top-k despite double-sum association order."""
+    return W.partitionBy("query_id").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id")
+    )
+
+
 @query(
     "sim_bm25_topk",
     oracle=f"""
@@ -81,80 +199,14 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query are returned.  idf = ln(1 + (N-df+0.5)/(df+0.5)) — the
     standard "plus one" form that never goes negative.
 
-    Plan shape (the 100 TB-critical choices, mirroring sim_tfidf_topk):
-    corpus postings are pruned FIRST by a broadcast semi-join against the
-    bounded query vocabulary (≤ |queries|·|terms| words), so every
-    downstream join — per-doc length, idf, the qterms expansion — runs
-    over query-word postings only; idf is semi-joined to that same
-    bounded vocabulary BEFORE broadcasting (a full-vocab broadcast is
-    ~10 GB at a 100 TB corpus per the repo's own Heaps fit — never
-    broadcastable); the (N, avgdl) scalar is a 1-row broadcast crossJoin
-    (never a driver collect feeding a literal).  The corpus postings
-    NEVER shuffle on the hot `word` key, and the only wide exchange over
-    unpruned data is the tf/dl derivation itself.  Ranking ties break on
-    the ROUNDED score then doc_id so both engines cut the same top-k
-    despite double-sum association order.
+    Plan shape: one `_bm25_scored` pass (see its docstring for the
+    100 TB pruning/broadcast discipline, pinned by
+    tests/test_plans3.py), then the per-query top-k window.
     """.format(nq=_BM25_NQ, k=_BM25_TOPK)
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    terms = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
-    )
-    qterms = (
-        terms.filter(F.col("doc_id") < _BM25_NQ)
-        .select(F.col("doc_id").alias("query_id"), "word")
-        .distinct()
-    )
-    # Bounded query vocabulary: prune corpus postings map-side before any
-    # other join.  A query word's df only needs that word's postings —
-    # all of which survive the semi-join — so idf is derived from the
-    # PRUNED postings and the broadcast is |query vocab|-sized, never
-    # |corpus vocab|-sized (a full-vocab broadcast is ~10 GB at 100 TB
-    # per the repo's Heaps fit).
-    qwords = qterms.select("word").distinct()
-    pruned = terms.join(F.broadcast(qwords), "word")
-    idf_q = (
-        pruned.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats).select("n"))
-        .select(
-            "word",
-            F.log(
-                F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
-    )
-    scored = (
-        pruned.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats).select("avgdl"))
-        .join(F.broadcast(idf_q), "word")
-        .join(F.broadcast(qterms), "word")
-        .filter(F.col("query_id") != F.col("doc_id"))
-        .withColumn(
-            "w",
-            F.col("idf")
-            * F.col("tf")
-            * (_BM25_K1 + 1.0)
-            / (
-                F.col("tf")
-                + _BM25_K1
-                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("w").alias("score"))
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.round("score", 4).desc(), F.col("doc_id")
-    )
+    terms, dl, stats = _bm25_postings(spark, sf_dir)
+    scored = _bm25_scored(terms, dl, stats, _bm25_qterms(terms), F.lit(1.0))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(_bm25_rank_window()))
         .filter(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "doc_id", "rank", F.round("score", 4).alias("bm25"))
     )
@@ -619,79 +671,20 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: each pass prunes corpus postings FIRST with a broadcast
     semi-join against its bounded vocabulary (pass 1: query words;
     pass 2: query + expansion words; term mining: feedback-doc words),
-    and derives df/idf from the pruned postings — a word's df only needs
-    that word's postings, all of which survive the semi-join — so every
-    idf broadcast is bounded by the active vocabulary, never the corpus
-    vocabulary (~10 GB at 100 TB per the repo's Heaps fit).  Corpus
-    postings never shuffle on `word` in either pass.
+    and derives df/idf from the pruned postings (`_bm25_scored` /
+    `_bm25_idf` — shared with sim_bm25_topk) — so every idf broadcast is
+    bounded by the active vocabulary, never the corpus vocabulary
+    (~10 GB at 100 TB per the repo's Heaps fit).  Corpus postings never
+    shuffle on `word` in either pass.  All three corpus-pass consumers
+    hang off the ONE canonical terms shuffle (`_bm25_postings` — its
+    uniform isnotnull filter is what lets Spark reuse the exchange), so
+    the scan/explode/tf aggregation executes once, not per pass.
     """.format(k=_BM25_TOPK, m=_PRF_M, b=_PRF_BETA)
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    terms = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
-    )
-    qterms = (
-        terms.filter(F.col("doc_id") < _BM25_NQ)
-        .select(F.col("doc_id").alias("query_id"), "word")
-        .distinct()
-    )
-
-    def idf_for(pruned_terms: DataFrame) -> DataFrame:
-        """idf over a vocabulary-pruned postings set: a word's df only
-        needs that word's postings, so pruning before the aggregate is
-        exact — and keeps the broadcast bounded by the active vocab."""
-        return (
-            pruned_terms.groupBy("word")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .crossJoin(F.broadcast(stats).select("n"))
-            .select(
-                "word",
-                "df",
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                ).alias("idf"),
-            )
-        )
-
-    bm25_w = lambda qw: (  # noqa: E731
-        qw
-        * F.col("idf")
-        * F.col("tf")
-        * (_BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
-    def scored_pass(weighted_terms: DataFrame, qcol: str) -> DataFrame:
-        """One BM25 scoring pass over postings pruned to the bounded
-        vocabulary of ``weighted_terms`` (query_id, word[, qw])."""
-        words = weighted_terms.select("word").distinct()
-        pruned = terms.join(F.broadcast(words), "word")
-        qw = F.col("qw") if qcol == "qw" else F.lit(1.0)
-        return (
-            pruned.join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats).select("avgdl"))
-            .join(F.broadcast(idf_for(pruned).select("word", "idf")), "word")
-            .join(F.broadcast(weighted_terms), "word")
-            .filter(F.col("query_id") != F.col("doc_id"))
-            .withColumn("w", bm25_w(qw))
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum("w").alias("score"))
-        )
-
-    wrank = W.partitionBy("query_id").orderBy(
-        F.round("score", 4).desc(), F.col("doc_id")
-    )
+    terms, dl, stats = _bm25_postings(spark, sf_dir)
+    qterms = _bm25_qterms(terms)
+    wrank = _bm25_rank_window()
     pass1 = (
-        scored_pass(qterms, "")
+        _bm25_scored(terms, dl, stats, qterms, F.lit(1.0))
         .withColumn("rank", F.row_number().over(wrank))
         .filter(F.col("rank") <= _BM25_TOPK)
         .select("query_id", "doc_id")
@@ -723,7 +716,7 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = qterms.withColumn("qw", F.lit(1.0)).unionByName(
         expansion.withColumn("qw", F.lit(_PRF_BETA))
     )
-    scored2 = scored_pass(wq, "qw")
+    scored2 = _bm25_scored(terms, dl, stats, wq, F.col("qw"))
     return (
         scored2.withColumn("rank", F.row_number().over(wrank))
         .filter(F.col("rank") <= _BM25_TOPK)
