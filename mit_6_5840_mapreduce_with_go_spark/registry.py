@@ -38,79 +38,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict insertion order).  The window ROTATES each
 # round so the hard cross-engine signal accumulates across the registry:
-# round 1 pinned the TPC-H sweep + flagships, round 2 swapped in the
-# session-2/3 flagships (both 50/50 green — see CORRECTNESS_r01/r02.json),
-# and this round-3 window covers the next 50 highest-value queries that
-# have never had a driver-green row (plus the KV/graph/dedup rows that
-# were driver-green only in round 1, re-verified after two rounds of
-# changes, and the two newly-oracled MinHash/SimHash pipelines).  Overlap
-# with the round-2 window: 1 query (mr_wordcount, the MapReduce-parity
-# headline kept for cross-round continuity).  Everything rotated out
+# round 1 pinned the TPC-H sweep + flagships, round 2 the session-2/3
+# flagships, rounds 3/4 the dedup/ANN/curation/text families (all 50/50
+# green — CORRECTNESS_r01–r04.json).  This round-5 window: 48 queries
+# that have NEVER had a driver-green row, led by everything rewritten in
+# rounds 4–5 (the stitched global-ordering queries, the PRF pass, the
+# two round-4 plan rewrites), plus 2 continuity rows (mr_wordcount, and
+# sim_bm25_topk re-confirmed after the round-5 helper hoist).  Cumulative
+# driver-verified after this window: 182/244.  Everything rotated out
 # stays mirror-checked by tools/check_correctness.py over all queries.
 WINDOW_PRIORITY: list[str] = [
     # MapReduce parity headline (continuity row, in every round's window)
     "mr_wordcount",
-    # Newly oracle-checked end-to-end this round (were rows-only): the
-    # portable-hash MinHash-LSH and SimHash pipelines
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # ANN / similarity: the compressed + hybrid + evaluation surfaces
-    "sim_topk_ivfpq",
-    "sim_hybrid_rrf",
-    "sim_ann_recall_eval",
-    "sim_ann_ndcg_eval",
-    "sim_range_search_lsh",
-    "sim_matryoshka_prefix_recall",
-    "sim_ivf_incremental_update",
-    # Dedup family: candidate generation + election + eval
-    "dedup_ngram_jaccard",
-    "dedup_minhash_xengine",
-    "dedup_minhash_pr_eval",
-    "dedup_clusters",
-    "dedup_keep_best",
-    "dedup_containment",
-    # Graph primitives over the duplicate-pair graph
-    "graph_pagerank_dup_clusters",
-    "graph_triangle_census",
-    "graph_khop_reachability",
-    "graph_lpa_communities",
-    "cluster_silhouette_simplified",
-    # KV/shard surface (driver-green only in r01; re-pinned)
-    "kv_cas_replay",
-    "kv_get_lookup",
-    "kv_shard_distribution",
-    # Curation tranches: the corpus-assembly operators
-    "pipeline_curated_documents",
-    "pipeline_pretrain_corpus",
-    "pipeline_domain_cap",
-    "pipeline_quality_resample",
-    "pipeline_corpus_composition",
-    "pipeline_mixture_weights",
-    "pipeline_group_split",
-    "pipeline_weighted_sample",
-    "pipeline_paragraph_dedup",
-    "pipeline_chunk_documents",
-    "pipeline_drop_reasons",
-    # Tokenizer: BPE apply (merges were driver-green in r02)
-    "vocab_bpe_apply",
-    # Text analysis breadth
-    "text_token_stats",
-    "text_lang_guess",
-    "text_fingerprint",
-    "text_char_entropy",
-    "text_ngram_novelty",
-    "text_keywords_tfidf",
-    "text_collocations_pmi",
-    # Stats / eval family (winsorized: rank convention pinned this round;
-    # silhouette + quantile histogram: degenerate-input guards added)
-    "stats_chi2_independence",
-    "stats_winsorized_moments",
-    "stats_lorenz_gini",
-    "eval_calibration_bins",
-    "eval_threshold_sweep",
-    "sketch_quantile_histogram",
-    # Privacy surface
-    "privacy_k_anonymity",
+    # Rewritten in rounds 4-5 — never driver-verified (or re-pinned):
+    "sim_bm25_topk",
+    "sim_bm25_prf_expansion",
+    "window_ntile_rank_lead",
+    "skyline_orders_cheap_early",
+    # Stitched this round (GWIN rewrites on plans/stitch.py)
+    "layout_rle_run_estimate",
+    "text_vocab_coverage",
+    "text_zipf_fit",
+    "text_heaps_law",
+    "text_heaps_law_gutenberg",
+    # Events/behavior analytics breadth (never driver-verified)
+    "events_retention_cohorts",
+    "events_markov_transitions",
+    "events_ab_welch_t",
+    "events_top_session_paths",
+    "events_attribution_models",
+    "events_pattern_sessions",
+    "events_kaplan_meier",
+    "events_funnel_conversion",
+    "events_gap_fill_hourly",
+    "events_rate_anomaly",
+    "events_rolling_median",
+    "events_ewma_value",
+    "events_cusum_drift",
+    "events_changepoint_binary_seg",
+    "events_ohlc_bars",
+    "events_leadlag_xcorr",
+    "asof_join_next_purchase_after_error",
+    # Custom UDAF surface
+    "udaf_median_event_gap",
+    "udaf_interdecile_value_spread",
+    # Sketch family
+    "sketch_bloom_partition_prune",
+    "sketch_cms_join_size",
+    "sketch_kmv_distinct_users",
+    "sketch_kmv_source_overlap",
+    "sketch_hll_sliding_union",
+    "bitmap_type_day_overlap",
+    # Storage-layout planners
+    "layout_delta_varint_estimate",
+    "layout_partition_prune_advisor",
+    "layout_zorder_skip_measure",
+    "layout_range_partition_plan",
+    # Incremental maintenance
+    "maintenance_snapshot_diff",
+    "maintenance_ivm_agg_retraction",
+    "maintenance_compaction_bins",
+    "kv_consistent_hash_movement",
+    # Pipeline / split tooling
+    "pipeline_labels_asof_features",
+    "pipeline_source_overlap_matrix",
+    "pipeline_cluster_safe_split",
+    "pipeline_epoch_shuffle",
+    # Multimodal plumbing
+    "mm_jl_projection",
+    "mm_embedding_dim_stats",
+    "mm_resize_plan",
 ]
 
 
