@@ -1,12 +1,23 @@
 """Multimodal column handling: opaque ``binary`` payloads + typed
 metadata, with decode / feature-extract as Arrow-batched ``mapInPandas``.
 
-No reference counterpart — north-star LLM-pipeline additions. The
-container has no image/audio libraries, so the actual byte decode is a
-clearly-marked deterministic STUB (``decode_image_stub``); everything
-around it — binary column construction, schema, Arrow batching, the
-mapInPandas signature and partitioning — is the real 100 TB plumbing
-(payloads never hit the driver; each task decodes its own Arrow batches).
+No reference counterpart — north-star LLM-pipeline additions.  Two
+decode paths:
+
+- ``decode_ppm`` is a REAL pure-Python image decoder (binary PPM "P6",
+  the netpbm format — public spec): it parses the header, validates the
+  raster, and computes pixel statistics from the actual pixel bytes.
+  ``mm_decode_ppm_stats`` drives it end-to-end over synthetic-but-valid
+  P6 payloads built inside Spark, with a DuckDB oracle recomputing the
+  same stats from the payload definition.
+- ``decode_image_stub`` remains the clearly-marked deterministic STUB
+  for compressed formats (JPEG/PNG need PIL/opencv, absent in this
+  container); a real deployment replaces only that function body.
+
+Either way the plumbing — binary column construction, schema, Arrow
+batching, the mapInPandas signature and partitioning — is the real
+100 TB shape (payloads never hit the driver; each task decodes its own
+Arrow batches).
 """
 
 from __future__ import annotations
@@ -47,9 +58,56 @@ def decode_image_stub(payload: bytes) -> dict:
 
 def decode_image_real(payload: bytes):  # pragma: no cover - by design
     raise NotImplementedError(
-        "image decode requires PIL/opencv, not present in this container; "
-        "use decode_image_stub (deterministic fake) instead"
+        "compressed-image decode (JPEG/PNG) requires PIL/opencv, not "
+        "present in this container; uncompressed PPM decodes for real "
+        "via decode_ppm"
     )
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL pure-Python decoder for binary PPM ("P6", netpbm — public
+    spec: magic, whitespace/comment-separated width height maxval, one
+    whitespace byte, then width*height*3 RGB raster bytes at maxval<=255).
+
+    Returns the dimensions plus pixel statistics computed from the
+    ACTUAL raster bytes (integer-exact sum/min/max; the mean divides two
+    exact integers).  Raises ValueError on malformed input — a decoder
+    that can't reject garbage isn't a decoder.
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # header comment runs to newline
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    width, height, maxval = vals
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = payload[i:]
+    if len(raster) != width * height * 3:
+        raise ValueError(
+            f"raster is {len(raster)} bytes, expected {width * height * 3}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_px": len(raster),
+        "sum_px": sum(raster),
+        "min_px": min(raster),
+        "max_px": max(raster),
+    }
 
 
 @query(
@@ -103,6 +161,80 @@ def mm_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return mm.mapInPandas(
         decode_batches, schema="doc_id long, width long, height long, n_frames long"
+    )
+
+
+@query(
+    "mm_decode_ppm_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             rpad(text, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INT),
+                  'abcdefgh') AS s
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, ord(substr(s, CAST(i AS INT), 1)) AS v
+      FROM p, unnest(generate_series(1, CAST(w * h * 3 AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           round(CAST(sum(v) AS BIGINT) * 1.0 / count(*), 6) AS mean_px
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def mm_decode_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: build a valid binary PPM (P6) per
+    document INSIDE Spark (header + RGB raster; the raster bytes are the
+    doc's ASCII text right-padded/truncated to width*height*3 — 100%
+    printable, so byte values equal code points and the oracle can
+    recompute them), ship the binary column through Arrow-batched
+    mapInPandas, parse it with the pure-Python ``decode_ppm``, and emit
+    pixel statistics computed from the decoded raster bytes.
+
+    Unlike ``mm_decode_frames`` (whose compressed-format decoder is a
+    documented stub), the width/height/sum/min/max here come from ACTUAL
+    pixel bytes a real parser extracted — malformed payloads raise.  The
+    DuckDB oracle rebuilds the raster definition and aggregates the same
+    code points, so a header-parsing or offset bug (e.g. eating the
+    first raster byte) breaks the hash match.
+
+    Scale shape: payload construction and decode are narrow per-row maps
+    (no shuffle until the final nothing — the output is row-per-doc);
+    Arrow batches bound Python-boundary overhead; payloads never touch
+    the driver."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # rpad with a per-row length needs the SQL form (the function API
+    # takes a literal int); all-ASCII text means encode() is a byte-for-
+    # char identity, so the raster definition is engine-portable.
+    payload = F.expr(
+        "encode(concat('P6\\n', 4 + doc_id % 5, ' ', 3 + doc_id % 4,"
+        " '\\n255\\n', rpad(text, CAST((4 + doc_id % 5) * (3 + doc_id % 4)"
+        " * 3 AS INT), 'abcdefgh')), 'UTF-8')"
+    )
+    mm = docs.select("doc_id", payload.alias("payload"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_ppm(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    stats = mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, n_px long, "
+        "sum_px long, min_px long, max_px long",
+    )
+    # the mean divides two exact integers and rounds JVM-side (HALF_UP,
+    # matching DuckDB) — never inside Python where numpy rounds half-even
+    return stats.withColumn(
+        "mean_px", F.round(F.col("sum_px") * 1.0 / F.col("n_px"), 6)
     )
 
 

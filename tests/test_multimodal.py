@@ -120,3 +120,43 @@ def test_resize_plan_geometry(spark):
             assert r["dst_h"] >= r["dst_w"]
         # floor-fit: dst aspect <= src aspect within one integer step
         assert r["dst_h"] * r["src_w"] <= r["src_h"] * (r["dst_w"] + 1) + r["src_w"]
+
+
+# ---------------------------------------------------------------------------
+# decode_ppm: the REAL in-container image decoder
+# ---------------------------------------------------------------------------
+def test_decode_ppm_known_image():
+    raster = bytes(range(12))  # 2x2 RGB
+    out = M.decode_ppm(b"P6\n2 2\n255\n" + raster)
+    assert out == {
+        "width": 2, "height": 2, "n_px": 12,
+        "sum_px": sum(range(12)), "min_px": 0, "max_px": 11,
+    }
+
+
+def test_decode_ppm_header_comments_and_whitespace():
+    # netpbm allows comments and arbitrary whitespace between header tokens
+    payload = b"P6 # a comment\n# another\n 3\t1 #w h\n255\n" + b"\xff" * 9
+    out = M.decode_ppm(payload)
+    assert (out["width"], out["height"]) == (3, 1)
+    assert out["sum_px"] == 255 * 9 and out["max_px"] == 255
+
+
+def test_decode_ppm_rejects_garbage():
+    with pytest.raises(ValueError, match="P6"):
+        M.decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)  # PGM, not PPM
+    with pytest.raises(ValueError, match="raster"):
+        M.decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 11)  # short raster
+    with pytest.raises(ValueError, match="maxval"):
+        M.decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 3)  # 16-bit samples
+    with pytest.raises(ValueError):
+        M.decode_ppm(b"P6\n2")  # truncated header
+
+
+def test_decode_ppm_stats_consistency(spark):
+    rows = M.mm_decode_ppm_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_px"] == r["width"] * r["height"] * 3
+        assert 0 <= r["min_px"] <= r["max_px"] <= 255
+        assert r["min_px"] * r["n_px"] <= r["sum_px"] <= r["max_px"] * r["n_px"]
