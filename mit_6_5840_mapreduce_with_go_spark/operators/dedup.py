@@ -333,6 +333,104 @@ def _shingle_hashes(df: DataFrame, n: int = 3) -> DataFrame:
 _LSH_MAX_BUCKET = 200
 
 
+def _lsh_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shingle-hash -> MinHash signature -> banded bucket assignment.
+    Returns ``(sigs, bands)``: persisted (doc_id, sig) plus the exploded
+    (doc_id, sig, band_id, bucket) rows the candidate generator groups.
+
+    NOTE: no size(hashes)>0 filter — _shingle_hashes always yields ≥1
+    hash (clamped sequence), and a filter on a computed array column
+    gets alias-substituted + pushed below the project by Catalyst,
+    re-evaluating the whole nested transform per row (O(len²) per doc —
+    measured 8s vs 0.2s at sf0.1).
+
+    Signature build is ONE fold over the hash array with an N_PERM-wide
+    accumulator (zip_with against the literal perm table), instead of
+    N_PERM separate array_min(transform(...)) passes — same arithmetic,
+    one pass over the data and a 2-lambda expression tree instead of 32
+    (cuts both runtime and codegen compile time). Hashes are already
+    32-bit (see _shingle_hashes), so a*h + b stays inside int64 with no
+    per-perm pmod.
+
+    sigs feeds three consumers (band explode + both sides of the verify
+    join) — persisted so the shingle+signature pass runs once. Tiny:
+    N_PERM longs per doc (~256 B/doc, ~25 GB per 100M docs across a
+    cluster — the standard materialize-signatures step).
+
+    Band bucket = char-fold of the band's signature values (portable
+    integer arithmetic, same fold as the oracle) — replaces murmur3
+    F.hash so the bucket assignment itself is cross-engine-checked.
+    """
+    hashed = _shingle_hashes(docs)
+    perm_arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_perm_params(N_PERM)
+        ]
+    )
+    init = F.array_repeat(F.lit(MERSENNE_PRIME).cast("long"), N_PERM)
+    sig_fold = F.aggregate(
+        "hashes",
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            perm_arr,
+            lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MERSENNE_PRIME)),
+        ),
+    )
+    sigs = hashed.select("doc_id", sig_fold.alias("sig")).persist()
+    n_bands = N_PERM // BAND_SIZE
+    bucket_of = lambda band: F.aggregate(  # noqa: E731
+        F.slice("sig", band * BAND_SIZE + 1, BAND_SIZE),
+        F.lit(7).cast("long"),
+        lambda h, x: (h * 31 + x) % F.lit(_M32),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        bucket_of(band).alias("bucket"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", "b.band_id", "b.bucket")
+    return sigs, bands
+
+
+def _lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Capped intra-bucket candidate generation over ``(doc_id, band_id,
+    bucket)`` rows: group each (band, bucket) and emit pairs from the
+    collected id list — one shuffle keyed on the bucket, no skew-prone
+    self-join.  ``_LSH_MAX_BUCKET`` caps degenerate buckets (boilerplate/
+    empty docs): a bucket of B docs yields B^2/2 pairs, so at 100 TB an
+    uncapped hot bucket is THE failure mode; capped buckets lose only
+    candidates that other bands still recover.  The cap is load-bearing:
+    tests/test_skew_stress.py builds a boilerplate-heavy corpus whose
+    hottest bucket far exceeds the cap and pins the candidate count."""
+    return (
+        bands.groupBy("band_id", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _LSH_MAX_BUCKET))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids, y -> "
+                    "struct(least(x, y) AS a, greatest(x, y) AS b)))), "
+                    "p -> p.a < p.b)"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def _lsh_bucket_duck(cols: list[str]) -> str:
     """DuckDB band-bucket fold over the band's signature values — same
     arithmetic as the Spark ``F.aggregate`` over the sig slice."""
@@ -415,86 +513,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally covered in tests/test_dedup.py.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # NOTE: no size(hashes)>0 filter — _shingle_hashes always yields ≥1
-    # hash (clamped sequence), and a filter on a computed array column
-    # gets alias-substituted + pushed below the project by Catalyst,
-    # re-evaluating the whole nested transform per row (O(len²) per doc —
-    # measured 8s vs 0.2s at sf0.1).
-    hashed = _shingle_hashes(docs)
-    # Signature build as ONE fold over the hash array with an N_PERM-wide
-    # accumulator (zip_with against the literal perm table), instead of
-    # N_PERM separate array_min(transform(...)) passes — same arithmetic,
-    # one pass over the data and a 2-lambda expression tree instead of 32
-    # (cuts both runtime and codegen compile time). Hashes are already
-    # 32-bit (see _shingle_hashes), so a*h + b stays inside int64 with no
-    # per-perm pmod.
-    perm_arr = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in minhash_perm_params(N_PERM)
-        ]
-    )
-    init = F.array_repeat(F.lit(MERSENNE_PRIME).cast("long"), N_PERM)
-    sig_fold = F.aggregate(
-        "hashes",
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            perm_arr,
-            lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MERSENNE_PRIME)),
-        ),
-    )
-    # sigs feeds three consumers (band explode + both sides of the verify
-    # join) — persist so the shingle+signature pass runs once. Tiny:
-    # N_PERM longs per doc (~256 B/doc, ~25 GB per 100M docs across a
-    # cluster — the standard materialize-signatures step).
-    sigs = hashed.select("doc_id", sig_fold.alias("sig")).persist()
-    n_bands = N_PERM // BAND_SIZE
-    # Band bucket = char-fold of the band's signature values (portable
-    # integer arithmetic, same fold as the oracle) — replaces murmur3
-    # F.hash so the bucket assignment itself is cross-engine-checked.
-    bucket_of = lambda band: F.aggregate(  # noqa: E731
-        F.slice("sig", band * BAND_SIZE + 1, BAND_SIZE),
-        F.lit(7).cast("long"),
-        lambda h, x: (h * 31 + x) % F.lit(_M32),
-    )
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_id"),
-                        bucket_of(band).alias("bucket"),
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "sig", "b.band_id", "b.bucket")
-    # Candidate generation: group each (band, bucket) and emit intra-bucket
-    # pairs from the collected id list — one shuffle keyed on the bucket,
-    # no skew-prone self-join. MAX_BUCKET caps degenerate buckets
-    # (boilerplate/empty docs): a bucket of B docs yields B^2/2 pairs, so
-    # at 100 TB an uncapped hot bucket is the failure mode; capped buckets
-    # lose only candidates that other bands still recover.
-    pairs = (
-        bands.groupBy("band_id", "bucket")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= _LSH_MAX_BUCKET))
-        .select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(ids, x -> transform(ids, y -> "
-                    "struct(least(x, y) AS a, greatest(x, y) AS b)))), "
-                    "p -> p.a < p.b)"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    sigs, bands = _lsh_bands(docs)
+    pairs = _lsh_candidate_pairs(bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est_jaccard = F.size(

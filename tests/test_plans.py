@@ -32,6 +32,25 @@ def test_q1_prunes_columns(spark, sf_dir):
     assert "l_quantity" in read_schema
 
 
+def test_q1_sums_are_decimal_exact(spark, sf_dir):
+    """The sf1 decade mirror caught raw double money sums diverging from
+    DuckDB in the 4th decimal once group sums reached ~3e10 (partial-sum
+    association order).  Pin the fix: every money/qty aggregate is a
+    DECIMAL sum over exact integer cents, divided/rounded only at the
+    end — a future 'optimization' back to sum-of-doubles fails here."""
+    plan = physical_plan(R.q1_pricing_summary(spark, sf_dir))
+    aggs = [
+        l for l in plan.splitlines() if "Functions" in l and "sum(" in l
+    ]
+    assert aggs, "no aggregate Functions lines in plan"
+    # the 5 sums accumulate the decimal-cast integer columns (qty /
+    # *_c cents), never the raw double lineitem columns
+    assert any("sum(qty#" in l and "sum(price_c#" in l for l in aggs)
+    assert "decimal(38,0)" in plan
+    for raw in ("sum(l_quantity", "sum(l_extendedprice", "sum(l_discount"):
+        assert raw not in plan, f"double-typed aggregate leaked: {raw}"
+
+
 def test_q3_broadcasts_customer(spark, sf_dir):
     df = R.q3_top_revenue_orders(spark, sf_dir)
     assert_broadcast_join(df)
