@@ -156,9 +156,15 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q5_nation_revenue",
+    # Revenue in EXACT cent*percent integer units (the q1 recipe): raw
+    # double sums diverged from DuckDB by a penny at the sf1 decade
+    # (group sums ~4.6e8 — partial-sum association order), caught by the
+    # round-5 decade mirror.
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000.0, 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -185,9 +191,18 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+                    * (
+                        100
+                        - F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)")
+                    )
+                )
+                .cast("double")
+                / 10000.0,
+                2,
+            ).alias("revenue")
         )
     )
 
