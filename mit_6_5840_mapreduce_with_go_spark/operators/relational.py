@@ -212,11 +212,15 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "join_segment_order_stats",
+    # money sums in exact integer cents (q1/q5 recipe — raw double sums
+    # are association-order landmines once group sums reach ~1e10)
     oracle="""
     SELECT c_mktsegment,
-           count(*)                    AS n_orders,
-           round(sum(o_totalprice), 2) AS total_value,
-           round(avg(o_totalprice), 4) AS avg_value
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total_value,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / count(*), 4) AS avg_value
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -224,13 +228,16 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_value"),
+            F.round(F.sum(cents).cast("double") / 100.0, 2).alias("total_value"),
+            F.round(
+                F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
         )
     )
 
@@ -420,21 +427,25 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_status_priority",
+    # integer-cent sums (q1/q5 recipe): the ALL/ALL cube cell sums the
+    # WHOLE order table — the largest money sum in the registry
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
            count(*)                         AS n_orders,
-           round(sum(o_totalprice), 2)      AS total_value
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total_value
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            F.round(F.sum(cents).cast("double") / 100.0, 2).alias("total_value"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),

@@ -273,7 +273,9 @@ def percentile_prices_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sample_hash_orders",
     oracle="""
-    SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS sample_value
+    SELECT count(*) AS n_sampled,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS sample_value
     FROM orders
     WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
     """,
@@ -289,7 +291,14 @@ def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.sum("o_totalprice"), 2).alias("sample_value"),
+            # integer-cent sum (q1/q5 recipe)
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+                ).cast("double")
+                / 100.0,
+                2,
+            ).alias("sample_value"),
         )
     )
 

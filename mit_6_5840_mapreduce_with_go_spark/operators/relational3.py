@@ -29,9 +29,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @query(
     "q6_forecast_revenue",
+    # revenue in exact cent*percent integers (q1/q5 recipe) — a single
+    # global group, so the raw-double sum is the registry's most
+    # association-order-exposed aggregate
     oracle="""
     SELECT count(*) AS n_lines,
-           round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 / 10000.0, 2) AS revenue_delta
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -53,9 +58,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     ).agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue_delta"
-        ),
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+                * F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)")
+            )
+            .cast("double")
+            / 10000.0,
+            2,
+        ).alias("revenue_delta"),
     )
 
 
@@ -172,7 +183,9 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_disjunctive_revenue",
     oracle="""
     SELECT count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000.0, 2) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 11)
@@ -205,9 +218,16 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.filter(cond).agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        # integer cent*percent sums (q1/q5 recipe)
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+                * (100 - F.round(F.col("l_discount") * 100, 0).cast("decimal(38,0)"))
+            )
+            .cast("double")
+            / 10000.0,
+            2,
+        ).alias("revenue"),
     )
 
 
