@@ -121,7 +121,13 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (recomputed by every consumer of `weighted`) measured ~40% slower
     # at sf0.1 (7.8s → 4.7s steady-state). At real scale the scan splits
     # by itself and fan_out is a no-op anyway.
-    docs = load_table(spark, sf_dir, "documents")
+    # The explicit isNotNull is the exchange-reuse lever from
+    # _bm25_postings: joins push an isnotnull predicate into some
+    # consumer legs but not others, de-canonicalizing the shared terms
+    # subtree; making it uniform measured ~16% faster at sf0.1.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     terms = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
