@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..plans.stitch import stitched_order
 from ..registry import query
 from ..sources import load_table
 from .pipelines import _SPLIT_A_RED, _SPLIT_B, _SPLIT_P
@@ -201,21 +202,27 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     running token cumsum in doc_id order, bin = start_offset div BIN,
     then per-bin fill stats.
 
-    Scale: one shuffle on the partition key (lang) for the running-sum
-    window, then a map-side-combinable groupBy on (lang, bin) — the
-    grouped rows arrive already clustered by lang from the window sort.
-    Integer division uses floor semantics in BOTH engines (DuckDB ``//``,
-    Spark ``floor``) — CAST(double AS BIGINT) rounds in DuckDB but
-    truncates in Spark, a round-1 divergence class."""
+    Scale: the per-lang running sum is the GROUPED stitch
+    (plans/stitch.py ``stitched_order(partition_by=["lang"])``) — a
+    plain ``Window.partitionBy(lang)`` puts a whole language on ONE
+    task, and one language is ~80% of a real web corpus; the stitch
+    sorts P parallel (lang, doc_id) range-buckets and offsets them with
+    a (P x |langs|)-row stats window.  Then a map-side-combinable
+    groupBy on (lang, bin).  Integer division uses floor semantics in
+    BOTH engines (DuckDB ``//``, Spark ``floor``) — CAST(double AS
+    BIGINT) rounds in DuckDB but truncates in Spark, a round-1
+    divergence class."""
     docs = _docs(spark, sf_dir).select(
         "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    cum = stitched_order(
+        docs,
+        F.col("doc_id"),
+        partition_by=["lang"],
+        sum_cols={"n_tokens": "_cum"},
     )
-    binned = docs.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BIN),
+    binned = cum.withColumn(
+        "bin_id", F.floor((F.col("_cum") - F.col("n_tokens")) / _PACK_BIN)
     )
     return binned.groupBy("lang", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -108,6 +108,31 @@ def test_stitched_order_matches_global_window(spark, seed):
     assert gm == em
 
 
+def test_grouped_stitch_matches_per_group_window(spark):
+    """partition_by: per-group rank + running sums equal the naive
+    Window.partitionBy(group).orderBy(key) — without any one group
+    landing on a single task."""
+    rng = random.Random(55)
+    rows = [
+        Row(g=rng.choice(["en", "fr", "de"]), k=i, v=rng.randint(1, 9))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows).repartition(8)
+    got = stitched_order(
+        df, F.col("k"), partition_by=["g"], rank_col="r",
+        sum_cols={"v": "cum_v"}, num_partitions=16,
+    ).collect()
+    wp = W.partitionBy("g").orderBy("k")
+    expect = df.select(
+        "g", "k",
+        F.row_number().over(wp).alias("r"),
+        F.sum("v").over(wp.rowsBetween(W.unboundedPreceding, 0)).alias("cum_v"),
+    ).collect()
+    gm = {(r["g"], r["k"]): (r["r"], r["cum_v"]) for r in got}
+    em = {(r["g"], r["k"]): (r["r"], r["cum_v"]) for r in expect}
+    assert gm == em
+
+
 def test_stitched_order_plan_has_no_single_partition_data_window(spark):
     """The data-sized window is partitioned by the bucket id; the only
     SinglePartition exchange feeds the P-row _stitch_pid offset table."""
