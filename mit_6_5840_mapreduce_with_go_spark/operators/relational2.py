@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..plans.stitch import PID, order_buckets
+from ..plans.stitch import PID, order_buckets, stitched_order
 from ..registry import query
 from ..sources import load_table
 
@@ -741,18 +741,43 @@ def array_agg_supplier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_dist_rank_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-window breadth: percent_rank / cume_dist (rank-based,
     engine-exact rationals) and nth_value over the full partition frame.
-    One shuffle on the segment key; all three share one window spec."""
-    cust = _t(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+
+    Scale shape: the ordering key (acctbal DESC, custkey) is a TOTAL
+    order, so rank == row_number and the distribution functions reduce
+    to rank arithmetic — percent_rank = (r-1)/(n-1), cume_dist = r/n,
+    nth_value(2) = the group's r==2 row.  The rank comes from the
+    GROUPED stitch (plans/stitch.py) instead of
+    ``Window.partitionBy(c_mktsegment)``, which would put a fifth of
+    every customer on ONE task (5 segments regardless of table size);
+    n and the second pick are a map-side-combinable groupBy broadcast
+    back."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
     )
-    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return cust.select(
+    key = F.struct(
+        (-F.col("c_acctbal")).alias("_nb"), F.col("c_custkey").alias("_ck")
+    )
+    ranked = stitched_order(
+        cust, key, partition_by=["c_mktsegment"], rank_col="_r"
+    )
+    seg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.when(F.col("_r") == 2, F.col("c_custkey"))).alias(
+            "second_richest"
+        ),
+    )
+    return ranked.join(F.broadcast(seg), "c_mktsegment").select(
         "c_mktsegment",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
-        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+        F.round(
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_r") - 1) / (F.col("_n") - 1),
+            ).otherwise(0.0),
+            4,
+        ).alias("pct_rank"),
+        F.round(F.col("_r") / F.col("_n"), 4).alias("cume"),
+        "second_richest",
     )
 
 
