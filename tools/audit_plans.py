@@ -216,7 +216,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "CART": "1-row top-pair + token-count broadcasts per unrolled BPE step"
     },
     "layout_range_partition_plan": {
-        "CART": "1-row total-rows broadcast vs the bounded histogram"
+        "CART": "1-row total-rows broadcast vs the bounded histogram",
+        "GWIN": "prefix sum over the fixed-width value histogram",
     },
     "sim_topk_ivfpq": {
         "CART": "bounded broadcasts: centroids for cell assignment + m-subspace enumeration"
@@ -238,9 +239,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "events_kaplan_meier": {
         "GWIN": "reverse cumulative risk over the corpus-span hour tally "
         "(calendar-bounded)"
-    },
-    "layout_range_partition_plan": {
-        "GWIN": "prefix sum over the fixed-width value histogram"
     },
     "pipeline_corpus_composition": {
         "GWIN": "share window over (source, lang) aggregate rows "
