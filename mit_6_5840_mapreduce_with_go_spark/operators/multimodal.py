@@ -11,8 +11,10 @@ decode paths:
   P6 payloads built inside Spark, with a DuckDB oracle recomputing the
   same stats from the payload definition.
 - ``decode_image_stub`` remains the clearly-marked deterministic STUB
-  for compressed formats (JPEG/PNG need PIL/opencv, absent in this
+  for entropy-coded formats (JPEG needs PIL/opencv, absent in this
   container); a real deployment replaces only that function body.
+  PNG — deflate-compressed, fully decodable with stdlib zlib — decodes
+  for REAL in ``multimodal2.decode_png``.
 
 Either way the plumbing — binary column construction, schema, Arrow
 batching, the mapInPandas signature and partitioning — is the real
@@ -58,9 +60,9 @@ def decode_image_stub(payload: bytes) -> dict:
 
 def decode_image_real(payload: bytes):  # pragma: no cover - by design
     raise NotImplementedError(
-        "compressed-image decode (JPEG/PNG) requires PIL/opencv, not "
-        "present in this container; uncompressed PPM decodes for real "
-        "via decode_ppm"
+        "entropy-coded image decode (JPEG) requires PIL/opencv, not "
+        "present in this container; PPM decodes for real via decode_ppm "
+        "and PNG via multimodal2.decode_png"
     )
 
 

@@ -1,0 +1,293 @@
+"""Real PNG decode inside the multimodal mapInPandas leg.
+
+Companion to ``multimodal.py``'s PPM path: PNG (the public W3C/ISO
+spec) is a COMPRESSED format, and this container has everything a
+real decoder needs — ``zlib`` (inflate + CRC-32) is stdlib.  So unlike
+JPEG (entropy coding + DCT, genuinely PIL-territory), the "compressed
+formats are stubbed" line can be pushed one format further:
+
+- ``encode_png`` builds a spec-valid non-interlaced 8-bit PNG
+  (IHDR/IDAT/IEND, CRC-32 per chunk, per-row filter types cycling
+  0..4 so every filter — None/Sub/Up/Average/Paeth — appears in the
+  stream).
+- ``decode_png`` is a REAL decoder: signature check, chunk walk with
+  CRC verification, IHDR validation, IDAT concatenation + zlib
+  inflate, and per-row UNFILTERING (the inverse Sub/Up/Average/Paeth
+  reconstruction the spec defines).  Pixel statistics come from the
+  reconstructed raster bytes; malformed input (bad magic, bad CRC,
+  truncated raster, 16-bit depth, interlacing, palette) raises.
+
+``mm_decode_png_stats`` drives it end-to-end: payloads are encoded
+from a pure-integer pixel formula inside one ``mapInPandas`` stage,
+decoded by ``decode_png`` in the next, and the DuckDB oracle
+recomputes the same statistics from the pixel DEFINITION — so any
+reconstruction bug (filter inverse off-by-one, stride error, eaten
+filter byte, wrong Paeth tie-break) changes decoded bytes and breaks
+the value hash.
+
+No reference counterpart (the reference is a text-only MapReduce
+engine) — north-star LLM-pipeline addition, same family as
+multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit truecolor/gray/alpha only;
+# palette (3) needs PLTE indirection and is rejected by the decoder)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    a+b-c, ties broken left, then up."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixel: Callable[[int, int, int], int],
+    *,
+    channels: int = 3,
+) -> bytes:
+    """Spec-valid 8-bit non-interlaced PNG from ``pixel(x, y, c)``.
+
+    Row ``y`` uses filter type ``y % 5``, so any image with >= 5 rows
+    exercises every filter the decoder must invert — the encoder exists
+    to put the decoder under real load, not to be fast."""
+    bpp = channels
+    prev = bytes(width * channels)
+    raw = bytearray()
+    for y in range(height):
+        row = bytes(
+            pixel(x, y, c) & 0xFF for x in range(width) for c in range(channels)
+        )
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        else:
+            for i, v in enumerate(row):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    raw.append((v - a) & 0xFF)
+                elif ft == 2:
+                    raw.append((v - b) & 0xFF)
+                elif ft == 3:
+                    raw.append((v - (a + b) // 2) & 0xFF)
+                else:
+                    raw.append((v - _paeth(a, b, c)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decoder: chunk walk + CRC-32 verification, IHDR
+    validation (8-bit, color type 0/2/6, deflate, filter method 0,
+    non-interlaced), IDAT inflate, and per-row unfiltering.  Returns
+    dimensions/channels plus integer-exact pixel statistics computed
+    from the RECONSTRUCTED raster.  Raises ValueError on anything
+    malformed — a decoder that can't reject garbage isn't a decoder."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    i = len(_PNG_SIG)
+    ihdr: tuple | None = None
+    idat = bytearray()
+    ended = False
+    while i < len(payload):
+        if i + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) != length or i + 12 + length > len(payload):
+            raise ValueError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
+        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        i += 12 + length
+        if tag == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            w, h, depth, ctype, comp, fmethod, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if ctype not in _CHANNELS:
+                raise ValueError(f"unsupported color type {ctype}")
+            if comp != 0 or fmethod != 0:
+                raise ValueError("unsupported compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            ihdr = (w, h, _CHANNELS[ctype])
+        elif tag == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat += data
+        elif tag == b"IEND":
+            ended = True
+            break
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR or IEND")
+    width, height, channels = ihdr
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"inflated raster is {len(raw)} bytes, expected {height * (stride + 1)}"
+        )
+    bpp = channels
+    recon = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row = bytearray()
+        for i2, v in enumerate(line):
+            a = row[i2 - bpp] if i2 >= bpp else 0
+            b = prev[i2]
+            c = prev[i2 - bpp] if i2 >= bpp else 0
+            if ft == 0:
+                row.append(v)
+            elif ft == 1:
+                row.append((v + a) & 0xFF)
+            elif ft == 2:
+                row.append((v + b) & 0xFF)
+            elif ft == 3:
+                row.append((v + (a + b) // 2) & 0xFF)
+            elif ft == 4:
+                row.append((v + _paeth(a, b, c)) & 0xFF)
+            else:
+                raise ValueError(f"unknown filter type {ft} on row {y}")
+        prev = bytes(row)
+        recon += row
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "n_px": len(recon),
+        "sum_px": sum(recon),
+        "min_px": min(recon),
+        "max_px": max(recon),
+    }
+
+
+# Pixel definition for the end-to-end query: a pure-integer formula both
+# engines can evaluate (Spark never sees it — only the decoder's output).
+def _pix(doc_id: int, x: int, y: int, c: int) -> int:
+    return (doc_id * 7 + y * 31 + x * 5 + c * 11) % 256
+
+
+@query(
+    "mm_decode_png_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             5 + doc_id % 6 AS w,
+             4 + doc_id % 5 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 7
+              + ((t.i - 1) // (3 * w)) * 31
+              + (((t.i - 1) // 3) % w) * 5
+              + ((t.i - 1) % 3) * 11) % 256 AS v
+      FROM d, unnest(generate_series(1, CAST(w * h * 3 AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           round(CAST(sum(v) AS BIGINT) * 1.0 / count(*), 6) AS mean_px
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def mm_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: per document, encode a
+    spec-valid PNG (dims from doc_id, pixels from the pure-integer
+    formula ``_pix``, per-row filters cycling through all five types)
+    in one Arrow-batched ``mapInPandas`` stage, decode it with
+    ``decode_png`` — CRC walk, inflate, unfilter — in the next, and
+    emit pixel statistics computed from the RECONSTRUCTED raster.  The
+    DuckDB oracle recomputes the statistics from the pixel definition,
+    so the hash only matches if compress->filter->deflate->inflate->
+    unfilter is the identity on every payload.
+
+    Scale shape: encode and decode are narrow per-row maps over Arrow
+    batches — no shuffle anywhere (output is row-per-doc), payloads
+    never touch the driver, and Python cost is amortized per batch.
+    At 100 TB the encode stage is replaced by reading real image bytes
+    from the lake; the decode stage and everything downstream is
+    exactly this plan."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 5 + d % 6, 4 + d % 5
+                payloads.append(
+                    encode_png(w, h, lambda x, y, c, d=d: _pix(d, x, y, c))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_png(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    stats = mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, channels long, "
+        "n_px long, sum_px long, min_px long, max_px long",
+    )
+    # exact-integer division rounded JVM-side (HALF_UP, matches DuckDB)
+    return stats.withColumn(
+        "mean_px", F.round(F.col("sum_px") * 1.0 / F.col("n_px"), 6)
+    )

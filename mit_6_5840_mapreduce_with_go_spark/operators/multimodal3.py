@@ -1,0 +1,469 @@
+"""Real baseline-JPEG decode inside the multimodal mapInPandas leg.
+
+Closes the last decode stub class: after PPM (``multimodal.decode_ppm``)
+and PNG (``multimodal2.decode_png``), this module decodes baseline
+sequential JPEG (ITU-T T.81, public spec) with NO imaging library —
+marker walk, DQT/DHT table parsing, canonical Huffman decode of the
+entropy-coded segment (with FF00 byte unstuffing), DC prediction +
+EXTEND sign recovery, zigzag dequantization, float 2-D IDCT, level
+shift, clamp.  Supported surface = 8-bit baseline, single-component
+(grayscale), 1x1 sampling, no restart intervals; everything else
+raises ValueError (progressive, chroma subsampling, and arithmetic
+coding are rejected, not silently mis-decoded).
+
+JPEG is lossy, which would normally make a cross-engine value oracle
+impossible — no SQL engine can re-run an IDCT bit-for-bit.  The
+end-to-end query sidesteps that with DC-exact payloads: images built
+from CONSTANT 8x8 blocks with an all-ones quantization table have one
+nonzero (DC) coefficient per block, and the IDCT of a DC-only block is
+a constant the pipeline reproduces EXACTLY (the only float involved is
+0.125 * C0^2 * 8 * v, error ~1e-14, annihilated by the final round).
+So the decoder runs its full real path — Huffman, prediction,
+dequantize, IDCT — while the DuckDB oracle recomputes every decoded
+pixel from the integer block formula.  Unit tests additionally
+round-trip NON-constant blocks through the encoder's FDCT at quant=1
+(error bound <= 1 gray level) and reject malformed streams.
+
+No reference counterpart — north-star LLM-pipeline addition alongside
+multimodal.py / multimodal2.py.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# -- shared constant tables (ITU-T T.81 Annex K, public spec) --------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard luminance Huffman tables: (#codes of length 1..16, symbols)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+_COS = [[math.cos((2 * x + 1) * u * math.pi / 16.0) for u in range(8)] for x in range(8)]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical JPEG assignment (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the decoder's bit-at-a-time walk."""
+    return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
+
+
+# -- encoder (exists to put the decoder under load) ------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad final byte
+        return bytes(self.out)
+
+
+def _fdct2d(block: list[list[float]]) -> list[list[float]]:
+    out = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += block[y][x] * _COS[x][u] * _COS[y][v]
+            out[v][u] = 0.25 * _C[u] * _C[v] * s
+    return out
+
+
+def encode_jpeg_gray(width: int, height: int, pixel) -> bytes:
+    """Baseline grayscale JPEG with an all-ones quant table (quality
+    'lossless-for-DC'): markers, Annex-K Huffman tables, FDCT + zigzag +
+    canonical Huffman entropy coding with byte stuffing.  width/height
+    must be multiples of 8 (no edge-replication leg to keep the oracle
+    an exact pixel formula)."""
+    if width % 8 or height % 8:
+        raise ValueError("encoder requires dimensions divisible by 8")
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            blk = [
+                [float(pixel(bx * 8 + x, by * 8 + y) - 128) for x in range(8)]
+                for y in range(8)
+            ]
+            coef = _fdct2d(blk)
+            q = [int(round(coef[i // 8][i % 8])) for i in range(64)]
+            zz = [q[ZIGZAG[i]] for i in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            cat = diff.bit_length() if diff else 0
+            code, length = dc_codes[cat]
+            bw.write(code, length)
+            if cat:
+                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    if run == 16:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run = 0
+                    continue
+                size = abs(zz[i]).bit_length()
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                v = zz[i]
+                bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+# -- decoder ---------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with FF00
+    unstuffing; any other FFxx marker mid-scan is an error (restart
+    intervals are rejected at DRI)."""
+
+    def __init__(self, data: bytes, start: int) -> None:
+        self.data = data
+        self.i = start
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            if self.i >= len(self.data):
+                raise ValueError("entropy segment exhausted mid-symbol")
+            b = self.data[self.i]
+            self.i += 1
+            if b == 0xFF:
+                if self.i >= len(self.data):
+                    raise ValueError("dangling FF in entropy segment")
+                m = self.data[self.i]
+                if m == 0x00:
+                    self.i += 1
+                elif m == 0xD9:  # EOI reached while padding bits remain
+                    self.i -= 1
+                    b = 0xFF  # padding read; caller stops at EOI
+                else:
+                    raise ValueError(f"unexpected marker FF{m:02X} in scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: recover the signed value from size bits."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _idct2d(coef: list[int]) -> list[int]:
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = _C[u] * _COS[x][u]
+                for v in range(8):
+                    c = coef[v * 8 + u]
+                    if c:
+                        s += cu * _C[v] * _COS[y][v] * c
+            p = int(round(0.25 * s)) + 128
+            out.append(0 if p < 0 else 255 if p > 255 else p)
+    return out
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """REAL baseline-JPEG decoder for the supported surface (8-bit,
+    grayscale, 1x1 sampling, no restarts): marker walk, DQT/DHT parse,
+    canonical Huffman decode with DC prediction, dequantize via zigzag,
+    float IDCT, level shift + clamp.  Returns dimensions plus
+    integer-exact statistics of the reconstructed pixels.  Raises
+    ValueError on malformed or out-of-surface input (progressive,
+    multi-component, subsampled, arithmetic-coded, restart intervals)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dims: tuple[int, int] | None = None
+    comp_q = comp_dc = comp_ac = 0
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        data = payload[i + 4 : i + 2 + seg_len]
+        if len(data) != seg_len - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(data):
+                pq, tq = data[j] >> 4, data[j] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtables[tq] = list(data[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(data):
+                tc, th = data[j] >> 4, data[j] & 0xF
+                bits = list(data[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(data[j + 17 : j + 17 + n])
+                htables[(tc, th)] = _decode_map(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale) supported")
+            if data[7] != 0x11:
+                raise ValueError("subsampling not supported")
+            dims = (w, h)
+            comp_q = data[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"non-baseline SOF FF{marker:02X} not supported")
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", data[:2])[0] != 0:
+                raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if dims is None:
+                raise ValueError("SOS before SOF")
+            if data[0] != 1:
+                raise ValueError("scan must cover exactly one component")
+            comp_dc, comp_ac = data[2] >> 4, data[2] & 0xF
+            i = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    else:
+        raise ValueError("no SOS marker found")
+    width, height = dims
+    if width % 8 or height % 8:
+        raise ValueError("partial MCUs not supported (dims must be 8-aligned)")
+    q = qtables.get(comp_q)
+    dc = htables.get((0, comp_dc))
+    ac = htables.get((1, comp_ac))
+    if q is None or dc is None or ac is None:
+        raise ValueError("missing quantization or Huffman table")
+    br = _BitReader(payload, i)
+    pixels = bytearray(width * height)
+    prev_dc = 0
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            coef = [0] * 64
+            cat = _huff_decode(br, dc)
+            diff = _extend(br.bits(cat), cat) if cat else 0
+            prev_dc += diff
+            coef[0] = prev_dc * q[0]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"invalid AC symbol {sym:02X}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                coef[ZIGZAG[k]] = _extend(br.bits(size), size) * q[k]
+                k += 1
+            blk = _idct2d(coef)
+            for y in range(8):
+                row0 = (by * 8 + y) * width + bx * 8
+                pixels[row0 : row0 + 8] = bytes(blk[y * 8 : y * 8 + 8])
+    if payload[br.i : br.i + 2] != b"\xff\xd9":
+        raise ValueError("missing EOI after scan")
+    return {
+        "width": width,
+        "height": height,
+        "n_px": len(pixels),
+        "sum_px": sum(pixels),
+        "min_px": min(pixels),
+        "max_px": max(pixels),
+    }
+
+
+# -- end-to-end query ------------------------------------------------------
+
+
+def _block_val(doc_id: int, bx: int, by: int) -> int:
+    return (doc_id * 11 + bx * 17 + by * 29) % 256
+
+
+@query(
+    "mm_decode_jpeg_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             8 * (2 + doc_id % 3) AS w,
+             8 * (2 + doc_id % 2) AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 11
+              + (((t.i - 1) % w) // 8) * 17
+              + (((t.i - 1) // w) // 8) * 29) % 256 AS v
+      FROM d, unnest(generate_series(1, CAST(w * h AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           round(CAST(sum(v) AS BIGINT) * 1.0 / count(*), 6) AS mean_px
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format decode end-to-end: per document, encode a
+    baseline grayscale JPEG whose pixels are constant per 8x8 block
+    (block value from the integer formula ``_block_val``, all-ones
+    quant table) in one Arrow-batched ``mapInPandas`` stage, decode it
+    with ``decode_jpeg_gray`` — Huffman, DC prediction, dequantize,
+    IDCT — in the next, and emit statistics of the reconstructed
+    raster.  DC-only blocks make the lossy pipeline exactly invertible
+    (see module docstring), so the DuckDB oracle recomputes every
+    decoded pixel from the block formula and the hash only matches if
+    the full entropy-decode path is byte-correct.
+
+    Scale shape: identical to mm_decode_png_stats — two narrow
+    mapInPandas stages, no shuffle, payloads never on the driver; at
+    100 TB the encode stage is replaced by real image bytes from the
+    lake."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 8 * (2 + d % 3), 8 * (2 + d % 2)
+                payloads.append(
+                    encode_jpeg_gray(
+                        w, h, lambda x, y, d=d: _block_val(d, x // 8, y // 8)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_jpeg_gray(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    stats = mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, "
+        "n_px long, sum_px long, min_px long, max_px long",
+    )
+    return stats.withColumn(
+        "mean_px", F.round(F.col("sum_px") * 1.0 / F.col("n_px"), 6)
+    )

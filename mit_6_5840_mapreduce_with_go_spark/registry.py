@@ -132,6 +132,8 @@ def load_all() -> None:
         layout,
         market,
         multimodal,
+        multimodal2,
+        multimodal3,
         pipelines,
         privacy,
         projection,

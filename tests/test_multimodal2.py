@@ -1,0 +1,124 @@
+"""PNG codec: real decode (CRC walk + inflate + unfilter) round-trips
+the spec-valid encoder, rejects malformed payloads, and the end-to-end
+query's stats match the pixel definition."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from mit_6_5840_mapreduce_with_go_spark.operators import multimodal2 as M
+
+
+def _checker(x: int, y: int, c: int) -> int:
+    return (x * 37 + y * 101 + c * 13) % 256
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("dims", [(1, 1), (3, 2), (7, 11), (16, 5)])
+def test_png_roundtrip(channels, dims):
+    w, h = dims
+    payload = M.encode_png(w, h, _checker, channels=channels)
+    out = M.decode_png(payload)
+    want = [
+        _checker(x, y, c) for y in range(h) for x in range(w) for c in range(channels)
+    ]
+    assert out["width"] == w and out["height"] == h
+    assert out["channels"] == channels
+    assert out["n_px"] == len(want)
+    assert out["sum_px"] == sum(want)
+    assert out["min_px"] == min(want)
+    assert out["max_px"] == max(want)
+
+
+def test_png_every_filter_type_inverts():
+    # 5 rows → encoder uses filter types 0,1,2,3,4 exactly once each;
+    # a broken inverse for ANY filter corrupts the stats.
+    payload = M.encode_png(8, 5, _checker, channels=3)
+    out = M.decode_png(payload)
+    want = [_checker(x, y, c) for y in range(5) for x in range(8) for c in range(3)]
+    assert out["sum_px"] == sum(want)
+
+
+def test_png_paeth_matches_spec():
+    assert M._paeth(1, 1, 1) == 1
+    assert M._paeth(0, 255, 255) == 0  # p=0, pa=0 → left
+    assert M._paeth(10, 20, 0) == 20  # p=30, pa=20, pb=10 → up
+    assert M._paeth(5, 9, 7) == 7  # p=7, pc=0 smallest → up-left
+    # left wins the pa==pb tie (only reachable with a == b)
+    assert M._paeth(6, 6, 200) == 6
+
+
+def test_png_rejects_garbage():
+    good = M.encode_png(4, 4, _checker)
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_png(b"GIF89a" + good)
+    with pytest.raises(ValueError, match="CRC"):
+        bad = bytearray(good)
+        bad[20] ^= 0xFF  # flip a byte inside IHDR data
+        M.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_png(good[:-8])
+    with pytest.raises(ValueError, match="bit depth"):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        M.decode_png(
+            M._PNG_SIG + M._chunk(b"IHDR", ihdr) + M._chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="interlaced"):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        M.decode_png(
+            M._PNG_SIG + M._chunk(b"IHDR", ihdr) + M._chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="color type"):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # palette
+        M.decode_png(
+            M._PNG_SIG + M._chunk(b"IHDR", ihdr) + M._chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="expected"):
+        # valid chunks but raster short one row
+        raw = b"\x00" + b"\x01" * 6  # 1 row of 2x? mismatch vs h=2
+        png = (
+            M._PNG_SIG
+            + M._chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + M._chunk(b"IDAT", zlib.compress(raw))
+            + M._chunk(b"IEND", b"")
+        )
+        M.decode_png(png)
+
+
+def test_png_multiple_idat_chunks():
+    # IDAT data may be split arbitrarily across chunks (spec §11.2.4)
+    good = M.encode_png(6, 6, _checker)
+    # rebuild with the IDAT split in two
+    i = len(M._PNG_SIG)
+    chunks = []
+    while i < len(good):
+        (length,) = struct.unpack(">I", good[i : i + 4])
+        tag = good[i + 4 : i + 8]
+        data = good[i + 8 : i + 8 + length]
+        chunks.append((tag, data))
+        i += 12 + length
+    rebuilt = M._PNG_SIG
+    for tag, data in chunks:
+        if tag == b"IDAT" and len(data) > 1:
+            rebuilt += M._chunk(b"IDAT", data[: len(data) // 2])
+            rebuilt += M._chunk(b"IDAT", data[len(data) // 2 :])
+        else:
+            rebuilt += M._chunk(tag, data)
+    assert M.decode_png(rebuilt) == M.decode_png(good)
+
+
+def test_decode_png_stats_consistency(spark):
+    rows = M.mm_decode_png_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:20]:
+        d = r["doc_id"]
+        w, h = 5 + d % 6, 4 + d % 5
+        want = [
+            M._pix(d, x, y, c) for y in range(h) for x in range(w) for c in range(3)
+        ]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_px"] == len(want)
+        assert r["sum_px"] == sum(want)

@@ -1,0 +1,125 @@
+"""Baseline JPEG codec: real entropy decode (Huffman + DC prediction +
+dequantize + IDCT) round-trips DC-exact payloads, bounds AC error at
+quant=1, and rejects malformed / out-of-surface streams."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mit_6_5840_mapreduce_with_go_spark.operators import multimodal3 as M
+
+
+def test_canonical_huffman_tables_invert():
+    enc = M._canonical_codes(M._DC_BITS, M._DC_VALS)
+    dec = M._decode_map(M._DC_BITS, M._DC_VALS)
+    for sym, (code, length) in enc.items():
+        assert dec[(length, code)] == sym
+    # AC table is the full Annex-K one: 162 symbols, all invertible
+    enc = M._canonical_codes(M._AC_BITS, M._AC_VALS)
+    dec = M._decode_map(M._AC_BITS, M._AC_VALS)
+    assert len(enc) == 162
+    for sym, (code, length) in enc.items():
+        assert dec[(length, code)] == sym
+
+
+def test_extend_sign_recovery():
+    # T.81 table F.1: category 3 holds -7..-4 and 4..7
+    assert M._extend(0b100, 3) == 4
+    assert M._extend(0b111, 3) == 7
+    assert M._extend(0b000, 3) == -7
+    assert M._extend(0b011, 3) == -4
+
+
+@pytest.mark.parametrize("dims", [(8, 8), (16, 8), (24, 16), (32, 24)])
+def test_jpeg_dc_exact_roundtrip(dims):
+    w, h = dims
+
+    def blockval(x, y):
+        return (x // 8 * 61 + y // 8 * 149 + 3) % 256
+
+    out = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, blockval))
+    want = [blockval(x, y) for y in range(h) for x in range(w)]
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["n_px"] == len(want)
+    assert out["sum_px"] == sum(want)
+    assert out["min_px"] == min(want)
+    assert out["max_px"] == max(want)
+
+
+def test_jpeg_ac_content_bounded_error():
+    # non-constant blocks exercise the AC run/size path + ZRL/EOB; with
+    # an all-ones quant table the FDCT->IDCT round trip is within one
+    # gray level per pixel on average
+    def tex(x, y):
+        return (x * x * 3 + y * 7 + x * y) % 256
+
+    out = M.decode_jpeg_gray(M.encode_jpeg_gray(16, 16, tex))
+    want = [tex(x, y) for y in range(16) for x in range(16)]
+    assert abs(out["sum_px"] - sum(want)) <= len(want)
+    assert abs(out["min_px"] - min(want)) <= 2
+    assert abs(out["max_px"] - max(want)) <= 2
+
+
+def test_jpeg_dc_prediction_spans_blocks():
+    # strongly varying DC across many blocks: every diff category code
+    # path in the DC table gets used (values swing the full range)
+    def blockval(x, y):
+        return (x // 8 * 255) % 256 if (y // 8) % 2 == 0 else 0
+
+    w, h = 64, 16
+    out = M.decode_jpeg_gray(M.encode_jpeg_gray(w, h, blockval))
+    want = [blockval(x, y) for y in range(h) for x in range(w)]
+    assert out["sum_px"] == sum(want)
+
+
+def test_jpeg_rejects_malformed():
+    good = M.encode_jpeg_gray(16, 16, lambda x, y: 128)
+    with pytest.raises(ValueError, match="SOI"):
+        M.decode_jpeg_gray(b"\x00\x00" + good)
+    with pytest.raises(ValueError, match="EOI"):
+        M.decode_jpeg_gray(good[:-2])
+    with pytest.raises(ValueError, match="dimensions divisible"):
+        M.encode_jpeg_gray(12, 8, lambda x, y: 0)
+    # progressive SOF2 is rejected, not mis-decoded
+    sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        M.decode_jpeg_gray(sof2)
+    # restart intervals rejected at DRI
+    dri = (
+        good[:2]
+        + struct.pack(">HHH", 0xFFDD, 4, 8)
+        + good[2:]
+    )
+    with pytest.raises(ValueError, match="restart"):
+        M.decode_jpeg_gray(dri)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    # values chosen so the entropy stream contains 0xFF bytes (stuffing
+    # must be applied by the encoder and stripped by the decoder)
+    found = False
+    for base in range(0, 256, 7):
+        def blockval(x, y, base=base):
+            return (base + (x // 8) * 19) % 256
+
+        pay = M.encode_jpeg_gray(64, 8, blockval)
+        scan = pay[pay.find(b"\xff\xda") + 14 : -2]
+        if b"\xff\x00" in scan:
+            found = True
+            out = M.decode_jpeg_gray(pay)
+            want = [blockval(x, y) for y in range(8) for x in range(64)]
+            assert out["sum_px"] == sum(want)
+    assert found, "no test payload produced a stuffed byte; widen the sweep"
+
+
+def test_decode_jpeg_stats_consistency(spark):
+    rows = M.mm_decode_jpeg_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:20]:
+        d = r["doc_id"]
+        w, h = 8 * (2 + d % 3), 8 * (2 + d % 2)
+        want = [M._block_val(d, x // 8, y // 8) for y in range(h) for x in range(w)]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_px"] == sum(want)
