@@ -11,10 +11,10 @@ decode paths:
   P6 payloads built inside Spark, with a DuckDB oracle recomputing the
   same stats from the payload definition.
 - ``decode_image_stub`` remains the clearly-marked deterministic STUB
-  for entropy-coded formats (JPEG needs PIL/opencv, absent in this
-  container); a real deployment replaces only that function body.
-  PNG — deflate-compressed, fully decodable with stdlib zlib — decodes
-  for REAL in ``multimodal2.decode_png``.
+  used by ``mm_decode_frames``'s plumbing oracle.  Real decoders now
+  exist for PNG (``multimodal2.decode_png``) and baseline JPEG, both
+  grayscale and 4:2:0/4:4:4 YCbCr color (``multimodal3``); only
+  progressive JPEG and exotic sampling layouts remain out of surface.
 
 Either way the plumbing — binary column construction, schema, Arrow
 batching, the mapInPandas signature and partitioning — is the real
@@ -60,9 +60,11 @@ def decode_image_stub(payload: bytes) -> dict:
 
 def decode_image_real(payload: bytes):  # pragma: no cover - by design
     raise NotImplementedError(
-        "entropy-coded image decode (JPEG) requires PIL/opencv, not "
-        "present in this container; PPM decodes for real via decode_ppm "
-        "and PNG via multimodal2.decode_png"
+        "general-purpose image decode (progressive JPEG, exotic sampling, "
+        "WebP/AVIF...) requires PIL/opencv, not present in this container; "
+        "PPM decodes for real via decode_ppm, PNG via "
+        "multimodal2.decode_png, baseline JPEG (gray + 4:2:0/4:4:4 color) "
+        "via multimodal3.decode_jpeg_gray/decode_jpeg_color"
     )
 
 

@@ -6,10 +6,13 @@ sequential JPEG (ITU-T T.81, public spec) with NO imaging library —
 marker walk, DQT/DHT table parsing, canonical Huffman decode of the
 entropy-coded segment (with FF00 byte unstuffing), DC prediction +
 EXTEND sign recovery, zigzag dequantization, float 2-D IDCT, level
-shift, clamp.  Supported surface = 8-bit baseline, single-component
-(grayscale), 1x1 sampling, no restart intervals; everything else
-raises ValueError (progressive, chroma subsampling, and arithmetic
-coding are rejected, not silently mis-decoded).
+shift, clamp.  Supported surface = 8-bit baseline, grayscale AND
+3-component YCbCr color in both 4:4:4 (all 1x1) and real-world 4:2:0
+(Y at 2x2, chroma 1x1, MCU-interleaved, box-upsampled) layouts, with
+fixed-point integer YCbCr->RGB conversion (libjpeg convention);
+everything else raises ValueError (progressive, other sampling
+layouts, arithmetic coding, restart intervals are rejected, not
+silently mis-decoded).
 
 JPEG is lossy, which would normally make a cross-engine value oracle
 impossible — no SQL engine can re-run an IDCT bit-for-bit.  The
@@ -133,65 +136,117 @@ def _fdct2d(block: list[list[float]]) -> list[list[float]]:
     return out
 
 
-def encode_jpeg_gray(width: int, height: int, pixel) -> bytes:
-    """Baseline grayscale JPEG with an all-ones quant table (quality
-    'lossless-for-DC'): markers, Annex-K Huffman tables, FDCT + zigzag +
-    canonical Huffman entropy coding with byte stuffing.  width/height
-    must be multiples of 8 (no edge-replication leg to keep the oracle
-    an exact pixel formula)."""
-    if width % 8 or height % 8:
-        raise ValueError("encoder requires dimensions divisible by 8")
+def _encode_block(bw, dc_codes, ac_codes, blk, prev_dc: int) -> int:
+    """FDCT + all-ones quantize + zigzag + Huffman-encode one 8x8 block;
+    returns the new DC predictor for this component."""
+    coef = _fdct2d(blk)
+    q = [int(round(coef[i // 8][i % 8])) for i in range(64)]
+    zz = [q[ZIGZAG[i]] for i in range(64)]
+    diff = zz[0] - prev_dc
+    cat = diff.bit_length() if diff else 0
+    code, length = dc_codes[cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            if run == 16:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run = 0
+            continue
+        size = abs(zz[i]).bit_length()
+        code, length = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        v = zz[i]
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return zz[0]
+
+
+def _encode_jpeg(width: int, height: int, comps) -> bytes:
+    """Baseline JPEG with an all-ones quant table: markers, Annex-K
+    Huffman tables (shared by every component), MCU-interleaved FDCT +
+    zigzag + canonical Huffman entropy coding with byte stuffing, one DC
+    predictor per component.  ``comps`` is a list of ``(h, v, planefn)``
+    sampling factors + sample function IN THAT COMPONENT'S OWN
+    RESOLUTION.  width/height must be multiples of the MCU size (8*Hmax
+    x 8*Vmax) — no edge-replication leg, keeping oracles exact pixel
+    formulas."""
+    hmax = max(h for h, _, _ in comps)
+    vmax = max(v for _, v, _ in comps)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError(
+            f"encoder requires dimensions divisible by the MCU size "
+            f"({8 * hmax}x{8 * vmax})"
+        )
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
-    prev_dc = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            blk = [
-                [float(pixel(bx * 8 + x, by * 8 + y) - 128) for x in range(8)]
-                for y in range(8)
-            ]
-            coef = _fdct2d(blk)
-            q = [int(round(coef[i // 8][i % 8])) for i in range(64)]
-            zz = [q[ZIGZAG[i]] for i in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = diff.bit_length() if diff else 0
-            code, length = dc_codes[cat]
-            bw.write(code, length)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    if run == 16:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        bw.write(code, length)
-                        run = 0
-                    continue
-                size = abs(zz[i]).bit_length()
-                code, length = ac_codes[(run << 4) | size]
-                bw.write(code, length)
-                v = zz[i]
-                bw.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+    preds = [0] * len(comps)
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
+            for ci, (ch, cv, fn) in enumerate(comps):
+                for bv in range(cv):
+                    for bu in range(ch):
+                        ox, oy = 8 * (mx * ch + bu), 8 * (my * cv + bv)
+                        blk = [
+                            [float(fn(ox + x, oy + y) - 128) for x in range(8)]
+                            for y in range(8)
+                        ]
+                        preds[ci] = _encode_block(bw, dc_codes, ac_codes, blk, preds[ci])
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    sof_comps = b"".join(
+        bytes([ci + 1, (ch << 4) | cv, 0]) for ci, (ch, cv, _) in enumerate(comps)
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, len(comps)) + sof_comps,
+    )
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
     )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(len(comps)))
+    sos = seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_gray(width: int, height: int, pixel) -> bytes:
+    """Baseline grayscale JPEG ('lossless-for-DC' all-ones quant table);
+    width/height must be multiples of 8."""
+    return _encode_jpeg(width, height, [(1, 1, pixel)])
+
+
+def encode_jpeg_ycbcr(
+    width: int,
+    height: int,
+    yfn,
+    cbfn,
+    crfn,
+    *,
+    subsample: bool = True,
+) -> bytes:
+    """Baseline color JPEG straight from YCbCr plane functions (no RGB
+    source needed — the query defines the planes directly).  With
+    ``subsample`` the layout is real-world 4:2:0 (Y at 2x2, chroma at
+    1x1 — chroma fns are called at HALF resolution; dims must be
+    multiples of 16); otherwise 4:4:4 (dims multiples of 8)."""
+    if subsample:
+        return _encode_jpeg(
+            width, height, [(2, 2, yfn), (1, 1, cbfn), (1, 1, crfn)]
+        )
+    return _encode_jpeg(width, height, [(1, 1, yfn), (1, 1, cbfn), (1, 1, crfn)])
 
 
 # -- decoder ---------------------------------------------------------------
@@ -269,21 +324,24 @@ def _idct2d(coef: list[int]) -> list[int]:
     return out
 
 
-def decode_jpeg_gray(payload: bytes) -> dict:
-    """REAL baseline-JPEG decoder for the supported surface (8-bit,
-    grayscale, 1x1 sampling, no restarts): marker walk, DQT/DHT parse,
-    canonical Huffman decode with DC prediction, dequantize via zigzag,
-    float IDCT, level shift + clamp.  Returns dimensions plus
-    integer-exact statistics of the reconstructed pixels.  Raises
-    ValueError on malformed or out-of-surface input (progressive,
-    multi-component, subsampled, arithmetic-coded, restart intervals)."""
+def _parse_jpeg(payload: bytes) -> dict:
+    """Shared baseline-JPEG parser: marker walk, DQT/DHT parse, SOF0
+    geometry (1 or 3 components; sampling all-1x1, or real-world 4:2:0
+    with Y at 2x2 and chroma at 1x1), MCU-interleaved canonical Huffman
+    entropy decode with FF00 unstuffing, one DC predictor PER COMPONENT
+    (T.81 F.2.1.3.1), zigzag dequantize, float IDCT, level shift +
+    clamp.  Returns each component plane at its NATURAL resolution.
+    Raises ValueError on malformed or out-of-surface input (progressive,
+    arithmetic coding, 16-bit tables, restart intervals, partial MCUs,
+    other sampling layouts)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     dims: tuple[int, int] | None = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
@@ -315,12 +373,21 @@ def decode_jpeg_gray(payload: bytes) -> dict:
             prec, h, w, ncomp = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) supported")
-            if data[7] != 0x11:
-                raise ValueError("subsampling not supported")
+            if ncomp not in (1, 3):
+                raise ValueError(f"{ncomp}-component images not supported")
+            for c in range(ncomp):
+                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            samps = [(h_, v_) for _, h_, v_, _ in comps]
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (len(samps) == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise ValueError(
+                    "subsampling not supported (only 1x1 everywhere, or "
+                    "4:2:0 with Y=2x2 + chroma 1x1)"
+                )
             dims = (w, h)
-            comp_q = data[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline SOF FF{marker:02X} not supported")
         elif marker == 0xDD:  # DRI
@@ -329,61 +396,164 @@ def decode_jpeg_gray(payload: bytes) -> dict:
         elif marker == 0xDA:  # SOS — entropy data follows
             if dims is None:
                 raise ValueError("SOS before SOF")
-            if data[0] != 1:
-                raise ValueError("scan must cover exactly one component")
-            comp_dc, comp_ac = data[2] >> 4, data[2] & 0xF
+            if data[0] != len(comps):
+                raise ValueError("scan must cover every frame component")
+            for c in range(data[0]):
+                cid, tabs = data[1 + 2 * c : 3 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0xF)
+            if [data[1 + 2 * c] for c in range(data[0])] != [c[0] for c in comps]:
+                raise ValueError("scan component order must match the frame")
             i = i + 2 + seg_len
             break
         i += 2 + seg_len
     else:
         raise ValueError("no SOS marker found")
     width, height = dims
-    if width % 8 or height % 8:
-        raise ValueError("partial MCUs not supported (dims must be 8-aligned)")
-    q = qtables.get(comp_q)
-    dc = htables.get((0, comp_dc))
-    ac = htables.get((1, comp_ac))
-    if q is None or dc is None or ac is None:
-        raise ValueError("missing quantization or Huffman table")
+    hmax = max(h_ for _, h_, _, _ in comps)
+    vmax = max(v_ for _, _, v_, _ in comps)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError(
+            f"partial MCUs not supported (dims must be {8 * hmax}x"
+            f"{8 * vmax}-aligned)"
+        )
+    plane_dims = [
+        (width * h_ // hmax, height * v_ // vmax) for _, h_, v_, _ in comps
+    ]
+    planes = [bytearray(pw * ph) for pw, ph in plane_dims]
+    tabs = []
+    for cid, _, _, tq in comps:
+        q = qtables.get(tq)
+        dc = htables.get((0, scan_tabs[cid][0]))
+        ac = htables.get((1, scan_tabs[cid][1]))
+        if q is None or dc is None or ac is None:
+            raise ValueError("missing quantization or Huffman table")
+        tabs.append((q, dc, ac))
     br = _BitReader(payload, i)
-    pixels = bytearray(width * height)
-    prev_dc = 0
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            coef = [0] * 64
-            cat = _huff_decode(br, dc)
-            diff = _extend(br.bits(cat), cat) if cat else 0
-            prev_dc += diff
-            coef[0] = prev_dc * q[0]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, ac)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"invalid AC symbol {sym:02X}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                coef[ZIGZAG[k]] = _extend(br.bits(size), size) * q[k]
-                k += 1
-            blk = _idct2d(coef)
-            for y in range(8):
-                row0 = (by * 8 + y) * width + bx * 8
-                pixels[row0 : row0 + 8] = bytes(blk[y * 8 : y * 8 + 8])
+    preds = [0] * len(comps)
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
+            for ci, (_, ch, cv, _) in enumerate(comps):
+                q, dc, ac = tabs[ci]
+                pw = plane_dims[ci][0]
+                for bv in range(cv):
+                    for bu in range(ch):
+                        coef = [0] * 64
+                        cat = _huff_decode(br, dc)
+                        diff = _extend(br.bits(cat), cat) if cat else 0
+                        preds[ci] += diff
+                        coef[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, ac)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"invalid AC symbol {sym:02X}"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            coef[ZIGZAG[k]] = _extend(br.bits(size), size) * q[k]
+                            k += 1
+                        blk = _idct2d(coef)
+                        ox, oy = 8 * (mx * ch + bu), 8 * (my * cv + bv)
+                        for y in range(8):
+                            row0 = (oy + y) * pw + ox
+                            planes[ci][row0 : row0 + 8] = bytes(
+                                blk[y * 8 : y * 8 + 8]
+                            )
     if payload[br.i : br.i + 2] != b"\xff\xd9":
         raise ValueError("missing EOI after scan")
     return {
         "width": width,
         "height": height,
+        "planes": planes,
+        "plane_dims": plane_dims,
+        "samplings": [(h_, v_) for _, h_, v_, _ in comps],
+    }
+
+
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """REAL baseline-JPEG decoder, grayscale surface: see ``_parse_jpeg``
+    for the shared path.  Returns dimensions plus integer-exact
+    statistics of the reconstructed pixels."""
+    p = _parse_jpeg(payload)
+    if len(p["planes"]) != 1:
+        raise ValueError("color JPEG — use decode_jpeg_color")
+    pixels = p["planes"][0]
+    return {
+        "width": p["width"],
+        "height": p["height"],
         "n_px": len(pixels),
         "sum_px": sum(pixels),
         "min_px": min(pixels),
         "max_px": max(pixels),
+    }
+
+
+# libjpeg-convention fixed-point YCbCr->RGB (JFIF inverse, x65536,
+# floor-shifted with +0.5 rounding bias) — INTEGER-EXACT, so a SQL
+# oracle can recompute decoded RGB bit-for-bit (a float 1.402*(Cr-128)
+# would be engine-rounding territory).  Same literals appear in the
+# mm_decode_jpeg_color_stats oracle; change together.
+_FIX_RV = 91881  # round(1.402    * 65536)
+_FIX_GU = 22554  # round(0.344136 * 65536)
+_FIX_GV = 46802  # round(0.714136 * 65536)
+_FIX_BU = 116130  # round(1.772   * 65536)
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def decode_jpeg_color(payload: bytes) -> dict:
+    """REAL baseline color-JPEG decoder: the shared ``_parse_jpeg`` path
+    (4:4:4 or real-world 4:2:0), chroma upsampled by replication (box),
+    fixed-point integer YCbCr->RGB.  Returns dimensions plus
+    integer-exact statistics of the reconstructed RGB raster."""
+    p = _parse_jpeg(payload)
+    if len(p["planes"]) != 3:
+        raise ValueError("grayscale JPEG — use decode_jpeg_gray")
+    width, height = p["width"], p["height"]
+    yp, cbp, crp = p["planes"]
+    (ysh, ysv) = p["samplings"][0]
+    (cbw, _cbh) = p["plane_dims"][1]
+    # chroma coordinate = luma coordinate scaled by sampling ratio
+    sx, sy = ysh, ysv  # 1 (4:4:4) or 2 (4:2:0)
+    sum_r = sum_g = sum_b = 0
+    mn, mx = 255, 0
+    for y in range(height):
+        crow = (y // sy) * cbw
+        yrow = y * width
+        for x in range(width):
+            yy = yp[yrow + x]
+            cb = cbp[crow + x // sx] - 128
+            cr = crp[crow + x // sx] - 128
+            r = _clamp8(yy + ((_FIX_RV * cr + 32768) >> 16))
+            g = _clamp8(yy - ((_FIX_GU * cb + _FIX_GV * cr + 32768) >> 16))
+            b = _clamp8(yy + ((_FIX_BU * cb + 32768) >> 16))
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            lo, hi = min(r, g, b), max(r, g, b)
+            if lo < mn:
+                mn = lo
+            if hi > mx:
+                mx = hi
+    return {
+        "width": width,
+        "height": height,
+        "n_px": width * height,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "min_rgb": mn,
+        "max_rgb": mx,
     }
 
 
@@ -466,4 +636,125 @@ def mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.withColumn(
         "mean_px", F.round(F.col("sum_px") * 1.0 / F.col("n_px"), 6)
+    )
+
+
+# Per-MCU YCbCr constants for the color query (pure-integer formulas the
+# oracle mirrors; the chroma plane sees half-resolution coordinates under
+# 4:2:0, so its MCU index there is x//8, y//8).
+def _mcu_ycbcr(doc_id: int, mx: int, my: int) -> tuple[int, int, int]:
+    return (
+        (doc_id * 13 + mx * 23 + my * 41) % 256,
+        (doc_id * 7 + mx * 19 + my * 31) % 256,
+        (doc_id * 5 + mx * 29 + my * 37) % 256,
+    )
+
+
+@query(
+    "mm_decode_jpeg_color_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 2) AS w,
+             16 * (1 + doc_id % 3) AS h
+      FROM documents),
+    m AS (
+      SELECT doc_id, w, h,
+             (t.i - 1) % (w // 16) AS mx,
+             (t.i - 1) // (w // 16) AS my
+      FROM d, unnest(generate_series(1, CAST((w // 16) * (h // 16) AS INT)))
+              AS t(i)),
+    c AS (
+      SELECT doc_id, w, h,
+             (doc_id * 13 + mx * 23 + my * 41) % 256       AS yy,
+             (doc_id * 7 + mx * 19 + my * 31) % 256 - 128  AS cb,
+             (doc_id * 5 + mx * 29 + my * 37) % 256 - 128  AS cr
+      FROM m),
+    rgb AS (
+      -- Python's >> floors; DuckDB's integer // truncates toward zero.
+      -- Bias each numerator by +256*65536 (larger than any |negative|
+      -- term here) so the division is on non-negative values, where the
+      -- two agree, then subtract the bias.
+      SELECT doc_id, w, h,
+             greatest(0, least(255, yy +
+               ((91881 * cr + 32768 + 16777216) // 65536 - 256))) AS r,
+             greatest(0, least(255, yy -
+               ((22554 * cb + 46802 * cr + 32768 + 16777216) // 65536
+                - 256))) AS g,
+             greatest(0, least(255, yy +
+               ((116130 * cb + 32768 + 16777216) // 65536 - 256))) AS b
+      FROM c)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(256 * sum(r) AS BIGINT) AS sum_r,
+           CAST(256 * sum(g) AS BIGINT) AS sum_g,
+           CAST(256 * sum(b) AS BIGINT) AS sum_b,
+           CAST(least(min(r), min(g), min(b)) AS BIGINT) AS min_rgb,
+           CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS max_rgb,
+           round(CAST(256 * (sum(r) + sum(g) + sum(b)) AS BIGINT) * 1.0
+                 / (3 * w * h), 6) AS mean_rgb
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-JPEG decode end-to-end over the real-world 4:2:0
+    layout: per document, encode a baseline YCbCr JPEG with constant
+    16x16 MCUs (planes from the integer formulas in ``_mcu_ycbcr``,
+    all-ones quant table) in one Arrow-batched ``mapInPandas`` stage,
+    decode it with ``decode_jpeg_color`` — MCU-interleaved Huffman
+    decode with per-component DC prediction, IDCT, box chroma
+    upsampling, fixed-point integer YCbCr->RGB — in the next, and emit
+    statistics of the reconstructed RGB raster.  DC-exact MCUs plus the
+    integer conversion make every decoded RGB value an exact integer
+    formula the DuckDB oracle recomputes (256 identical pixels per MCU,
+    so sums are 256x the per-MCU values), including the G-channel's
+    negative fixed-point floor-shifts — a wrong MCU block order,
+    swapped chroma planes, mis-aligned upsample, or off-by-one in the
+    conversion all break the hash.
+
+    Scale shape: identical to mm_decode_jpeg_stats — two narrow
+    mapInPandas stages, no shuffle, payloads never on the driver."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
+                payloads.append(
+                    encode_jpeg_ycbcr(
+                        w,
+                        h,
+                        lambda x, y, d=d: _mcu_ycbcr(d, x // 16, y // 16)[0],
+                        lambda x, y, d=d: _mcu_ycbcr(d, x // 8, y // 8)[1],
+                        lambda x, y, d=d: _mcu_ycbcr(d, x // 8, y // 8)[2],
+                        subsample=True,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_jpeg_color(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    stats = mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, n_px long, "
+        "sum_r long, sum_g long, sum_b long, min_rgb long, max_rgb long",
+    )
+    return stats.withColumn(
+        "mean_rgb",
+        F.round(
+            (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")) * 1.0
+            / (3 * F.col("n_px")),
+            6,
+        ),
     )

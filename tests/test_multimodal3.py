@@ -123,3 +123,131 @@ def test_decode_jpeg_stats_consistency(spark):
         want = [M._block_val(d, x // 8, y // 8) for y in range(h) for x in range(w)]
         assert (r["width"], r["height"]) == (w, h)
         assert r["sum_px"] == sum(want)
+
+
+# -- color surface ---------------------------------------------------------
+
+
+def _ref_rgb(yy, cb, cr):
+    cb -= 128
+    cr -= 128
+    r = max(0, min(255, yy + ((M._FIX_RV * cr + 32768) >> 16)))
+    g = max(0, min(255, yy - ((M._FIX_GU * cb + M._FIX_GV * cr + 32768) >> 16)))
+    b = max(0, min(255, yy + ((M._FIX_BU * cb + 32768) >> 16)))
+    return r, g, b
+
+
+def test_jpeg_color_420_dc_exact_roundtrip():
+    d = 5
+    w, h = 32, 48
+    pay = M.encode_jpeg_ycbcr(
+        w, h,
+        lambda x, y: M._mcu_ycbcr(d, x // 16, y // 16)[0],
+        lambda x, y: M._mcu_ycbcr(d, x // 8, y // 8)[1],
+        lambda x, y: M._mcu_ycbcr(d, x // 8, y // 8)[2],
+        subsample=True,
+    )
+    out = M.decode_jpeg_color(pay)
+    sr = sg = sb = 0
+    mn, mx = 255, 0
+    for my in range(h // 16):
+        for mxx in range(w // 16):
+            r, g, b = _ref_rgb(*M._mcu_ycbcr(d, mxx, my))
+            sr += 256 * r
+            sg += 256 * g
+            sb += 256 * b
+            mn = min(mn, r, g, b)
+            mx = max(mx, r, g, b)
+    assert (out["width"], out["height"], out["n_px"]) == (w, h, w * h)
+    assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (sr, sg, sb)
+    assert (out["min_rgb"], out["max_rgb"]) == (mn, mx)
+
+
+def test_jpeg_color_444_dc_exact_roundtrip():
+    w, h = 16, 24
+
+    def yf(x, y):
+        return (x // 8 * 50 + y // 8 * 30) % 256
+
+    def cbf(x, y):
+        return (x // 8 * 70 + y // 8 * 90) % 256
+
+    def crf(x, y):
+        return (x // 8 * 15 + y // 8 * 75) % 256
+
+    out = M.decode_jpeg_color(
+        M.encode_jpeg_ycbcr(w, h, yf, cbf, crf, subsample=False)
+    )
+    sr = sg = sb = 0
+    for y in range(h):
+        for x in range(w):
+            r, g, b = _ref_rgb(yf(x, y), cbf(x, y), crf(x, y))
+            sr += r
+            sg += g
+            sb += b
+    assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (sr, sg, sb)
+
+
+def test_jpeg_color_chroma_planes_not_swapped():
+    # pure-red-ish MCU: Cr high, Cb neutral → R must exceed B; a decoder
+    # that swaps the chroma planes inverts that
+    out = M.decode_jpeg_color(
+        M.encode_jpeg_ycbcr(
+            16, 16, lambda x, y: 128, lambda x, y: 128, lambda x, y: 255
+        )
+    )
+    assert out["sum_r"] > out["sum_b"]
+    r, _, b = _ref_rgb(128, 128, 255)
+    assert out["sum_r"] == 256 * r and out["sum_b"] == 256 * b
+
+
+def test_jpeg_color_upsample_alignment():
+    # chroma varies per chroma-PIXEL (not per block): box upsampling maps
+    # each chroma sample onto a 2x2 luma patch; any misalignment shifts
+    # sums. AC coefficients in chroma blocks make this a lossy check →
+    # bound, not equality.
+    w = h = 16
+
+    def cbf(x, y):
+        return 128 + (17 * x - 13 * y) % 32 - 16
+
+    out = M.decode_jpeg_color(
+        M.encode_jpeg_ycbcr(w, h, lambda x, y: 200, cbf, lambda x, y: 128)
+    )
+    sr = sg = sb = 0
+    for y in range(h):
+        for x in range(w):
+            r, g, b = _ref_rgb(200, cbf(x // 2, y // 2), 128)
+            sr += r
+            sg += g
+            sb += b
+    assert abs(out["sum_r"] - sr) <= w * h
+    assert abs(out["sum_b"] - sb) <= 2 * w * h
+
+
+def test_jpeg_color_rejects_out_of_surface():
+    pay = M.encode_jpeg_ycbcr(
+        16, 16, lambda x, y: 0, lambda x, y: 128, lambda x, y: 128
+    )
+    # 2x1 sampling (4:2:2) is rejected — patch the SOF sampling byte for Y
+    idx = pay.find(b"\xff\xc0")
+    patched = bytearray(pay)
+    patched[idx + 11] = 0x21  # component 1 sampling h=2,v=1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="subsampling"):
+        M.decode_jpeg_color(bytes(patched))
+
+
+def test_decode_jpeg_color_stats_consistency(spark):
+    rows = M.mm_decode_jpeg_color_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:12]:
+        d = r["doc_id"]
+        w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
+        sr = 0
+        for my in range(h // 16):
+            for mxx in range(w // 16):
+                sr += 256 * _ref_rgb(*M._mcu_ycbcr(d, mxx, my))[0]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == sr
