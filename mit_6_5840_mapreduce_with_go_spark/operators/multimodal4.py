@@ -1,0 +1,337 @@
+"""Audio + video modalities with REAL decoders: WAV (RIFF PCM) and
+Y4M (YUV4MPEG2) inside the multimodal mapInPandas leg.
+
+Completes the image/audio/video triple the LLM-pipeline north star
+asks for (multimodal.py/2/3 cover images).  Both formats are public
+and fully decodable with no media library:
+
+- ``decode_wav``: RIFF walk (chunk id/size, word alignment), fmt
+  validation (PCM, 16-bit), int16-LE sample extraction, integer-exact
+  amplitude statistics (sum, sum of squares for energy, min/max).
+- ``decode_y4m``: YUV4MPEG2 stream parse — ASCII stream header
+  (W/H/F/C tags), per-frame FRAME markers, raw planar 4:2:0 payloads —
+  plus the FRAME-SAMPLING stage (keep every k-th frame) every video
+  curation pipeline needs; per-sampled-frame luma statistics from the
+  actual plane bytes.
+
+Both queries build payloads inside Spark from pure-integer formulas,
+decode them in a second Arrow-batched ``mapInPandas`` stage, and are
+value-hash oracle-checked (the DuckDB oracle recomputes the stats
+from the sample/pixel definitions — everything is integer-exact, so a
+chunk-offset, alignment, or plane-size bug breaks the hash).
+
+Scale shape (all queries): two narrow per-row map stages, no shuffle;
+payloads never touch the driver; the frame sampler emits one row per
+KEPT frame so downstream work scales with the sampling rate, not the
+source frame rate.
+
+No reference counterpart — north-star LLM-pipeline addition.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# -- WAV ------------------------------------------------------------------
+
+
+def encode_wav(n_samples: int, sample, *, rate: int = 16000) -> bytes:
+    """Canonical 16-bit mono PCM WAV from ``sample(i) -> int16``."""
+    data = b"".join(
+        struct.pack("<h", sample(i)) for i in range(n_samples)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    riff = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL RIFF/WAV decoder: chunk walk with word alignment, fmt
+    validation (PCM uncompressed, 16-bit, mono/stereo), int16-LE sample
+    extraction, integer-exact amplitude statistics.  Raises ValueError
+    on malformed input or unsupported encodings (float PCM, ADPCM,
+    8/24-bit)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 != len(payload):
+        raise ValueError("RIFF size mismatch")
+    i = 12
+    fmt: tuple | None = None
+    data: bytes | None = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            tag, nch, rate, _brate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag != 1:
+                raise ValueError(f"unsupported format tag {tag} (PCM only)")
+            if bits != 16:
+                raise ValueError(f"unsupported bit depth {bits}")
+            if nch not in (1, 2):
+                raise ValueError(f"unsupported channel count {nch}")
+            fmt = (nch, rate)
+        elif cid == b"data":
+            data = body
+        i += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    nch, rate = fmt
+    if len(data) % (2 * nch):
+        raise ValueError("data chunk is not a whole number of frames")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    ssum = sum(samples)
+    energy = sum(s * s for s in samples)
+    return {
+        "n_channels": nch,
+        "sample_rate": rate,
+        "n_samples": len(samples) // nch,
+        "sum_amp": ssum,
+        "energy": energy,
+        "min_amp": min(samples),
+        "max_amp": max(samples),
+    }
+
+
+@query(
+    "mm_decode_wav_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             ((doc_id * 31 + (t.i - 1) * 17) % 65536) - 32768 AS amp
+      FROM d, unnest(generate_series(1, CAST(n AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(amp) AS BIGINT) AS sum_amp,
+           CAST(sum(CAST(amp AS HUGEINT) * amp) AS BIGINT) AS energy,
+           CAST(min(amp) AS BIGINT) AS min_amp,
+           CAST(max(amp) AS BIGINT) AS max_amp
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per document, build a canonical
+    16-bit mono PCM WAV (samples from the pure-integer formula below)
+    in one Arrow-batched ``mapInPandas`` stage, decode it with
+    ``decode_wav`` — RIFF chunk walk, fmt validation, int16 extraction
+    — in the next, and emit integer-exact amplitude statistics the
+    DuckDB oracle recomputes from the sample definition.  ``energy``
+    (sum of squares) is the loudness/VAD primitive; exact int64 (peak
+    32768^2 x ~1.6k samples is far below 2^63)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 800 + (d % 5) * 160
+                payloads.append(
+                    encode_wav(
+                        n, lambda i, d=d: ((d * 31 + i * 17) % 65536) - 32768
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_wav(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_channels long, sample_rate long, "
+        "n_samples long, sum_amp long, energy long, min_amp long, "
+        "max_amp long",
+    )
+
+
+# -- Y4M (YUV4MPEG2) -------------------------------------------------------
+
+
+def encode_y4m(width: int, height: int, n_frames: int, yfn) -> bytes:
+    """YUV4MPEG2 stream, C420 layout: ASCII stream header, per-frame
+    FRAME marker + planar Y (from ``yfn(f, x, y)``) + neutral chroma.
+    Dims must be even (4:2:0 chroma is half-resolution)."""
+    if width % 2 or height % 2:
+        raise ValueError("Y4M C420 requires even dimensions")
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    )
+    chroma = bytes([128]) * ((width // 2) * (height // 2))
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        out += bytes(
+            yfn(f, x, y) & 0xFF for y in range(height) for x in range(width)
+        )
+        out += chroma + chroma
+    return bytes(out)
+
+
+def decode_y4m_sampled(payload: bytes, stride: int) -> list[dict]:
+    """REAL YUV4MPEG2 decoder + frame sampler: parse the ASCII stream
+    header (W/H/C tags; C420 family only), walk FRAME markers, and for
+    every ``stride``-th frame compute integer-exact luma statistics
+    from the actual Y-plane bytes (skipped frames are seeked over, not
+    decoded — the point of sampling).  Returns one dict per KEPT frame.
+    Raises ValueError on malformed streams or non-4:2:0 layouts."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    colorspace = "C420"
+    for tag in payload[9:nl].split():
+        t = tag.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "C":
+            colorspace = t
+    if width is None or height is None:
+        raise ValueError("missing W/H in stream header")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    ysize = width * height
+    csize = (width // 2) * (height // 2)
+    i = nl + 1
+    frames: list[dict] = []
+    f = 0
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {i}")
+        fnl = payload.find(b"\n", i)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        i = fnl + 1
+        if i + ysize + 2 * csize > len(payload):
+            raise ValueError(f"truncated frame {f}")
+        if f % stride == 0:
+            yplane = payload[i : i + ysize]
+            frames.append(
+                {
+                    "frame_idx": f,
+                    "width": width,
+                    "height": height,
+                    "sum_y": sum(yplane),
+                    "min_y": min(yplane),
+                    "max_y": max(yplane),
+                }
+            )
+        i += ysize + 2 * csize
+        f += 1
+    return frames
+
+
+@query(
+    "mm_video_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n_frames
+      FROM documents),
+    f AS (
+      SELECT doc_id, (t.i - 1) * 2 AS frame_idx
+      FROM d, unnest(generate_series(1, CAST((n_frames + 1) // 2 AS INT)))
+              AS t(i)),
+    px AS (
+      SELECT doc_id, frame_idx,
+             (doc_id * 7 + frame_idx * 13
+              + ((t.i - 1) % 16) * 3
+              + ((t.i - 1) // 16) * 5) % 256 AS v
+      FROM f, unnest(generate_series(1, 192)) AS t(i))
+    SELECT doc_id, frame_idx,
+           CAST(16 AS BIGINT) AS width,
+           CAST(12 AS BIGINT) AS height,
+           CAST(sum(v) AS BIGINT) AS sum_y,
+           CAST(min(v) AS BIGINT) AS min_y,
+           CAST(max(v) AS BIGINT) AS max_y
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + FRAME SAMPLING end-to-end: per document,
+    build a 16x12 YUV4MPEG2 clip (4 + doc_id % 5 frames, Y plane from
+    the pure-integer formula in the oracle, neutral chroma) in one
+    Arrow-batched ``mapInPandas`` stage; in the next, parse it with
+    ``decode_y4m_sampled`` keeping every 2nd frame — the curation
+    pattern that turns video into a bounded image stream — and emit
+    one row per KEPT frame with integer-exact luma statistics from the
+    actual plane bytes.  The DuckDB oracle rebuilds the sampled frame
+    set and its pixel sums, so a frame-seek or plane-offset bug (e.g.
+    mis-skipping chroma) breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payloads.append(
+                    encode_y4m(
+                        16,
+                        12,
+                        4 + d % 5,
+                        lambda f, x, y, d=d: (d * 7 + f * 13 + x * 3 + y * 5)
+                        % 256,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in decode_y4m_sampled(p, stride=2):
+                    fr["doc_id"] = int(did)
+                    rows.append(fr)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "sum_y",
+                    "min_y",
+                    "max_y",
+                ],
+            )
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, frame_idx long, width long, height long, "
+        "sum_y long, min_y long, max_y long",
+    )

@@ -134,6 +134,7 @@ def load_all() -> None:
         multimodal,
         multimodal2,
         multimodal3,
+        multimodal4,
         pipelines,
         privacy,
         projection,

@@ -1,0 +1,104 @@
+"""WAV + Y4M codecs: real RIFF/YUV4MPEG2 parsing round-trips the
+encoders, frame sampling keeps the right frames, malformed payloads
+are rejected, and the end-to-end queries match their definitions."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mit_6_5840_mapreduce_with_go_spark.operators import multimodal4 as M
+
+
+def test_wav_roundtrip_stats():
+    fn = lambda i: ((i * 257) % 65536) - 32768  # noqa: E731
+    out = M.decode_wav(M.encode_wav(1000, fn))
+    want = [fn(i) for i in range(1000)]
+    assert out["n_channels"] == 1
+    assert out["sample_rate"] == 16000
+    assert out["n_samples"] == 1000
+    assert out["sum_amp"] == sum(want)
+    assert out["energy"] == sum(w * w for w in want)
+    assert out["min_amp"] == min(want)
+    assert out["max_amp"] == max(want)
+
+
+def test_wav_odd_sized_sibling_chunk_is_word_aligned():
+    # RIFF pads odd-length chunks with one byte; a reader that forgets
+    # the pad mis-frames every later chunk. Splice an odd LIST chunk in.
+    good = M.encode_wav(100, lambda i: i)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    patched = good[:12] + odd + good[12:]
+    patched = (
+        b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    )
+    out = M.decode_wav(patched)
+    assert out["n_samples"] == 100
+
+
+def test_wav_rejects_malformed():
+    good = M.encode_wav(10, lambda i: 0)
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"OggS" + good[4:])
+    with pytest.raises(ValueError, match="size mismatch"):
+        M.decode_wav(good[:-2])
+    # float PCM (format tag 3) rejected
+    bad = bytearray(good)
+    fmt_at = good.find(b"fmt ") + 8
+    bad[fmt_at] = 3
+    with pytest.raises(ValueError, match="format tag"):
+        M.decode_wav(bytes(bad))
+    # 8-bit rejected
+    bad = bytearray(good)
+    bad[fmt_at + 14] = 8
+    with pytest.raises(ValueError, match="bit depth"):
+        M.decode_wav(bytes(bad))
+
+
+def test_y4m_frame_sampling_strides():
+    fn = lambda f, x, y: (f * 10 + x + y) % 256  # noqa: E731
+    pay = M.encode_y4m(8, 6, 7, fn)
+    assert [fr["frame_idx"] for fr in M.decode_y4m_sampled(pay, 1)] == list(range(7))
+    assert [fr["frame_idx"] for fr in M.decode_y4m_sampled(pay, 2)] == [0, 2, 4, 6]
+    assert [fr["frame_idx"] for fr in M.decode_y4m_sampled(pay, 3)] == [0, 3, 6]
+    for fr in M.decode_y4m_sampled(pay, 3):
+        want = [fn(fr["frame_idx"], x, y) for y in range(6) for x in range(8)]
+        assert fr["sum_y"] == sum(want)
+
+
+def test_y4m_rejects_malformed():
+    pay = M.encode_y4m(8, 6, 3, lambda f, x, y: 0)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        M.decode_y4m_sampled(b"RIFF" + pay, 1)
+    with pytest.raises(ValueError, match="truncated frame"):
+        M.decode_y4m_sampled(pay[:-10], 1)
+    with pytest.raises(ValueError, match="colorspace"):
+        M.decode_y4m_sampled(pay.replace(b"C420", b"C444", 1), 1)
+    with pytest.raises(ValueError, match="FRAME marker"):
+        M.decode_y4m_sampled(pay.replace(b"FRAME", b"FRAKE", 1), 1)
+    with pytest.raises(ValueError, match="even"):
+        M.encode_y4m(7, 6, 1, lambda f, x, y: 0)
+
+
+def test_decode_wav_stats_consistency(spark):
+    rows = M.mm_decode_wav_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:10]:
+        d = r["doc_id"]
+        n = 800 + (d % 5) * 160
+        want = [((d * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+        assert r["n_samples"] == n
+        assert r["sum_amp"] == sum(want)
+        assert r["energy"] == sum(w * w for w in want)
+
+
+def test_video_frame_sample_consistency(spark):
+    rows = M.mm_video_frame_sample(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    bydoc: dict[int, list] = {}
+    for r in rows:
+        bydoc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in list(bydoc.items())[:10]:
+        nf = 4 + d % 5
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, nf, 2))
