@@ -37,6 +37,7 @@ import math
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -308,20 +309,29 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code in scan")
 
 
+# IDCT as one 64x64 basis matmul: row p = pixel (y*8+x), column c =
+# coefficient (v*8+u).  numpy does the 4096 multiply-adds in C; for the
+# DC-only blocks the oracle depends on, the single product
+# B[p,0]*coef[0] rounds to the exact constant (error ~1e-13 vs the 0.5
+# round margin), same as the scalar triple loop it replaces.
+_IDCT_BASIS = np.array(
+    [
+        [
+            0.25 * _C[u] * _C[v] * _COS[x][u] * _COS[y][v]
+            for v in range(8)
+            for u in range(8)
+        ]
+        for y in range(8)
+        for x in range(8)
+    ]
+)
+
+
 def _idct2d(coef: list[int]) -> list[int]:
-    out = []
-    for y in range(8):
-        for x in range(8):
-            s = 0.0
-            for u in range(8):
-                cu = _C[u] * _COS[x][u]
-                for v in range(8):
-                    c = coef[v * 8 + u]
-                    if c:
-                        s += cu * _C[v] * _COS[y][v] * c
-            p = int(round(0.25 * s)) + 128
-            out.append(0 if p < 0 else 255 if p > 255 else p)
-    return out
+    s = _IDCT_BASIS @ np.asarray(coef, dtype=np.float64)
+    return list(
+        np.clip(np.rint(s).astype(np.int64) + 128, 0, 255)
+    )
 
 
 def _parse_jpeg(payload: bytes) -> dict:
@@ -507,10 +517,6 @@ _FIX_GV = 46802  # round(0.714136 * 65536)
 _FIX_BU = 116130  # round(1.772   * 65536)
 
 
-def _clamp8(v: int) -> int:
-    return 0 if v < 0 else 255 if v > 255 else v
-
-
 def decode_jpeg_color(payload: bytes) -> dict:
     """REAL baseline color-JPEG decoder: the shared ``_parse_jpeg`` path
     (4:4:4 or real-world 4:2:0), chroma upsampled by replication (box),
@@ -520,40 +526,29 @@ def decode_jpeg_color(payload: bytes) -> dict:
     if len(p["planes"]) != 3:
         raise ValueError("grayscale JPEG — use decode_jpeg_gray")
     width, height = p["width"], p["height"]
-    yp, cbp, crp = p["planes"]
     (ysh, ysv) = p["samplings"][0]
-    (cbw, _cbh) = p["plane_dims"][1]
+    (cbw, cbh) = p["plane_dims"][1]
+    # vectorized upsample + conversion: numpy int64 ops are exact and
+    # its arithmetic right shift floors, matching the scalar `>>` path
+    yp = np.frombuffer(bytes(p["planes"][0]), np.uint8).astype(np.int64)
+    yp = yp.reshape(height, width)
+    cbp = np.frombuffer(bytes(p["planes"][1]), np.uint8).astype(np.int64)
+    crp = np.frombuffer(bytes(p["planes"][2]), np.uint8).astype(np.int64)
     # chroma coordinate = luma coordinate scaled by sampling ratio
-    sx, sy = ysh, ysv  # 1 (4:4:4) or 2 (4:2:0)
-    sum_r = sum_g = sum_b = 0
-    mn, mx = 255, 0
-    for y in range(height):
-        crow = (y // sy) * cbw
-        yrow = y * width
-        for x in range(width):
-            yy = yp[yrow + x]
-            cb = cbp[crow + x // sx] - 128
-            cr = crp[crow + x // sx] - 128
-            r = _clamp8(yy + ((_FIX_RV * cr + 32768) >> 16))
-            g = _clamp8(yy - ((_FIX_GU * cb + _FIX_GV * cr + 32768) >> 16))
-            b = _clamp8(yy + ((_FIX_BU * cb + 32768) >> 16))
-            sum_r += r
-            sum_g += g
-            sum_b += b
-            lo, hi = min(r, g, b), max(r, g, b)
-            if lo < mn:
-                mn = lo
-            if hi > mx:
-                mx = hi
+    cb = np.repeat(np.repeat(cbp.reshape(cbh, cbw), ysv, 0), ysh, 1) - 128
+    cr = np.repeat(np.repeat(crp.reshape(cbh, cbw), ysv, 0), ysh, 1) - 128
+    r = np.clip(yp + ((_FIX_RV * cr + 32768) >> 16), 0, 255)
+    g = np.clip(yp - ((_FIX_GU * cb + _FIX_GV * cr + 32768) >> 16), 0, 255)
+    b = np.clip(yp + ((_FIX_BU * cb + 32768) >> 16), 0, 255)
     return {
         "width": width,
         "height": height,
         "n_px": width * height,
-        "sum_r": sum_r,
-        "sum_g": sum_g,
-        "sum_b": sum_b,
-        "min_rgb": mn,
-        "max_rgb": mx,
+        "sum_r": int(r.sum()),
+        "sum_g": int(g.sum()),
+        "sum_b": int(b.sum()),
+        "min_rgb": int(min(r.min(), g.min(), b.min())),
+        "max_rgb": int(max(r.max(), g.max(), b.max())),
     }
 
 
