@@ -118,13 +118,14 @@ def encode_png(
     )
 
 
-def decode_png(payload: bytes) -> dict:
-    """REAL PNG decoder: chunk walk + CRC-32 verification, IHDR
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decoder core: chunk walk + CRC-32 verification, IHDR
     validation (8-bit, color type 0/2/6, deflate, filter method 0,
     non-interlaced), IDAT inflate, and per-row unfiltering.  Returns
-    dimensions/channels plus integer-exact pixel statistics computed
-    from the RECONSTRUCTED raster.  Raises ValueError on anything
-    malformed — a decoder that can't reject garbage isn't a decoder."""
+    ``(width, height, channels, raster)`` with the RECONSTRUCTED raster
+    bytes in row-major (y, x, channel) order.  Raises ValueError on
+    anything malformed — a decoder that can't reject garbage isn't a
+    decoder."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     i = len(_PNG_SIG)
@@ -199,6 +200,12 @@ def decode_png(payload: bytes) -> dict:
                 raise ValueError(f"unknown filter type {ft} on row {y}")
         prev = bytes(row)
         recon += row
+    return width, height, channels, bytes(recon)
+
+
+def decode_png(payload: bytes) -> dict:
+    """``decode_png_pixels`` + integer-exact pixel statistics."""
+    width, height, channels, recon = decode_png_pixels(payload)
     return {
         "width": width,
         "height": height,

@@ -135,6 +135,7 @@ def load_all() -> None:
         multimodal2,
         multimodal3,
         multimodal4,
+        multimodal5,
         pipelines,
         privacy,
         projection,
