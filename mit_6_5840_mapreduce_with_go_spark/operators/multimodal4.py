@@ -146,6 +146,14 @@ def mm_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum of squares) is the loudness/VAD primitive; exact int64 (peak
     32768^2 x ~1.6k samples is far below 2^63)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    return wav_stats_pipeline(docs)
+
+
+def wav_stats_pipeline(docs: DataFrame) -> DataFrame:
+    """encode->decode->stats over any ``doc_id`` DataFrame — batch OR
+    streaming (both mapInPandas stages are stateless, so the identical
+    pipeline object runs under Structured Streaming; the streaming twin
+    in streaming/decode.py reuses this verbatim)."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,6 +299,13 @@ def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     set and its pixel sums, so a frame-seek or plane-offset bug (e.g.
     mis-skipping chroma) breaks the hash."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    return frame_sample_pipeline(docs)
+
+
+def frame_sample_pipeline(docs: DataFrame) -> DataFrame:
+    """encode->sampled-decode over any ``doc_id`` DataFrame — batch or
+    streaming (stateless mapInPandas stages; reused by the streaming
+    twin in streaming/decode.py)."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

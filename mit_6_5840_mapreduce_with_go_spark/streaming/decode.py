@@ -1,0 +1,35 @@
+"""Streaming multimodal ingest: the decode pipelines as Structured
+Streaming twins.
+
+A crawling/ingest pipeline sees media arrive continuously; the decode
+-> stats stages must run identically on the stream and in backfill
+batch jobs.  Because both stages are STATELESS ``mapInPandas`` maps
+(no aggregation, no watermark, no state store), the exact pipeline
+functions from ``operators/multimodal4.py`` run unchanged on a
+file-source stream — asserted by the batch==stream equivalence tests
+(tests/test_streaming_decode.py), the same twin discipline as the
+CAS/EWMA/heavy-hitter families.
+
+Scale: stateless per-batch maps keep no state between micro-batches,
+so throughput is the only resource dimension — the streaming plan is
+the batch plan applied per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multimodal4 import frame_sample_pipeline, wav_stats_pipeline
+from .windows import stream_documents
+
+
+def stream_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``mm_decode_wav_stats``: audio payloads decoded
+    per micro-batch as document shards arrive."""
+    return wav_stats_pipeline(stream_documents(spark, sf_dir).select("doc_id"))
+
+
+def stream_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``mm_video_frame_sample``: video shards frame-
+    sampled at ingest, emitting one row per kept frame."""
+    return frame_sample_pipeline(stream_documents(spark, sf_dir).select("doc_id"))
