@@ -463,30 +463,46 @@ def mm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the gram (d^2 cells) is one map-side-combinable aggregate —
     at 100 TB you'd form per-partition outer-product partials (the
-    tall-skinny gram trick) instead of the explode self-join, but the
-    aggregation tree is the same; each matvec joins the d^2-row gram
-    against a d-row broadcast vector. Nothing scales with row count
-    after the gram."""
+    tall-skinny gram trick — implemented below): each Arrow batch
+    contributes one d^2-entry integer outer-product partial computed as
+    a numpy int64 matmul (exact: |e| <= ~2.1e6, so a partial sum
+    overflows int64 only past ~2e6 rows per batch; Arrow batches cap at
+    spark.sql.execution.arrow.maxRecordsPerBatch = 10k), and ONE
+    map-side-combinable groupBy folds the partials — the shuffle
+    carries d^2 rows per task regardless of row count, with no 64x
+    explode self-join materialization in between.  Each matvec then
+    joins the d^2-row gram against a d-row broadcast vector.  Nothing
+    scales with row count after the gram."""
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
-    q = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "val")
-    ).select(
-        "vec_id",
-        "i",
-        F.floor(F.col("val") * _PCA_SCALE).cast("long").alias("e"),
-    )
-    a = q.select("vec_id", F.col("i").alias("gi"), F.col("e").alias("ea"))
-    b = q.select("vec_id", F.col("i").alias("gj"), F.col("e").alias("eb"))
-    g = (
-        a.join(b, "vec_id")
-        .groupBy("gi", "gj")
-        .agg(
-            F.sum(
-                F.col("ea").cast("decimal(20,0)") * F.col("eb").cast("decimal(20,0)")
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(_PCA_DIM, dtype=np.int64)
+        gi = np.repeat(idx, _PCA_DIM)
+        gj = np.tile(idx, _PCA_DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # multiply in FLOAT32, matching both engines (Spark float *
+            # int-literal and DuckDB float * integer both run in FLOAT;
+            # upcasting to float64 first flips floor() on ~0.4% of
+            # elements — measured 548/128000 at sf0.1)
+            e = np.floor(
+                np.stack(pdf["embedding"].values).astype(np.float32)
+                * np.float32(_PCA_SCALE)
+            ).astype(np.int64)
+            part = e.T @ e  # exact int64 (see docstring bound)
+            yield pd.DataFrame(
+                {"gi": gi, "gj": gj, "p": part.reshape(-1)}
             )
-            .cast("decimal(38,0)")
-            .alias("g")
-        )
+
+    g = (
+        emb.select("embedding")
+        .mapInPandas(gram_partials, schema="gi int, gj int, p long")
+        .groupBy("gi", "gj")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("g"))
         .persist()
     )
     g.count()

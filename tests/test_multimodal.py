@@ -76,8 +76,11 @@ def test_pca_power_iteration_matches_numpy(spark):
         .orderBy("vec_id")
         .collect()
     )
-    E = np.array([r["embedding"] for r in emb], dtype=np.float64)
-    Q = np.floor(E * _PCA_SCALE).astype(object)
+    # quantize in FLOAT32: Spark float * int-literal and DuckDB float *
+    # integer both run in FLOAT; a float64 replica flips floor() on
+    # ~0.4% of elements
+    E = np.array([r["embedding"] for r in emb], dtype=np.float32)
+    Q = np.floor(E * np.float32(_PCA_SCALE)).astype(object)
     G = Q.T @ Q
     v = np.array([_PCA_SCALE] * 64, dtype=object)
     for _ in range(3):
