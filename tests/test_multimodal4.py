@@ -102,3 +102,50 @@ def test_video_frame_sample_consistency(spark):
     for d, rs in list(bydoc.items())[:10]:
         nf = 4 + d % 5
         assert sorted(r["frame_idx"] for r in rs) == list(range(0, nf, 2))
+
+
+# -- shot boundaries -------------------------------------------------------
+
+
+def test_y4m_frame_hists_match_planes():
+    fn = lambda f, x, y: (f * 40 + x * 3 + y) % 256  # noqa: E731
+    pay = M.encode_y4m(8, 6, 4, fn)
+    hists = M.decode_y4m_frame_hists(pay)
+    assert len(hists) == 4
+    for fr in hists:
+        want = [0] * 16
+        for y in range(6):
+            for x in range(8):
+                want[fn(fr["frame_idx"], x, y) // 16] += 1
+        assert fr["hist"] == want
+        assert sum(fr["hist"]) == 48
+
+
+def test_shot_luma_separation():
+    # the planted-corpus property the threshold depends on: within-shot
+    # L1 stays far below the cut L1 for every doc in a wide sweep
+    def hist(d, f):
+        h = [0] * 16
+        for y in range(16):
+            for x in range(16):
+                h[M._shot_luma(d, f, x, y) // 16] += 1
+        return h
+
+    for d in range(0, 200, 7):
+        nf = 6 + d % 7
+        prev = hist(d, 0)
+        for f in range(1, nf):
+            cur = hist(d, f)
+            l1 = sum(abs(a - b) for a, b in zip(cur, prev))
+            if f % M._SHOT_LEN == 0:
+                assert l1 > M._SHOT_L1_THRESHOLD, (d, f, l1)
+            else:
+                assert l1 <= M._SHOT_L1_THRESHOLD, (d, f, l1)
+            prev = cur
+
+
+def test_video_shot_boundaries_consistency(spark):
+    rows = M.mm_video_shot_boundaries(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["is_boundary"] == (r["frame_idx"] % M._SHOT_LEN == 0)
