@@ -62,6 +62,10 @@ HEADLINE = [
     "sim_bm25_prf_expansion",
     "kv_consistent_hash_movement",
     "sim_ivf_probe_sweep",
+    # round-5 flagships (NEW in r5 — totals are not comparable to r04's
+    # 37-query set without subtracting these two rows)
+    "mm_decode_jpeg_color_stats",
+    "mm_video_shot_boundaries",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]
@@ -100,6 +104,17 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    # Host-load context: the shared runner carries heavy EXTERNAL load
+    # bursts (observed loadavg 1-4 with no repo process running), which
+    # inflate identical-commit totals by 1.3-1.9x uniformly across
+    # queries.  Recording the 1/5/15-min load averages alongside the
+    # timings lets a reader separate engine regressions (per-query,
+    # code-correlated) from environment noise (uniform, load-correlated).
+    try:
+        with open("/proc/loadavg") as f:
+            loadavg = [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        loadavg = []
     print(
         json.dumps(
             {
@@ -108,6 +123,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "loadavg": loadavg,
             }
         )
     )
