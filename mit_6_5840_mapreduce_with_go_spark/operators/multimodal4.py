@@ -62,12 +62,12 @@ def encode_wav(n_samples: int, sample, *, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def decode_wav(payload: bytes) -> dict:
-    """REAL RIFF/WAV decoder: chunk walk with word alignment, fmt
+def decode_wav_samples(payload: bytes) -> tuple[int, int, tuple[int, ...]]:
+    """REAL RIFF/WAV decoder core: chunk walk with word alignment, fmt
     validation (PCM uncompressed, 16-bit, mono/stereo), int16-LE sample
-    extraction, integer-exact amplitude statistics.  Raises ValueError
-    on malformed input or unsupported encodings (float PCM, ADPCM,
-    8/24-bit)."""
+    extraction.  Returns ``(n_channels, sample_rate, samples)`` with
+    interleaved int16 samples.  Raises ValueError on malformed input or
+    unsupported encodings (float PCM, ADPCM, 8/24-bit)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     (riff_size,) = struct.unpack("<I", payload[4:8])
@@ -101,15 +101,18 @@ def decode_wav(payload: bytes) -> dict:
     nch, rate = fmt
     if len(data) % (2 * nch):
         raise ValueError("data chunk is not a whole number of frames")
-    samples = struct.unpack(f"<{len(data) // 2}h", data)
-    ssum = sum(samples)
-    energy = sum(s * s for s in samples)
+    return nch, rate, struct.unpack(f"<{len(data) // 2}h", data)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """``decode_wav_samples`` + integer-exact amplitude statistics."""
+    nch, rate, samples = decode_wav_samples(payload)
     return {
         "n_channels": nch,
         "sample_rate": rate,
         "n_samples": len(samples) // nch,
-        "sum_amp": ssum,
-        "energy": energy,
+        "sum_amp": sum(samples),
+        "energy": sum(s * s for s in samples),
         "min_amp": min(samples),
         "max_amp": max(samples),
     }

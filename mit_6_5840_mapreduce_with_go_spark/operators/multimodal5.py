@@ -199,7 +199,16 @@ def mm_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "hash": hashes})
 
     hashes = mm.mapInPandas(hash_batches, schema="doc_id long, hash long")
+    return _banded_pairs(hashes, max_bucket=_PH_MAX_BUCKET, max_hamming=_PH_MAX_HAMMING)
 
+
+def _banded_pairs(
+    hashes: DataFrame, *, max_bucket: int, max_hamming: int
+) -> DataFrame:
+    """Shared banded-LSH pairing over a ``(doc_id, hash)`` frame: explode
+    4 x 14-bit bands, exact-match candidates within capped buckets,
+    confirm with bit_count(XOR) <= max_hamming.  Used by both the image
+    dHash and audio fingerprint queries (identical join discipline)."""
     bands = hashes.select(
         "doc_id",
         "hash",
@@ -217,7 +226,7 @@ def mm_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = bands.withColumn(
         "bsz", F.count(F.lit(1)).over(W.partitionBy("j", "bv"))
     )
-    a = sized.filter(F.col("bsz") <= _PH_MAX_BUCKET).select(
+    a = sized.filter(F.col("bsz") <= max_bucket).select(
         F.col("doc_id").alias("doc_a"), F.col("hash").alias("ha"), "j", "bv"
     )
     b = sized.select(
@@ -230,8 +239,163 @@ def mm_dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ham = F.expr("bit_count(ha ^ hb)")
-    return cand.filter(ham <= _PH_MAX_HAMMING).select(
+    return cand.filter(ham <= max_hamming).select(
         "doc_a",
         "doc_b",
         ham.cast("long").alias("hamming"),
     )
+
+
+# -- audio near-dup: band-energy fingerprint over real decoded samples -----
+
+_AF_WINDOWS = 15  # windows per clip
+_AF_WIN = 64  # samples per window -> 960-sample clips
+_AF_LANES = 4  # polyphase lanes (a crude 4-band split, integer-exact)
+_AF_BITS_PER_STEP = _AF_LANES  # 14 window steps x 4 lanes -> 56 bits
+_AF_MAX_HAMMING = 10
+_AF_MAX_BUCKET = 200
+
+
+def _af_amp(g: int, w: int, l: int) -> int:
+    """Per-(group, window, lane) amplitude 2..17 from a CUBIC integer
+    mix.  Linear-index multiplicative hashes fail here: consecutive
+    groups become near-translates of each other and sign-of-difference
+    fingerprints are translation-invariant (measured: thousands of
+    cross-group collisions).  The cube breaks the translation; measured
+    at 500 docs: recall 750/750, cross-group pairs 0."""
+    t = g * 1009 + w * 131 + l * 37 + 11
+    return ((t * t * t) // 64) % 16 + 2
+
+
+def _af_sample(doc_id: int, i: int) -> int:
+    """Planted corpus: groups of 4 docs share a band-energy envelope;
+    variants 1-3 bump ONE window's amplitude (the near-dup structure).
+    The carrier is an equal-energy +-square wave, so every (window,
+    lane) cell has identical carrier energy and the fingerprint bits
+    reduce to amplitude-envelope comparisons."""
+    g, k = doc_id // 4, doc_id % 4
+    w, l = i // _AF_WIN, i % _AF_LANES
+    a = _af_amp(g, w, l)
+    if k > 0 and w == (k * 4) % _AF_WINDOWS:
+        a += 1
+    return a * 64 * (1 if (i // 2) % 2 == 0 else -1)
+
+
+def audio_fingerprint56(samples, n_windows: int = _AF_WINDOWS) -> int:
+    """56-bit band-energy fingerprint from raw int16 samples: split the
+    clip into windows, accumulate per-(window, polyphase-lane) energies
+    (integer-exact sums of squares), emit 1 where energy rises from
+    window w to w+1 in that lane — the sign-of-delta spectrogram hash
+    (chromaprint's shape with an integer band split instead of an
+    FFT)."""
+    win = len(samples) // n_windows
+    if win == 0 or len(samples) % n_windows:
+        raise ValueError("clip length must be a multiple of n_windows")
+    E = [[0] * _AF_LANES for _ in range(n_windows)]
+    for i, s in enumerate(samples):
+        E[i // win][i % _AF_LANES] += s * s
+    h, bit = 0, 0
+    for w in range(n_windows - 1):
+        for l in range(_AF_LANES):
+            if E[w][l] < E[w + 1][l]:
+                h |= 1 << bit
+            bit += 1
+    return h
+
+
+@query(
+    "mm_dedup_audio_fingerprint",
+    oracle=f"""
+    WITH tv AS (
+      SELECT doc_id, t.w, b.l,
+             CAST(doc_id // 4 * 1009 + t.w * 131 + b.l * 37 + 11
+                  AS HUGEINT) AS t
+      FROM documents,
+           unnest(generate_series(0, {_AF_WINDOWS - 1})) AS t(w),
+           unnest(generate_series(0, {_AF_LANES - 1})) AS b(l)),
+    cells AS (
+      SELECT doc_id, w, l,
+             ((t * t * t) // 64) % 16 + 2
+               + CASE WHEN doc_id % 4 > 0
+                       AND w = (doc_id % 4 * 4) % {_AF_WINDOWS}
+                      THEN 1 ELSE 0 END AS a
+      FROM tv),
+    bits AS (
+      SELECT x.doc_id, x.w, x.l,
+             CASE WHEN x.a * x.a < y.a * y.a THEN 1 ELSE 0 END AS bit
+      FROM cells x JOIN cells y
+        ON x.doc_id = y.doc_id AND x.l = y.l AND y.w = x.w + 1
+      WHERE x.w < {_AF_WINDOWS - 1}),
+    h AS (
+      SELECT doc_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT)
+                   << CAST(w * {_AF_LANES} + l AS INT))) AS BIGINT) AS hash
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, hash, t.j,
+             (hash >> CAST(14 * t.j AS INT)) & 16383 AS bv
+      FROM h, unnest(generate_series(0, 3)) AS t(j)),
+    sized AS (
+      SELECT doc_id, hash, j, bv,
+             count(*) OVER (PARTITION BY j, bv) AS bsz
+      FROM bands),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.hash AS ha, b.hash AS hb
+      FROM sized a JOIN sized b
+        ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+      WHERE a.bsz <= {_AF_MAX_BUCKET})
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {_AF_MAX_HAMMING}
+    """,
+)
+def mm_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pipeline end to end: build real 960-sample PCM
+    WAV clips (4-doc groups share a band-energy envelope, variants bump
+    one window) in one Arrow-batched ``mapInPandas`` stage; decode each
+    payload with the REAL WAV decoder and compute the 56-bit
+    band-energy fingerprint from the decoded samples in the next; then
+    the same banded-LSH pairing as the image dHash query (4 x 14-bit
+    bands, capped buckets, bit_count(XOR) <= {_AF_MAX_HAMMING}).
+
+    The equal-energy carrier makes every fingerprint bit an exact
+    amplitude-envelope comparison, so the DuckDB oracle recomputes the
+    bits straight from the amplitude definition (through HUGEINT — the
+    cubic mix overflows int64 at sf1 group ids) without replaying
+    960 samples per doc.  Measured at sf0.01: 750/750 planted pairs
+    found, zero cross-group pairs.
+
+    Scale shape: identical to mm_dedup_image_dhash — shuffle-free
+    fingerprint map, 4 band rows per clip, capped buckets."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal4 import encode_wav
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    _AF_WINDOWS * _AF_WIN,
+                    lambda i, d=int(did): _af_sample(d, i),
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal4 import decode_wav_samples
+
+        for pdf in batches:
+            fps = []
+            for p in pdf["payload"]:
+                nch, _rate, samples = decode_wav_samples(p)
+                if nch != 1:
+                    raise ValueError("fingerprint expects mono clips")
+                fps.append(audio_fingerprint56(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "hash": fps})
+
+    hashes = mm.mapInPandas(fp_batches, schema="doc_id long, hash long")
+    return _banded_pairs(hashes, max_bucket=_AF_MAX_BUCKET, max_hamming=_AF_MAX_HAMMING)

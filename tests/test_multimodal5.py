@@ -64,3 +64,74 @@ def test_image_dedup_pairs_are_intra_group(spark):
             r,
         )
         assert 0 <= r["hamming"] <= M._PH_MAX_HAMMING
+
+
+# -- audio fingerprint -----------------------------------------------------
+
+
+def test_audio_fingerprint_from_real_wav_decode():
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal4 import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    d = 42
+    pay = encode_wav(
+        M._AF_WINDOWS * M._AF_WIN, lambda i: M._af_sample(d, i)
+    )
+    nch, _rate, samples = decode_wav_samples(pay)
+    assert nch == 1
+    got = M.audio_fingerprint56(samples)
+    # bits reduce to amplitude-envelope comparisons (carrier cancels)
+    want, bit = 0, 0
+    for w in range(M._AF_WINDOWS - 1):
+        for l in range(M._AF_LANES):
+            if M._af_amp(d // 4, w, l) ** 2 < M._af_amp(d // 4, w + 1, l) ** 2:
+                want |= 1 << bit
+            bit += 1
+    assert got == want
+    assert 0 <= got < (1 << 56)
+
+
+def test_audio_fingerprint_variant_locality():
+    def fp(doc):
+        E = [
+            [
+                M._af_amp(doc // 4, w, l)
+                + (
+                    1
+                    if doc % 4 > 0 and w == (doc % 4 * 4) % M._AF_WINDOWS
+                    else 0
+                )
+                for l in range(M._AF_LANES)
+            ]
+            for w in range(M._AF_WINDOWS)
+        ]
+        h, bit = 0, 0
+        for w in range(M._AF_WINDOWS - 1):
+            for l in range(M._AF_LANES):
+                if E[w][l] ** 2 < E[w + 1][l] ** 2:
+                    h |= 1 << bit
+                bit += 1
+        return h
+
+    for g in range(0, 100, 9):
+        base = fp(g * 4)
+        for k in (1, 2, 3):
+            d = bin(base ^ fp(g * 4 + k)).count("1")
+            assert d <= M._AF_MAX_HAMMING, (g, k, d)
+        far = fp((g + 7) * 4)
+        assert bin(base ^ far).count("1") > M._AF_MAX_HAMMING, (g,)
+
+
+def test_audio_fingerprint_rejects_bad_clip():
+    with pytest.raises(ValueError, match="multiple"):
+        M.audio_fingerprint56(tuple(range(961)))
+
+
+def test_audio_dedup_pairs_are_intra_group(spark):
+    rows = M.mm_dedup_audio_fingerprint(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 750  # all planted pairs found, zero cross-group
+    for r in rows:
+        assert r["doc_a"] // 4 == r["doc_b"] // 4
+        assert 0 <= r["hamming"] <= M._AF_MAX_HAMMING
