@@ -538,3 +538,163 @@ def mm_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.alias("l1_dist"),
         (l1 > _SHOT_L1_THRESHOLD).alias("is_boundary"),
     )
+
+
+@query(
+    "mm_video_keyframes",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 6 + doc_id % 7 AS nf
+      FROM documents),
+    px AS (
+      SELECT doc_id, t.f,
+             CASE WHEN (p.i - 1) % {_SHOT_MOTION_MOD} = 0
+                  THEN (((p.i - 1) % {_SHOT_SIDE}
+                         + 3 * (doc_id * 8 + t.f // {_SHOT_LEN}) + 1)
+                        * ((p.i - 1) // {_SHOT_SIDE}
+                           + 2 * (doc_id * 8 + t.f // {_SHOT_LEN}) + 1)
+                        * (doc_id * 8 + t.f // {_SHOT_LEN} + 13)
+                        + {_SHOT_JITTER} * t.f) % 256
+                  ELSE (((p.i - 1) % {_SHOT_SIDE}
+                         + 3 * (doc_id * 8 + t.f // {_SHOT_LEN}) + 1)
+                        * ((p.i - 1) // {_SHOT_SIDE}
+                           + 2 * (doc_id * 8 + t.f // {_SHOT_LEN}) + 1)
+                        * (doc_id * 8 + t.f // {_SHOT_LEN} + 13)) % 256
+             END AS v
+      FROM d,
+           unnest(generate_series(0, CAST(nf - 1 AS INT))) AS t(f),
+           unnest(generate_series(1, {_SHOT_SIDE * _SHOT_SIDE})) AS p(i)),
+    h AS (
+      SELECT doc_id, f, v // {256 // _SHOT_BINS} AS bin, count(*) AS c
+      FROM px GROUP BY doc_id, f, v // {256 // _SHOT_BINS}),
+    spine AS (
+      SELECT doc_id, t.f, b.bin
+      FROM d,
+           unnest(generate_series(0, CAST(nf - 1 AS INT))) AS t(f),
+           unnest(generate_series(0, {_SHOT_BINS - 1})) AS b(bin)),
+    hf AS (
+      SELECT s.doc_id, s.f, s.bin, coalesce(h.c, 0) AS c
+      FROM spine s LEFT JOIN h
+        ON h.doc_id = s.doc_id AND h.f = s.f AND h.bin = s.bin),
+    frames AS (
+      SELECT doc_id, f,
+             sum(CASE WHEN c > {256 // _SHOT_BINS}
+                      THEN c - {256 // _SHOT_BINS}
+                      ELSE {256 // _SHOT_BINS} - c END) AS contrast
+      FROM hf GROUP BY doc_id, f),
+    l1 AS (
+      SELECT a.doc_id, a.f,
+             sum(CASE WHEN a.c > b.c THEN a.c - b.c ELSE b.c - a.c END) AS l1
+      FROM hf a JOIN hf b
+        ON a.doc_id = b.doc_id AND a.bin = b.bin AND b.f = a.f - 1
+      WHERE a.f >= 1
+      GROUP BY a.doc_id, a.f),
+    shots AS (
+      SELECT fr.doc_id, fr.f, fr.contrast,
+             sum(CASE WHEN l1.l1 > {_SHOT_L1_THRESHOLD} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY fr.doc_id ORDER BY fr.f
+                     ROWS UNBOUNDED PRECEDING) AS shot_id
+      FROM frames fr LEFT JOIN l1
+        ON l1.doc_id = fr.doc_id AND l1.f = fr.f),
+    ranked AS (
+      SELECT doc_id, shot_id, f, contrast,
+             row_number() OVER (PARTITION BY doc_id, shot_id
+                                ORDER BY contrast DESC, f) AS rn
+      FROM shots)
+    SELECT doc_id,
+           CAST(shot_id AS BIGINT) AS shot_id,
+           CAST(f AS BIGINT) AS keyframe_idx,
+           CAST(contrast AS BIGINT) AS contrast
+    FROM ranked WHERE rn = 1
+    """,
+)
+def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction — the step after shot detection in a video
+    curation pipeline (segment, then caption/embed ONE representative
+    frame per shot instead of all of them): derive shot ids from the
+    DETECTED boundaries (running count of threshold crossings, not the
+    planted structure), score each frame by an integer contrast proxy (L1
+    deviation of its luma histogram from uniform), and keep the
+    highest-contrast frame per (clip, shot), ties broken to the
+    earliest frame.
+
+    Every stage after the histogram mapInPandas is per-clip bounded:
+    the lag/running-sum windows partition by clip (<= a dozen frames),
+    the argmax is a row_number over (clip, shot) — no unbounded window
+    state anywhere, and downstream work scales with shots, not frames.
+    The DuckDB oracle recomputes histograms, distances, shot ids, and
+    the argmax from the pixel definition."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                payloads.append(
+                    encode_y4m(
+                        _SHOT_SIDE,
+                        _SHOT_SIDE,
+                        6 + d % 7,
+                        lambda f, x, y, d=d: _shot_luma(d, f, x, y),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in decode_y4m_frame_hists(p):
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_idx": fr["frame_idx"],
+                            "hist": fr["hist"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "hist"])
+
+    hists = mm.mapInPandas(
+        hist_batches, schema="doc_id long, frame_idx long, hist array<long>"
+    )
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    l1 = F.expr(
+        "aggregate(zip_with(hist, prev, (a, b) -> abs(a - b)), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    uniform = 256 // _SHOT_BINS
+    contrast = F.expr(
+        f"aggregate(hist, 0L, (acc, c) -> acc + abs(c - {uniform}))"
+    )
+    shots = (
+        hists.withColumn("prev", F.lag("hist").over(w))
+        .withColumn(
+            "is_cut",
+            F.when(
+                F.col("prev").isNotNull() & (l1 > _SHOT_L1_THRESHOLD), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "shot_id",
+            F.sum("is_cut").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn("contrast", contrast)
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id", "shot_id").orderBy(
+            F.col("contrast").desc(), "frame_idx"
+        )
+    )
+    return (
+        shots.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "shot_id",
+            F.col("frame_idx").alias("keyframe_idx"),
+            F.col("contrast").cast("long").alias("contrast"),
+        )
+    )

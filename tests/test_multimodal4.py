@@ -149,3 +149,18 @@ def test_video_shot_boundaries_consistency(spark):
     assert rows
     for r in rows[:200]:
         assert r["is_boundary"] == (r["frame_idx"] % M._SHOT_LEN == 0)
+
+
+def test_video_keyframes_one_per_shot(spark):
+    rows = M.mm_video_keyframes(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    bydoc: dict[int, list] = {}
+    for r in rows:
+        bydoc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in list(bydoc.items())[:15]:
+        nf = 6 + d % 7
+        n_shots = (nf + M._SHOT_LEN - 1) // M._SHOT_LEN
+        assert sorted(r["shot_id"] for r in rs) == list(range(n_shots))
+        for r in rs:
+            # the keyframe lives inside its shot's frame range
+            assert r["keyframe_idx"] // M._SHOT_LEN == r["shot_id"]
