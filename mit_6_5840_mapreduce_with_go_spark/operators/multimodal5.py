@@ -399,3 +399,67 @@ def mm_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashes = mm.mapInPandas(fp_batches, schema="doc_id long, hash long")
     return _banded_pairs(hashes, max_bucket=_AF_MAX_BUCKET, max_hamming=_AF_MAX_HAMMING)
+
+
+# -- planted-truth precision/recall for the perceptual dedups ---------------
+# (the dedup_minhash_pr_eval discipline applied to the media pipelines:
+# a dedup query without a measured precision/recall is an opinion)
+
+
+@query(
+    "mm_dedup_image_pr_eval",
+    oracle=None,  # assigned below — wraps the pair oracle after registration
+)
+def mm_dedup_image_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the image near-dup pipeline against the
+    PLANTED truth (pairs inside the same 4-doc texture group are true
+    near-dups by construction; N/4 * 6 such pairs exist): run the full
+    decode -> dHash -> banded-LSH pipeline, classify each emitted pair,
+    and report exact counts plus rounded ratios.  The recall shortfall
+    is the banded-LSH trade (a pair survives only if some 14-bit band
+    matches exactly); precision < 1 would mean hash collisions across
+    unrelated textures.
+
+    Scale: one extra aggregation over the (already bounded) pair set;
+    the planted-pair denominator is a count, not a pair join."""
+    pairs = mm_dedup_image_dhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (
+                F.floor(F.col("doc_a") / 4) == F.floor(F.col("doc_b") / 4)
+            ).cast("long")
+        ).alias("n_true"),
+    )
+    return agg.crossJoin(F.broadcast(n_docs)).select(
+        "n_pairs",
+        "n_true",
+        (F.col("n_pairs") - F.col("n_true")).alias("n_false"),
+        (F.col("n") / 4 * 6).cast("long").alias("n_planted"),
+        F.round(F.col("n_true") / F.col("n_pairs"), 6).alias("precision"),
+        F.round(F.col("n_true") / (F.col("n") / 4 * 6), 6).alias("recall"),
+    )
+
+
+# The eval oracle wraps the pair oracle as a subquery so the two can
+# never drift apart.
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["mm_dedup_image_pr_eval"] = f"""
+    WITH pairs AS ({_ORACLES["mm_dedup_image_dhash"]}),
+    n AS (SELECT count(*) AS n FROM documents),
+    agg AS (
+      SELECT count(*) AS n_pairs,
+             sum(CASE WHEN doc_a // 4 = doc_b // 4 THEN 1 ELSE 0 END)
+               AS n_true
+      FROM pairs)
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pairs - n_true AS BIGINT) AS n_false,
+           CAST(n // 4 * 6 AS BIGINT) AS n_planted,
+           round(n_true * 1.0 / n_pairs, 6) AS precision,
+           round(n_true * 1.0 / (n // 4 * 6), 6) AS recall
+    FROM agg, n
+"""

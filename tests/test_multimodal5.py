@@ -135,3 +135,11 @@ def test_audio_dedup_pairs_are_intra_group(spark):
     for r in rows:
         assert r["doc_a"] // 4 == r["doc_b"] // 4
         assert 0 <= r["hamming"] <= M._AF_MAX_HAMMING
+
+
+def test_image_dedup_pr_eval(spark):
+    row = M.mm_dedup_image_pr_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_planted"] == 750
+    assert row["precision"] == 1.0  # zero cross-group pairs at this SF
+    assert 0.5 < row["recall"] < 1.0  # the banded-LSH recall trade
+    assert row["n_pairs"] == row["n_true"] + row["n_false"]
