@@ -136,6 +136,7 @@ def load_all() -> None:
         multimodal3,
         multimodal4,
         multimodal5,
+        multimodal6,
         pipelines,
         privacy,
         projection,
