@@ -698,3 +698,132 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("contrast").cast("long").alias("contrast"),
         )
     )
+
+
+# -- voice-activity / silence segmentation ----------------------------------
+
+_VAD_WINDOWS = 15
+_VAD_WIN = 64  # samples per window -> 960-sample clips
+_VAD_ENERGY_THRESHOLD = 10000  # active windows land ~4e7, silence <= 576
+
+
+def _vad_active(doc_id: int, w: int) -> bool:
+    return ((doc_id * 5 + w * w) % 7) < 4
+
+
+def _vad_sample(doc_id: int, i: int) -> int:
+    """Planted corpus: speech windows carry a loud integer waveform,
+    silence windows near-zero jitter — the energy gap a VAD keys on."""
+    if _vad_active(doc_id, i // _VAD_WIN):
+        return 800 + ((i * 37) % 400) - 200
+    return ((i * 13) % 7) - 3
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             (t.i - 1) // {_VAD_WIN} AS w,
+             CASE WHEN ((doc_id * 5 + ((t.i - 1) // {_VAD_WIN})
+                         * ((t.i - 1) // {_VAD_WIN})) % 7) < 4
+                  THEN 800 + ((t.i - 1) * 37) % 400 - 200
+                  ELSE ((t.i - 1) * 13) % 7 - 3 END AS amp
+      FROM documents,
+           unnest(generate_series(1, {_VAD_WINDOWS * _VAD_WIN})) AS t(i)),
+    e AS (
+      SELECT doc_id, w,
+             CAST(sum(CAST(amp AS HUGEINT) * amp) AS BIGINT) AS energy,
+             sum(CAST(amp AS HUGEINT) * amp)
+               > {_VAD_ENERGY_THRESHOLD} AS is_speech
+      FROM s GROUP BY doc_id, w),
+    chg AS (
+      SELECT doc_id, w, energy, is_speech,
+             CASE WHEN is_speech IS DISTINCT FROM
+                       lag(is_speech) OVER (PARTITION BY doc_id ORDER BY w)
+                  THEN 1 ELSE 0 END AS chg
+      FROM e),
+    seg AS (
+      SELECT doc_id, w, energy, is_speech,
+             sum(chg) OVER (PARTITION BY doc_id ORDER BY w
+                            ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM chg)
+    SELECT doc_id,
+           CAST(seg_id AS BIGINT) AS seg_id,
+           bool_or(is_speech) AS is_speech,
+           CAST(min(w) AS BIGINT) AS start_window,
+           CAST(max(w) AS BIGINT) AS end_window,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(energy) AS BIGINT) AS energy_sum
+    FROM seg GROUP BY doc_id, seg_id
+    """,
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation — the audio-curation analog of shot
+    detection (trim silence before ASR; keep per-utterance segments):
+    decode real WAV clips (planted alternating speech/silence windows),
+    compute per-window integer energies in the Arrow-batched decode
+    stage, threshold into speech/silence, and collapse runs into
+    segments with the gaps-and-islands pattern (lag + running transition
+    count over a per-clip bounded window).  One row per segment with
+    its window span and exact energy mass.
+
+    The first seg_id counts a transition for window 0 (lag is NULL and
+    ``IS DISTINCT FROM`` treats NULL as a change) — both engines agree
+    because the Spark leg uses the same null-safe inequality.
+
+    Scale: energies leave the Python stage as {_VAD_WINDOWS} ints per
+    clip (not samples); all windows partition by clip; downstream ASR
+    work scales with SPEECH segments, not clip length."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    _VAD_WINDOWS * _VAD_WIN,
+                    lambda i, d=int(did): _vad_sample(d, i),
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                nch, _rate, samples = decode_wav_samples(p)
+                if nch != 1:
+                    raise ValueError("VAD expects mono clips")
+                win = len(samples) // _VAD_WINDOWS
+                for w in range(_VAD_WINDOWS):
+                    e = sum(s * s for s in samples[w * win : (w + 1) * win])
+                    rows.append(
+                        {"doc_id": int(did), "w": w, "energy": e}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "w", "energy"])
+
+    e = mm.mapInPandas(energy_batches, schema="doc_id long, w long, energy long")
+    win = W.partitionBy("doc_id").orderBy("w")
+    speech = F.col("energy") > _VAD_ENERGY_THRESHOLD
+    seg = (
+        e.withColumn("is_speech", speech)
+        .withColumn(
+            "chg",
+            (
+                ~F.col("is_speech").eqNullSafe(F.lag("is_speech").over(win))
+            ).cast("int"),
+        )
+        .withColumn(
+            "seg_id", F.sum("chg").over(win.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    return seg.groupBy("doc_id", "seg_id").agg(
+        F.bool_or("is_speech").alias("is_speech"),
+        F.min("w").alias("start_window"),
+        F.max("w").alias("end_window"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("energy").alias("energy_sum"),
+    )

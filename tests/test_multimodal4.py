@@ -164,3 +164,30 @@ def test_video_keyframes_one_per_shot(spark):
         for r in rs:
             # the keyframe lives inside its shot's frame range
             assert r["keyframe_idx"] // M._SHOT_LEN == r["shot_id"]
+
+
+def test_vad_energy_separation():
+    # the planted corpus's invariant: window energy cleanly classifies
+    for d in range(0, 150, 11):
+        for w in range(M._VAD_WINDOWS):
+            e = sum(
+                M._vad_sample(d, i) ** 2
+                for i in range(w * M._VAD_WIN, (w + 1) * M._VAD_WIN)
+            )
+            assert (e > M._VAD_ENERGY_THRESHOLD) == M._vad_active(d, w), (d, w, e)
+
+
+def test_audio_vad_segments(spark):
+    rows = M.mm_audio_vad_segments(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    bydoc: dict[int, list] = {}
+    for r in rows:
+        bydoc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in list(bydoc.items())[:15]:
+        rs = sorted(rs, key=lambda r: r["seg_id"])
+        # segments tile the clip: contiguous, alternating, gap-free
+        assert rs[0]["start_window"] == 0
+        assert rs[-1]["end_window"] == M._VAD_WINDOWS - 1
+        for a, b in zip(rs, rs[1:]):
+            assert b["start_window"] == a["end_window"] + 1
+            assert b["is_speech"] != a["is_speech"]
