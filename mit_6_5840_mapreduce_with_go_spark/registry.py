@@ -137,6 +137,7 @@ def load_all() -> None:
         multimodal4,
         multimodal5,
         multimodal6,
+        multimodal7,
         pipelines,
         privacy,
         projection,
