@@ -68,6 +68,8 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, tuple[int, ...]]:
     extraction.  Returns ``(n_channels, sample_rate, samples)`` with
     interleaved int16 samples.  Raises ValueError on malformed input or
     unsupported encodings (float PCM, ADPCM, 8/24-bit)."""
+    if len(payload) < 12:
+        raise ValueError("truncated RIFF payload (shorter than header)")
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     (riff_size,) = struct.unpack("<I", payload[4:8])
@@ -83,6 +85,8 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, tuple[int, ...]]:
         if len(body) != csize:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError(f"fmt chunk too short ({csize} < 16 bytes)")
             tag, nch, rate, _brate, _align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

@@ -413,18 +413,31 @@ def mm_dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_dedup_image_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the image near-dup pipeline against the
     PLANTED truth (pairs inside the same 4-doc texture group are true
-    near-dups by construction; N/4 * 6 such pairs exist): run the full
-    decode -> dHash -> banded-LSH pipeline, classify each emitted pair,
-    and report exact counts plus rounded ratios.  The recall shortfall
-    is the banded-LSH trade (a pair survives only if some 14-bit band
-    matches exactly); precision < 1 would mean hash collisions across
-    unrelated textures.
+    near-dups by construction): run the full decode -> dHash ->
+    banded-LSH pipeline, classify each emitted pair, and report exact
+    counts plus rounded ratios.  The planted-pair denominator is
+    computed from the ACTUAL group sizes — sum over doc_id//4 groups of
+    C(k, 2) — so a trailing partial group (k < 4 docs plants C(k, 2)
+    pairs, not 6) is counted exactly, and the arithmetic stays integer
+    end-to-end (no float n/4 that could round differently across
+    engines).  The recall shortfall is the banded-LSH trade (a pair
+    survives only if some 14-bit band matches exactly); precision < 1
+    would mean hash collisions across unrelated textures.
 
     Scale: one extra aggregation over the (already bounded) pair set;
-    the planted-pair denominator is a count, not a pair join."""
+    the planted-pair denominator is a group-size aggregate over doc_id
+    (a count per group, not a pair join)."""
     pairs = mm_dedup_image_dhash(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    n_planted = (
+        docs.groupBy(F.floor(F.col("doc_id") / 4).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(
+            F.sum(F.col("k") * (F.col("k") - 1) / 2)
+            .cast("long")
+            .alias("n_planted")
+        )
+    )
     agg = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(
@@ -433,13 +446,13 @@ def mm_dedup_image_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("n_true"),
     )
-    return agg.crossJoin(F.broadcast(n_docs)).select(
+    return agg.crossJoin(F.broadcast(n_planted)).select(
         "n_pairs",
         "n_true",
         (F.col("n_pairs") - F.col("n_true")).alias("n_false"),
-        (F.col("n") / 4 * 6).cast("long").alias("n_planted"),
+        "n_planted",
         F.round(F.col("n_true") / F.col("n_pairs"), 6).alias("precision"),
-        F.round(F.col("n_true") / (F.col("n") / 4 * 6), 6).alias("recall"),
+        F.round(F.col("n_true") / F.col("n_planted"), 6).alias("recall"),
     )
 
 
@@ -449,7 +462,9 @@ from ..registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["mm_dedup_image_pr_eval"] = f"""
     WITH pairs AS ({_ORACLES["mm_dedup_image_dhash"]}),
-    n AS (SELECT count(*) AS n FROM documents),
+    planted AS (
+      SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_planted
+      FROM (SELECT count(*) AS k FROM documents GROUP BY doc_id // 4)),
     agg AS (
       SELECT count(*) AS n_pairs,
              sum(CASE WHEN doc_a // 4 = doc_b // 4 THEN 1 ELSE 0 END)
@@ -458,8 +473,8 @@ _ORACLES["mm_dedup_image_pr_eval"] = f"""
     SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
            CAST(n_true AS BIGINT) AS n_true,
            CAST(n_pairs - n_true AS BIGINT) AS n_false,
-           CAST(n // 4 * 6 AS BIGINT) AS n_planted,
+           n_planted,
            round(n_true * 1.0 / n_pairs, 6) AS precision,
-           round(n_true * 1.0 / (n // 4 * 6), 6) AS recall
-    FROM agg, n
+           round(n_true * 1.0 / n_planted, 6) AS recall
+    FROM agg, planted
 """

@@ -103,6 +103,8 @@ def decode_qoi(payload: bytes) -> dict:
     position-weighted checksums.  Raises ValueError on malformed input
     (bad magic, unknown channel count, pixel overrun/underrun, missing
     end marker)."""
+    if len(payload) < 14 + len(_QOI_END):
+        raise ValueError("truncated QOI payload (shorter than header + end marker)")
     if payload[:4] != _QOI_MAGIC:
         raise ValueError("not a QOI file (bad magic)")
     width, height, channels, colorspace = struct.unpack(">IIBB", payload[4:14])

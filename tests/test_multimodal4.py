@@ -39,6 +39,20 @@ def test_wav_odd_sized_sibling_chunk_is_word_aligned():
 
 def test_wav_rejects_malformed():
     good = M.encode_wav(10, lambda i: 0)
+    # shorter than the 12-byte RIFF/WAVE header: contractual ValueError,
+    # never a raw struct.error leaking out of the parser
+    for n in (0, 4, 11):
+        with pytest.raises(ValueError, match="truncated"):
+            M.decode_wav(good[:n])
+    # fmt chunk too short for the 16-byte PCM header
+    fmt_at = good.find(b"fmt ")
+    bad = bytearray(good[: fmt_at + 8])
+    import struct as _st
+    _st.pack_into("<I", bad, fmt_at + 4, 4)
+    bad += good[fmt_at + 8 : fmt_at + 12] + good[fmt_at + 8 + 16 :]
+    _st.pack_into("<I", bad, 4, len(bad) - 8)
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        M.decode_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         M.decode_wav(b"OggS" + good[4:])
     with pytest.raises(ValueError, match="size mismatch"):

@@ -82,6 +82,11 @@ def test_qoi_long_run_splits_at_62():
 
 def test_qoi_rejects_malformed():
     pay, _, _ = _pay(3)
+    # shorter than header + end marker: contractual ValueError, never a
+    # raw struct.error/IndexError leaking out of the parser
+    for n in (0, 3, 13, 21):
+        with pytest.raises(ValueError, match="truncated"):
+            M.decode_qoi(pay[:n])
     with pytest.raises(ValueError, match="magic"):
         M.decode_qoi(b"qoix" + pay[4:])
     with pytest.raises(ValueError, match="end marker"):
