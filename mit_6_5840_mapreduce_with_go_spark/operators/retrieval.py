@@ -53,10 +53,14 @@ def _bm25_postings(spark: SparkSession, sf_dir: str):
     semantic one (doc_id is never null): inner joins push an isnotnull
     predicate into SOME consumer legs (join inputs) but not others (the
     stats aggregate), which de-canonicalizes otherwise-identical
-    subtrees and defeats Spark's ReuseExchange — measured at sf0.1 this
-    one filter cuts the scoring pass ~30%.  With it, every leg hangs off
-    the SAME terms shuffle and the corpus scan/explode executes once per
-    action regardless of how many consumers the plan prints.
+    subtrees and defeats Spark's ReuseExchange.  With it, every leg
+    hangs off the SAME terms shuffle and the corpus scan/explode
+    executes once per action regardless of how many consumers the plan
+    prints — plan-verified, not narrated: removing this filter adds one
+    Generate (a second corpus explode) and drops one ReusedExchange in
+    sim_bm25_topk's executed final plan, and
+    tests/test_plans3.py::test_bm25_tfidf_exchange_reuse_lever pins
+    exactly that.
     """
     docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
         F.col("doc_id").isNotNull()

@@ -121,10 +121,14 @@ def sim_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (recomputed by every consumer of `weighted`) measured ~40% slower
     # at sf0.1 (7.8s → 4.7s steady-state). At real scale the scan splits
     # by itself and fan_out is a no-op anyway.
-    # The explicit isNotNull is the exchange-reuse lever from
-    # _bm25_postings: joins push an isnotnull predicate into some
-    # consumer legs but not others, de-canonicalizing the shared terms
-    # subtree; making it uniform measured ~16% faster at sf0.1.
+    # The explicit isNotNull mirrors the _bm25_postings exchange-reuse
+    # discipline (uniform predicates keep shared subtrees canonical so
+    # ReuseExchange can fire).  Here it is uniformity, not a measured
+    # win: tfidf's final plan already reuses its exchanges with or
+    # without this filter (verified by removing it — identical
+    # Generate/ReusedExchange counts), so the filter is kept only so
+    # every postings derivation in the repo has the same base shape.
+    # test_plans3 pins ReusedExchange presence in the executed plan.
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id").isNotNull()
     )

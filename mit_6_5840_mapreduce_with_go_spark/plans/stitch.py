@@ -30,12 +30,15 @@ deterministic function of the row and every consumer agrees by
 construction.  A deployed engine would cache table-level range
 statistics instead of re-sampling per query.
 
-Build-time cost (documented, deliberate): ``order_buckets`` runs TWO
-eager actions when the plan is constructed — a ``count()`` to size the
-sample fraction and a ``sample().collect()`` bounded to ~100·P
-single-key rows (the same sketch size Spark's own RangePartitioner
-collects).  A deployed engine amortizes this into cached table range
-statistics; in the one-shot query form it is 2 extra bounded passes.
+Build-time cost (documented, deliberate): ``order_buckets`` runs ONE
+eager action when the plan is constructed — a fixed-size uniform
+sample of ~100·P single-key rows (the same sketch size Spark's own
+RangePartitioner collects), taken as the ``target`` smallest of n iid
+``rand(seed)`` draws, which compiles to ``TakeOrderedAndProject``:
+each task keeps a bounded top-K heap, the driver merges K rows, and no
+pre-``count()`` scan is needed to size a fraction.  A deployed engine
+amortizes this into cached table range statistics; in the one-shot
+query form it is 1 extra bounded pass.
 
 Bucket-stats aggregates are keyed by the ``_stitch_pid`` column and
 bounded-domain ranking tables by ``_stitch_dom_*`` columns — naming
@@ -87,10 +90,16 @@ def order_buckets(
     The cut points come from one seed-pinned sample pass collected at
     plan-build time (~100·P single-key rows — bounded regardless of
     table size) and enter the plan as literals, so PID is deterministic
-    across every evaluation of the returned DataFrame's subtree.  Rows
-    equal to a cut sort into the lower bucket; duplicate cuts just leave
-    a bucket empty (harmless — the stitch window runs over the buckets
-    actually present).
+    across every evaluation of the returned DataFrame's subtree.  The
+    sample is FIXED-SIZE without a pre-count: the ``target`` rows with
+    the smallest ``rand(seed)`` values form an exact uniform
+    ``target``-subset (order statistics of iid uniforms), and
+    ``orderBy(rand).limit(target)`` executes as per-task top-K heaps +
+    a bounded driver merge (``TakeOrderedAndProject``), never a global
+    sort — so plan construction costs ONE scan, not count + sample.
+    Rows equal to a cut sort into the lower bucket; duplicate cuts just
+    leave a bucket empty (harmless — the stitch window runs over the
+    buckets actually present).
 
     The bucket id is ``size(filter(cuts, c -> key > c))`` over the
     literal cut array — one flat O(P) expression per row (a chained
@@ -105,13 +114,14 @@ def order_buckets(
     comparison on a sampled Row raises on None.
     """
     target = _SAMPLE_PER_BUCKET * num_partitions
-    n = df.count()
-    frac = 1.0 if n <= target else min(1.0, (1.05 * target) / n)
     sampled = sorted(
         r["_k"]
         for r in df.select(key.alias("_k"))
         .na.drop()
-        .sample(fraction=frac, seed=seed)
+        .withColumn("_r", F.rand(seed))
+        .orderBy("_r")
+        .limit(target)
+        .select("_k")
         .collect()
     )
     cuts: list[object] = []

@@ -114,3 +114,46 @@ def test_bloom_build_is_partial_aggregable(spark, sf_dir):
     plan = physical_plan(sketch_bloom_partition_prune(spark, sf_dir))
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bm25_tfidf_exchange_reuse_lever(spark, sf_dir):
+    """The ``doc_id IS NOT NULL`` lever on the postings base
+    (retrieval.py::_bm25_postings) exists ONLY so the consumers of the
+    exploded-postings subtree stay byte-identical after join predicate
+    pushdown — joins push an isnotnull(doc_id) into some legs and not
+    others, de-canonicalizing otherwise-equal subtrees so Spark's
+    exchange-reuse rule never fires and the corpus is exploded +
+    shuffled TWICE.  Pins (reuse decisions land at execution time under
+    AQE, so plans are read AFTER an action):
+
+    - both retrieval flagships keep a ReusedExchange in the final plan;
+    - bm25's final plan has at most 13 Generate (explode) nodes and at
+      least 5 ReusedExchange nodes — removing the _bm25_postings
+      isNotNull measures 14 Generate / 4 ReusedExchange (one extra full
+      corpus explode), so this pin FAILS without the lever.
+
+    The twin filter in sessions.py::sim_tfidf_topk is uniformity, not a
+    measured lever (identical plan with or without — see its comment),
+    so tfidf gets the presence pin only."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.sessions import (
+        sim_tfidf_topk,
+    )
+
+    for fn in (sim_bm25_topk, sim_tfidf_topk):
+        df = fn(spark, sf_dir)
+        df.collect()
+        plan = physical_plan(df)
+        assert "isFinalPlan=true" in plan
+        assert "ReusedExchange" in plan, (
+            f"{fn.__name__}: no ReusedExchange in final plan — the "
+            f"postings subtree is being exploded and shuffled twice"
+        )
+        if fn is sim_bm25_topk:
+            tree = plan.split("\n\n")[0]
+            n_gen = len(re.findall(r"\bGenerate\b", tree))
+            n_reuse = len(re.findall(r"\bReusedExchange\b", tree))
+            assert n_gen <= 13, (
+                f"{n_gen} Generate nodes (want <=13): an extra corpus "
+                f"explode appeared — the isNotNull reuse lever is gone"
+            )
+            assert n_reuse >= 5, f"only {n_reuse} ReusedExchange (want >=5)"

@@ -164,3 +164,27 @@ def test_gwin_check_flags_naive_global_window(spark, sf_dir):
     naive = docs.withColumn("r", F.row_number().over(W.orderBy("doc_id")))
     plan = naive._jdf.queryExecution().executedPlan().toString()
     assert _gwin_hits(plan), "naive unpartitioned window must flag GWIN"
+
+
+def test_order_buckets_single_eager_job_at_build(spark):
+    """Plan-BUILD cost contract: constructing the bucketed plan runs
+    exactly ONE Spark job (the fixed-size TakeOrderedAndProject sample
+    sketch) — the round-5 shape ran TWO (a full count() scan + a
+    sample().collect()), a real tax at 100x scale paid before the query
+    even starts.  Counted via a job group around the build."""
+    # shuffle-free input: under AQE each exchange in the sketch's input
+    # would add a map-stage job, which is the INPUT's cost, not the
+    # sketch's — the contract here is one job for the sketch itself
+    rng = random.Random(11)
+    rows = [Row(k=rng.randint(0, 400), v=0, i=i) for i in range(800)]
+    df = spark.createDataFrame(rows)
+    df.count()  # materialize lazily-cached scan state outside the group
+    sc = spark.sparkContext
+    sc.setJobGroup("stitch-build-audit", "order_buckets plan build")
+    try:
+        order_buckets(df, F.col("k"), num_partitions=16)
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    jobs = tracker.getJobIdsForGroup("stitch-build-audit")
+    assert len(jobs) == 1, f"plan build ran {len(jobs)} jobs, want 1"
