@@ -71,10 +71,45 @@ HEADLINE = [
 ]
 
 
+# 1-min loadavg above this at start means some OTHER workload owns the
+# host and every timing would be uniformly inflated (BENCH_r05 recorded
+# loadavg 10.9 and a 53.7s total that a quiet-host re-run measured at
+# 43.8s).  We wait (bounded) for quiet, and if it never comes, stamp the
+# artifact so a reader can't mistake contamination for a regression.
+_LOAD_QUIET_THRESHOLD = 4.0
+_LOAD_WAIT_SECONDS = 300
+_LOAD_POLL_SECONDS = 20
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def _wait_for_quiet_host() -> list[float]:
+    """Poll until the 1-min loadavg drops under the threshold or the
+    bounded wait expires; returns the loadavg the run starts under."""
+    deadline = time.time() + _LOAD_WAIT_SECONDS
+    load = _loadavg()
+    while load and load[0] > _LOAD_QUIET_THRESHOLD and time.time() < deadline:
+        print(
+            f"bench: host busy (loadavg {load[0]:.1f} > "
+            f"{_LOAD_QUIET_THRESHOLD}), waiting for quiet...",
+            file=sys.stderr,
+        )
+        time.sleep(_LOAD_POLL_SECONDS)
+        load = _loadavg()
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    load_start = _wait_for_quiet_host()
     spark = get_spark("bench")
     queries = entrymod.queries()
 
@@ -107,14 +142,14 @@ def main() -> None:
     # Host-load context: the shared runner carries heavy EXTERNAL load
     # bursts (observed loadavg 1-4 with no repo process running), which
     # inflate identical-commit totals by 1.3-1.9x uniformly across
-    # queries.  Recording the 1/5/15-min load averages alongside the
-    # timings lets a reader separate engine regressions (per-query,
-    # code-correlated) from environment noise (uniform, load-correlated).
-    try:
-        with open("/proc/loadavg") as f:
-            loadavg = [float(x) for x in f.read().split()[:3]]
-    except OSError:
-        loadavg = []
+    # queries.  Recording start/end 1/5/15-min load averages plus an
+    # explicit contamination flag lets a reader separate engine
+    # regressions (per-query, code-correlated) from environment noise
+    # (uniform, load-correlated).  load_contaminated means the START
+    # loadavg still exceeded the threshold after the bounded quiet-wait
+    # (the run's own 32 threads inflate the END number legitimately).
+    load_end = _loadavg()
+    contaminated = bool(load_start) and load_start[0] > _LOAD_QUIET_THRESHOLD
     print(
         json.dumps(
             {
@@ -123,7 +158,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "loadavg": loadavg,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
+                "load_contaminated": contaminated,
             }
         )
     )
