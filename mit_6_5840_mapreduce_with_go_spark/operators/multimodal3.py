@@ -124,6 +124,16 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad final byte
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Close the current restart interval: 1-pad to a byte boundary
+        (through ``write``, so an all-ones pad byte still gets its FF00
+        stuffing) and emit RSTn — the marker itself is raw, never
+        stuffed (T.81 E.1.2: markers are not entropy data)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _fdct2d(block: list[list[float]]) -> list[list[float]]:
     out = [[0.0] * 8 for _ in range(8)]
@@ -171,7 +181,9 @@ def _encode_block(bw, dc_codes, ac_codes, blk, prev_dc: int) -> int:
     return zz[0]
 
 
-def _encode_jpeg(width: int, height: int, comps) -> bytes:
+def _encode_jpeg(
+    width: int, height: int, comps, *, restart_interval: int = 0
+) -> bytes:
     """Baseline JPEG with an all-ones quant table: markers, Annex-K
     Huffman tables (shared by every component), MCU-interleaved FDCT +
     zigzag + canonical Huffman entropy coding with byte stuffing, one DC
@@ -179,7 +191,13 @@ def _encode_jpeg(width: int, height: int, comps) -> bytes:
     sampling factors + sample function IN THAT COMPONENT'S OWN
     RESOLUTION.  width/height must be multiples of the MCU size (8*Hmax
     x 8*Vmax) — no edge-replication leg, keeping oracles exact pixel
-    formulas."""
+    formulas.
+
+    ``restart_interval`` > 0 emits a DRI segment and, after every
+    ``restart_interval`` MCUs (except the last), byte-aligns the scan
+    and inserts RST0-7 cycling modulo 8, resetting every DC predictor —
+    the T.81 restart discipline real-world encoders use for error
+    resilience and parallel decode."""
     hmax = max(h for h, _, _ in comps)
     vmax = max(v for _, v, _ in comps)
     if width % (8 * hmax) or height % (8 * vmax):
@@ -191,6 +209,8 @@ def _encode_jpeg(width: int, height: int, comps) -> bytes:
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     preds = [0] * len(comps)
+    n_mcus = (height // (8 * vmax)) * (width // (8 * hmax))
+    mcu = 0
     for my in range(height // (8 * vmax)):
         for mx in range(width // (8 * hmax)):
             for ci, (ch, cv, fn) in enumerate(comps):
@@ -202,6 +222,14 @@ def _encode_jpeg(width: int, height: int, comps) -> bytes:
                             for y in range(8)
                         ]
                         preds[ci] = _encode_block(bw, dc_codes, ac_codes, blk, preds[ci])
+            mcu += 1
+            if (
+                restart_interval
+                and mcu < n_mcus
+                and mcu % restart_interval == 0
+            ):
+                bw.restart(mcu // restart_interval - 1)
+                preds = [0] * len(comps)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -220,13 +248,22 @@ def _encode_jpeg(width: int, height: int, comps) -> bytes:
     )
     sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(len(comps)))
     sos = seg(0xFFDA, bytes([len(comps)]) + sos_comps + bytes([0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
 
 
-def encode_jpeg_gray(width: int, height: int, pixel) -> bytes:
+def encode_jpeg_gray(
+    width: int, height: int, pixel, *, restart_interval: int = 0
+) -> bytes:
     """Baseline grayscale JPEG ('lossless-for-DC' all-ones quant table);
     width/height must be multiples of 8."""
-    return _encode_jpeg(width, height, [(1, 1, pixel)])
+    return _encode_jpeg(
+        width, height, [(1, 1, pixel)], restart_interval=restart_interval
+    )
 
 
 def encode_jpeg_ycbcr(
@@ -237,6 +274,7 @@ def encode_jpeg_ycbcr(
     crfn,
     *,
     subsample: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline color JPEG straight from YCbCr plane functions (no RGB
     source needed — the query defines the planes directly).  With
@@ -245,9 +283,17 @@ def encode_jpeg_ycbcr(
     multiples of 16); otherwise 4:4:4 (dims multiples of 8)."""
     if subsample:
         return _encode_jpeg(
-            width, height, [(2, 2, yfn), (1, 1, cbfn), (1, 1, crfn)]
+            width,
+            height,
+            [(2, 2, yfn), (1, 1, cbfn), (1, 1, crfn)],
+            restart_interval=restart_interval,
         )
-    return _encode_jpeg(width, height, [(1, 1, yfn), (1, 1, cbfn), (1, 1, crfn)])
+    return _encode_jpeg(
+        width,
+        height,
+        [(1, 1, yfn), (1, 1, cbfn), (1, 1, crfn)],
+        restart_interval=restart_interval,
+    )
 
 
 # -- decoder ---------------------------------------------------------------
@@ -255,8 +301,9 @@ def encode_jpeg_ycbcr(
 
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment with FF00
-    unstuffing; any other FFxx marker mid-scan is an error (restart
-    intervals are rejected at DRI)."""
+    unstuffing.  Restart markers are consumed ONLY at byte-aligned
+    interval boundaries via ``sync_restart`` — an FFxx marker
+    encountered mid-symbol (inside ``bit``) is corruption and raises."""
 
     def __init__(self, data: bytes, start: int) -> None:
         self.data = data
@@ -291,6 +338,25 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def sync_restart(self, n: int) -> None:
+        """Consume the RSTn marker closing a restart interval: discard
+        the current byte's remaining bits (the encoder's 1-padding —
+        its FF00 stuffing, if any, was already skipped when the byte
+        loaded), then require exactly FF D(n mod 8) next (T.81 E.2.4:
+        the 3-bit counter must cycle in order — a skipped or repeated
+        index means a lost interval)."""
+        self.nbits = 0
+        if self.i + 2 > len(self.data):
+            raise ValueError("truncated restart marker")
+        want = 0xD0 + (n & 7)
+        got = self.data[self.i : self.i + 2]
+        if got[0] != 0xFF or got[1] != want:
+            raise ValueError(
+                f"expected restart marker FF{want:02X}, "
+                f"got {got[0]:02X}{got[1]:02X}"
+            )
+        self.i += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -340,10 +406,12 @@ def _parse_jpeg(payload: bytes) -> dict:
     with Y at 2x2 and chroma at 1x1), MCU-interleaved canonical Huffman
     entropy decode with FF00 unstuffing, one DC predictor PER COMPONENT
     (T.81 F.2.1.3.1), zigzag dequantize, float IDCT, level shift +
-    clamp.  Returns each component plane at its NATURAL resolution.
-    Raises ValueError on malformed or out-of-surface input (progressive,
-    arithmetic coding, 16-bit tables, restart intervals, partial MCUs,
-    other sampling layouts)."""
+    clamp, and DRI/RST0-7 restart intervals (byte-aligned marker
+    consumption, cyclic-index verification, per-interval DC predictor
+    reset — T.81 E.2.4).  Returns each component plane at its NATURAL
+    resolution.  Raises ValueError on malformed or out-of-surface input
+    (progressive, arithmetic coding, 16-bit tables, partial MCUs, other
+    sampling layouts)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -352,6 +420,7 @@ def _parse_jpeg(payload: bytes) -> dict:
     dims: tuple[int, int] | None = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
     scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
+    restart_interval = 0
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
@@ -400,9 +469,8 @@ def _parse_jpeg(payload: bytes) -> dict:
             dims = (w, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline SOF FF{marker:02X} not supported")
-        elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", data[:2])[0] != 0:
-                raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = none)
+            restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if dims is None:
                 raise ValueError("SOS before SOF")
@@ -440,8 +508,17 @@ def _parse_jpeg(payload: bytes) -> dict:
         tabs.append((q, dc, ac))
     br = _BitReader(payload, i)
     preds = [0] * len(comps)
+    mcu = 0
     for my in range(height // (8 * vmax)):
         for mx in range(width // (8 * hmax)):
+            if (
+                restart_interval
+                and mcu
+                and mcu % restart_interval == 0
+            ):
+                br.sync_restart(mcu // restart_interval - 1)
+                preds = [0] * len(comps)
+            mcu += 1
             for ci, (_, ch, cv, _) in enumerate(comps):
                 q, dc, ac = tabs[ci]
                 pw = plane_dims[ci][0]
@@ -608,9 +685,17 @@ def mm_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 d = int(did)
                 w, h = 8 * (2 + d % 3), 8 * (2 + d % 2)
+                # a third of the corpus carries DRI/RSTn restart
+                # markers (interval 1 or 2 MCUs — small enough to cycle
+                # RST0-7 past the modulo-8 wrap); decoded pixels are
+                # restart-invariant, so the oracle is unchanged and a
+                # broken restart path breaks the value hash
                 payloads.append(
                     encode_jpeg_gray(
-                        w, h, lambda x, y, d=d: _block_val(d, x // 8, y // 8)
+                        w,
+                        h,
+                        lambda x, y, d=d: _block_val(d, x // 8, y // 8),
+                        restart_interval=d % 3,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
@@ -719,6 +804,9 @@ def mm_decode_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 d = int(did)
                 w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
+                # restart markers on a third of the corpus (see the
+                # grayscale twin): interleaved-MCU restarts reset ALL
+                # three DC predictors, so a missed reset is value-visible
                 payloads.append(
                     encode_jpeg_ycbcr(
                         w,
@@ -727,6 +815,7 @@ def mm_decode_jpeg_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda x, y, d=d: _mcu_ycbcr(d, x // 8, y // 8)[1],
                         lambda x, y, d=d: _mcu_ycbcr(d, x // 8, y // 8)[2],
                         subsample=True,
+                        restart_interval=d % 3,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})

@@ -86,14 +86,68 @@ def test_jpeg_rejects_malformed():
     sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="non-baseline"):
         M.decode_jpeg_gray(sof2)
-    # restart intervals rejected at DRI
+    # DRI declaring an interval the scan does not honor: the decoder
+    # expects an RST marker mid-entropy-data and fails loudly
     dri = (
         good[:2]
-        + struct.pack(">HHH", 0xFFDD, 4, 8)
+        + struct.pack(">HHH", 0xFFDD, 4, 1)
         + good[2:]
     )
-    with pytest.raises(ValueError, match="restart"):
+    with pytest.raises(ValueError, match="restart marker"):
         M.decode_jpeg_gray(dri)
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI/RST0-7 (T.81 E.2.4): restart markers are lossless framing —
+    decoding a restarted stream must reproduce the unrestarted pixels
+    exactly, through byte-aligned marker consumption, per-interval DC
+    predictor reset, and the cyclic 3-bit marker index (interval 1 over
+    15 MCUs wraps past RST7)."""
+
+    def px(x, y):
+        return (x * 7 + y * 13 + (x // 8) * 31 + (y // 8) * 57) % 256
+
+    base = M.decode_jpeg_gray(M.encode_jpeg_gray(40, 24, px))  # 15 MCUs
+    for ri in (1, 2, 3, 7, 100):
+        pay = M.encode_jpeg_gray(40, 24, px, restart_interval=ri)
+        assert M.decode_jpeg_gray(pay) == base, f"interval {ri}"
+        # markers only appear when the interval actually splits the scan
+        assert (b"\xff\xd0" in pay) == (ri < 15)
+
+    # color 4:2:0: one restart resets ALL THREE component predictors
+    def yf(x, y):
+        return (x // 16 * 37 + y // 16 * 11) % 256
+
+    def cbf(x, y):
+        return (x // 8 * 5 + y // 8 * 3 + 17) % 256
+
+    def crf(x, y):
+        return (x // 8 * 9 + y // 8 * 7 + 40) % 256
+
+    cbase = M.decode_jpeg_color(M.encode_jpeg_ycbcr(32, 48, yf, cbf, crf))
+    for ri in (1, 2, 5):
+        pay = M.encode_jpeg_ycbcr(
+            32, 48, yf, cbf, crf, restart_interval=ri
+        )
+        assert M.decode_jpeg_color(pay) == cbase, f"interval {ri}"
+
+
+def test_jpeg_restart_rejects_out_of_sequence():
+    """A skipped/repeated restart index means a lost interval (the whole
+    point of the cyclic counter) — must raise, not resync silently."""
+
+    def px(x, y):
+        return (x * 7 + y * 13) % 256
+
+    pay = bytearray(M.encode_jpeg_gray(40, 24, px, restart_interval=2))
+    j = pay.find(b"\xff\xd0", 20)
+    assert j > 0
+    pay[j + 1] = 0xD5
+    with pytest.raises(ValueError, match="expected restart marker"):
+        M.decode_jpeg_gray(bytes(pay))
+    # truncated right at a restart boundary
+    with pytest.raises(ValueError, match="truncated|restart|EOI|exhausted"):
+        M.decode_jpeg_gray(bytes(pay[:j]))
 
 
 def test_jpeg_byte_stuffing_roundtrip():
