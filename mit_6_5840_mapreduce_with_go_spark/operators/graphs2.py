@@ -17,13 +17,13 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import load_table
 
-from .clusters import _TRI_DEG_CAP, _TRI_MULT
+from .clusters import _GRAPH_COHORT, _TRI_DEG_CAP, _TRI_MULT
 
 _LPA_ITERS = 2  # fixed + unrolled so the SQL oracle replays identically
 
 _EDGES_DUCK = f"""
     slots AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h,
-                              event_type FROM events),
+                              event_type FROM events WHERE user_id < {_GRAPH_COHORT}),
     pairs AS (SELECT a.user_id AS u, b.user_id AS v,
                      CAST(count(*) AS BIGINT) AS w
               FROM slots a JOIN slots b

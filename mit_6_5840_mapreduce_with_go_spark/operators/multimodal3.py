@@ -565,11 +565,9 @@ def _parse_jpeg(payload: bytes) -> dict:
     }
 
 
-def decode_jpeg_gray(payload: bytes) -> dict:
-    """REAL baseline-JPEG decoder, grayscale surface: see ``_parse_jpeg``
-    for the shared path.  Returns dimensions plus integer-exact
-    statistics of the reconstructed pixels."""
-    p = _parse_jpeg(payload)
+def _gray_stats(p: dict) -> dict:
+    """Integer-exact pixel statistics of a parsed single-plane image —
+    shared by the baseline and progressive (multimodal8) decode paths."""
     if len(p["planes"]) != 1:
         raise ValueError("color JPEG — use decode_jpeg_color")
     pixels = p["planes"][0]
@@ -583,6 +581,13 @@ def decode_jpeg_gray(payload: bytes) -> dict:
     }
 
 
+def decode_jpeg_gray(payload: bytes) -> dict:
+    """REAL baseline-JPEG decoder, grayscale surface: see ``_parse_jpeg``
+    for the shared path.  Returns dimensions plus integer-exact
+    statistics of the reconstructed pixels."""
+    return _gray_stats(_parse_jpeg(payload))
+
+
 # libjpeg-convention fixed-point YCbCr->RGB (JFIF inverse, x65536,
 # floor-shifted with +0.5 rounding bias) — INTEGER-EXACT, so a SQL
 # oracle can recompute decoded RGB bit-for-bit (a float 1.402*(Cr-128)
@@ -594,12 +599,10 @@ _FIX_GV = 46802  # round(0.714136 * 65536)
 _FIX_BU = 116130  # round(1.772   * 65536)
 
 
-def decode_jpeg_color(payload: bytes) -> dict:
-    """REAL baseline color-JPEG decoder: the shared ``_parse_jpeg`` path
-    (4:4:4 or real-world 4:2:0), chroma upsampled by replication (box),
-    fixed-point integer YCbCr->RGB.  Returns dimensions plus
-    integer-exact statistics of the reconstructed RGB raster."""
-    p = _parse_jpeg(payload)
+def _color_stats(p: dict) -> dict:
+    """Integer-exact RGB statistics of a parsed 3-plane image (box
+    chroma upsample + fixed-point YCbCr->RGB) — shared by the baseline
+    and progressive (multimodal8) decode paths."""
     if len(p["planes"]) != 3:
         raise ValueError("grayscale JPEG — use decode_jpeg_gray")
     width, height = p["width"], p["height"]
@@ -627,6 +630,14 @@ def decode_jpeg_color(payload: bytes) -> dict:
         "min_rgb": int(min(r.min(), g.min(), b.min())),
         "max_rgb": int(max(r.max(), g.max(), b.max())),
     }
+
+
+def decode_jpeg_color(payload: bytes) -> dict:
+    """REAL baseline color-JPEG decoder: the shared ``_parse_jpeg`` path
+    (4:4:4 or real-world 4:2:0), chroma upsampled by replication (box),
+    fixed-point integer YCbCr->RGB.  Returns dimensions plus
+    integer-exact statistics of the reconstructed RGB raster."""
+    return _color_stats(_parse_jpeg(payload))
 
 
 # -- end-to-end query ------------------------------------------------------
