@@ -402,8 +402,9 @@ def _idct2d(coef: list[int]) -> list[int]:
 
 def _parse_jpeg(payload: bytes) -> dict:
     """Shared baseline-JPEG parser: marker walk, DQT/DHT parse, SOF0
-    geometry (1 or 3 components; sampling all-1x1, or real-world 4:2:0
-    with Y at 2x2 and chroma at 1x1), MCU-interleaved canonical Huffman
+    geometry (1 or 3 components; sampling all-1x1, or chroma-subsampled
+    with Y at 2x2 / 2x1 / 1x2 / 4x1 — 4:2:0, 4:2:2, 4:4:0, 4:1:1 — and
+    chroma at 1x1), MCU-interleaved canonical Huffman
     entropy decode with FF00 unstuffing, one DC predictor PER COMPONENT
     (T.81 F.2.1.3.1), zigzag dequantize, float IDCT, level shift +
     clamp, and DRI/RST0-7 restart intervals (byte-aligned marker
@@ -458,13 +459,26 @@ def _parse_jpeg(payload: bytes) -> dict:
                 cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             samps = [(h_, v_) for _, h_, v_, _ in comps]
+            # grayscale 1x1; or 3 components with chroma at 1x1 and Y at
+            # any of the real-world factors: 4:4:4 (1x1), 4:2:0 (2x2),
+            # 4:2:2 (2x1), 4:4:0 (1x2), 4:1:1 (4x1).  The MCU walk and
+            # the replication upsample are generic in (h, v), so the
+            # gate only excludes layouts with subsampled NON-chroma
+            # components or chroma factors > 1 (never emitted by real
+            # encoders; would need fractional upsampling ratios).
             if not (
                 all(s == (1, 1) for s in samps)
-                or (len(samps) == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+                or (
+                    len(samps) == 3
+                    and samps[1] == (1, 1)
+                    and samps[2] == (1, 1)
+                    and samps[0] in ((2, 2), (2, 1), (1, 2), (4, 1))
+                )
             ):
                 raise ValueError(
                     "subsampling not supported (only 1x1 everywhere, or "
-                    "4:2:0 with Y=2x2 + chroma 1x1)"
+                    "3-component with chroma 1x1 and Y in "
+                    "2x2/2x1/1x2/4x1)"
                 )
             dims = (w, h)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):

@@ -283,10 +283,11 @@ def test_jpeg_color_rejects_out_of_surface():
     pay = M.encode_jpeg_ycbcr(
         16, 16, lambda x, y: 0, lambda x, y: 128, lambda x, y: 128
     )
-    # 2x1 sampling (4:2:2) is rejected — patch the SOF sampling byte for Y
+    # 4:2:2/4:4:0/4:1:1 are SUPPORTED since round 6; a 3x1 Y factor is
+    # not a real-world layout and stays out of surface
     idx = pay.find(b"\xff\xc0")
     patched = bytearray(pay)
-    patched[idx + 11] = 0x21  # component 1 sampling h=2,v=1
+    patched[idx + 11] = 0x31  # component 1 sampling h=3,v=1
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="subsampling"):
@@ -305,3 +306,39 @@ def test_decode_jpeg_color_stats_consistency(spark):
                 sr += 256 * _ref_rgb(*M._mcu_ycbcr(d, mxx, my))[0]
         assert (r["width"], r["height"]) == (w, h)
         assert r["sum_r"] == sr
+
+
+def test_jpeg_chroma_layouts_422_440_411():
+    """The MCU walk and replication upsample are generic in (h, v): the
+    real-world chroma layouts beyond 4:2:0 — 4:2:2 (Y 2x1), 4:4:0
+    (Y 1x2), 4:1:1 (Y 4x1) — decode exactly on per-8x8-constant planes,
+    and compose with restart intervals and the progressive framing."""
+    import numpy as np
+
+    from mit_6_5840_mapreduce_with_go_spark.operators import multimodal8 as M8
+
+    def yfn(x, y):
+        return (x // 8 * 37 + y // 8 * 11) % 256
+
+    def cbfn(x, y):
+        return (x // 8 * 5 + y // 8 * 3 + 17) % 256
+
+    def crfn(x, y):
+        return (x // 8 * 9 + y // 8 * 7 + 40) % 256
+
+    for (yh, yv), name in [((2, 1), "4:2:2"), ((1, 2), "4:4:0"), ((4, 1), "4:1:1")]:
+        W, H = 8 * yh * 3, 8 * yv * 2
+        comps = [(yh, yv, yfn), (1, 1, cbfn), (1, 1, crfn)]
+        p = M._parse_jpeg(M._encode_jpeg(W, H, comps))
+        for ci, fn in ((0, yfn), (1, cbfn), (2, crfn)):
+            pw, ph = p["plane_dims"][ci]
+            got = np.frombuffer(bytes(p["planes"][ci]), np.uint8).reshape(ph, pw)
+            want = np.array([[fn(x, y) for x in range(pw)] for y in range(ph)])
+            assert (got == want).all(), f"{name} plane {ci}"
+        assert M._color_stats(p)["n_px"] == W * H
+        rst = M._parse_jpeg(M._encode_jpeg(W, H, comps, restart_interval=2))
+        assert rst["planes"] == p["planes"], f"{name} restart"
+        prog = M8.decode_jpeg_progressive(
+            M8.encode_jpeg_progressive(W, H, comps, ac_al=1)
+        )
+        assert prog["planes"] == p["planes"], f"{name} progressive"

@@ -46,6 +46,11 @@ SF1_QUERIES = [
     "dedup_minhash_lsh",
     "vocab_bpe_merges",
     "sim_topk_pq_adc",
+    # round-6 additions: the round-5 multimodal flagships most likely to
+    # hide superlinear growth (image dedup's pair count grows ~n^2/256^2
+    # past ~1k docs on the synthetic corpus — see multimodal5.py)
+    "mm_dedup_image_dhash",
+    "mm_decode_jpeg_color_stats",
 ]
 
 
