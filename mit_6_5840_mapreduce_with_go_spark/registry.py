@@ -39,75 +39,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (registration order == dict insertion order).  The window ROTATES each
 # round so the hard cross-engine signal accumulates across the registry:
 # round 1 pinned the TPC-H sweep + flagships, round 2 the session-2/3
-# flagships, rounds 3/4 the dedup/ANN/curation/text families (all 50/50
-# green — CORRECTNESS_r01–r04.json).  This round-5 window: 48 queries
-# that have NEVER had a driver-green row, led by everything rewritten in
-# rounds 4–5 (the stitched global-ordering queries, the PRF pass, the
-# two round-4 plan rewrites), plus 2 continuity rows (mr_wordcount, and
-# sim_bm25_topk re-confirmed after the round-5 helper hoist).  Cumulative
-# driver-verified after this window: 182/244.  Everything rotated out
-# stays mirror-checked by tools/check_correctness.py over all queries.
+# flagships, rounds 3/4 the dedup/ANN/curation/text families, round 5
+# the stitched/events/sketch/layout families (all 50/50 green —
+# CORRECTNESS_r01–r05.json, cumulative 182/258).  This round-6 window:
+# 49 queries that have NEVER had a driver-green row — led by the 15
+# round-5 multimodal decode/dedup/video queries, this round's new
+# progressive-JPEG decode, and the bench-headline stragglers — plus 1
+# continuity row (mr_wordcount).  Cumulative driver-verified after
+# this window: 231/259.  Everything rotated out stays mirror-checked
+# by tools/check_correctness.py over all queries.
 WINDOW_PRIORITY: list[str] = [
     # MapReduce parity headline (continuity row, in every round's window)
     "mr_wordcount",
-    # Rewritten in rounds 4-5 — never driver-verified (or re-pinned):
-    "sim_bm25_topk",
-    "sim_bm25_prf_expansion",
-    "window_ntile_rank_lead",
-    "skyline_orders_cheap_early",
-    # Stitched this round (GWIN rewrites on plans/stitch.py)
-    "layout_rle_run_estimate",
-    "text_vocab_coverage",
-    "text_zipf_fit",
-    "text_heaps_law",
-    "text_heaps_law_gutenberg",
-    # Events/behavior analytics breadth (never driver-verified)
-    "events_retention_cohorts",
-    "events_markov_transitions",
-    "events_ab_welch_t",
-    "events_top_session_paths",
-    "events_attribution_models",
-    "events_pattern_sessions",
-    "events_kaplan_meier",
-    "events_funnel_conversion",
-    "events_gap_fill_hourly",
-    "events_rate_anomaly",
-    "events_rolling_median",
-    "events_ewma_value",
-    "events_cusum_drift",
-    "events_changepoint_binary_seg",
-    "events_ohlc_bars",
-    "events_leadlag_xcorr",
-    "asof_join_next_purchase_after_error",
-    # Custom UDAF surface
-    "udaf_median_event_gap",
-    "udaf_interdecile_value_spread",
-    # Sketch family
-    "sketch_bloom_partition_prune",
-    "sketch_cms_join_size",
-    "sketch_kmv_distinct_users",
-    "sketch_kmv_source_overlap",
-    "sketch_hll_sliding_union",
-    "bitmap_type_day_overlap",
-    # Storage-layout planners
-    "layout_delta_varint_estimate",
-    "layout_partition_prune_advisor",
-    "layout_zorder_skip_measure",
-    "layout_range_partition_plan",
-    # Incremental maintenance
-    "maintenance_snapshot_diff",
-    "maintenance_ivm_agg_retraction",
-    "maintenance_compaction_bins",
-    "kv_consistent_hash_movement",
-    # Pipeline / split tooling
-    "pipeline_labels_asof_features",
-    "pipeline_source_overlap_matrix",
-    "pipeline_cluster_safe_split",
-    "pipeline_epoch_shuffle",
-    # Multimodal plumbing
-    "mm_jl_projection",
-    "mm_embedding_dim_stats",
-    "mm_resize_plan",
+    # Round-5 multimodal suite: real decoders + video/audio/image dedup
+    "mm_decode_ppm_stats",
+    "mm_decode_png_stats",
+    "mm_decode_jpeg_stats",
+    "mm_decode_jpeg_color_stats",
+    "mm_decode_gif_stats",
+    "mm_decode_qoi_stats",
+    "mm_decode_wav_stats",
+    "mm_video_frame_sample",
+    "mm_video_shot_boundaries",
+    "mm_video_keyframes",
+    "mm_audio_vad_segments",
+    "mm_dedup_image_dhash",
+    "mm_dedup_audio_fingerprint",
+    "mm_dedup_image_pr_eval",
+    "mm_embedding_drift_psi",
+    # Round-6 addition: the progressive (SOF2) decode surface
+    "mm_decode_jpeg_progressive_stats",
+    # Bench-headline stragglers never driver-verified
+    "dedup_repeated_spans",
+    "sim_ivf_probe_sweep",
+    "percentile_prices_by_status",
+    # Text / curation breadth
+    "text_boilerplate_ngrams",
+    "text_quality_classifier_linear",
+    "text_unigram_logprob",
+    "text_tokenizer_fertility",
+    "behavior_journey_similarity",
+    # Pipeline / evaluation breadth
+    "pipeline_mixture_weights_exact",
+    "pipeline_padding_waste",
+    "eval_conformal_coverage",
+    "eval_markov_next_event",
+    "basket_frequent_triples",
+    "basket_association_rules",
+    # Privacy / PII family
+    "pii_doc_redaction",
+    "pii_scrub_stats",
+    "privacy_l_diversity",
+    "privacy_dp_noisy_counts",
+    # Relational breadth (scalar/agg/window/setop surfaces)
+    "groupingsets_flag_status",
+    "stats_price_moments",
+    "sample_hash_orders",
+    "scalar_string_breadth",
+    "scalar_datetime_breadth",
+    "bool_agg_discount_profile",
+    "scalar_subquery_near_max",
+    "events_trailing_hour_stats",
+    "unpivot_customer_metrics",
+    "salted_user_event_counts",
+    "setop_multiset_lineflags",
+    "window_first_last_ignore_nulls",
+    "posexplode_doc_tokens",
+    "array_agg_supplier_profile",
+    "window_dist_rank_breadth",
 ]
 
 
@@ -138,6 +137,7 @@ def load_all() -> None:
         multimodal5,
         multimodal6,
         multimodal7,
+        multimodal8,
         pipelines,
         privacy,
         projection,
