@@ -7,8 +7,10 @@ DCT-progressive mode from the public spec, pure Python/numpy:
   first/refinement scans (interleaved MCU order, per-component
   predictors, point transform), AC first/refinement scans
   (single-component raster order, EOBRUN end-of-band runs, ZRL,
-  successive-approximation correction bits), final dequantize + IDCT +
-  level shift per component.
+  successive-approximation correction bits), DRI/RST0-7 restart
+  intervals (per-scan units: interleaved MCUs for DC scans, blocks for
+  AC scans; predictor/EOB-run resets, cyclic-index verification),
+  final dequantize + IDCT + level shift per component.
 - **encoder** (exists to put the decoder under load, like the baseline
   twin in multimodal3.py): a real 4-phase scan script — DC first at
   Al=1, DC refinement, per-component AC first at a configurable Al,
@@ -99,25 +101,35 @@ def _coef_blocks(width: int, height: int, fn) -> list[list[list[int]]]:
     return out
 
 
-def _emit_dc_first(bw, dc_codes, blocks_per_comp, order, al: int) -> None:
+def _emit_dc_first(
+    bw, dc_codes, blocks_per_comp, mcus, al: int, ri: int = 0
+) -> None:
     """DC first scan (Ss=Se=0, Ah=0): interleaved MCU order, diffs of
-    the point-transformed DC (arithmetic shift — G.1.2.1)."""
+    the point-transformed DC (arithmetic shift — G.1.2.1); restart
+    markers + predictor resets every ``ri`` MCUs."""
     preds = [0] * len(blocks_per_comp)
-    for ci, by, bx in order:
-        v = blocks_per_comp[ci][by][bx][0] >> al
-        diff = v - preds[ci]
-        preds[ci] = v
-        cat = abs(diff).bit_length()
-        code, length = dc_codes[cat]
-        bw.write(code, length)
-        if cat:
-            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    for idx, mcu in enumerate(mcus):
+        if ri and idx and idx % ri == 0:
+            bw.restart(idx // ri - 1)
+            preds = [0] * len(blocks_per_comp)
+        for ci, by, bx in mcu:
+            v = blocks_per_comp[ci][by][bx][0] >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            cat = abs(diff).bit_length()
+            code, length = dc_codes[cat]
+            bw.write(code, length)
+            if cat:
+                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
 
 
-def _emit_dc_refine(bw, blocks_per_comp, order, al: int) -> None:
+def _emit_dc_refine(bw, blocks_per_comp, mcus, al: int, ri: int = 0) -> None:
     """DC refinement scan: one raw bit per block (no Huffman)."""
-    for ci, by, bx in order:
-        bw.write((blocks_per_comp[ci][by][bx][0] >> al) & 1, 1)
+    for idx, mcu in enumerate(mcus):
+        if ri and idx and idx % ri == 0:
+            bw.restart(idx // ri - 1)
+        for ci, by, bx in mcu:
+            bw.write((blocks_per_comp[ci][by][bx][0] >> al) & 1, 1)
 
 
 class _AcFirstEmitter:
@@ -246,7 +258,8 @@ class _AcRefineEmitter:
 
 
 def encode_jpeg_progressive(
-    width: int, height: int, comps, *, ac_al: int = 0
+    width: int, height: int, comps, *, ac_al: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JPEG with an all-ones quant table and the
     standard Annex-K Huffman tables.  ``comps`` as in the baseline
@@ -254,7 +267,11 @@ def encode_jpeg_progressive(
     resolution; dims must be MCU-aligned.  Scan script: DC first
     (Al=1) -> DC refinement -> per-component AC first (Al=``ac_al``)
     -> per-component AC refinement for each bit down to 0 when
-    ``ac_al`` > 0."""
+    ``ac_al`` > 0.  ``restart_interval`` > 0 emits a DRI segment and
+    per-scan RSTn markers every that many restart units (interleaved
+    MCUs in the DC scans, single blocks in the non-interleaved AC
+    scans), resetting DC predictors / flushing EOB runs at each
+    boundary — the marker index cycle starts at RST0 in EVERY scan."""
     hmax = max(h for h, _, _ in comps)
     vmax = max(v for _, v, _ in comps)
     if width % (8 * hmax) or height % (8 * vmax):
@@ -268,14 +285,16 @@ def encode_jpeg_progressive(
     for ch, cv, fn in comps:
         pw, ph = width * ch // hmax, height * cv // vmax
         blocks.append(_coef_blocks(pw, ph, fn))
-    # interleaved MCU block order for the DC scans
-    order: list[tuple[int, int, int]] = []
+    # interleaved MCU order (grouped per restart unit) for the DC scans
+    mcus: list[list[tuple[int, int, int]]] = []
     for my in range(height // (8 * vmax)):
         for mx in range(width // (8 * hmax)):
+            mcu = []
             for ci, (ch, cv, _) in enumerate(comps):
                 for bv in range(cv):
                     for bu in range(ch):
-                        order.append((ci, my * cv + bv, mx * ch + bu))
+                        mcu.append((ci, my * cv + bv, mx * ch + bu))
+            mcus.append(mcu)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -286,32 +305,39 @@ def encode_jpeg_progressive(
             body += bytes([cid, 0x00])  # DC/AC table 0 for every scan
         return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
 
+    ri = restart_interval
+
+    def ac_scan(emitter_cls, ci: int, al: int) -> bytes:
+        bw = _BitWriter()
+        em = emitter_cls(bw, ac_codes, al)
+        flat = [blk for row in blocks[ci] for blk in row]
+        for idx, blk in enumerate(flat):
+            if ri and idx and idx % ri == 0:
+                em.done()  # EOB runs cannot cross a restart boundary
+                bw.restart(idx // ri - 1)
+            em.block(blk)
+        em.done()
+        return bw.flush()
+
     scans = []
     # DC first + refine, interleaved over all components
     bw = _BitWriter()
-    _emit_dc_first(bw, dc_codes, blocks, order, 1)
+    _emit_dc_first(bw, dc_codes, blocks, mcus, 1, ri)
     scans.append(sos(list(range(1, len(comps) + 1)), 0, 0, 0, 1) + bw.flush())
     bw = _BitWriter()
-    _emit_dc_refine(bw, blocks, order, 0)
+    _emit_dc_refine(bw, blocks, mcus, 0, ri)
     scans.append(sos(list(range(1, len(comps) + 1)), 0, 0, 1, 0) + bw.flush())
     # AC: one first scan per component at ac_al, then refinements to 0
     for ci in range(len(comps)):
-        bw = _BitWriter()
-        em = _AcFirstEmitter(bw, ac_codes, ac_al)
-        for row in blocks[ci]:
-            for blk in row:
-                em.block(blk)
-        em.done()
-        scans.append(sos([ci + 1], 1, 63, 0, ac_al) + bw.flush())
+        scans.append(
+            sos([ci + 1], 1, 63, 0, ac_al) + ac_scan(_AcFirstEmitter, ci, ac_al)
+        )
     for al in range(ac_al - 1, -1, -1):
         for ci in range(len(comps)):
-            bw = _BitWriter()
-            em = _AcRefineEmitter(bw, ac_codes, al)
-            for row in blocks[ci]:
-                for blk in row:
-                    em.block(blk)
-            em.done()
-            scans.append(sos([ci + 1], 1, 63, al + 1, al) + bw.flush())
+            scans.append(
+                sos([ci + 1], 1, 63, al + 1, al)
+                + ac_scan(_AcRefineEmitter, ci, al)
+            )
 
     dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
     sof_comps = b"".join(
@@ -325,7 +351,8 @@ def encode_jpeg_progressive(
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
     )
-    return b"\xff\xd8" + dqt + sof + dht + b"".join(scans) + b"\xff\xd9"
+    dri = seg(0xFFDD, struct.pack(">H", ri)) if ri else b""
+    return b"\xff\xd8" + dqt + sof + dht + dri + b"".join(scans) + b"\xff\xd9"
 
 
 # --------------------------------------------------------------------------
@@ -349,24 +376,34 @@ def _entropy_end(payload: bytes, start: int) -> int:
 
 
 def _decode_dc_scan(
-    br, coef, order, dc_tabs, ah: int, al: int
+    br, coef, mcus, dc_tabs, ah: int, al: int, ri: int = 0
 ) -> None:
-    if ah == 0:  # first scan: Huffman-coded diffs of DC >> Al
-        preds = [0] * len(dc_tabs)
-        for ci, by, bx in order:
-            cat = _huff_decode(br, dc_tabs[ci])
-            diff = _extend(br.bits(cat), cat) if cat else 0
-            preds[ci] += diff
-            coef[ci][by][bx][0] = preds[ci] << al
-    else:  # refinement: one raw bit per block
-        for ci, by, bx in order:
-            if br.bit():
+    """``mcus``: restart units — each a list of (ci, by, bx) blocks (an
+    interleaved MCU, or a single block in a non-interleaved scan).
+    Every ``ri`` units the scan byte-aligns on RSTn and resets every DC
+    predictor (T.81 E.2.4 applies per scan in progressive mode)."""
+    preds = [0] * len(dc_tabs)
+    for idx, mcu in enumerate(mcus):
+        if ri and idx and idx % ri == 0:
+            br.sync_restart(idx // ri - 1)
+            preds = [0] * len(dc_tabs)
+        for ci, by, bx in mcu:
+            if ah == 0:  # first scan: Huffman-coded diffs of DC >> Al
+                cat = _huff_decode(br, dc_tabs[ci])
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                preds[ci] += diff
+                coef[ci][by][bx][0] = preds[ci] << al
+            elif br.bit():  # refinement: one raw bit per block
                 coef[ci][by][bx][0] |= 1 << al
 
 
-def _decode_ac_first(br, blocks, ac_tab, ss, se, al) -> None:
+def _decode_ac_first(br, blocks, ac_tab, ss, se, al, ri: int = 0) -> None:
     eobrun = 0
-    for blk in blocks:
+    for idx, blk in enumerate(blocks):
+        if ri and idx and idx % ri == 0:
+            if eobrun:
+                raise ValueError("EOB run crosses a restart boundary")
+            br.sync_restart(idx // ri - 1)
         if eobrun:
             eobrun -= 1
             continue
@@ -389,7 +426,7 @@ def _decode_ac_first(br, blocks, ac_tab, ss, se, al) -> None:
             k += 1
 
 
-def _decode_ac_refine(br, blocks, ac_tab, ss, se, al) -> None:
+def _decode_ac_refine(br, blocks, ac_tab, ss, se, al, ri: int = 0) -> None:
     """G.2: refine history-nonzero coefficients by one bit and place
     newly visible +-(1<<Al) ones; EOBRUN covers whole blocks whose
     remaining coefficients only need correction bits."""
@@ -400,7 +437,11 @@ def _decode_ac_refine(br, blocks, ac_tab, ss, se, al) -> None:
         if br.bit() and (blk[k] & p1) == 0:
             blk[k] += p1 if blk[k] > 0 else m1
 
-    for blk in blocks:
+    for idx, blk in enumerate(blocks):
+        if ri and idx and idx % ri == 0:
+            if eobrun:
+                raise ValueError("EOB run crosses a restart boundary")
+            br.sync_restart(idx // ri - 1)
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -450,7 +491,7 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     ``_parse_jpeg`` (planes at natural resolution).  Raises ValueError
     on malformed or out-of-surface input (baseline SOF0 — use
     ``decode_jpeg_gray``/``decode_jpeg_color`` —, arithmetic coding,
-    restart intervals inside progressive scans, partial MCUs)."""
+    partial MCUs, EOB runs crossing a restart boundary)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -461,6 +502,7 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
     coef: list[list[list[list[int]]]] = []  # [ci][by][bx][64]
     block_dims: list[tuple[int, int]] = []
     got_scan = False
+    restart_interval = 0
     while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
@@ -517,11 +559,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                 f"baseline decoder" if marker in (0xC0, 0xC1)
                 else f"SOF FF{marker:02X} not supported"
             )
-        elif marker == 0xDD:
-            if struct.unpack(">H", data[:2])[0] != 0:
-                raise ValueError(
-                    "restart intervals not supported in progressive scans"
-                )
+        elif marker == 0xDD:  # DRI: restart interval in scan units
+            restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:  # one scan
             if dims is None:
                 raise ValueError("SOS before SOF")
@@ -545,25 +584,29 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                     raise ValueError("DC scan must have Se=0 (G.1.1.1)")
                 hmax = max(h_ for _, h_, _, _ in comps)
                 vmax = max(v_ for _, _, v_, _ in comps)
-                order = []
+                # restart units: interleaved MCUs, or single blocks in
+                # a non-interleaved scan (T.81 E.2.4 / G.1)
+                mcus = []
                 if ns == 1:
                     ci = scan_comps[0][0]
                     bw_, bh_ = block_dims[ci]
-                    order = [
-                        (ci, by, bx)
+                    mcus = [
+                        [(ci, by, bx)]
                         for by in range(bh_)
                         for bx in range(bw_)
                     ]
                 else:
                     for my in range(dims[1] // (8 * vmax)):
                         for mx in range(dims[0] // (8 * hmax)):
+                            mcu = []
                             for ci, _, _ in scan_comps:
                                 _, ch, cv, _ = comps[ci]
                                 for bv in range(cv):
                                     for bu in range(ch):
-                                        order.append(
+                                        mcu.append(
                                             (ci, my * cv + bv, mx * ch + bu)
                                         )
+                            mcus.append(mcu)
                 if ah == 0:
                     dc_tabs = []
                     for ci, td, _ in scan_comps:
@@ -579,16 +622,20 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                     _decode_dc_scan(
                         br,
                         coef,
-                        order,
+                        mcus,
                         [
                             tab_by_ci.get(ci, dc_tabs[0])
                             for ci in range(len(comps))
                         ],
                         ah,
                         al,
+                        restart_interval,
                     )
                 else:
-                    _decode_dc_scan(br, coef, order, [None] * len(comps), ah, al)
+                    _decode_dc_scan(
+                        br, coef, mcus, [None] * len(comps), ah, al,
+                        restart_interval,
+                    )
             else:  # AC scan: exactly one component (G.1.1.1.1)
                 if ns != 1:
                     raise ValueError("AC scans must be single-component")
@@ -601,9 +648,9 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                     coef[ci][by][bx] for by in range(bh_) for bx in range(bw_)
                 ]
                 if ah == 0:
-                    _decode_ac_first(br, blocks, t, ss, se, al)
+                    _decode_ac_first(br, blocks, t, ss, se, al, restart_interval)
                 else:
-                    _decode_ac_refine(br, blocks, t, ss, se, al)
+                    _decode_ac_refine(br, blocks, t, ss, se, al, restart_interval)
             got_scan = True
             i = data_end
             continue
@@ -716,12 +763,18 @@ def mm_decode_jpeg_progressive_stats(
             for did in pdf["doc_id"]:
                 d = int(did)
                 w, h = 8 * (2 + d % 3), 8 * (2 + d % 2)
+                # a third of the corpus carries DRI/RSTn (interval 1-2
+                # units, cycling past RST7 in every scan) — decoded
+                # pixels are restart-invariant, so the oracle is
+                # unchanged and a broken per-scan restart path breaks
+                # the value hash
                 payloads.append(
                     encode_jpeg_progressive(
                         w,
                         h,
                         [(1, 1, lambda x, y, d=d: _block_val(d, x // 8, y // 8))],
                         ac_al=1,
+                        restart_interval=d % 3,
                     )
                 )
             yield pd.DataFrame(

@@ -101,9 +101,10 @@ def test_progressive_rejects_malformed():
     # and vice versa: SOF2 is out of the baseline decoder's surface
     with pytest.raises(ValueError, match="non-baseline"):
         M3.decode_jpeg_gray(pay)
-    # restart intervals are outside the progressive surface
+    # DRI declaring an interval the scans do not honor: the decoder
+    # expects an RST marker at the first boundary and fails loudly
     dri = pay[:2] + struct.pack(">HHH", 0xFFDD, 4, 2) + pay[2:]
-    with pytest.raises(ValueError, match="restart"):
+    with pytest.raises(ValueError, match="restart marker"):
         M8.decode_jpeg_progressive(dri)
     # unaligned dims rejected at encode
     with pytest.raises(ValueError, match="divisible"):
@@ -126,3 +127,56 @@ def test_progressive_query_consistency(spark):
         assert r["height"] == 8 * (2 + r["doc_id"] % 2)
         assert r["n_px"] == r["width"] * r["height"]
         assert 0 <= r["min_px"] <= r["max_px"] <= 255
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 7, 100])
+def test_progressive_restart_interval_roundtrip(ri):
+    """DRI/RSTn in progressive mode: per-scan restart units (MCUs for
+    DC scans, blocks for AC scans), marker index restarting at RST0 in
+    every scan, DC predictor resets, and EOB runs flushed at every
+    boundary — all lossless framing, so planes match the unrestarted
+    stream exactly."""
+    base = M3._parse_jpeg(M3.encode_jpeg_gray(40, 24, _tex))
+    for al in (0, 1, 2):
+        pay = M8.encode_jpeg_progressive(
+            40, 24, [(1, 1, _tex)], ac_al=al, restart_interval=ri
+        )
+        assert M8.decode_jpeg_progressive(pay)["planes"] == base["planes"]
+
+
+def test_progressive_restart_color_and_eob_split():
+    def yf(x, y):
+        return (x * 3 + y * 5) % 256
+
+    def cbf(x, y):
+        return (x * 11 + y * 2 + 7) % 256
+
+    def crf(x, y):
+        return (x + y * 9 + 100) % 256
+
+    cbase = M3._parse_jpeg(M3.encode_jpeg_ycbcr(32, 48, yf, cbf, crf))
+    for ri in (1, 2, 5):
+        pay = M8.encode_jpeg_progressive(
+            32, 48, [(2, 2, yf), (1, 1, cbf), (1, 1, crf)],
+            ac_al=1, restart_interval=ri,
+        )
+        assert M8.decode_jpeg_progressive(pay)["planes"] == cbase["planes"]
+    # constant image: the whole-component EOB run must SPLIT at each
+    # boundary (a run crossing one is a stream error the decoder checks)
+    pay = M8.encode_jpeg_progressive(
+        64, 64, [(1, 1, lambda x, y: 77)], ac_al=1, restart_interval=3
+    )
+    assert set(M8.decode_jpeg_progressive(pay)["planes"][0]) == {77}
+
+
+def test_progressive_restart_rejects_out_of_sequence():
+    pay = bytearray(
+        M8.encode_jpeg_progressive(
+            40, 24, [(1, 1, _tex)], ac_al=1, restart_interval=2
+        )
+    )
+    j = pay.find(b"\xff\xd0", pay.find(b"\xff\xda"))
+    assert j > 0
+    pay[j + 1] = 0xD4
+    with pytest.raises(ValueError, match="expected restart marker"):
+        M8.decode_jpeg_progressive(bytes(pay))
