@@ -739,23 +739,11 @@ def decode_jpeg_progressive_color(payload: bytes) -> dict:
     FROM px GROUP BY doc_id, w, h
     """,
 )
-def mm_decode_jpeg_progressive_stats(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """REAL progressive-JPEG decode end-to-end: per document, encode an
-    SOF2 stream of the SAME planted raster as mm_decode_jpeg_stats
-    (constant 8x8 blocks, all-ones quant) with the 4-phase scan script —
-    DC first at Al=1, DC refinement, AC first at Al=1, AC refinement —
-    in one Arrow-batched mapInPandas stage, then reassemble it scan by
-    scan with ``decode_jpeg_progressive`` in the next.  The oracle is
-    byte-identical to the baseline query's (progressive is framing, not
-    math), so a broken EOBRUN, refinement-bit, or scan-order path breaks
-    the value hash.
-
-    Scale shape: two narrow mapInPandas stages, no shuffle, payloads
-    never on the driver — identical to every decode query in the family.
-    """
-    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+def progressive_stats_pipeline(docs: DataFrame) -> DataFrame:
+    """The two stateless mapInPandas stages shared by the batch query
+    and its Structured Streaming twin (streaming/decode.py): encode the
+    planted SOF2 stream per doc_id, decode it scan-by-scan, emit pixel
+    stats.  Stateless => runs unchanged per micro-batch."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -798,3 +786,23 @@ def mm_decode_jpeg_progressive_stats(
     return stats.withColumn(
         "mean_px", F.round(F.col("sum_px") * 1.0 / F.col("n_px"), 6)
     )
+
+
+def mm_decode_jpeg_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive-JPEG decode end-to-end: per document, encode an
+    SOF2 stream of the SAME planted raster as mm_decode_jpeg_stats
+    (constant 8x8 blocks, all-ones quant) with the 4-phase scan script —
+    DC first at Al=1, DC refinement, AC first at Al=1, AC refinement —
+    in one Arrow-batched mapInPandas stage, then reassemble it scan by
+    scan with ``decode_jpeg_progressive`` in the next.  The oracle is
+    byte-identical to the baseline query's (progressive is framing, not
+    math), so a broken EOBRUN, refinement-bit, or scan-order path breaks
+    the value hash.
+
+    Scale shape: two narrow mapInPandas stages, no shuffle, payloads
+    never on the driver — identical to every decode query in the family.
+    """
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    return progressive_stats_pipeline(docs)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal4 import frame_sample_pipeline, wav_stats_pipeline
+from ..operators.multimodal8 import progressive_stats_pipeline
 from .windows import stream_documents
 
 
@@ -33,3 +34,11 @@ def stream_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``mm_video_frame_sample``: video shards frame-
     sampled at ingest, emitting one row per kept frame."""
     return frame_sample_pipeline(stream_documents(spark, sf_dir).select("doc_id"))
+
+
+def stream_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``mm_decode_jpeg_progressive_stats``: SOF2
+    multi-scan decode per micro-batch as document shards arrive."""
+    return progressive_stats_pipeline(
+        stream_documents(spark, sf_dir).select("doc_id")
+    )

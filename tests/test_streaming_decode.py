@@ -34,3 +34,18 @@ def test_stream_frame_sample_equals_batch(spark):
         q.stop()
     want = _rows(M.mm_video_frame_sample(spark, SF))
     assert got == want and len(got) > 0
+
+
+def test_stream_progressive_stats_equals_batch(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators import multimodal8 as M8
+
+    q = run_to_memory(
+        D.stream_progressive_stats(spark, SF), "t_prog_stream", "append"
+    )
+    try:
+        q.processAllAvailable()
+        got = _rows(spark.table("t_prog_stream"))
+    finally:
+        q.stop()
+    want = _rows(M8.mm_decode_jpeg_progressive_stats(spark, SF))
+    assert got == want and len(got) > 0
