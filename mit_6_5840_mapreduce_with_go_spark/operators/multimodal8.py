@@ -806,3 +806,117 @@ def mm_decode_jpeg_progressive_stats(
     """
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
     return progressive_stats_pipeline(docs)
+
+
+# --------------------------------------------------------------------------
+# 4:2:2 color query — oracle-gates the widened sampling surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_jpeg422_stats",
+    # Same structure as the 4:2:0 oracle (multimodal3.py), adjusted for
+    # the 16x8 MCU: 128 identical pixels per MCU, chroma blocks at
+    # (mx, my) of the half-horizontal-resolution plane.  Same biased
+    # integer division trick: Python's >> floors, DuckDB's // truncates
+    # toward zero; bias the numerator positive so they agree.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 2) AS w,
+             8 * (1 + doc_id % 3) AS h
+      FROM documents),
+    m AS (
+      SELECT doc_id, w, h,
+             (t.i - 1) % (w // 16) AS mx,
+             (t.i - 1) // (w // 16) AS my
+      FROM d, unnest(generate_series(1, CAST((w // 16) * (h // 8) AS INT)))
+              AS t(i)),
+    c AS (
+      SELECT doc_id, w, h,
+             (doc_id * 13 + mx * 23 + my * 41) % 256       AS yy,
+             (doc_id * 7 + mx * 19 + my * 31) % 256 - 128  AS cb,
+             (doc_id * 5 + mx * 29 + my * 37) % 256 - 128  AS cr
+      FROM m),
+    rgb AS (
+      SELECT doc_id, w, h,
+             greatest(0, least(255, yy +
+               ((91881 * cr + 32768 + 16777216) // 65536 - 256))) AS r,
+             greatest(0, least(255, yy -
+               ((22554 * cb + 46802 * cr + 32768 + 16777216) // 65536
+                - 256))) AS g,
+             greatest(0, least(255, yy +
+               ((116130 * cb + 32768 + 16777216) // 65536 - 256))) AS b
+      FROM c)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(128 * sum(r) AS BIGINT) AS sum_r,
+           CAST(128 * sum(g) AS BIGINT) AS sum_g,
+           CAST(128 * sum(b) AS BIGINT) AS sum_b,
+           CAST(least(min(r), min(g), min(b)) AS BIGINT) AS min_rgb,
+           CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS max_rgb,
+           round(CAST(128 * (sum(r) + sum(g) + sum(b)) AS BIGINT) * 1.0
+                 / (3 * w * h), 6) AS mean_rgb
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_jpeg422_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-JPEG decode over the broadcast-video 4:2:2 layout
+    (Y 2x1, chroma 1x1 — 16x8 MCUs, chroma half-resolution horizontally
+    only): the round-6 sampling-surface widening, oracle-gated like its
+    4:2:0 twin.  Per document, encode constant-16x8-MCU planes (same
+    ``_mcu_ycbcr`` integer formulas), a third of the corpus with
+    DRI/RSTn restart markers, decode with the shared baseline path, and
+    emit integer-exact RGB statistics (128 identical pixels per MCU).
+
+    Scale shape: two narrow mapInPandas stages, no shuffle."""
+    from .multimodal3 import _encode_jpeg, _mcu_ycbcr, decode_jpeg_color
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 16 * (1 + d % 2), 8 * (1 + d % 3)
+                payloads.append(
+                    _encode_jpeg(
+                        w,
+                        h,
+                        [
+                            (2, 1, lambda x, y, d=d: _mcu_ycbcr(d, x // 16, y // 8)[0]),
+                            (1, 1, lambda x, y, d=d: _mcu_ycbcr(d, x // 8, y // 8)[1]),
+                            (1, 1, lambda x, y, d=d: _mcu_ycbcr(d, x // 8, y // 8)[2]),
+                        ],
+                        restart_interval=d % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_jpeg_color(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    stats = mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, n_px long, "
+        "sum_r long, sum_g long, sum_b long, min_rgb long, max_rgb long",
+    )
+    return stats.withColumn(
+        "mean_rgb",
+        F.round(
+            (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")) * 1.0
+            / (3 * F.col("n_px")),
+            6,
+        ),
+    )

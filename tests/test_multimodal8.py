@@ -180,3 +180,20 @@ def test_progressive_restart_rejects_out_of_sequence():
     pay[j + 1] = 0xD4
     with pytest.raises(ValueError, match="expected restart marker"):
         M8.decode_jpeg_progressive(bytes(pay))
+
+
+def test_jpeg422_query_consistency(spark):
+    """4:2:2 end-to-end: dims follow the planted formula; every MCU is
+    128 identical pixels so sums are 128-divisible."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal8 import (
+        mm_decode_jpeg422_stats,
+    )
+
+    rows = mm_decode_jpeg422_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["width"] == 16 * (1 + r["doc_id"] % 2)
+        assert r["height"] == 8 * (1 + r["doc_id"] % 3)
+        assert r["n_px"] == r["width"] * r["height"]
+        assert r["sum_r"] % 128 == 0
+        assert 0 <= r["min_rgb"] <= r["max_rgb"] <= 255
