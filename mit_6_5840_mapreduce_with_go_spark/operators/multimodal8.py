@@ -709,36 +709,6 @@ def decode_jpeg_progressive_color(payload: bytes) -> dict:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "mm_decode_jpeg_progressive_stats",
-    # Identical pixel oracle to mm_decode_jpeg_stats: progressive vs
-    # baseline is pure FRAMING of the same DC-exact coefficients, so the
-    # reconstruction formula — and therefore the SQL — is unchanged; the
-    # hash only matches if the multi-scan successive-approximation path
-    # reassembles every coefficient bit-exactly.
-    oracle="""
-    WITH d AS (
-      SELECT doc_id,
-             8 * (2 + doc_id % 3) AS w,
-             8 * (2 + doc_id % 2) AS h
-      FROM documents),
-    px AS (
-      SELECT doc_id, w, h,
-             (doc_id * 11
-              + (((t.i - 1) % w) // 8) * 17
-              + (((t.i - 1) // w) // 8) * 29) % 256 AS v
-      FROM d, unnest(generate_series(1, CAST(w * h AS INT))) AS t(i))
-    SELECT doc_id,
-           CAST(w AS BIGINT) AS width,
-           CAST(h AS BIGINT) AS height,
-           CAST(count(*) AS BIGINT) AS n_px,
-           CAST(sum(v) AS BIGINT) AS sum_px,
-           CAST(min(v) AS BIGINT) AS min_px,
-           CAST(max(v) AS BIGINT) AS max_px,
-           round(sum(v) * 1.0 / count(*), 6) AS mean_px
-    FROM px GROUP BY doc_id, w, h
-    """,
-)
 def progressive_stats_pipeline(docs: DataFrame) -> DataFrame:
     """The two stateless mapInPandas stages shared by the batch query
     and its Structured Streaming twin (streaming/decode.py): encode the
@@ -788,6 +758,36 @@ def progressive_stats_pipeline(docs: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "mm_decode_jpeg_progressive_stats",
+    # Identical pixel oracle to mm_decode_jpeg_stats: progressive vs
+    # baseline is pure FRAMING of the same DC-exact coefficients, so the
+    # reconstruction formula — and therefore the SQL — is unchanged; the
+    # hash only matches if the multi-scan successive-approximation path
+    # reassembles every coefficient bit-exactly.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             8 * (2 + doc_id % 3) AS w,
+             8 * (2 + doc_id % 2) AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 11
+              + (((t.i - 1) % w) // 8) * 17
+              + (((t.i - 1) // w) // 8) * 29) % 256 AS v
+      FROM d, unnest(generate_series(1, CAST(w * h AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(min(v) AS BIGINT) AS min_px,
+           CAST(max(v) AS BIGINT) AS max_px,
+           round(sum(v) * 1.0 / count(*), 6) AS mean_px
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
 def mm_decode_jpeg_progressive_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
