@@ -137,8 +137,9 @@ class _AcFirstEmitter:
     accumulated across blocks, magnitudes point-transformed toward zero
     (G.1.2.2)."""
 
-    def __init__(self, bw, ac_codes, al: int) -> None:
+    def __init__(self, bw, ac_codes, al: int, ss: int = 1, se: int = 63) -> None:
         self.bw, self.ac, self.al, self.eobrun = bw, ac_codes, al, 0
+        self.ss, self.se = ss, se
 
     def _flush_eob(self) -> None:
         if self.eobrun:
@@ -153,15 +154,18 @@ class _AcFirstEmitter:
         vals = [
             (abs(c) >> self.al) * (1 if c >= 0 else -1) for c in coefs
         ]
-        last = max((k for k in range(1, 64) if vals[k]), default=0)
-        if last == 0:
+        last = max(
+            (k for k in range(self.ss, self.se + 1) if vals[k]),
+            default=self.ss - 1,
+        )
+        if last < self.ss:
             self.eobrun += 1
             if self.eobrun == 0x7FFF:
                 self._flush_eob()
             return
         self._flush_eob()
         run = 0
-        for k in range(1, last + 1):
+        for k in range(self.ss, last + 1):
             v = vals[k]
             if v == 0:
                 run += 1
@@ -175,7 +179,7 @@ class _AcFirstEmitter:
             self.bw.write(code, length)
             self.bw.write(v if v > 0 else v + (1 << size) - 1, size)
             run = 0
-        if last < 63:
+        if last < self.se:
             self.eobrun = 1
 
     def done(self) -> None:
@@ -195,8 +199,9 @@ class _AcRefineEmitter:
     ``k <= eob`` guard folds trailing zero runs into the EOB run
     instead."""
 
-    def __init__(self, bw, ac_codes, al: int) -> None:
+    def __init__(self, bw, ac_codes, al: int, ss: int = 1, se: int = 63) -> None:
         self.bw, self.ac, self.al = bw, ac_codes, al
+        self.ss, self.se = ss, se
         self.eobrun = 0
         self.be: list[int] = []  # bits riding with the pending EOB run
 
@@ -224,10 +229,13 @@ class _AcRefineEmitter:
     def block(self, coefs: list[int]) -> None:
         al = self.al
         absv = [abs(c) >> al for c in coefs]
-        eob = max((k for k in range(1, 64) if absv[k] == 1), default=0)
+        eob = max(
+            (k for k in range(self.ss, self.se + 1) if absv[k] == 1),
+            default=0,
+        )
         r = 0
         br: list[int] = []
-        for k in range(1, 64):
+        for k in range(self.ss, self.se + 1):
             temp = absv[k]
             if temp == 0:
                 r += 1
@@ -260,6 +268,7 @@ class _AcRefineEmitter:
 def encode_jpeg_progressive(
     width: int, height: int, comps, *, ac_al: int = 0,
     restart_interval: int = 0,
+    ac_bands: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Progressive (SOF2) JPEG with an all-ones quant table and the
     standard Annex-K Huffman tables.  ``comps`` as in the baseline
@@ -267,7 +276,12 @@ def encode_jpeg_progressive(
     resolution; dims must be MCU-aligned.  Scan script: DC first
     (Al=1) -> DC refinement -> per-component AC first (Al=``ac_al``)
     -> per-component AC refinement for each bit down to 0 when
-    ``ac_al`` > 0.  ``restart_interval`` > 0 emits a DRI segment and
+    ``ac_al`` > 0.  ``ac_bands`` splits the AC spectrum into multiple
+    spectral-selection bands (default ``[(1, 63)]``), each its own
+    scan per component — the libjpeg-style script sends (1, 5) before
+    (6, 63) so low frequencies render first; bands must be disjoint,
+    in order, and cover 1..63.  ``restart_interval`` > 0 emits a DRI
+    segment and
     per-scan RSTn markers every that many restart units (interleaved
     MCUs in the DC scans, single blocks in the non-interleaved AC
     scans), resetting DC predictors / flushing EOB runs at each
@@ -306,10 +320,16 @@ def encode_jpeg_progressive(
         return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
 
     ri = restart_interval
+    bands = list(ac_bands) if ac_bands else [(1, 63)]
+    flat_bands = [k for lo, hi in bands for k in range(lo, hi + 1)]
+    if flat_bands != list(range(1, 64)):
+        raise ValueError(
+            "ac_bands must be disjoint, ordered, and cover 1..63"
+        )
 
-    def ac_scan(emitter_cls, ci: int, al: int) -> bytes:
+    def ac_scan(emitter_cls, ci: int, al: int, ss: int, se: int) -> bytes:
         bw = _BitWriter()
-        em = emitter_cls(bw, ac_codes, al)
+        em = emitter_cls(bw, ac_codes, al, ss, se)
         flat = [blk for row in blocks[ci] for blk in row]
         for idx, blk in enumerate(flat):
             if ri and idx and idx % ri == 0:
@@ -327,17 +347,21 @@ def encode_jpeg_progressive(
     bw = _BitWriter()
     _emit_dc_refine(bw, blocks, mcus, 0, ri)
     scans.append(sos(list(range(1, len(comps) + 1)), 0, 0, 1, 0) + bw.flush())
-    # AC: one first scan per component at ac_al, then refinements to 0
-    for ci in range(len(comps)):
-        scans.append(
-            sos([ci + 1], 1, 63, 0, ac_al) + ac_scan(_AcFirstEmitter, ci, ac_al)
-        )
-    for al in range(ac_al - 1, -1, -1):
+    # AC: per band, one first scan per component at ac_al, then
+    # refinements to 0 (low-frequency bands first, libjpeg-style)
+    for lo, hi in bands:
         for ci in range(len(comps)):
             scans.append(
-                sos([ci + 1], 1, 63, al + 1, al)
-                + ac_scan(_AcRefineEmitter, ci, al)
+                sos([ci + 1], lo, hi, 0, ac_al)
+                + ac_scan(_AcFirstEmitter, ci, ac_al, lo, hi)
             )
+    for al in range(ac_al - 1, -1, -1):
+        for lo, hi in bands:
+            for ci in range(len(comps)):
+                scans.append(
+                    sos([ci + 1], lo, hi, al + 1, al)
+                    + ac_scan(_AcRefineEmitter, ci, al, lo, hi)
+                )
 
     dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
     sof_comps = b"".join(
@@ -903,6 +927,129 @@ def mm_decode_jpeg422_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [decode_jpeg_color(p) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    stats = mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, n_px long, "
+        "sum_r long, sum_g long, sum_b long, min_rgb long, max_rgb long",
+    )
+    return stats.withColumn(
+        "mean_rgb",
+        F.round(
+            (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")) * 1.0
+            / (3 * F.col("n_px")),
+            6,
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# progressive color query — the full real-world scan-script shape
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mm_decode_jpeg_progressive_color_stats",
+    # Byte-identical to the mm_decode_jpeg_color_stats oracle
+    # (multimodal3.py): progressive framing — multi-scan, multi-band,
+    # successive approximation, restarts — reconstructs the SAME
+    # DC-exact coefficients, so the pixel formula and the SQL do not
+    # change; only a correct multi-scan reassembly matches the hash.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 2) AS w,
+             16 * (1 + doc_id % 3) AS h
+      FROM documents),
+    m AS (
+      SELECT doc_id, w, h,
+             (t.i - 1) % (w // 16) AS mx,
+             (t.i - 1) // (w // 16) AS my
+      FROM d, unnest(generate_series(1, CAST((w // 16) * (h // 16) AS INT)))
+              AS t(i)),
+    c AS (
+      SELECT doc_id, w, h,
+             (doc_id * 13 + mx * 23 + my * 41) % 256       AS yy,
+             (doc_id * 7 + mx * 19 + my * 31) % 256 - 128  AS cb,
+             (doc_id * 5 + mx * 29 + my * 37) % 256 - 128  AS cr
+      FROM m),
+    rgb AS (
+      SELECT doc_id, w, h,
+             greatest(0, least(255, yy +
+               ((91881 * cr + 32768 + 16777216) // 65536 - 256))) AS r,
+             greatest(0, least(255, yy -
+               ((22554 * cb + 46802 * cr + 32768 + 16777216) // 65536
+                - 256))) AS g,
+             greatest(0, least(255, yy +
+               ((116130 * cb + 32768 + 16777216) // 65536 - 256))) AS b
+      FROM c)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(256 * sum(r) AS BIGINT) AS sum_r,
+           CAST(256 * sum(g) AS BIGINT) AS sum_g,
+           CAST(256 * sum(b) AS BIGINT) AS sum_b,
+           CAST(least(min(r), min(g), min(b)) AS BIGINT) AS min_rgb,
+           CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS max_rgb,
+           round(CAST(256 * (sum(r) + sum(g) + sum(b)) AS BIGINT) * 1.0
+                 / (3 * w * h), 6) AS mean_rgb
+    FROM rgb GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_jpeg_progressive_color_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive color decode with the full real-world scan
+    script: 4:2:0 SOF2 streams (same planted 16x16-MCU corpus as the
+    baseline color query) encoded with the libjpeg-style progression —
+    interleaved DC first at Al=1, DC refinement, per-component AC over
+    TWO spectral-selection bands (1-5 then 6-63) at Al=1, then two
+    per-band refinement sweeps — with restart markers on a third of the
+    corpus.  Eleven scans per image; the oracle is byte-identical to
+    the baseline color query's, so every multi-scan path (band
+    boundaries, per-grid block walks, refinement bits, EOB runs split
+    by restarts) must reassemble bit-exactly to match.
+
+    Scale shape: two narrow mapInPandas stages, no shuffle."""
+    from .multimodal3 import _mcu_ycbcr
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 16 * (1 + d % 2), 16 * (1 + d % 3)
+                payloads.append(
+                    encode_jpeg_progressive(
+                        w,
+                        h,
+                        [
+                            (2, 2, lambda x, y, d=d: _mcu_ycbcr(d, x // 16, y // 16)[0]),
+                            (1, 1, lambda x, y, d=d: _mcu_ycbcr(d, x // 8, y // 8)[1]),
+                            (1, 1, lambda x, y, d=d: _mcu_ycbcr(d, x // 8, y // 8)[2]),
+                        ],
+                        ac_al=1,
+                        ac_bands=[(1, 5), (6, 63)],
+                        restart_interval=d % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _color_stats(decode_jpeg_progressive(p)) for p in pdf["payload"]
+            ]
             out = pd.DataFrame(decoded)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out

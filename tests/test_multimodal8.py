@@ -197,3 +197,62 @@ def test_jpeg422_query_consistency(spark):
         assert r["n_px"] == r["width"] * r["height"]
         assert r["sum_r"] % 128 == 0
         assert 0 <= r["min_rgb"] <= r["max_rgb"] <= 255
+
+
+@pytest.mark.parametrize(
+    "bands", [[(1, 5), (6, 63)], [(1, 1), (2, 9), (10, 63)], [(1, 63)]]
+)
+def test_progressive_spectral_bands_roundtrip(bands):
+    """Spectral selection: AC split into per-band scans (the libjpeg
+    low-frequencies-first script).  Lossless framing at every depth,
+    composing with restart intervals; a band list with gaps or overlap
+    is rejected at encode."""
+    base = M3._parse_jpeg(M3.encode_jpeg_gray(40, 24, _tex))
+    for al in (0, 1, 2):
+        for ri in (0, 2):
+            pay = M8.encode_jpeg_progressive(
+                40, 24, [(1, 1, _tex)], ac_al=al,
+                restart_interval=ri, ac_bands=bands,
+            )
+            assert M8.decode_jpeg_progressive(pay)["planes"] == base["planes"]
+
+
+def test_progressive_bands_validation_and_color():
+    with pytest.raises(ValueError, match="ac_bands"):
+        M8.encode_jpeg_progressive(16, 16, [(1, 1, _tex)], ac_bands=[(1, 5), (7, 63)])
+    with pytest.raises(ValueError, match="ac_bands"):
+        M8.encode_jpeg_progressive(16, 16, [(1, 1, _tex)], ac_bands=[(1, 5), (5, 63)])
+
+    def yf(x, y):
+        return (x * 3 + y * 5) % 256
+
+    def cbf(x, y):
+        return (x * 11 + y * 2 + 7) % 256
+
+    def crf(x, y):
+        return (x + y * 9 + 100) % 256
+
+    cbase = M3._parse_jpeg(M3.encode_jpeg_ycbcr(32, 48, yf, cbf, crf))
+    pay = M8.encode_jpeg_progressive(
+        32, 48, [(2, 2, yf), (1, 1, cbf), (1, 1, crf)],
+        ac_al=1, ac_bands=[(1, 5), (6, 63)], restart_interval=2,
+    )
+    assert M8.decode_jpeg_progressive(pay)["planes"] == cbase["planes"]
+
+
+def test_progressive_color_query_consistency(spark):
+    """11-scan progressive color end-to-end at sf0.001: dims follow the
+    planted formula; sums are 256-divisible (256 identical px per MCU)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal8 import (
+        mm_decode_jpeg_progressive_color_stats,
+    )
+
+    rows = mm_decode_jpeg_progressive_color_stats(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r["width"] == 16 * (1 + r["doc_id"] % 2)
+        assert r["height"] == 16 * (1 + r["doc_id"] % 3)
+        assert r["sum_r"] % 256 == 0
+        assert 0 <= r["min_rgb"] <= r["max_rgb"] <= 255
