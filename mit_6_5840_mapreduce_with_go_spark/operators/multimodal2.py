@@ -6,16 +6,19 @@ real decoder needs — ``zlib`` (inflate + CRC-32) is stdlib.  So unlike
 JPEG (entropy coding + DCT, genuinely PIL-territory), the "compressed
 formats are stubbed" line can be pushed one format further:
 
-- ``encode_png`` builds a spec-valid non-interlaced 8-bit PNG
-  (IHDR/IDAT/IEND, CRC-32 per chunk, per-row filter types cycling
-  0..4 so every filter — None/Sub/Up/Average/Paeth — appears in the
-  stream).
+- ``encode_png`` builds a spec-valid 8-bit PNG, sequential or
+  Adam7-interlaced (IHDR/IDAT/IEND, CRC-32 per chunk, per-row filter
+  types cycling 0..4 so every filter — None/Sub/Up/Average/Paeth —
+  appears in the stream; interlaced IDAT carries the 7 passes
+  concatenated, each filtered independently).
 - ``decode_png`` is a REAL decoder: signature check, chunk walk with
   CRC verification, IHDR validation, IDAT concatenation + zlib
-  inflate, and per-row UNFILTERING (the inverse Sub/Up/Average/Paeth
-  reconstruction the spec defines).  Pixel statistics come from the
-  reconstructed raster bytes; malformed input (bad magic, bad CRC,
-  truncated raster, 16-bit depth, interlacing, palette) raises.
+  inflate, per-row UNFILTERING (the inverse Sub/Up/Average/Paeth
+  reconstruction the spec defines), and Adam7 DEINTERLACING (per-pass
+  unfilter + scatter, empty passes carrying no rows).  Pixel
+  statistics come from the reconstructed raster bytes; malformed input
+  (bad magic, bad CRC, truncated raster, 16-bit depth, palette,
+  unknown interlace method) raises.
 
 ``mm_decode_png_stats`` drives it end-to-end: payloads are encoded
 from a pure-integer pixel formula inside one ``mapInPandas`` stage,
@@ -72,44 +75,121 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(
-    width: int,
-    height: int,
-    pixel: Callable[[int, int, int], int],
-    *,
-    channels: int = 3,
-) -> bytes:
-    """Spec-valid 8-bit non-interlaced PNG from ``pixel(x, y, c)``.
+# Adam7 interlace passes: (x0, y0, dx, dy) — pass k keeps pixels at
+# (x0 + i*dx, y0 + j*dy).  Empty passes (small images) contribute no
+# rows at all, per the spec.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Row ``y`` uses filter type ``y % 5``, so any image with >= 5 rows
-    exercises every filter the decoder must invert — the encoder exists
-    to put the decoder under real load, not to be fast."""
-    bpp = channels
-    prev = bytes(width * channels)
-    raw = bytearray()
-    for y in range(height):
-        row = bytes(
-            pixel(x, y, c) & 0xFF for x in range(width) for c in range(channels)
-        )
-        ft = y % 5
-        raw.append(ft)
+
+def _filter_rows(rows: list[bytes], bpp: int) -> bytearray:
+    """Apply PNG row filters to a (sub-)image: row j uses filter j % 5,
+    so every filter is exercised; the previous row is the previous row
+    of the SAME sub-image (passes filter independently)."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for j, row in enumerate(rows):
+        ft = j % 5
+        out.append(ft)
         if ft == 0:
-            raw += row
+            out += row
         else:
             for i, v in enumerate(row):
                 a = row[i - bpp] if i >= bpp else 0
                 b = prev[i]
                 c = prev[i - bpp] if i >= bpp else 0
                 if ft == 1:
-                    raw.append((v - a) & 0xFF)
+                    out.append((v - a) & 0xFF)
                 elif ft == 2:
-                    raw.append((v - b) & 0xFF)
+                    out.append((v - b) & 0xFF)
                 elif ft == 3:
-                    raw.append((v - (a + b) // 2) & 0xFF)
+                    out.append((v - (a + b) // 2) & 0xFF)
                 else:
-                    raw.append((v - _paeth(a, b, c)) & 0xFF)
+                    out.append((v - _paeth(a, b, c)) & 0xFF)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0)
+    return out
+
+
+def _unfilter_rows(raw: bytes, nrows: int, stride: int, bpp: int) -> list[bytes]:
+    """Invert PNG row filters over a (sub-)image of ``nrows`` rows of
+    ``stride`` bytes each (+1 filter byte per row)."""
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    for y in range(nrows):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row = bytearray()
+        for i2, v in enumerate(line):
+            a = row[i2 - bpp] if i2 >= bpp else 0
+            b = prev[i2]
+            c = prev[i2 - bpp] if i2 >= bpp else 0
+            if ft == 0:
+                row.append(v)
+            elif ft == 1:
+                row.append((v + a) & 0xFF)
+            elif ft == 2:
+                row.append((v + b) & 0xFF)
+            elif ft == 3:
+                row.append((v + (a + b) // 2) & 0xFF)
+            elif ft == 4:
+                row.append((v + _paeth(a, b, c)) & 0xFF)
+            else:
+                raise ValueError(f"unknown filter type {ft} on row {y}")
+        prev = bytes(row)
+        rows.append(bytes(row))
+    return rows
+
+
+def _pass_dims(width: int, height: int, p: tuple[int, int, int, int]) -> tuple[int, int]:
+    x0, y0, dx, dy = p
+    pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+    ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+    return pw, ph
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixel: Callable[[int, int, int], int],
+    *,
+    channels: int = 3,
+    interlace: bool = False,
+) -> bytes:
+    """Spec-valid 8-bit PNG from ``pixel(x, y, c)``, sequential or
+    Adam7-interlaced.
+
+    Row ``j`` of each (sub-)image uses filter type ``j % 5``, so any
+    image with >= 5 rows exercises every filter the decoder must
+    invert — the encoder exists to put the decoder under real load,
+    not to be fast.  With ``interlace`` the IDAT holds the 7 Adam7
+    passes concatenated, each filtered independently per the spec."""
+    def rows_of(coords):
+        return [
+            bytes(
+                pixel(x, y, c) & 0xFF for x in xs for c in range(channels)
+            )
+            for xs, y in coords
+        ]
+
+    raw = bytearray()
+    if interlace:
+        for p in _ADAM7:
+            x0, y0, dx, dy = p
+            pw, ph = _pass_dims(width, height, p)
+            if pw == 0 or ph == 0:
+                continue
+            xs = range(x0, width, dx)
+            rows = rows_of((xs, y0 + j * dy) for j in range(ph))
+            raw += _filter_rows(rows, channels)
+    else:
+        rows = rows_of((range(width), y) for y in range(height))
+        raw += _filter_rows(rows, channels)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0,
+        1 if interlace else 0,
+    )
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -121,7 +201,8 @@ def encode_png(
 def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL PNG decoder core: chunk walk + CRC-32 verification, IHDR
     validation (8-bit, color type 0/2/6, deflate, filter method 0,
-    non-interlaced), IDAT inflate, and per-row unfiltering.  Returns
+    sequential or Adam7), IDAT inflate, per-row unfiltering, and
+    Adam7 pass-scatter deinterlacing.  Returns
     ``(width, height, channels, raster)`` with the RECONSTRUCTED raster
     bytes in row-major (y, x, channel) order.  Raises ValueError on
     anything malformed — a decoder that can't reject garbage isn't a
@@ -156,9 +237,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"unsupported color type {ctype}")
             if comp != 0 or fmethod != 0:
                 raise ValueError("unsupported compression/filter method")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
-            ihdr = (w, h, _CHANNELS[ctype])
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            ihdr = (w, h, _CHANNELS[ctype], interlace)
         elif tag == b"IDAT":
             if ihdr is None:
                 raise ValueError("IDAT before IHDR")
@@ -168,38 +249,48 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             break
     if ihdr is None or not ended:
         raise ValueError("missing IHDR or IEND")
-    width, height, channels = ihdr
+    width, height, channels, interlace = ihdr
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
+    if not interlace:
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError(
+                f"inflated raster is {len(raw)} bytes, "
+                f"expected {height * (stride + 1)}"
+            )
+        recon = bytearray()
+        for row in _unfilter_rows(raw, height, stride, channels):
+            recon += row
+        return width, height, channels, bytes(recon)
+    # Adam7: unfilter each pass independently, scatter into the raster
+    expected = sum(
+        ph * (pw * channels + 1)
+        for pw, ph in (_pass_dims(width, height, p) for p in _ADAM7)
+        if pw > 0 and ph > 0  # empty passes carry no rows at all
+    )
+    if len(raw) != expected:
         raise ValueError(
-            f"inflated raster is {len(raw)} bytes, expected {height * (stride + 1)}"
+            f"inflated interlaced raster is {len(raw)} bytes, "
+            f"expected {expected}"
         )
-    bpp = channels
-    recon = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        ft = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        row = bytearray()
-        for i2, v in enumerate(line):
-            a = row[i2 - bpp] if i2 >= bpp else 0
-            b = prev[i2]
-            c = prev[i2 - bpp] if i2 >= bpp else 0
-            if ft == 0:
-                row.append(v)
-            elif ft == 1:
-                row.append((v + a) & 0xFF)
-            elif ft == 2:
-                row.append((v + b) & 0xFF)
-            elif ft == 3:
-                row.append((v + (a + b) // 2) & 0xFF)
-            elif ft == 4:
-                row.append((v + _paeth(a, b, c)) & 0xFF)
-            else:
-                raise ValueError(f"unknown filter type {ft} on row {y}")
-        prev = bytes(row)
-        recon += row
+    recon = bytearray(width * height * channels)
+    off = 0
+    for p in _ADAM7:
+        x0, y0, dx, dy = p
+        pw, ph = _pass_dims(width, height, p)
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * channels
+        size = ph * (stride + 1)
+        rows = _unfilter_rows(raw[off : off + size], ph, stride, channels)
+        off += size
+        for j, row in enumerate(rows):
+            y = y0 + j * dy
+            for i, x in enumerate(range(x0, width, dx)):
+                base = (y * width + x) * channels
+                recon[base : base + channels] = row[
+                    i * channels : (i + 1) * channels
+                ]
     return width, height, channels, bytes(recon)
 
 
@@ -275,8 +366,16 @@ def mm_decode_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 d = int(did)
                 w, h = 5 + d % 6, 4 + d % 5
+                # half the corpus is Adam7-interlaced: decoded pixels
+                # are interlace-invariant, so the oracle is unchanged
+                # and a broken pass-scatter breaks the value hash
                 payloads.append(
-                    encode_png(w, h, lambda x, y, c, d=d: _pix(d, x, y, c))
+                    encode_png(
+                        w,
+                        h,
+                        lambda x, y, c, d=d: _pix(d, x, y, c),
+                        interlace=bool(d % 2),
+                    )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 

@@ -66,8 +66,9 @@ def test_png_rejects_garbage():
         M.decode_png(
             M._PNG_SIG + M._chunk(b"IHDR", ihdr) + M._chunk(b"IEND", b"")
         )
-    with pytest.raises(ValueError, match="interlaced"):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    # Adam7 (interlace=1) is SUPPORTED since round 6; method 2 is not
+    with pytest.raises(ValueError, match="interlace method"):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
         M.decode_png(
             M._PNG_SIG + M._chunk(b"IHDR", ihdr) + M._chunk(b"IEND", b"")
         )
@@ -122,3 +123,52 @@ def test_decode_png_stats_consistency(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_px"] == len(want)
         assert r["sum_px"] == sum(want)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 (round 6): the 7-pass interlaced framing decodes to the
+    SAME raster as sequential for every geometry class — including
+    images small enough that some passes are empty (an empty pass
+    contributes no rows, not even filter bytes) — and the per-pass
+    independent filtering is inverted correctly."""
+
+    def px(x, y, c):
+        return (x * 5 + y * 31 + c * 11) % 256
+
+    for (w, h) in [(1, 1), (3, 2), (7, 5), (8, 8), (13, 11), (40, 24)]:
+        for ch in (1, 3, 4):
+            plain = M.decode_png_pixels(M.encode_png(w, h, px, channels=ch))
+            inter = M.decode_png_pixels(
+                M.encode_png(w, h, px, channels=ch, interlace=True)
+            )
+            assert plain == inter, (w, h, ch)
+    # ground truth, not just self-consistency
+    w, h, ch = 13, 11, 3
+    _, _, _, recon = M.decode_png_pixels(
+        M.encode_png(w, h, px, channels=ch, interlace=True)
+    )
+    want = bytes(
+        px(x, y, c) & 0xFF for y in range(h) for x in range(w) for c in range(ch)
+    )
+    assert recon == want
+    # truncated interlaced raster rejected with the pass-aware size
+    pay = bytearray(M.encode_png(16, 16, px, interlace=True))
+    import struct as _st
+    import zlib as _zl
+
+    i = pay.find(b"IDAT") - 4
+    (ln,) = _st.unpack(">I", pay[i : i + 4])
+    raw = _zl.decompress(bytes(pay[i + 8 : i + 8 + ln]))
+    bad = _zl.compress(raw[:-3])
+    rebuilt = (
+        bytes(pay[:i])
+        + _st.pack(">I", len(bad))
+        + b"IDAT"
+        + bad
+        + _st.pack(">I", _zl.crc32(b"IDAT" + bad) & 0xFFFFFFFF)
+        + bytes(pay[i + 12 + ln :])
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interlaced raster"):
+        M.decode_png_pixels(rebuilt)
