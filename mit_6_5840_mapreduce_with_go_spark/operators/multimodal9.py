@@ -1,0 +1,258 @@
+"""Real gzip-member decode inside the multimodal mapInPandas leg — the
+compressed-TEXT ingest path (RFC 1952, public spec).
+
+A web-crawl training pipeline spends much of its scan time inside gzip
+members (WARC records, .gz shards).  This module implements the real
+container walk with NO shortcut through ``gzip.decompress``:
+
+- ``encode_gzip_member`` builds a spec-valid member: magic/CM/FLG,
+  MTIME, XFL/OS, optional FEXTRA (tagged subfields), FNAME and
+  FCOMMENT (zero-terminated Latin-1), optional FHCRC (CRC-16 of the
+  header), raw-deflate body, CRC-32 + ISIZE trailer.
+- ``decode_gzip_member`` is a REAL parser: header validation, flag-
+  driven optional-field walk, FHCRC verification, raw inflate
+  (``zlib`` with negative wbits — stdlib provides DEFLATE, the
+  container logic here is the decoder), trailer CRC-32 and ISIZE
+  (mod 2^32) verification, multi-member rejection surfaced explicitly.
+  Malformed input raises ValueError (bad magic, reserved FLG bits,
+  truncated optional fields, header-CRC mismatch, body-CRC mismatch,
+  wrong ISIZE, trailing garbage).
+
+``mm_decode_gzip_stats`` drives it end-to-end: payloads are built from
+a pure-integer token formula in one Arrow-batched ``mapInPandas``
+stage (header-variant mix: FNAME on odd docs, FCOMMENT on doc_id % 3
+== 0, FEXTRA + FHCRC on doc_id % 5 == 0), decoded in the next, and
+the DuckDB oracle recomputes every statistic from the token DEFINITION
+— so a wrong optional-field walk, an off-by-one in the
+zero-terminated-string scan, or a trailer mis-read changes the decoded
+text or errors, and breaks the value hash.
+
+No reference counterpart (the reference is a plain-text MapReduce
+engine) — north-star LLM-pipeline addition, same family as the other
+decode modules.
+
+Scale shape: two narrow stateless mapInPandas stages, no shuffle,
+payloads never on the driver; at 100 TB the encode stage is replaced
+by real .gz bytes from the lake and the decode stage is unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_GZ_MAGIC = b"\x1f\x8b"
+_CM_DEFLATE = 8
+_FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
+
+
+def encode_gzip_member(
+    data: bytes,
+    *,
+    mtime: int = 0,
+    fname: str | None = None,
+    fcomment: str | None = None,
+    fextra: list[tuple[bytes, bytes]] | None = None,
+    fhcrc: bool = False,
+) -> bytes:
+    """Spec-valid single gzip member (RFC 1952) around ``data``."""
+    flg = 0
+    if fextra:
+        flg |= _FEXTRA
+    if fname is not None:
+        flg |= _FNAME
+    if fcomment is not None:
+        flg |= _FCOMMENT
+    if fhcrc:
+        flg |= _FHCRC
+    head = _GZ_MAGIC + bytes([_CM_DEFLATE, flg])
+    head += struct.pack("<I", mtime & 0xFFFFFFFF)
+    head += bytes([0, 255])  # XFL, OS=unknown
+    if fextra:
+        xfield = b"".join(
+            si + struct.pack("<H", len(payload)) + payload
+            for si, payload in fextra
+        )
+        head += struct.pack("<H", len(xfield)) + xfield
+    if fname is not None:
+        head += fname.encode("latin-1") + b"\x00"
+    if fcomment is not None:
+        head += fcomment.encode("latin-1") + b"\x00"
+    if fhcrc:
+        head += struct.pack("<H", zlib.crc32(head) & 0xFFFF)
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = co.compress(data) + co.flush()
+    trailer = struct.pack(
+        "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF
+    )
+    return head + body + trailer
+
+
+def decode_gzip_member(payload: bytes) -> dict:
+    """REAL gzip-member parse: see the module docstring for coverage.
+    Returns header metadata plus the decompressed bytes.  Raises
+    ValueError on malformed input."""
+    if len(payload) < 18:
+        raise ValueError("truncated gzip member (shorter than header + trailer)")
+    if payload[:2] != _GZ_MAGIC:
+        raise ValueError("not a gzip member (bad magic)")
+    if payload[2] != _CM_DEFLATE:
+        raise ValueError(f"unsupported compression method {payload[2]}")
+    flg = payload[3]
+    if flg & 0xE0:
+        raise ValueError(f"reserved FLG bits set ({flg:#04x})")
+    (mtime,) = struct.unpack("<I", payload[4:8])
+    i = 10
+    if flg & _FEXTRA:
+        if i + 2 > len(payload):
+            raise ValueError("truncated FEXTRA length")
+        (xlen,) = struct.unpack("<H", payload[i : i + 2])
+        if i + 2 + xlen > len(payload):
+            raise ValueError("truncated FEXTRA field")
+        i += 2 + xlen
+    fname = fcomment = None
+    for flag, label in ((_FNAME, "FNAME"), (_FCOMMENT, "FCOMMENT")):
+        if flg & flag:
+            end = payload.find(b"\x00", i)
+            if end < 0:
+                raise ValueError(f"unterminated {label}")
+            text = payload[i:end].decode("latin-1")
+            if flag == _FNAME:
+                fname = text
+            else:
+                fcomment = text
+            i = end + 1
+    if flg & _FHCRC:
+        if i + 2 > len(payload):
+            raise ValueError("truncated FHCRC")
+        (hcrc,) = struct.unpack("<H", payload[i : i + 2])
+        if hcrc != zlib.crc32(payload[:i]) & 0xFFFF:
+            raise ValueError("header CRC-16 mismatch")
+        i += 2
+    d = zlib.decompressobj(-15)
+    try:
+        data = d.decompress(payload[i:])
+        data += d.flush()
+    except zlib.error as exc:
+        raise ValueError(f"corrupt DEFLATE stream: {exc}") from exc
+    trailer = d.unused_data
+    if len(trailer) < 8:
+        raise ValueError("truncated gzip trailer")
+    if len(trailer) > 8:
+        raise ValueError(
+            f"{len(trailer) - 8} bytes of trailing garbage "
+            f"(multi-member streams not supported)"
+        )
+    crc, isize = struct.unpack("<II", trailer)
+    if crc != zlib.crc32(data) & 0xFFFFFFFF:
+        raise ValueError("body CRC-32 mismatch")
+    if isize != len(data) & 0xFFFFFFFF:
+        raise ValueError(f"ISIZE {isize} != decompressed length {len(data)}")
+    return {
+        "mtime": mtime,
+        "ftext": bool(flg & _FTEXT),
+        "fname": fname,
+        "fcomment": fcomment,
+        "data": data,
+    }
+
+
+# Planted text: n tokens, token i = (doc_id * 7 + i * 13) % 1000, space-
+# joined.  Every query statistic is a pure-integer function of doc_id
+# that DuckDB re-derives with generate_series — including n_bytes, which
+# needs the DIGIT LENGTH of each token (length(CAST(v AS VARCHAR))).
+def _gzip_tokens(doc_id: int) -> list[int]:
+    n = 20 + doc_id % 13
+    return [(doc_id * 7 + i * 13) % 1000 for i in range(n)]
+
+
+def _gzip_payload(doc_id: int) -> bytes:
+    text = " ".join(str(v) for v in _gzip_tokens(doc_id)).encode()
+    return encode_gzip_member(
+        text,
+        mtime=(doc_id * 1000) & 0xFFFFFFFF,
+        fname=f"doc_{doc_id}.txt" if doc_id % 2 else None,
+        fcomment=f"c{doc_id}" if doc_id % 3 == 0 else None,
+        fextra=[(b"AB", b"x" * (doc_id % 7))] if doc_id % 5 == 0 else None,
+        fhcrc=doc_id % 5 == 0,
+    )
+
+
+@query(
+    "mm_decode_gzip_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 20 + doc_id % 13 AS n FROM documents),
+    tok AS (
+      SELECT doc_id, n, t.i - 1 AS i,
+             (doc_id * 7 + (t.i - 1) * 13) % 1000 AS v
+      FROM d, unnest(generate_series(1, CAST(n AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST((doc_id * 1000) % 4294967296 AS BIGINT) AS mtime,
+           CAST(CASE WHEN doc_id % 2 = 1
+                     THEN length('doc_' || CAST(doc_id AS VARCHAR) || '.txt')
+                     ELSE -1 END AS BIGINT) AS fname_len,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(sum(length(CAST(v AS VARCHAR))) + n - 1 AS BIGINT) AS n_bytes,
+           CAST(sum(v) AS BIGINT) AS token_sum,
+           CAST(sum(v * i) AS BIGINT) AS token_wsum
+    FROM tok GROUP BY doc_id, n
+    """,
+)
+def mm_decode_gzip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-text ingest end-to-end: per document, wrap a
+    planted token stream in a gzip member (header-variant mix: FNAME on
+    odd docs, FCOMMENT on multiples of 3, FEXTRA + FHCRC on multiples
+    of 5) in one mapInPandas stage, parse it back with the full RFC
+    1952 walk — optional fields, header CRC, inflate, trailer CRC-32 +
+    ISIZE — in the next, and emit exact text statistics plus header
+    metadata.  The DuckDB oracle recomputes everything from the token
+    formula; a mis-walked optional field shifts the DEFLATE start and
+    either errors or breaks the hash.
+
+    Scale shape: two narrow mapInPandas stages, no shuffle — the
+    standard decode-family plan."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_gzip_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                m = decode_gzip_member(bytes(p))
+                toks = m["data"].split(b" ")
+                vals = [int(t) for t in toks]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "mtime": m["mtime"],
+                        "fname_len": len(m["fname"]) if m["fname"] is not None else -1,
+                        "n_tokens": len(vals),
+                        "n_bytes": len(m["data"]),
+                        "token_sum": sum(vals),
+                        "token_wsum": sum(v * i for i, v in enumerate(vals)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, mtime long, fname_len long, n_tokens long, "
+        "n_bytes long, token_sum long, token_wsum long",
+    )

@@ -138,6 +138,7 @@ def load_all() -> None:
         multimodal6,
         multimodal7,
         multimodal8,
+        multimodal9,
         pipelines,
         privacy,
         projection,
