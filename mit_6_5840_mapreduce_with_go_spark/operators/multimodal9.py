@@ -256,3 +256,174 @@ def mm_decode_gzip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, mtime long, fname_len long, n_tokens long, "
         "n_bytes long, token_sum long, token_wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, BI_RGB 24-bit) — the uncompressed DIB path
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixel, *, top_down: bool = False) -> bytes:
+    """Spec-valid 24-bit BI_RGB BMP from ``pixel(x, y, c)`` (c in RGB
+    order).  Rows are 4-byte padded, stored bottom-up unless
+    ``top_down`` (negative biHeight), samples in B,G,R order — the two
+    conventions every naive reader gets wrong."""
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = (pixel(x, y, c) & 0xFF for c in range(3))
+            row += bytes((b, g, r))
+        row += bytes(stride - width * 3)
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()
+    data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height, 1, 24, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return head + info + data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL BMP decoder: BITMAPFILEHEADER + BITMAPINFOHEADER
+    validation (24-bit BI_RGB only), pixel-offset honoring, 4-byte row
+    de-padding, bottom-up/top-down normalization, B,G,R -> R,G,B.
+    Returns dimensions plus integer-exact per-channel statistics with a
+    position-weighted checksum (raster order), so a flipped row order
+    or swapped channels is value-visible.  Raises ValueError on
+    malformed or out-of-surface input."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP (shorter than headers)")
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (bad magic)")
+    fsize, _, off = struct.unpack("<III", payload[2:14])
+    if fsize != len(payload):
+        raise ValueError(f"file-size field {fsize} != payload {len(payload)}")
+    hsize, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if hsize < 40:
+        raise ValueError(f"unsupported DIB header size {hsize}")
+    if planes != 1:
+        raise ValueError(f"invalid plane count {planes}")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported format ({bpp}-bit, compression {comp})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid dimensions {w}x{h}")
+    top_down = h < 0
+    height = -h if top_down else h
+    stride = (w * 3 + 3) & ~3
+    if off + stride * height > len(payload):
+        raise ValueError("truncated pixel array")
+    sum_rgb = [0, 0, 0]
+    wsum = 0
+    mn, mx = 255, 0
+    for row_i in range(height):
+        y = row_i if top_down else height - 1 - row_i
+        base = off + row_i * stride
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            sum_rgb[0] += r
+            sum_rgb[1] += g
+            sum_rgb[2] += b
+            wsum += r * (y * w + x)
+            mn = min(mn, r, g, b)
+            mx = max(mx, r, g, b)
+    return {
+        "width": w,
+        "height": height,
+        "top_down": top_down,
+        "n_px": w * height,
+        "sum_r": sum_rgb[0],
+        "sum_g": sum_rgb[1],
+        "sum_b": sum_rgb[2],
+        "wsum_r": wsum,
+        "min_px": mn,
+        "max_px": mx,
+    }
+
+
+def _bmp_pix(doc_id: int, x: int, y: int, c: int) -> int:
+    return (doc_id * 11 + x * 7 + y * 19 + c * 29) % 256
+
+
+@query(
+    "mm_decode_bmp_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (t.i - 1) % w AS x, (t.i - 1) // w AS y
+      FROM d, unnest(generate_series(1, CAST(w * h AS INT))) AS t(i)),
+    v AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 11 + x * 7 + y * 19) % 256       AS r,
+             (doc_id * 11 + x * 7 + y * 19 + 29) % 256  AS g,
+             (doc_id * 11 + x * 7 + y * 19 + 58) % 256  AS b
+      FROM px)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(doc_id % 2 = 1 AS BOOLEAN) AS top_down,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(r * (y * w + x)) AS BIGINT) AS wsum_r,
+           CAST(least(min(r), min(g), min(b)) AS BIGINT) AS min_px,
+           CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS max_px
+    FROM v GROUP BY doc_id, w, h
+    """,
+)
+def mm_decode_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-DIB decode end-to-end: per document, encode a
+    24-bit BI_RGB BMP from the planted integer pixel formula (odd docs
+    top-down/negative-height, even docs bottom-up) in one mapInPandas
+    stage, decode it — header validation, row de-padding, orientation
+    normalization, BGR->RGB — in the next.  The position-weighted
+    checksum makes a flipped row order hash-visible, the per-channel
+    sums make swapped B/R hash-visible; the DuckDB oracle recomputes
+    both from the pixel definition.
+
+    Scale shape: two narrow mapInPandas stages, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 3 + d % 6, 2 + d % 5
+                payloads.append(
+                    encode_bmp(
+                        w,
+                        h,
+                        lambda x, y, c, d=d: _bmp_pix(d, x, y, c),
+                        top_down=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_bmp(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, top_down boolean, "
+        "n_px long, sum_r long, sum_g long, sum_b long, wsum_r long, "
+        "min_px long, max_px long",
+    )

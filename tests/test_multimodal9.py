@@ -104,3 +104,56 @@ def test_gzip_query_consistency(spark):
         assert r["token_wsum"] == sum(v * i for i, v in enumerate(toks))
         assert r["n_bytes"] == len(" ".join(map(str, toks)))
         assert r["fname_len"] == (len(f"doc_{d}.txt") if d % 2 else -1)
+
+
+def test_bmp_roundtrip_both_orientations():
+    """24-bit BI_RGB: bottom-up AND top-down (negative height) rasters
+    reconstruct identically; padded strides (w=3 -> 12-byte rows) are
+    skipped; BGR order is converted back to RGB."""
+
+    def px(x, y, c):
+        return (x * 7 + y * 19 + c * 29) % 256
+
+    for (w, h) in [(1, 1), (3, 2), (4, 4), (5, 7), (8, 3)]:
+        a = M.decode_bmp(M.encode_bmp(w, h, px))
+        b = M.decode_bmp(M.encode_bmp(w, h, px, top_down=True))
+        want_r = sum(px(x, y, 0) for y in range(h) for x in range(w))
+        want_w = sum(px(x, y, 0) * (y * w + x) for y in range(h) for x in range(w))
+        for st, td in ((a, False), (b, True)):
+            assert (st["width"], st["height"]) == (w, h)
+            assert st["top_down"] is td
+            assert st["sum_r"] == want_r
+            assert st["wsum_r"] == want_w, (w, h, td)
+
+
+def test_bmp_rejects_malformed():
+    good = M.encode_bmp(4, 4, lambda x, y, c: 100)
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_bmp(b"PN" + good[2:])
+    with pytest.raises(ValueError, match="truncated BMP"):
+        M.decode_bmp(good[:40])
+    with pytest.raises(ValueError, match="file-size"):
+        M.decode_bmp(good + b"\x00")
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 28, 8)  # 8-bit palette
+    with pytest.raises(ValueError, match="unsupported format"):
+        M.decode_bmp(bytes(bad))
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="unsupported format"):
+        M.decode_bmp(bytes(bad))
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 26, 2)  # planes
+    with pytest.raises(ValueError, match="plane count"):
+        M.decode_bmp(bytes(bad))
+
+
+def test_bmp_query_consistency(spark):
+    rows = M.mm_decode_bmp_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        assert (r["width"], r["height"]) == (3 + d % 6, 2 + d % 5)
+        assert r["top_down"] == bool(d % 2)
+        assert r["n_px"] == r["width"] * r["height"]
+        assert 0 <= r["min_px"] <= r["max_px"] <= 255
