@@ -427,3 +427,193 @@ def mm_decode_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_px long, sum_r long, sum_g long, sum_b long, wsum_r long, "
         "min_px long, max_px long",
     )
+
+
+# --------------------------------------------------------------------------
+# tar / USTAR — the WebDataset-shard container (POSIX.1-1988, public)
+# --------------------------------------------------------------------------
+
+
+def _tar_octal(value: int, width: int) -> bytes:
+    return (f"{value:0{width - 1}o}").encode() + b"\x00"
+
+
+def encode_tar(members: list[tuple[str, int, bytes]]) -> bytes:
+    """Spec-valid USTAR archive from ``(name, mtime, content)`` members:
+    512-byte headers with octal fields, ustar magic, verified checksum
+    (computed over the header with the chksum field blanked to spaces),
+    512-padded content, two zero blocks at end-of-archive."""
+    out = bytearray()
+    for name, mtime, content in members:
+        nb = name.encode()
+        if len(nb) > 100:
+            raise ValueError(f"name too long for USTAR ({len(nb)} > 100)")
+        hdr = bytearray(512)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = _tar_octal(0o644, 8)
+        hdr[108:116] = _tar_octal(0, 8)
+        hdr[116:124] = _tar_octal(0, 8)
+        hdr[124:136] = _tar_octal(len(content), 12)
+        hdr[136:148] = _tar_octal(mtime, 12)
+        hdr[148:156] = b" " * 8  # chksum blanked for computation
+        hdr[156] = ord("0")  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:155] = f"{chk:06o}".encode() + b"\x00"
+        hdr[155] = 0x20
+        out += hdr
+        out += content
+        if len(content) % 512:
+            out += bytes(512 - len(content) % 512)
+    out += bytes(1024)  # end-of-archive marker
+    return bytes(out)
+
+
+def _tar_field_int(raw: bytes, label: str) -> int:
+    text = raw.split(b"\x00")[0].strip(b" \x00")
+    if not text:
+        return 0
+    try:
+        return int(text, 8)
+    except ValueError as exc:
+        raise ValueError(f"non-octal {label} field {raw!r}") from exc
+
+
+def decode_tar(payload: bytes) -> list[dict]:
+    """REAL USTAR walk: 512-block iteration, octal field parsing,
+    ustar-magic validation, CHECKSUM VERIFICATION (unsigned sum with
+    the chksum field read as spaces), content extraction with padding
+    skip, end-of-archive detection (two zero blocks).  Returns one dict
+    per member.  Raises ValueError on malformed input (truncated
+    header/content, bad magic, checksum mismatch, non-octal fields,
+    missing end marker, unsupported typeflags)."""
+    if len(payload) % 512:
+        raise ValueError("tar length is not a multiple of 512")
+    i = 0
+    members = []
+    while True:
+        if i + 512 > len(payload):
+            raise ValueError("missing end-of-archive marker")
+        hdr = payload[i : i + 512]
+        if hdr == bytes(512):
+            if payload[i + 512 : i + 1024] != bytes(512):
+                raise ValueError("single zero block (need two at end)")
+            break
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"bad ustar magic at offset {i}")
+        stored = _tar_field_int(hdr[148:156], "chksum")
+        blanked = hdr[:148] + b" " * 8 + hdr[156:]
+        if stored != sum(blanked):
+            raise ValueError(
+                f"header checksum mismatch at offset {i} "
+                f"({stored} != {sum(blanked)})"
+            )
+        typeflag = hdr[156:157]
+        if typeflag not in (b"0", b"\x00"):
+            raise ValueError(f"unsupported typeflag {typeflag!r}")
+        name = hdr[:100].split(b"\x00")[0].decode()
+        size = _tar_field_int(hdr[124:136], "size")
+        mtime = _tar_field_int(hdr[136:148], "mtime")
+        i += 512
+        if i + size > len(payload):
+            raise ValueError(f"truncated content for {name!r}")
+        content = payload[i : i + size]
+        i += size + ((512 - size % 512) % 512)
+        members.append(
+            {"name": name, "size": size, "mtime": mtime, "content": content}
+        )
+    return members
+
+
+def _tar_members(doc_id: int) -> list[tuple[str, int, bytes]]:
+    k = 2 + doc_id % 4
+    out = []
+    for m in range(k):
+        ln = 10 + (doc_id + m * 3) % 20
+        content = bytes((doc_id + m + j) % 256 for j in range(ln))
+        out.append((f"sample_{doc_id}/{m}.bin", doc_id * 60 + m, content))
+    return out
+
+
+@query(
+    "mm_decode_tar_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS k FROM documents),
+    mem AS (
+      SELECT doc_id, k, t.i - 1 AS m,
+             10 + (doc_id + (t.i - 1) * 3) % 20 AS ln
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS t(i)),
+    b AS (
+      SELECT doc_id, k, m, ln,
+             (SELECT sum((doc_id + m + u.j - 1) % 256)
+              FROM unnest(generate_series(1, CAST(ln AS INT))) AS u(j))
+               AS csum
+      FROM mem)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS n_members,
+           CAST(sum(ln) AS BIGINT) AS total_size,
+           CAST(sum(length('sample_' || CAST(doc_id AS VARCHAR) || '/'
+                           || CAST(m AS VARCHAR) || '.bin')) AS BIGINT)
+             AS name_len_sum,
+           CAST(sum(doc_id * 60 + m) AS BIGINT) AS mtime_sum,
+           CAST(sum(csum) AS BIGINT) AS content_sum,
+           CAST(sum(csum * m) AS BIGINT) AS content_wsum
+    FROM b GROUP BY doc_id, k
+    """,
+)
+def mm_decode_tar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebDataset-style shard walk end-to-end: per document, pack
+    2-5 member files (planted byte formulas, per-member mtimes) into a
+    USTAR archive in one mapInPandas stage, walk it back — octal
+    fields, verified checksums, padding skip, end-of-archive marker —
+    in the next, and emit member-count/size/name/mtime/content
+    statistics the DuckDB oracle re-derives from the member DEFINITION.
+    A mis-read size field desynchronizes the whole walk; a skipped
+    checksum verification would hide it — both are value-visible.
+
+    Scale shape: two narrow mapInPandas stages, no shuffle — at 100 TB
+    the encode stage is replaced by real .tar shards from the lake (the
+    standard multimodal training layout) and the walk is unchanged."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_tar(_tar_members(int(d))) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                ms = decode_tar(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_members": len(ms),
+                        "total_size": sum(m["size"] for m in ms),
+                        "name_len_sum": sum(len(m["name"]) for m in ms),
+                        "mtime_sum": sum(m["mtime"] for m in ms),
+                        "content_sum": sum(
+                            sum(m["content"]) for m in ms
+                        ),
+                        "content_wsum": sum(
+                            sum(m["content"]) * i for i, m in enumerate(ms)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_members long, total_size long, "
+        "name_len_sum long, mtime_sum long, content_sum long, "
+        "content_wsum long",
+    )

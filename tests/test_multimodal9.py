@@ -157,3 +157,78 @@ def test_bmp_query_consistency(spark):
         assert r["top_down"] == bool(d % 2)
         assert r["n_px"] == r["width"] * r["height"]
         assert 0 <= r["min_px"] <= r["max_px"] <= 255
+
+
+def test_tar_roundtrip_and_alignment():
+    """USTAR walk: octal fields, checksum, 512 padding for every size
+    class (0, <512, exactly 512, multi-block), end marker."""
+    members = [
+        ("empty.bin", 100, b""),
+        ("small.bin", 200, b"abc"),
+        ("block.bin", 300, bytes(512)),
+        ("big.bin", 400, bytes(range(256)) * 5),
+    ]
+    pay = M.encode_tar(members)
+    assert len(pay) % 512 == 0
+    got = M.decode_tar(pay)
+    assert [(m["name"], m["mtime"], m["content"]) for m in got] == members
+    assert all(m["size"] == len(m["content"]) for m in got)
+
+
+def test_tar_interop_with_stdlib():
+    """Our archives extract with the stdlib tarfile, and tarfile-built
+    USTAR archives walk with our parser."""
+    import io
+    import tarfile
+
+    members = [("a/x.txt", 11, b"hello"), ("a/y.txt", 22, b"world!!")]
+    with io.BytesIO(M.encode_tar(members)) as f, tarfile.open(fileobj=f) as tf:
+        assert sorted(tf.getnames()) == ["a/x.txt", "a/y.txt"]
+        assert tf.extractfile("a/x.txt").read() == b"hello"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, mtime, content in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(content)
+            ti.mtime = mtime
+            tf.addfile(ti, io.BytesIO(content))
+    got = M.decode_tar(buf.getvalue())
+    assert [(m["name"], m["content"]) for m in got] == [
+        (n, c) for n, _, c in members
+    ]
+
+
+def test_tar_rejects_malformed():
+    good = M.encode_tar([("f.bin", 1, b"data here")])
+    with pytest.raises(ValueError, match="multiple of 512"):
+        M.decode_tar(good[:-1])
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        bad = bytearray(good)
+        bad[0] ^= 0xFF  # flip a name byte: checksum no longer matches
+        M.decode_tar(bytes(bad))
+    with pytest.raises(ValueError, match="magic"):
+        bad = bytearray(good)
+        bad[257:262] = b"wrong"
+        M.decode_tar(bytes(bad))
+    with pytest.raises(ValueError, match="end-of-archive|truncated"):
+        M.decode_tar(good[:512])  # header only, no content/end
+    with pytest.raises(ValueError, match="unsupported typeflag"):
+        bad = bytearray(good)
+        bad[156] = ord("5")  # directory
+        # re-blank + recompute checksum so ONLY the typeflag is wrong
+        import struct as _st
+        blanked = bytes(bad[:148]) + b" " * 8 + bytes(bad[156:512])
+        bad[148:155] = f"{sum(blanked):06o}".encode() + b"\x00"
+        bad[155] = 0x20
+        M.decode_tar(bytes(bad))
+
+
+def test_tar_query_consistency(spark):
+    rows = M.mm_decode_tar_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        ms = M._tar_members(d)
+        assert r["n_members"] == len(ms)
+        assert r["total_size"] == sum(len(c) for _, _, c in ms)
+        assert r["content_sum"] == sum(sum(c) for _, _, c in ms)
