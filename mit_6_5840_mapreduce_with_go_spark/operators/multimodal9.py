@@ -617,3 +617,165 @@ def mm_decode_tar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_len_sum long, mtime_sum long, content_sum long, "
         "content_wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# WebDataset composite ingest: tar shard -> per-member decode dispatch
+# --------------------------------------------------------------------------
+
+
+def _wds_tokens(doc_id: int, s: int) -> list[int]:
+    n = 5 + (doc_id + s) % 7
+    return [(doc_id * 7 + s * 3 + i * 13) % 1000 for i in range(n)]
+
+
+def _wds_img_dims(doc_id: int, s: int) -> tuple[int, int]:
+    return 3 + (doc_id + s) % 4, 2 + (doc_id + s) % 3
+
+
+def _wds_shard(doc_id: int) -> bytes:
+    """One WebDataset-style shard: per sample, a gzip'd caption and a
+    BMP image, grouped by the shared basename (the webdataset sample
+    convention)."""
+    members = []
+    for s in range(1 + doc_id % 3):
+        text = " ".join(str(v) for v in _wds_tokens(doc_id, s)).encode()
+        members.append(
+            (
+                f"{doc_id:08d}_{s}.txt.gz",
+                doc_id,
+                encode_gzip_member(text, mtime=doc_id + s),
+            )
+        )
+        w, h = _wds_img_dims(doc_id, s)
+        members.append(
+            (
+                f"{doc_id:08d}_{s}.bmp",
+                doc_id,
+                encode_bmp(
+                    w, h, lambda x, y, c, d=doc_id, s=s: _bmp_pix(d + s * 17, x, y, c)
+                ),
+            )
+        )
+    return encode_tar(members)
+
+
+@query(
+    "mm_webdataset_ingest_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+    smp AS (
+      SELECT doc_id, k, t.i - 1 AS s,
+             5 + (doc_id + t.i - 1) % 7 AS n,
+             3 + (doc_id + t.i - 1) % 4 AS w,
+             2 + (doc_id + t.i - 1) % 3 AS h
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS t(i)),
+    txt AS (
+      SELECT doc_id, s,
+             (SELECT sum((doc_id * 7 + s * 3 + (u.j - 1) * 13) % 1000)
+              FROM unnest(generate_series(1, CAST(n AS INT))) AS u(j))
+               AS tok_sum,
+             n
+      FROM smp),
+    img AS (
+      SELECT doc_id, s,
+             (SELECT sum(((doc_id + s * 17) * 11 + ((u.j - 1) % w) * 7
+                          + ((u.j - 1) // w) * 19) % 256)
+              FROM unnest(generate_series(1, CAST(w * h AS INT))) AS u(j))
+               AS sum_r,
+             w * h AS n_px
+      FROM smp)
+    SELECT d.doc_id,
+           CAST(d.k AS BIGINT) AS n_samples,
+           CAST(2 * d.k AS BIGINT) AS n_members,
+           CAST(sum(txt.tok_sum) AS BIGINT) AS caption_token_sum,
+           CAST(sum(txt.n) AS BIGINT) AS caption_n_tokens,
+           CAST(sum(img.sum_r) AS BIGINT) AS image_sum_r,
+           CAST(sum(img.n_px) AS BIGINT) AS image_n_px
+    FROM d
+    JOIN txt ON txt.doc_id = d.doc_id
+    JOIN img ON img.doc_id = d.doc_id AND img.s = txt.s
+    GROUP BY d.doc_id, d.k
+    """,
+)
+def mm_webdataset_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE multimodal ingest — the real WebDataset shape: per
+    document, a tar shard holding (caption.txt.gz, image.bmp) pairs
+    grouped by basename; the decode stage walks the USTAR container,
+    dispatches each member on its suffix (gzip member parse for .txt.gz
+    — full RFC 1952 walk — and DIB decode for .bmp), re-associates
+    members into samples, and emits per-shard statistics the DuckDB
+    oracle re-derives from the planted formulas.  Three real decoders
+    composing in one pipeline: a mis-walk in ANY of them breaks the
+    value hash.
+
+    Scale shape: two narrow mapInPandas stages, no shuffle — identical
+    to the single-format decode queries; at 100 TB the encode stage is
+    replaced by real shards and the dispatch walk is unchanged (this IS
+    the standard large-scale multimodal training layout)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_wds_shard(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples: dict[str, dict] = {}
+                for m in decode_tar(bytes(p)):
+                    name = m["name"]
+                    if name.endswith(".txt.gz"):
+                        base = name[: -len(".txt.gz")]
+                        toks = [
+                            int(t)
+                            for t in decode_gzip_member(m["content"])[
+                                "data"
+                            ].split(b" ")
+                        ]
+                        samples.setdefault(base, {})["toks"] = toks
+                    elif name.endswith(".bmp"):
+                        base = name[: -len(".bmp")]
+                        samples.setdefault(base, {})["img"] = decode_bmp(
+                            m["content"]
+                        )
+                    else:
+                        raise ValueError(f"unknown member type {name!r}")
+                if any(
+                    "toks" not in s or "img" not in s for s in samples.values()
+                ):
+                    raise ValueError("incomplete sample (missing modality)")
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_samples": len(samples),
+                        "n_members": 2 * len(samples),
+                        "caption_token_sum": sum(
+                            sum(s["toks"]) for s in samples.values()
+                        ),
+                        "caption_n_tokens": sum(
+                            len(s["toks"]) for s in samples.values()
+                        ),
+                        "image_sum_r": sum(
+                            s["img"]["sum_r"] for s in samples.values()
+                        ),
+                        "image_n_px": sum(
+                            s["img"]["n_px"] for s in samples.values()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_samples long, n_members long, "
+        "caption_token_sum long, caption_n_tokens long, "
+        "image_sum_r long, image_n_px long",
+    )
