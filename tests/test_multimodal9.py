@@ -266,3 +266,85 @@ def test_webdataset_incomplete_sample_rejected():
     assert len(members) == 1  # the walk itself is fine; pairing is not
     # (the stage-level check is exercised via the query's decode path in
     # test_webdataset_shard_walk; here we prove the walk/pairing split)
+
+
+def test_zip_roundtrip_and_stdlib_interop():
+    """Both methods (stored + deflate), empty and multi-KB contents;
+    our archives open with stdlib zipfile and zipfile-built archives
+    walk with our central-directory reader."""
+    import io
+    import zipfile
+
+    members = [
+        ("a/empty.py", b"", False),
+        ("a/small.py", b"import os\n", True),
+        ("b/big.py", bytes(range(256)) * 40, True),
+        ("b/raw.bin", bytes(range(256)) * 3, False),
+    ]
+    pay = M.encode_zip(members)
+    got = M.decode_zip(pay)
+    assert [(m["name"], m["content"]) for m in got] == [
+        (n, c) for n, c, _ in members
+    ]
+    assert [m["method"] for m in got] == [8 if d else 0 for _, _, d in members]
+    with zipfile.ZipFile(io.BytesIO(pay)) as zf:
+        assert zf.testzip() is None
+        assert zf.read("b/big.py") == bytes(range(256)) * 40
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, c, _ in members:
+            zf.writestr(n, c)
+    got2 = M.decode_zip(buf.getvalue())
+    assert [(m["name"], m["content"]) for m in got2] == [
+        (n, c) for n, c, _ in members
+    ]
+
+
+def test_zip_rejects_malformed():
+    members = [("f.py", b"print(1)\n" * 10, True)]
+    good = M.encode_zip(members)
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        M.decode_zip(good[:-1])
+    with pytest.raises(ValueError, match="CRC-32"):
+        bad = bytearray(good)
+        # flip a byte of the deflated data (between local header and CD)
+        bad[40] ^= 0xFF
+        M.decode_zip(bytes(bad))
+    with pytest.raises(ValueError, match="encrypted"):
+        bad = bytearray(good)
+        cd = good.find(M._ZIP_CENTRAL)
+        struct.pack_into("<H", bad, cd + 8, 0x1)  # set encryption flag
+        M.decode_zip(bytes(bad))
+    with pytest.raises(ValueError, match="unsupported compression"):
+        bad = bytearray(good)
+        cd = good.find(M._ZIP_CENTRAL)
+        struct.pack_into("<H", bad, cd + 10, 12)  # bzip2
+        M.decode_zip(bytes(bad))
+    with pytest.raises(ValueError, match="name divergence"):
+        bad = bytearray(good)
+        bad[30] ^= 0x01  # local header name byte
+        M.decode_zip(bytes(bad))
+
+
+def test_zip_eocd_with_trailing_comment():
+    """The EOCD may carry a comment: a reader that only checks the last
+    22 bytes misses it; ours scans back and validates the comment
+    length closes the file exactly."""
+    pay = bytearray(M.encode_zip([("x.py", b"data", False)]))
+    comment = b"built by test"
+    struct.pack_into("<H", pay, len(pay) - 2, len(comment))
+    pay += comment
+    got = M.decode_zip(bytes(pay))
+    assert got[0]["content"] == b"data"
+
+
+def test_zip_query_consistency(spark):
+    rows = M.mm_decode_zip_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        ms = M._zip_members(d)
+        assert r["n_members"] == len(ms)
+        assert r["n_deflated"] == sum(1 for _, _, df in ms if df)
+        assert r["total_size"] == sum(len(c) for _, c, _ in ms)
+        assert r["content_sum"] == sum(sum(c) for _, c, _ in ms)
