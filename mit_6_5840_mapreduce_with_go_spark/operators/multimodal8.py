@@ -47,8 +47,6 @@ from ..registry import query
 from ..sources import load_table
 from .multimodal3 import (
     ZIGZAG,
-    _AC_BITS,
-    _AC_VALS,
     _BitReader,
     _BitWriter,
     _DC_BITS,

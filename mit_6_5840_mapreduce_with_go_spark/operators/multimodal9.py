@@ -438,34 +438,111 @@ def _tar_octal(value: int, width: int) -> bytes:
     return (f"{value:0{width - 1}o}").encode() + b"\x00"
 
 
-def encode_tar(members: list[tuple[str, int, bytes]]) -> bytes:
-    """Spec-valid USTAR archive from ``(name, mtime, content)`` members:
-    512-byte headers with octal fields, ustar magic, verified checksum
-    (computed over the header with the chksum field blanked to spaces),
-    512-padded content, two zero blocks at end-of-archive."""
+def _tar_block(
+    name: bytes, size: int, mtime: int, typeflag: bytes, *, gnu: bool = False
+) -> bytearray:
+    """One 512-byte header block with a verified checksum.  ``gnu``
+    selects the old-GNU magic (``ustar  \\0``) over POSIX ``ustar\\x00``
+    + version ``00``."""
+    hdr = bytearray(512)
+    hdr[0 : len(name)] = name
+    hdr[100:108] = _tar_octal(0o644, 8)
+    hdr[108:116] = _tar_octal(0, 8)
+    hdr[116:124] = _tar_octal(0, 8)
+    hdr[124:136] = _tar_octal(size, 12)
+    hdr[136:148] = _tar_octal(mtime, 12)
+    hdr[148:156] = b" " * 8  # chksum blanked for computation
+    hdr[156] = typeflag[0]
+    if gnu:
+        hdr[257:265] = b"ustar  \x00"
+    else:
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+    chk = sum(hdr)
+    hdr[148:155] = f"{chk:06o}".encode() + b"\x00"
+    hdr[155] = 0x20
+    return hdr
+
+
+def _pax_records(fields: dict[str, str]) -> bytes:
+    """PAX extended-header payload: repeated ``<len> <key>=<value>\\n``
+    where ``<len>`` is the decimal byte length of the WHOLE record
+    including its own digits (pax(1) / POSIX.1-2001 — the fixed-point
+    loop every PAX writer implements)."""
+    out = bytearray()
+    for key, value in fields.items():
+        body = f" {key}={value}\n".encode()
+        length = len(body) + 1
+        while len(str(length)) + len(body) != length:
+            length = len(str(length)) + len(body)
+        out += str(length).encode() + body
+    return bytes(out)
+
+
+def _tar_pad(content: bytes) -> bytes:
+    return content + bytes((512 - len(content) % 512) % 512)
+
+
+def encode_tar(
+    members: list[tuple[str, int, bytes]], *, fmt: str = "ustar"
+) -> bytes:
+    """Spec-valid tar archive from ``(name, mtime, content)`` members:
+    512-byte headers with octal fields, verified checksum (computed
+    over the header with the chksum field blanked to spaces),
+    512-padded content, two zero blocks at end-of-archive.
+
+    ``fmt`` picks the long-name strategy real archives use:
+
+    - ``"ustar"`` — POSIX.1-1988; names over 100 bytes raise.
+    - ``"pax"``  — POSIX.1-2001; a member whose name exceeds 100 bytes
+      (or whose mtime exceeds the octal field) gets a preceding ``x``
+      extended header carrying ``path`` / ``mtime`` records, with the
+      header-block name truncated to the ``PaxHeaders.0/`` convention.
+    - ``"gnu"``  — old-GNU; long names get a preceding ``L`` entry
+      whose content is the full NUL-terminated name.
+    """
+    if fmt not in ("ustar", "pax", "gnu"):
+        raise ValueError(f"unknown tar format {fmt!r}")
     out = bytearray()
     for name, mtime, content in members:
         nb = name.encode()
-        if len(nb) > 100:
-            raise ValueError(f"name too long for USTAR ({len(nb)} > 100)")
-        hdr = bytearray(512)
-        hdr[0 : len(nb)] = nb
-        hdr[100:108] = _tar_octal(0o644, 8)
-        hdr[108:116] = _tar_octal(0, 8)
-        hdr[116:124] = _tar_octal(0, 8)
-        hdr[124:136] = _tar_octal(len(content), 12)
-        hdr[136:148] = _tar_octal(mtime, 12)
-        hdr[148:156] = b" " * 8  # chksum blanked for computation
-        hdr[156] = ord("0")  # regular file
-        hdr[257:263] = b"ustar\x00"
-        hdr[263:265] = b"00"
-        chk = sum(hdr)
-        hdr[148:155] = f"{chk:06o}".encode() + b"\x00"
-        hdr[155] = 0x20
-        out += hdr
-        out += content
-        if len(content) % 512:
-            out += bytes(512 - len(content) % 512)
+        hdr_name, hdr_mtime = nb, mtime
+        if len(nb) > 100 or mtime >= 8**11:
+            if fmt == "ustar":
+                raise ValueError(
+                    f"name too long for USTAR ({len(nb)} > 100)"
+                    if len(nb) > 100
+                    else f"mtime {mtime} exceeds the octal field"
+                )
+            if fmt == "gnu":
+                if len(nb) > 100:
+                    data = _tar_pad(nb + b"\x00")
+                    out += _tar_block(
+                        b"././@LongLink", len(nb) + 1, 0, b"L", gnu=True
+                    )
+                    out += data
+                    hdr_name = nb[:100]
+                if mtime >= 8**11:
+                    raise ValueError(
+                        f"mtime {mtime} exceeds the octal field (gnu "
+                        f"base-256 mtime not implemented)"
+                    )
+            else:  # pax
+                fields: dict[str, str] = {}
+                if len(nb) > 100:
+                    fields["path"] = name
+                    hdr_name = nb[:100]
+                if mtime >= 8**11:
+                    fields["mtime"] = str(mtime)
+                    hdr_mtime = 0
+                recs = _pax_records(fields)
+                xname = f"PaxHeaders.0/{name}".encode()[:100]
+                out += _tar_block(xname, len(recs), 0, b"x")
+                out += _tar_pad(recs)
+        out += _tar_block(
+            hdr_name, len(content), hdr_mtime, b"0", gnu=(fmt == "gnu")
+        )
+        out += _tar_pad(content)
     out += bytes(1024)  # end-of-archive marker
     return bytes(out)
 
@@ -480,18 +557,56 @@ def _tar_field_int(raw: bytes, label: str) -> int:
         raise ValueError(f"non-octal {label} field {raw!r}") from exc
 
 
+def _pax_parse(data: bytes) -> dict[str, str]:
+    """Parse PAX extended-header records (``<len> <key>=<value>\\n``),
+    verifying each record's self-declared length."""
+    fields: dict[str, str] = {}
+    i = 0
+    while i < len(data):
+        sp = data.find(b" ", i)
+        if sp < 0:
+            raise ValueError("malformed PAX record (no length delimiter)")
+        try:
+            length = int(data[i:sp])
+        except ValueError as exc:
+            raise ValueError(
+                f"non-decimal PAX record length {data[i:sp]!r}"
+            ) from exc
+        rec = data[i : i + length]
+        if length < sp - i + 3 or i + length > len(data) or rec[-1:] != b"\n":
+            raise ValueError(f"PAX record length {length} inconsistent")
+        body = rec[sp - i + 1 : -1]
+        eq = body.find(b"=")
+        if eq < 0:
+            raise ValueError("malformed PAX record (no '=')")
+        try:
+            fields[body[:eq].decode()] = body[eq + 1 :].decode()
+        except UnicodeDecodeError as exc:
+            raise ValueError("non-UTF-8 PAX record") from exc
+        i += length
+    return fields
+
+
 def decode_tar(payload: bytes) -> list[dict]:
-    """REAL USTAR walk: 512-block iteration, octal field parsing,
-    ustar-magic validation, CHECKSUM VERIFICATION (unsigned sum with
-    the chksum field read as spaces), content extraction with padding
-    skip, end-of-archive detection (two zero blocks).  Returns one dict
-    per member.  Raises ValueError on malformed input (truncated
+    """REAL tar walk: 512-block iteration, octal field parsing,
+    ustar/old-GNU magic validation, CHECKSUM VERIFICATION (unsigned sum
+    with the chksum field read as spaces), content extraction with
+    padding skip, end-of-archive detection (two zero blocks).  Handles
+    the long-name mechanisms wild WebDataset shards actually carry:
+    PAX ``x`` (per-file) and ``g`` (global) extended headers — with
+    ``path`` / ``size`` / ``mtime`` record overrides, length-verified —
+    and old-GNU ``L`` long-name entries.  Returns one dict per regular
+    member.  Raises ValueError on malformed input (truncated
     header/content, bad magic, checksum mismatch, non-octal fields,
-    missing end marker, unsupported typeflags)."""
+    missing end marker, unsupported typeflags, dangling overrides,
+    malformed PAX records)."""
     if len(payload) % 512:
         raise ValueError("tar length is not a multiple of 512")
     i = 0
     members = []
+    globals_: dict[str, str] = {}
+    pending: dict[str, str] = {}
+    gnu_longname: str | None = None
     while True:
         if i + 512 > len(payload):
             raise ValueError("missing end-of-archive marker")
@@ -499,6 +614,8 @@ def decode_tar(payload: bytes) -> list[dict]:
         if hdr == bytes(512):
             if payload[i + 512 : i + 1024] != bytes(512):
                 raise ValueError("single zero block (need two at end)")
+            if pending or gnu_longname is not None:
+                raise ValueError("dangling PAX/longname header at end")
             break
         if hdr[257:262] != b"ustar":
             raise ValueError(f"bad ustar magic at offset {i}")
@@ -510,12 +627,61 @@ def decode_tar(payload: bytes) -> list[dict]:
                 f"({stored} != {sum(blanked)})"
             )
         typeflag = hdr[156:157]
-        if typeflag not in (b"0", b"\x00"):
+        if typeflag not in (b"0", b"\x00", b"x", b"g", b"L"):
             raise ValueError(f"unsupported typeflag {typeflag!r}")
-        name = hdr[:100].split(b"\x00")[0].decode()
+        raw_name = hdr[:100].split(b"\x00")[0]
+        try:
+            name = raw_name.decode()
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"non-UTF-8 member name {raw_name!r}") from exc
         size = _tar_field_int(hdr[124:136], "size")
         mtime = _tar_field_int(hdr[136:148], "mtime")
         i += 512
+        if typeflag in (b"x", b"g", b"L"):
+            # Meta entries: their own size is always the header octal.
+            if i + size > len(payload):
+                raise ValueError(f"truncated meta entry {name!r}")
+            content = payload[i : i + size]
+            i += size + ((512 - size % 512) % 512)
+            if typeflag == b"x":
+                if pending:
+                    raise ValueError("consecutive PAX x-headers")
+                pending = _pax_parse(content)
+            elif typeflag == b"g":
+                globals_.update(_pax_parse(content))
+            else:
+                if gnu_longname is not None:
+                    raise ValueError("consecutive GNU longname entries")
+                raw = content.split(b"\x00")[0]
+                try:
+                    gnu_longname = raw.decode()
+                except UnicodeDecodeError as exc:
+                    raise ValueError(
+                        f"non-UTF-8 GNU longname {raw!r}"
+                    ) from exc
+            continue
+        # Regular member: apply global then per-file overrides (POSIX
+        # precedence), then the GNU longname if one preceded us.  A PAX
+        # ``size`` record overrides the header field BEFORE the content
+        # is consumed — writers zero (or saturate) the octal field when
+        # the real size does not fit it.
+        eff = dict(globals_)
+        eff.update(pending)
+        pending = {}
+        if gnu_longname is not None:
+            name = gnu_longname
+            gnu_longname = None
+        if "path" in eff:
+            name = eff["path"]
+        if "size" in eff:
+            try:
+                size = int(eff["size"])
+            except ValueError as exc:
+                raise ValueError(
+                    f"non-decimal PAX size {eff['size']!r}"
+                ) from exc
+        if "mtime" in eff:
+            mtime = int(float(eff["mtime"]))
         if i + size > len(payload):
             raise ValueError(f"truncated content for {name!r}")
         content = payload[i : i + size]
@@ -788,14 +954,29 @@ def mm_webdataset_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZIP_LOCAL, _ZIP_CENTRAL, _ZIP_EOCD = b"PK\x03\x04", b"PK\x01\x02", b"PK\x05\x06"
 
 
-def encode_zip(members: list[tuple[str, bytes, bool]]) -> bytes:
+_ZIP_DESC = b"PK\x07\x08"
+
+
+def encode_zip(members: list[tuple]) -> bytes:
     """Spec-valid ZIP from ``(name, content, deflate)`` members: local
     file headers, central directory, end-of-central-directory record.
-    ``deflate`` picks method 8 (raw deflate) vs 0 (stored)."""
+    ``deflate`` picks method 8 (raw deflate) vs 0 (stored).  A member
+    may carry a 4th element ``streamed``: it is then written the way a
+    non-seekable writer emits it — general-purpose bit 3 set, zeroed
+    crc/sizes in the LOCAL header, and a trailing data descriptor
+    (with the ``PK\\x07\\x08`` signature on even-length names, without
+    it on odd — both are legal per APPNOTE 4.3.9)."""
     out = bytearray()
     central = bytearray()
-    for name, content, deflate in members:
-        nb = name.encode()
+    for mem in members:
+        name, content, deflate = mem[0], mem[1], mem[2]
+        streamed = bool(mem[3]) if len(mem) > 3 else False
+        # APPNOTE D.1/D.2 writer discipline: cp437 when the name is
+        # representable, else UTF-8 with the EFS flag (bit 11).
+        try:
+            nb, efs = name.encode("cp437"), 0
+        except UnicodeEncodeError:
+            nb, efs = name.encode("utf-8"), 0x800
         crc = zlib.crc32(content) & 0xFFFFFFFF
         if deflate:
             co = zlib.compressobj(9, zlib.DEFLATED, -15)
@@ -804,14 +985,21 @@ def encode_zip(members: list[tuple[str, bytes, bool]]) -> bytes:
         else:
             data = content
             method = 0
+        flags = (0x8 if streamed else 0) | efs
         off = len(out)
+        lcrc, lcsize, lusize = (0, 0, 0) if streamed else (
+            crc, len(data), len(content)
+        )
         local = _ZIP_LOCAL + struct.pack(
-            "<HHHHHIII", 20, 0, method, 0, 0x21, crc, len(data), len(content)
+            "<HHHHHIII", 20, flags, method, 0, 0x21, lcrc, lcsize, lusize
         ) + struct.pack("<HH", len(nb), 0)
         out += local + nb + data
+        if streamed:
+            desc = struct.pack("<III", crc, len(data), len(content))
+            out += (_ZIP_DESC + desc) if len(nb) % 2 == 0 else desc
         central += _ZIP_CENTRAL + struct.pack(
             "<HHHHHHIIIHHHHHII",
-            20, 20, 0, method, 0, 0x21, crc, len(data), len(content),
+            20, 20, flags, method, 0, 0x21, crc, len(data), len(content),
             len(nb), 0, 0, 0, 0, 0, off,
         ) + nb
     cd_off = len(out)
@@ -822,6 +1010,19 @@ def encode_zip(members: list[tuple[str, bytes, bool]]) -> bytes:
     return bytes(out)
 
 
+def _zip_name(raw: bytes, flags: int, where: str) -> str:
+    """Member-name decode per APPNOTE D.1/D.2: cp437 unless general-
+    purpose bit 11 (the language-encoding flag) marks the name UTF-8."""
+    if flags & 0x800:
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError(
+                f"EFS flag set but {where} name {raw!r} is not UTF-8"
+            ) from exc
+    return raw.decode("cp437")
+
+
 def decode_zip(payload: bytes) -> list[dict]:
     """REAL ZIP reader, the way the spec says to read one: locate the
     end-of-central-directory record (scanning back through a possible
@@ -830,24 +1031,36 @@ def decode_zip(payload: bytes) -> list[dict]:
     cross-check it, extract (stored or raw-deflate), and verify CRC-32
     and both sizes.  Raises ValueError on malformed input (missing/
     ambiguous EOCD, count/size mismatches, local-vs-central divergence,
-    encrypted or data-descriptor members, unsupported methods, CRC or
-    size mismatches)."""
+    encrypted members, unsupported methods, CRC or size mismatches).
+    Names decode per APPNOTE: cp437, or UTF-8 when flag bit 11 is set.
+    Bit-3 (data-descriptor / streamed) members are walked via the
+    central directory's authoritative sizes and their trailing
+    descriptor is verified against it."""
     n = len(payload)
-    eocd = -1
+    candidates = []
     scan_from = max(0, n - 22 - 0xFFFF)
     i = n - 22
     while i >= scan_from:
         if payload[i : i + 4] == _ZIP_EOCD:
             (clen,) = struct.unpack("<H", payload[i + 20 : i + 22])
             if i + 22 + clen == n:
-                eocd = i
-                break
+                candidates.append(i)
         i -= 1
-    if eocd < 0:
+    if not candidates:
         raise ValueError("no end-of-central-directory record found")
+    if len(candidates) > 1:
+        raise ValueError(
+            f"ambiguous EOCD: {len(candidates)} plausible records "
+            f"at offsets {candidates[:4]}"
+        )
+    eocd = candidates[0]
     disk, cd_disk, n_disk, n_total, cd_size, cd_off, _ = struct.unpack(
         "<HHHHIIH", payload[eocd + 4 : eocd + 22]
     )
+    if eocd >= 20 and payload[eocd - 20 : eocd - 16] == b"PK\x06\x07":
+        raise ValueError("ZIP64 archives not supported (EOCD64 locator)")
+    if 0xFFFF in (n_disk, n_total) or 0xFFFFFFFF in (cd_size, cd_off):
+        raise ValueError("ZIP64 archives not supported (EOCD sentinel)")
     if disk or cd_disk:
         raise ValueError("multi-disk archives not supported")
     if n_disk != n_total:
@@ -865,16 +1078,17 @@ def decode_zip(payload: bytes) -> list[dict]:
         ) = struct.unpack("<HHHHHHIIIHHHHHII", payload[i + 4 : i + 46])
         if flags & 0x1:
             raise ValueError("encrypted members not supported")
-        if flags & 0x8:
-            raise ValueError("data-descriptor (streamed) members not supported")
         if method not in (0, 8):
             raise ValueError(f"unsupported compression method {method}")
-        name = payload[i + 46 : i + 46 + nlen].decode()
+        if 0xFFFFFFFF in (csize, usize, off):
+            raise ValueError("ZIP64 archives not supported (entry sentinel)")
+        name = _zip_name(payload[i + 46 : i + 46 + nlen], flags, "central")
         i += 46 + nlen + xlen + clen2
         if payload[off : off + 4] != _ZIP_LOCAL:
             raise ValueError(f"bad local-header signature for {name!r}")
+        lflags, = struct.unpack("<H", payload[off + 6 : off + 8])
         lnlen, lxlen = struct.unpack("<HH", payload[off + 26 : off + 30])
-        lname = payload[off + 30 : off + 30 + lnlen].decode()
+        lname = _zip_name(payload[off + 30 : off + 30 + lnlen], lflags, "local")
         if lname != name:
             raise ValueError(
                 f"local/central name divergence ({lname!r} != {name!r})"
@@ -883,6 +1097,31 @@ def decode_zip(payload: bytes) -> list[dict]:
         data = payload[data_at : data_at + csize]
         if len(data) != csize:
             raise ValueError(f"truncated data for {name!r}")
+        if flags & 0x8:
+            # Streamed member: the local header's crc/sizes are zero and
+            # the truth lives in the central directory (already trusted
+            # above); the trailing data descriptor — 12 bytes, with an
+            # OPTIONAL PK\x07\x08 signature — must agree with it.
+            lcrc, lcsize, lusize = struct.unpack(
+                "<III", payload[off + 14 : off + 26]
+            )
+            if (lcrc, lcsize, lusize) != (0, 0, 0):
+                raise ValueError(
+                    f"bit-3 member {name!r} has nonzero local crc/sizes"
+                )
+            dd_at = data_at + csize
+            if payload[dd_at : dd_at + 4] == _ZIP_DESC:
+                dd_at += 4
+            if dd_at + 12 > n:
+                raise ValueError(f"truncated data descriptor for {name!r}")
+            dcrc, dcsize, dusize = struct.unpack(
+                "<III", payload[dd_at : dd_at + 12]
+            )
+            if (dcrc, dcsize, dusize) != (crc, csize, usize):
+                raise ValueError(
+                    f"data descriptor for {name!r} disagrees with the "
+                    f"central directory"
+                )
         if method == 8:
             try:
                 content = zlib.decompress(data, -15)
@@ -896,7 +1135,14 @@ def decode_zip(payload: bytes) -> list[dict]:
             )
         if zlib.crc32(content) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC-32 mismatch in {name!r}")
-        members.append({"name": name, "method": method, "content": content})
+        members.append(
+            {
+                "name": name,
+                "method": method,
+                "streamed": bool(flags & 0x8),
+                "content": content,
+            }
+        )
     if i != eocd:
         raise ValueError("central directory size mismatch")
     return members

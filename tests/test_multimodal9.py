@@ -348,3 +348,248 @@ def test_zip_query_consistency(spark):
         assert r["n_deflated"] == sum(1 for _, _, df in ms if df)
         assert r["total_size"] == sum(len(c) for _, c, _ in ms)
         assert r["content_sum"] == sum(sum(c) for _, c, _ in ms)
+
+
+# --------------------------------------------------------------------------
+# round 7: PAX / GNU-longname tar, bit-3 (streamed) + ZIP64-aware ZIP
+# --------------------------------------------------------------------------
+
+_LONG = "dir_" + "a" * 120 + "/sample.bin"  # 131 chars > USTAR's 100
+
+
+def test_tar_pax_interop_with_stdlib():
+    """Wild WebDataset shards carry PAX x-headers for >100-char names:
+    a tarfile PAX_FORMAT archive (with long names and fractional
+    mtimes) walks with our parser, and our fmt='pax' output extracts
+    with the stdlib byte-for-byte."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        for name, data in [(_LONG, b"hello"), ("short.txt", b"x" * 600)]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 1700000000
+            tf.addfile(ti, io.BytesIO(data))
+    got = M.decode_tar(buf.getvalue())
+    assert [(m["name"], m["content"], m["mtime"]) for m in got] == [
+        (_LONG, b"hello", 1700000000),
+        ("short.txt", b"x" * 600, 1700000000),
+    ]
+
+    ours = M.encode_tar([(_LONG, 123, b"abc"), ("s.txt", 5, b"de")], fmt="pax")
+    with tarfile.open(fileobj=io.BytesIO(ours)) as tf:
+        infos = tf.getmembers()
+        assert [(i.name, i.mtime) for i in infos] == [(_LONG, 123), ("s.txt", 5)]
+        assert tf.extractfile(infos[0]).read() == b"abc"
+    # and through our own walk
+    got = M.decode_tar(ours)
+    assert [(m["name"], m["mtime"]) for m in got] == [(_LONG, 123), ("s.txt", 5)]
+
+
+def test_tar_pax_mtime_and_size_overrides():
+    """PAX records override header fields: an mtime beyond the 11-digit
+    octal field rides in the x-header, and a 'size' record replaces the
+    (zeroed) header size BEFORE content is consumed."""
+    big = 8**11 + 5
+    got = M.decode_tar(M.encode_tar([("a.txt", big, b"z")], fmt="pax"))
+    assert got[0]["mtime"] == big
+
+    # Hand-build an archive whose header size field is 0 and whose real
+    # size lives only in the PAX record (the tarfile >8GiB convention,
+    # shrunk): a parser that trusts the header desynchronizes.
+    content = b"q" * 700
+    recs = M._pax_records({"size": str(len(content))})
+    pay = bytearray()
+    pay += M._tar_block(b"PaxHeaders.0/f.bin", len(recs), 0, b"x")
+    pay += M._tar_pad(recs)
+    pay += M._tar_block(b"f.bin", 0, 9, b"0")
+    pay += M._tar_pad(content)
+    pay += bytes(1024)
+    got = M.decode_tar(bytes(pay))
+    assert got[0]["size"] == 700 and got[0]["content"] == content
+
+
+def test_tar_pax_global_header_applies_to_all():
+    recs = M._pax_records({"mtime": "424242"})
+    pay = bytearray()
+    pay += M._tar_block(b"pax_global_header", len(recs), 0, b"g")
+    pay += M._tar_pad(recs)
+    pay += M.encode_tar([("a", 1, b"x"), ("b", 2, b"y")])[:-1024]
+    pay += bytes(1024)
+    got = M.decode_tar(bytes(pay))
+    assert [m["mtime"] for m in got] == [424242, 424242]
+
+
+def test_tar_gnu_longname_interop_with_stdlib():
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as tf:
+        ti = tarfile.TarInfo(_LONG)
+        ti.size = 5
+        ti.mtime = 77
+        tf.addfile(ti, io.BytesIO(b"hello"))
+    got = M.decode_tar(buf.getvalue())
+    assert got[0]["name"] == _LONG and got[0]["content"] == b"hello"
+
+    ours = M.encode_tar([(_LONG, 77, b"hello")], fmt="gnu")
+    with tarfile.open(fileobj=io.BytesIO(ours)) as tf:
+        assert tf.getnames() == [_LONG]
+        assert tf.extractfile(_LONG).read() == b"hello"
+    assert M.decode_tar(ours)[0]["name"] == _LONG
+
+
+def test_tar_pax_rejects_malformed():
+    with pytest.raises(ValueError, match="name too long"):
+        M.encode_tar([(_LONG, 1, b"x")])  # fmt defaults to ustar
+    with pytest.raises(ValueError, match="dangling"):
+        recs = M._pax_records({"path": "x"})
+        pay = (
+            bytes(M._tar_block(b"PaxHeaders.0/x", len(recs), 0, b"x"))
+            + M._tar_pad(recs)
+            + bytes(1024)
+        )
+        M.decode_tar(pay)
+    with pytest.raises(ValueError, match="PAX record length"):
+        bad = b"999 path=x\n"
+        pay = (
+            bytes(M._tar_block(b"PaxHeaders.0/x", len(bad), 0, b"x"))
+            + M._tar_pad(bad)
+            + bytes(M._tar_block(b"f", 1, 0, b"0"))
+            + M._tar_pad(b"z")
+            + bytes(1024)
+        )
+        M.decode_tar(pay)
+    with pytest.raises(ValueError, match="non-UTF-8 member name"):
+        raw = bytearray(M.encode_tar([("f.bin", 1, b"x")]))
+        raw[0:2] = b"\xff\xfe"
+        blanked = bytes(raw[:148]) + b" " * 8 + bytes(raw[156:512])
+        raw[148:155] = f"{sum(blanked):06o}".encode() + b"\x00"
+        raw[155] = 0x20
+        M.decode_tar(bytes(raw))
+
+
+def test_zip_streamed_bit3_interop_with_stdlib():
+    """zipfile writing to a non-seekable sink emits bit-3 members (zero
+    local sizes + trailing data descriptor) — the wild 'streamed zip'
+    shape; our reader walks them via the central directory and verifies
+    the descriptor."""
+    import io
+    import zipfile
+
+    class NoSeek:
+        def __init__(self):
+            self.b = io.BytesIO()
+
+        def write(self, d):
+            return self.b.write(d)
+
+        def flush(self):
+            pass
+
+        def seekable(self):
+            return False
+
+    w = NoSeek()
+    with zipfile.ZipFile(w, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a/b.py", b"print(1)\n" * 10)
+        zf.writestr("c.txt", b"stored-ish")
+    got = M.decode_zip(w.b.getvalue())
+    assert [(m["name"], m["streamed"]) for m in got] == [
+        ("a/b.py", True),
+        ("c.txt", True),
+    ]
+    assert got[0]["content"] == b"print(1)\n" * 10
+
+    # our streamed members (with and without the PK\x07\x08 signature —
+    # both legal) extract with zipfile and with our own reader
+    ours = M.encode_zip(
+        [("x.py", b"hello" * 20, True, True), ("odd", b"yo", False, True)]
+    )
+    zf = zipfile.ZipFile(io.BytesIO(ours))
+    assert zf.read("x.py") == b"hello" * 20 and zf.read("odd") == b"yo"
+    assert all(m["streamed"] for m in M.decode_zip(ours))
+
+
+def test_zip_streamed_descriptor_mismatch_rejected():
+    ours = bytearray(M.encode_zip([("x", b"payload", False, True)]))
+    # corrupt the descriptor CRC (local header 30 + name 1 + data 7 + sig 4)
+    ours[30 + 1 + 7 + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="data descriptor"):
+        M.decode_zip(bytes(ours))
+
+
+def test_zip_zip64_rejected_explicitly():
+    """True ZIP64 markers — an EOCD64 locator before the EOCD, sentinel
+    counts in the EOCD, or sentinel sizes in a central entry — are
+    rejected with a clear message, not mis-walked.  A local-header-only
+    ZIP64 extra (stdlib force_zip64 on a small member) keeps a 32-bit
+    central directory and MUST still decode: the central directory is
+    the authority."""
+    base = M.encode_zip([("x", b"data", False)])
+    eocd_at = len(base) - 22
+
+    # EOCD64 locator ("PK\x06\x07" + 16 bytes) immediately before EOCD
+    pay = base[:eocd_at] + b"PK\x06\x07" + bytes(16) + base[eocd_at:]
+    with pytest.raises(ValueError, match="ZIP64.*locator"):
+        M.decode_zip(pay)
+
+    # sentinel entry count in the EOCD
+    pay = bytearray(base)
+    struct.pack_into("<HH", pay, eocd_at + 8, 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="ZIP64.*sentinel"):
+        M.decode_zip(bytes(pay))
+
+    # sentinel uncompressed size in the central entry
+    pay = bytearray(base)
+    cd_at = pay.find(M._ZIP_CENTRAL)
+    struct.pack_into("<I", pay, cd_at + 24, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="ZIP64|sentinel|CRC|size"):
+        M.decode_zip(bytes(pay))
+
+    # stdlib force_zip64 small member: local ZIP64 extra only -> decodes
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        with zf.open("big.bin", "w", force_zip64=True) as f:
+            f.write(b"tiny")
+    got = M.decode_zip(buf.getvalue())
+    assert got[0]["content"] == b"tiny"
+
+
+def test_zip_name_encodings():
+    """Names decode per APPNOTE: cp437 without the EFS flag, UTF-8 with
+    it (zipfile sets EFS for non-ASCII names)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("café.txt", b"z")
+        zf.writestr("plain.txt", b"y")
+    names = [m["name"] for m in M.decode_zip(buf.getvalue())]
+    assert names == ["café.txt", "plain.txt"]
+    # raw cp437 high bytes (no EFS flag in our encoder) decode via cp437
+    name_437 = b"caf\x82".decode("cp437")  # 0x82 is é in cp437
+    got = M.decode_zip(M.encode_zip([(name_437, b"z", False)]))
+    assert got[0]["name"] == name_437
+
+
+def test_zip_ambiguous_eocd_rejected():
+    """Two byte-plausible EOCD records (a fake one embedded in a
+    comment whose length field happens to close the file) is ambiguity,
+    not a guess."""
+    pay = bytearray(M.encode_zip([("x", b"data", False)]))
+    # real EOCD gets a comment that CONTAINS a fake EOCD whose comment
+    # length also reaches end-of-file
+    fake = bytearray(M._ZIP_EOCD + bytes(16) + struct.pack("<H", 0))
+    struct.pack_into("<H", fake, 20, 0)  # fake's clen: 0 -> must land at EOF
+    struct.pack_into("<H", pay, len(pay) - 2, len(fake))
+    pay += fake
+    with pytest.raises(ValueError, match="ambiguous EOCD"):
+        M.decode_zip(bytes(pay))
