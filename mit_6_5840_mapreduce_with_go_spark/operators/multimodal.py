@@ -11,10 +11,13 @@ decode paths:
   P6 payloads built inside Spark, with a DuckDB oracle recomputing the
   same stats from the payload definition.
 - ``decode_image_stub`` remains the clearly-marked deterministic STUB
-  used by ``mm_decode_frames``'s plumbing oracle.  Real decoders now
-  exist for PNG (``multimodal2.decode_png``) and baseline JPEG, both
-  grayscale and 4:2:0/4:4:4 YCbCr color (``multimodal3``); only
-  progressive JPEG and exotic sampling layouts remain out of surface.
+  used by ``mm_decode_frames``'s plumbing oracle.
+- ``decode_image_auto`` is the magic-byte dispatcher over the package's
+  ten real decoders (PPM here; PNG in multimodal2; baseline JPEG in
+  multimodal3; WAV/Y4M in multimodal4; GIF in multimodal6; QOI in
+  multimodal7; progressive JPEG in multimodal8; BMP in multimodal9) —
+  the content-based routing a real ingest pipeline runs on an
+  undifferentiated payload column.
 
 Either way the plumbing — binary column construction, schema, Arrow
 batching, the mapInPandas signature and partitioning — is the real
@@ -58,14 +61,114 @@ def decode_image_stub(payload: bytes) -> dict:
     return {"width": 64 + n % 1024, "height": 64 + (n * 7) % 768, "n_frames": 1 + n % 30}
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - by design
-    raise NotImplementedError(
-        "general-purpose image decode (progressive JPEG, exotic sampling, "
-        "WebP/AVIF...) requires PIL/opencv, not present in this container; "
-        "PPM decodes for real via decode_ppm, PNG via "
-        "multimodal2.decode_png, baseline JPEG (gray + 4:2:0/4:4:4 color) "
-        "via multimodal3.decode_jpeg_gray/decode_jpeg_color"
-    )
+def _jpeg_sof_kind(payload: bytes) -> tuple[int, int]:
+    """Peek a JPEG's frame type without decoding: walk the marker
+    stream to the first SOF segment and return ``(sof_marker,
+    n_components)`` — enough to pick baseline-vs-progressive and
+    gray-vs-color.  Raises ValueError if no SOF precedes the scan."""
+    import struct as _st
+
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected JPEG marker at offset {i}")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = _st.unpack(">H", payload[i + 2 : i + 4])
+        if marker in (0xC0, 0xC1, 0xC2):
+            if i + 10 > len(payload):
+                raise ValueError("truncated SOF segment")
+            return marker, payload[i + 9]
+        if marker == 0xDA:
+            break
+        i += 2 + seglen
+    raise ValueError("no SOF marker before the first scan")
+
+
+def decode_image_auto(payload: bytes) -> dict:
+    """General-purpose media decode by MAGIC BYTES — the dispatch a
+    real ingest pipeline runs when a lake column holds undifferentiated
+    payload bytes.  Routes to the package's real decoders (every one a
+    from-scratch public-spec implementation): PPM, PNG (incl. Adam7),
+    baseline JPEG gray/color (all supported samplings), progressive
+    (SOF2) JPEG gray/color, GIF, QOI, BMP, WAV, and Y4M.  Returns the
+    routed decoder's dict with a ``format`` key prepended; raises
+    ValueError on unrecognized or malformed payloads.
+
+    This retires the former ``decode_image_real`` NotImplementedError
+    stub: the suffix dispatch ``mm_webdataset_ingest_stats`` does per
+    member name, done on content instead."""
+    if payload.startswith(b"P6"):
+        out = decode_ppm(payload)
+        fmt = "ppm"
+    elif payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        from .multimodal2 import decode_png
+
+        out = decode_png(payload)
+        fmt = "png"
+    elif payload.startswith(b"\xff\xd8"):
+        sof, ncomp = _jpeg_sof_kind(payload)
+        if ncomp not in (1, 3):
+            raise ValueError(f"unsupported JPEG component count {ncomp}")
+        if sof == 0xC2:
+            from .multimodal8 import (
+                decode_jpeg_progressive_color,
+                decode_jpeg_progressive_gray,
+            )
+
+            out = (
+                decode_jpeg_progressive_gray(payload)
+                if ncomp == 1
+                else decode_jpeg_progressive_color(payload)
+            )
+            fmt = "jpeg_progressive_gray" if ncomp == 1 else "jpeg_progressive_color"
+        else:
+            from .multimodal3 import decode_jpeg_color, decode_jpeg_gray
+
+            out = (
+                decode_jpeg_gray(payload)
+                if ncomp == 1
+                else decode_jpeg_color(payload)
+            )
+            fmt = "jpeg_gray" if ncomp == 1 else "jpeg_color"
+    elif payload.startswith((b"GIF87a", b"GIF89a")):
+        from .multimodal6 import decode_gif
+
+        out = decode_gif(payload)
+        fmt = "gif"
+    elif payload.startswith(b"qoif"):
+        from .multimodal7 import decode_qoi
+
+        out = decode_qoi(payload)
+        fmt = "qoi"
+    elif payload.startswith(b"BM"):
+        from .multimodal9 import decode_bmp
+
+        out = decode_bmp(payload)
+        fmt = "bmp"
+    elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        from .multimodal4 import decode_wav
+
+        out = decode_wav(payload)
+        fmt = "wav"
+    elif payload.startswith(b"YUV4MPEG2"):
+        from .multimodal4 import decode_y4m_sampled
+
+        frames = decode_y4m_sampled(payload, 1)
+        out = {
+            "n_frames": len(frames),
+            "width": frames[0]["width"] if frames else 0,
+            "height": frames[0]["height"] if frames else 0,
+            "sum_y": sum(f["sum_y"] for f in frames),
+        }
+        fmt = "y4m"
+    else:
+        raise ValueError(
+            f"unrecognized payload (first bytes {payload[:8]!r})"
+        )
+    return {"format": fmt, **out}
 
 
 def decode_ppm(payload: bytes) -> dict:
@@ -624,4 +727,145 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst_w.alias("dst_w"),
         dst_h.alias("dst_h"),
         ((F.col("w") * F.col("h")) >= (dst_w * dst_h)).alias("is_downscale"),
+    )
+
+
+# --------------------------------------------------------------------------
+# magic-byte auto-dispatch, end-to-end (round 7)
+# --------------------------------------------------------------------------
+
+# Mixed-format corpus: one shared planted-pixel formula across the four
+# RGB formats so the oracle computes ONE sum; GIF is palette-indexed
+# with its own integer palette formula.
+_AUTO_FMTS = ("ppm", "png", "qoi", "bmp", "gif")
+
+
+def _auto_dims(doc_id: int) -> tuple[int, int]:
+    return 3 + doc_id % 5, 2 + doc_id % 4
+
+
+def _auto_pix(doc_id: int, x: int, y: int, c: int) -> int:
+    return (doc_id * 11 + x * 7 + y * 19 + c * 23) % 256
+
+
+def _auto_payload(doc_id: int) -> bytes:
+    from .multimodal2 import encode_png
+    from .multimodal6 import encode_gif
+    from .multimodal7 import encode_qoi
+    from .multimodal9 import encode_bmp
+
+    fam = doc_id % 5
+    w, h = _auto_dims(doc_id)
+    pix = lambda x, y, c, d=doc_id: _auto_pix(d, x, y, c)  # noqa: E731
+    if fam == 0:
+        raster = bytes(
+            pix(x, y, c) for y in range(h) for x in range(w) for c in range(3)
+        )
+        return f"P6\n{w} {h}\n255\n".encode() + raster
+    if fam == 1:
+        return encode_png(w, h, pix)
+    if fam == 2:
+        return encode_qoi(w, h, lambda x, y: (pix(x, y, 0), pix(x, y, 1), pix(x, y, 2)))
+    if fam == 3:
+        return encode_bmp(w, h, pix)
+    palette = [
+        (
+            (doc_id + i * 31) % 256,
+            (doc_id * 3 + i * 17) % 256,
+            (doc_id * 5 + i * 13) % 256,
+        )
+        for i in range(8)
+    ]
+    return encode_gif(w, h, palette, lambda x, y, d=doc_id: (d + x + y * 3) % 8)
+
+
+@query(
+    "mm_decode_auto_dispatch_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 5 AS fam,
+             3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+      FROM documents),
+    rgb AS (
+      SELECT doc_id,
+             sum((doc_id * 11 + (((t.j - 1) // 3) % w) * 7
+                  + ((t.j - 1) // (3 * w)) * 19
+                  + ((t.j - 1) % 3) * 23) % 256) AS s
+      FROM d, unnest(generate_series(1, CAST(w * h * 3 AS INT))) AS t(j)
+      WHERE fam < 4 GROUP BY doc_id),
+    gif AS (
+      SELECT doc_id,
+             sum((doc_id + ((doc_id + ((t.j - 1) % w)
+                             + ((t.j - 1) // w) * 3) % 8) * 31) % 256
+                 + (doc_id * 3 + ((doc_id + ((t.j - 1) % w)
+                                   + ((t.j - 1) // w) * 3) % 8) * 17) % 256
+                 + (doc_id * 5 + ((doc_id + ((t.j - 1) % w)
+                                   + ((t.j - 1) // w) * 3) % 8) * 13) % 256)
+               AS s
+      FROM d, unnest(generate_series(1, CAST(w * h AS INT))) AS t(j)
+      WHERE fam = 4 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE fam WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'qoi'
+                    WHEN 3 THEN 'bmp' ELSE 'gif' END AS format,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(coalesce(rgb.s, gif.s) AS BIGINT) AS byte_sum
+    FROM d
+    LEFT JOIN rgb ON rgb.doc_id = d.doc_id
+    LEFT JOIN gif ON gif.doc_id = d.doc_id
+    """,
+)
+def mm_decode_auto_dispatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte dispatch end-to-end: a mixed-format payload column
+    (PPM/PNG/QOI/BMP/GIF cycling by doc_id, one shared planted-pixel
+    formula for the RGB formats, an integer palette for GIF) is decoded
+    by ``decode_image_auto`` — routing on CONTENT, with no format hint —
+    and the per-document format tag, dimensions, and total sample sum
+    are value-hash-checked against the DuckDB re-derivation.  A wrong
+    route (e.g. QOI bytes hitting the BMP parser) errors or changes
+    byte_sum; a right route through a wrong decoder breaks the hash the
+    same way the single-format queries do.
+
+    Scale shape: two narrow stateless mapInPandas stages, no shuffle —
+    identical to the rest of the decode family; at 100 TB the encode
+    stage is replaced by real mixed payload bytes from the lake and the
+    dispatch walk is unchanged (this IS the undifferentiated-column
+    ingest case the dispatcher exists for)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_auto_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                out = decode_image_auto(bytes(p))
+                if out["format"] in ("ppm", "png"):
+                    byte_sum = out["sum_px"]
+                else:
+                    byte_sum = out["sum_r"] + out["sum_g"] + out["sum_b"]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "format": out["format"],
+                        "width": out["width"],
+                        "height": out["height"],
+                        "n_px": out["width"] * out["height"],
+                        "byte_sum": byte_sum,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, format string, width long, height long, "
+        "n_px long, byte_sum long",
     )

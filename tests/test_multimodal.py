@@ -23,9 +23,11 @@ def test_decode_stub_deterministic():
     assert set(out1) == {"width", "height", "n_frames"}
 
 
-def test_decode_real_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_image_real(b"x")
+def test_decode_real_stub_retired():
+    """Round 7 retired the decode_image_real NotImplementedError stub in
+    favor of decode_image_auto (magic-byte dispatch over the ten real
+    decoders)."""
+    assert not hasattr(M, "decode_image_real")
 
 
 def test_decode_frames_matches_stub_locally(spark, sf_dir):
@@ -163,3 +165,81 @@ def test_decode_ppm_stats_consistency(spark):
         assert r["n_px"] == r["width"] * r["height"] * 3
         assert 0 <= r["min_px"] <= r["max_px"] <= 255
         assert r["min_px"] * r["n_px"] <= r["sum_px"] <= r["max_px"] * r["n_px"]
+
+
+# --------------------------------------------------------------------------
+# round 7: magic-byte dispatcher over the ten real decoders
+# --------------------------------------------------------------------------
+
+
+def test_decode_image_auto_routes_all_ten_formats():
+    """decode_image_auto recognizes every format the package decodes for
+    real — by CONTENT, not name — and returns the routed decoder's
+    stats under a format tag."""
+    from mit_6_5840_mapreduce_with_go_spark.operators import (
+        multimodal2 as M2,
+        multimodal3 as M3,
+        multimodal4 as M4,
+        multimodal6 as M6,
+        multimodal7 as M7,
+        multimodal8 as M8,
+        multimodal9 as M9,
+    )
+
+    pix = lambda x, y, c: (x * 7 + y * 19 + c * 11) % 256  # noqa: E731
+    pix3 = lambda x, y: (pix(x, y, 0), pix(x, y, 1), pix(x, y, 2))  # noqa: E731
+
+    ppm = b"P6\n4 3\n255\n" + bytes(
+        pix(x, y, c) for y in range(3) for x in range(4) for c in range(3)
+    )
+    payloads = {
+        "ppm": ppm,
+        "png": M2.encode_png(4, 3, pix),
+        "jpeg_gray": M3.encode_jpeg_gray(16, 16, lambda bx, by: 77),
+        "jpeg_color": M3.encode_jpeg_ycbcr(
+            16, 16, lambda bx, by: 90, lambda bx, by: 120, lambda bx, by: 140
+        ),
+        "jpeg_progressive_gray": M8.encode_jpeg_progressive(
+            16, 16, [(1, 1, lambda x, y: 64)], ac_al=1
+        ),
+        "gif": M6.encode_gif(
+            4, 3, [(i, (i * 3) % 256, (i * 7) % 256) for i in range(8)],
+            lambda x, y: (x + y) % 8,
+        ),
+        "qoi": M7.encode_qoi(4, 3, pix3),
+        "bmp": M9.encode_bmp(4, 3, pix),
+        "wav": M4.encode_wav(100, lambda i: (i * 3) % 2000 - 1000),
+        "y4m": M4.encode_y4m(16, 12, 3, lambda f, x, y: (f + x + y) % 256),
+    }
+    for fmt, pay in payloads.items():
+        out = M.decode_image_auto(pay)
+        assert out["format"] == fmt, (fmt, out["format"])
+
+    # routed output == direct decoder output (spot-check three)
+    assert M.decode_image_auto(payloads["ppm"]) == {
+        "format": "ppm", **M.decode_ppm(payloads["ppm"])
+    }
+    assert M.decode_image_auto(payloads["bmp"]) == {
+        "format": "bmp", **M9.decode_bmp(payloads["bmp"])
+    }
+    assert M.decode_image_auto(payloads["qoi"]) == {
+        "format": "qoi", **M7.decode_qoi(payloads["qoi"])
+    }
+    # y4m summary aggregates the per-frame walk
+    y = M.decode_image_auto(payloads["y4m"])
+    assert (y["n_frames"], y["width"], y["height"]) == (3, 16, 12)
+    assert y["sum_y"] == sum((f + x + y) % 256
+                             for f in range(3) for y in range(12) for x in range(16))
+
+
+def test_decode_image_auto_rejects_unknown_and_malformed():
+    with pytest.raises(ValueError, match="unrecognized payload"):
+        M.decode_image_auto(b"\x00\x01\x02\x03 not a known magic")
+    with pytest.raises(ValueError, match="unrecognized payload"):
+        M.decode_image_auto(b"")
+    # known magic, malformed body -> the routed decoder's ValueError
+    with pytest.raises(ValueError):
+        M.decode_image_auto(b"\x89PNG\r\n\x1a\n" + b"garbage")
+    # JPEG SOI but no SOF: the peek itself rejects
+    with pytest.raises(ValueError, match="SOF"):
+        M.decode_image_auto(b"\xff\xd8\xff\xd9")
