@@ -99,7 +99,36 @@ def encode_gzip_member(
 def decode_gzip_member(payload: bytes) -> dict:
     """REAL gzip-member parse: see the module docstring for coverage.
     Returns header metadata plus the decompressed bytes.  Raises
-    ValueError on malformed input."""
+    ValueError on malformed input (including trailing bytes — use
+    ``decode_gzip_stream`` for multi-member files)."""
+    m, consumed = _gzip_member_parse(payload)
+    if consumed != len(payload):
+        raise ValueError(
+            f"{len(payload) - consumed} bytes of trailing garbage "
+            f"(multi-member streams not supported)"
+        )
+    return m
+
+
+def decode_gzip_stream(payload: bytes) -> list[dict]:
+    """Concatenated gzip members (RFC 1952 §2.2 allows them; the
+    Common-Crawl WARC convention is exactly one member per record).
+    Each member gets the full header/trailer verification of
+    ``decode_gzip_member``."""
+    if not payload:
+        raise ValueError("empty gzip stream")
+    members = []
+    i = 0
+    while i < len(payload):
+        m, consumed = _gzip_member_parse(payload[i:])
+        members.append(m)
+        i += consumed
+    return members
+
+
+def _gzip_member_parse(payload: bytes) -> tuple[dict, int]:
+    """Parse ONE gzip member at the start of ``payload``; returns the
+    member dict and the number of bytes it occupies."""
     if len(payload) < 18:
         raise ValueError("truncated gzip member (shorter than header + trailer)")
     if payload[:2] != _GZ_MAGIC:
@@ -146,23 +175,19 @@ def decode_gzip_member(payload: bytes) -> dict:
     trailer = d.unused_data
     if len(trailer) < 8:
         raise ValueError("truncated gzip trailer")
-    if len(trailer) > 8:
-        raise ValueError(
-            f"{len(trailer) - 8} bytes of trailing garbage "
-            f"(multi-member streams not supported)"
-        )
-    crc, isize = struct.unpack("<II", trailer)
+    crc, isize = struct.unpack("<II", trailer[:8])
     if crc != zlib.crc32(data) & 0xFFFFFFFF:
         raise ValueError("body CRC-32 mismatch")
     if isize != len(data) & 0xFFFFFFFF:
         raise ValueError(f"ISIZE {isize} != decompressed length {len(data)}")
-    return {
+    member = {
         "mtime": mtime,
         "ftext": bool(flg & _FTEXT),
         "fname": fname,
         "fcomment": fcomment,
         "data": data,
     }
+    return member, len(payload) - (len(trailer) - 8)
 
 
 # Planted text: n tokens, token i = (doc_id * 7 + i * 13) % 1000, space-

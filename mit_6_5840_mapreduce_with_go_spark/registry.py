@@ -139,6 +139,7 @@ def load_all() -> None:
         multimodal7,
         multimodal8,
         multimodal9,
+        multimodal10,
         pipelines,
         privacy,
         projection,

@@ -1,0 +1,112 @@
+"""WARC walk (ISO 28500): record round-trip, Common-Crawl .warc.gz
+member-per-record composite, malformed-record rejection, and the
+end-to-end query's stats against the planted-crawl definition."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from mit_6_5840_mapreduce_with_go_spark.operators import multimodal10 as W
+from mit_6_5840_mapreduce_with_go_spark.operators import multimodal9 as M9
+
+
+def _rec(t="response", content=b"hello world", **kw):
+    kw.setdefault("record_id", "test-1")
+    kw.setdefault("target_uri", "http://ex.com/a" if t != "warcinfo" else None)
+    return W.encode_warc_record(t, content, **kw)
+
+
+def test_warc_roundtrip_plain():
+    pay = (
+        _rec("warcinfo", b"software: x", record_id="i", target_uri=None)
+        + _rec("request", b"GET /a", record_id="q")
+        + _rec("response", b"<html>hi</html>", record_id="r")
+    )
+    recs = W.decode_warc(pay)
+    assert [r["type"] for r in recs] == ["warcinfo", "request", "response"]
+    assert recs[2]["content"] == b"<html>hi</html>"
+    assert recs[2]["uri"] == "http://ex.com/a"
+    assert recs[0]["uri"] is None
+    assert recs[1]["record_id"] == "<urn:uuid:q>"
+
+
+def test_warc_header_names_case_insensitive():
+    pay = bytearray(_rec())
+    # uppercase a header name: WARC-TYPE
+    i = pay.find(b"WARC-Type")
+    pay[i : i + 9] = b"WARC-TYPE"
+    assert W.decode_warc(bytes(pay))[0]["type"] == "response"
+
+
+def test_warc_body_may_contain_separators():
+    """Content-Length delimits the body — a body full of CRLFCRLF and
+    fake version lines must NOT desynchronize the walk."""
+    evil = b"\r\n\r\nWARC/1.0\r\n\r\n" * 3
+    pay = _rec(content=evil) + _rec(content=b"after", record_id="x")
+    recs = W.decode_warc(pay)
+    assert recs[0]["content"] == evil and recs[1]["content"] == b"after"
+
+
+def test_warc_rejects_malformed():
+    good = _rec()
+    with pytest.raises(ValueError, match="bad WARC version"):
+        W.decode_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="empty WARC"):
+        W.decode_warc(b"")
+    with pytest.raises(ValueError, match="missing record separator"):
+        W.decode_warc(good[:-1])
+    with pytest.raises(ValueError, match="truncated body"):
+        # inflate Content-Length past the payload
+        W.decode_warc(good.replace(b"Content-Length: 11", b"Content-Length: 99"))
+    with pytest.raises(ValueError, match="non-numeric Content-Length"):
+        W.decode_warc(good.replace(b"Content-Length: 11", b"Content-Length: ab"))
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        W.decode_warc(good.replace(b"Content-Length: 11", b"X-Other: 1"))
+    with pytest.raises(ValueError, match="duplicate header"):
+        W.decode_warc(
+            good.replace(b"WARC-Date:", b"Content-Length: 11\r\nWARC-Date:")
+        )
+    with pytest.raises(ValueError, match="malformed header line"):
+        W.decode_warc(good.replace(b"Content-Type: ", b"Content-Type= "))
+    with pytest.raises(ValueError, match="missing mandatory field"):
+        W.decode_warc(good.replace(b"WARC-Date: ", b"X-Date: "))
+
+
+def test_warc_gz_member_per_record():
+    """The Common-Crawl layout: each record its own gzip member.  Our
+    members also decompress with the stdlib (cross-validation), and a
+    stdlib-compressed record parses back."""
+    pay = W._warc_crawl(7)
+    recs = W.decode_warc_gz(pay)
+    assert recs[0]["type"] == "warcinfo"
+    assert [r["type"] for r in recs[1:]] == ["request", "response"] * 2
+    # stdlib agrees member-by-member
+    assert gzip.decompress(pay) == b"".join(
+        m["data"] for m in M9.decode_gzip_stream(pay)
+    )
+    std = gzip.compress(_rec())
+    assert W.decode_warc_gz(std)[0]["content"] == b"hello world"
+
+
+def test_warc_gz_rejects_multi_record_member():
+    two = _rec(record_id="a") + _rec(record_id="b")
+    with pytest.raises(ValueError, match="holds 2 records"):
+        W.decode_warc_gz(M9.encode_gzip_member(two))
+
+
+def test_warc_query_consistency(spark):
+    rows = W.mm_decode_warc_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        k = 1 + d % 3
+        toks = [W._warc_tokens(d, s) for s in range(k)]
+        assert r["n_records"] == 1 + 2 * k
+        assert r["n_responses"] == k
+        assert r["resp_n_tokens"] == sum(len(t) for t in toks)
+        assert r["resp_token_sum"] == sum(sum(t) for t in toks)
+        assert r["resp_bytes"] == sum(
+            len(" ".join(str(v) for v in t)) for t in toks
+        )
