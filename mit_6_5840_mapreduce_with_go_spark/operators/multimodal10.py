@@ -336,3 +336,230 @@ def mm_decode_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resp_n_tokens long, resp_token_sum long, resp_bytes long, "
         "req_bytes long, uri_len_sum long, info_bytes long",
     )
+
+
+# --------------------------------------------------------------------------
+# long-name tar (PAX / GNU) and streamed (bit-3) ZIP — oracle-gated
+# --------------------------------------------------------------------------
+
+# PAX/GNU corpus: names deliberately straddle the 100-byte USTAR limit
+# (90..129-char middle segment) and even docs carry mtimes beyond the
+# 11-digit octal field (forcing PAX mtime records); even docs encode
+# PAX, odd docs old-GNU longnames — the two wild long-name mechanisms.
+
+
+def _pax_members(doc_id: int) -> list[tuple[str, int, bytes]]:
+    k = 2 + doc_id % 3
+    out = []
+    for m in range(k):
+        mid = "x" * (90 + (doc_id + m) % 40)
+        name = f"shard_{doc_id}/{mid}/{m}.bin"
+        if doc_id % 2 == 0:
+            mtime = 8**11 + doc_id + m
+        else:
+            mtime = doc_id * 60 + m
+        ln = 8 + (doc_id + 2 * m) % 24
+        content = bytes((doc_id * 5 + m * 11 + j) % 256 for j in range(ln))
+        out.append((name, mtime, content))
+    return out
+
+
+@query(
+    "mm_decode_tar_pax_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+    mem AS (
+      SELECT doc_id, k, t.i - 1 AS m,
+             6 + length(CAST(doc_id AS VARCHAR)) + 1
+               + 90 + (doc_id + t.i - 1) % 40
+               + 1 + length(CAST(t.i - 1 AS VARCHAR)) + 4 AS name_len,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 8589934592 + doc_id + t.i - 1
+                  ELSE doc_id * 60 + t.i - 1 END AS mtime,
+             8 + (doc_id + 2 * (t.i - 1)) % 24 AS ln
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS t(i)),
+    b AS (
+      SELECT doc_id, k, m, name_len, mtime, ln,
+             (SELECT sum((doc_id * 5 + m * 11 + u.j - 1) % 256)
+              FROM unnest(generate_series(1, CAST(ln AS INT))) AS u(j))
+               AS csum
+      FROM mem)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN name_len > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long_names,
+           CAST(sum(name_len) AS BIGINT) AS name_len_sum,
+           CAST(sum(mtime) AS BIGINT) AS mtime_sum,
+           CAST(sum(ln) AS BIGINT) AS total_size,
+           CAST(sum(csum) AS BIGINT) AS content_sum,
+           CAST(sum(csum * m) AS BIGINT) AS content_wsum
+    FROM b GROUP BY doc_id, k
+    """,
+)
+def mm_decode_tar_pax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-name shard walk end-to-end: per document, members whose
+    names straddle the 100-byte USTAR limit are packed with the PAX
+    mechanism (even docs — including mtimes beyond the octal field,
+    riding in x-header records) or old-GNU L-entries (odd docs), then
+    walked back by the single decode_tar path.  The DuckDB oracle
+    re-derives name lengths (the full long names, not the truncated
+    header field), mtimes (including the PAX overrides), and content
+    statistics — a reader that returns the truncated header name or
+    misses an mtime record breaks the value hash.  8589934592 = 8^11,
+    the first mtime the octal field cannot hold.
+
+    Scale shape: two narrow stateless mapInPandas stages, no shuffle —
+    the standard container-family plan (multimodal9)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    from .multimodal9 import decode_tar, encode_tar
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_tar(
+                    _pax_members(int(d)),
+                    fmt="pax" if int(d) % 2 == 0 else "gnu",
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                ms = decode_tar(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_members": len(ms),
+                        "n_long_names": sum(
+                            1 for m in ms if len(m["name"]) > 100
+                        ),
+                        "name_len_sum": sum(len(m["name"]) for m in ms),
+                        "mtime_sum": sum(m["mtime"] for m in ms),
+                        "total_size": sum(m["size"] for m in ms),
+                        "content_sum": sum(sum(m["content"]) for m in ms),
+                        "content_wsum": sum(
+                            sum(m["content"]) * i for i, m in enumerate(ms)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_members long, n_long_names long, "
+        "name_len_sum long, mtime_sum long, total_size long, "
+        "content_sum long, content_wsum long",
+    )
+
+
+# Streamed-ZIP corpus: even members are written the non-seekable way
+# (bit 3, zeroed local sizes, trailing data descriptor — with the
+# optional PK\x07\x08 signature on even-length names), odd members the
+# seekable way; stored/deflate alternates independently.
+
+
+def _zips_members(doc_id: int) -> list[tuple[str, bytes, bool, bool]]:
+    k = 2 + doc_id % 4
+    out = []
+    for m in range(k):
+        ln = 12 + (doc_id + 3 * m) % 26
+        content = bytes((doc_id * 7 + m * 3 + j) % 256 for j in range(ln))
+        out.append(
+            (f"s{doc_id}/{m}.js", content, bool((doc_id + m) % 2), m % 2 == 0)
+        )
+    return out
+
+
+@query(
+    "mm_decode_zip_stream_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS k FROM documents),
+    mem AS (
+      SELECT doc_id, k, t.i - 1 AS m,
+             12 + (doc_id + 3 * (t.i - 1)) % 26 AS ln,
+             (doc_id + t.i - 1) % 2 AS deflated,
+             CASE WHEN (t.i - 1) % 2 = 0 THEN 1 ELSE 0 END AS streamed
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS t(i)),
+    b AS (
+      SELECT doc_id, k, m, ln, deflated, streamed,
+             (SELECT sum((doc_id * 7 + m * 3 + u.j - 1) % 256)
+              FROM unnest(generate_series(1, CAST(ln AS INT))) AS u(j))
+               AS csum
+      FROM mem)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS n_members,
+           CAST(sum(streamed) AS BIGINT) AS n_streamed,
+           CAST(sum(deflated) AS BIGINT) AS n_deflated,
+           CAST(sum(ln) AS BIGINT) AS total_size,
+           CAST(sum(length('s' || CAST(doc_id AS VARCHAR) || '/'
+                           || CAST(m AS VARCHAR) || '.js')) AS BIGINT)
+             AS name_len_sum,
+           CAST(sum(csum) AS BIGINT) AS content_sum,
+           CAST(sum(csum * m) AS BIGINT) AS content_wsum
+    FROM b GROUP BY doc_id, k
+    """,
+)
+def mm_decode_zip_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-ZIP walk end-to-end: per document, a mix of bit-3
+    (data-descriptor) and seekable members, stored and deflated, is
+    read back the spec's way — central directory as the authority,
+    zeroed local sizes enforced for streamed members, trailing
+    descriptors verified against the central values, per-member CRC-32.
+    The DuckDB oracle re-derives the member definition including the
+    streamed count — a reader that trusts local headers dies on the
+    zeroed sizes; one that skips descriptor verification is caught by
+    the mutation test in tests/test_multimodal10.py.
+
+    Scale shape: two narrow stateless mapInPandas stages, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    from .multimodal9 import decode_zip, encode_zip
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_zip(_zips_members(int(d))) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                ms = decode_zip(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_members": len(ms),
+                        "n_streamed": sum(1 for m in ms if m["streamed"]),
+                        "n_deflated": sum(1 for m in ms if m["method"] == 8),
+                        "total_size": sum(len(m["content"]) for m in ms),
+                        "name_len_sum": sum(len(m["name"]) for m in ms),
+                        "content_sum": sum(sum(m["content"]) for m in ms),
+                        "content_wsum": sum(
+                            sum(m["content"]) * i for i, m in enumerate(ms)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_members long, n_streamed long, "
+        "n_deflated long, total_size long, name_len_sum long, "
+        "content_sum long, content_wsum long",
+    )

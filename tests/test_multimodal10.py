@@ -110,3 +110,28 @@ def test_warc_query_consistency(spark):
         assert r["resp_bytes"] == sum(
             len(" ".join(str(v) for v in t)) for t in toks
         )
+
+
+def test_tar_pax_query_consistency(spark):
+    rows = W.mm_decode_tar_pax_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        ms = W._pax_members(r["doc_id"])
+        assert r["n_members"] == len(ms)
+        assert r["n_long_names"] == sum(1 for n, _, _ in ms if len(n) > 100)
+        assert r["n_long_names"] >= 1  # the corpus exercises the long path
+        assert r["name_len_sum"] == sum(len(n) for n, _, _ in ms)
+        assert r["mtime_sum"] == sum(t for _, t, _ in ms)
+        assert r["content_sum"] == sum(sum(c) for _, _, c in ms)
+
+
+def test_zip_stream_query_consistency(spark):
+    rows = W.mm_decode_zip_stream_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        ms = W._zips_members(r["doc_id"])
+        assert r["n_members"] == len(ms)
+        assert r["n_streamed"] == sum(1 for m in ms if m[3])
+        assert r["n_streamed"] >= 1
+        assert r["n_deflated"] == sum(1 for m in ms if m[2])
+        assert r["content_sum"] == sum(sum(m[1]) for m in ms)
