@@ -38,75 +38,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict insertion order).  The window ROTATES each
 # round so the hard cross-engine signal accumulates across the registry:
-# round 1 pinned the TPC-H sweep + flagships, round 2 the session-2/3
-# flagships, rounds 3/4 the dedup/ANN/curation/text families, round 5
-# the stitched/events/sketch/layout families (all 50/50 green —
-# CORRECTNESS_r01–r05.json, cumulative 182/258).  This round-6 window:
-# 49 queries that have NEVER had a driver-green row — led by the 15
-# round-5 multimodal decode/dedup/video queries, this round's new
-# progressive-JPEG decode, and the bench-headline stragglers — plus 1
-# continuity row (mr_wordcount).  Cumulative driver-verified after
-# this window: 231/259.  Everything rotated out stays mirror-checked
-# by tools/check_correctness.py over all queries.
+# rounds 1-6 pinned the TPC-H sweep, the session flagships, the
+# dedup/ANN/curation/text families, the stitched/events/sketch/layout
+# families, and the round-5/6 multimodal suite (all 50/50 green --
+# CORRECTNESS_r01-r06.json, cumulative 231/266).  This round-7 window
+# CLOSES THE LEDGER: the 35 queries that have never had a driver-green
+# row (led by the 7 round-6 container/codec queries, then the
+# stats/events/text/audit tranche), the 4 new round-7 queries (WARC,
+# auto-dispatch, PAX tar, streamed ZIP), and 11 regression
+# re-verification rows from the round-1/2 era (continuity mr_wordcount,
+# TPC-H flagships, dedup/kv flagships, and the three BENCH_r06
+# watch-list queries).  Cumulative driver-verified after this window:
+# 270/270 -- every registered query at least once.  Everything rotated
+# out stays mirror-checked by tools/check_correctness.py over all
+# queries.
 WINDOW_PRIORITY: list[str] = [
-    # MapReduce parity headline (continuity row, in every round's window)
+    # Round-6 container/codec queries (added after the r6 rotation)
+    "mm_decode_jpeg422_stats",
+    "mm_decode_jpeg_progressive_color_stats",
+    "mm_decode_gzip_stats",
+    "mm_decode_bmp_stats",
+    "mm_decode_tar_stats",
+    "mm_webdataset_ingest_stats",
+    "mm_decode_zip_stats",
+    # Round-7 additions: WARC, magic-byte dispatch, PAX tar, bit-3 ZIP
+    "mm_decode_warc_stats",
+    "mm_decode_auto_dispatch_stats",
+    "mm_decode_tar_pax_stats",
+    "mm_decode_zip_stream_stats",
+    # The stats/events/text/audit tranche (never driver-verified)
+    "profile_orders_columns",
+    "udtf_doc_sentences",
+    "events_value_histogram",
+    "udtf_doc_sentences_arrow",
+    "sim_label_cohesion",
+    "eval_ann_sign_test",
+    "stats_key_skew_profile",
+    "profile_fk_candidates",
+    "stats_approx_groupby_eval",
+    "audit_order_lineitem_recon",
+    "audit_data_contracts",
+    "stats_shrunken_source_value",
+    "audit_benford_prices",
+    "stats_correlation_matrix",
+    "stats_ks_two_sample",
+    "stats_poisson_bootstrap_ci",
+    "stats_diff_in_diff",
+    "text_langid_confusion",
+    "text_bpe_token_count",
+    "text_phrase_search",
+    "events_value_trend",
+    "events_value_outliers",
+    "events_seasonality_profile",
+    "events_mad_outliers",
+    "events_seasonal_naive_eval",
+    "events_theilsen_daily_trend",
+    "events_holt_smoothing",
+    "vocab_bpe_roundtrip",
+    # Regression re-verification (r01/r02-era rows + bench watch-list)
     "mr_wordcount",
-    # Round-5 multimodal suite: real decoders + video/audio/image dedup
-    "mm_decode_ppm_stats",
-    "mm_decode_png_stats",
-    "mm_decode_jpeg_stats",
-    "mm_decode_jpeg_color_stats",
-    "mm_decode_gif_stats",
-    "mm_decode_qoi_stats",
-    "mm_decode_wav_stats",
-    "mm_video_frame_sample",
-    "mm_video_shot_boundaries",
-    "mm_video_keyframes",
-    "mm_audio_vad_segments",
-    "mm_dedup_image_dhash",
-    "mm_dedup_audio_fingerprint",
-    "mm_dedup_image_pr_eval",
-    "mm_embedding_drift_psi",
-    # Round-6 addition: the progressive (SOF2) decode surface
-    "mm_decode_jpeg_progressive_stats",
-    # Bench-headline stragglers never driver-verified
-    "dedup_repeated_spans",
-    "sim_ivf_probe_sweep",
-    "percentile_prices_by_status",
-    # Text / curation breadth
-    "text_boilerplate_ngrams",
-    "text_quality_classifier_linear",
-    "text_unigram_logprob",
-    "text_tokenizer_fertility",
-    "behavior_journey_similarity",
-    # Pipeline / evaluation breadth
-    "pipeline_mixture_weights_exact",
-    "pipeline_padding_waste",
-    "eval_conformal_coverage",
-    "eval_markov_next_event",
-    "basket_frequent_triples",
-    "basket_association_rules",
-    # Privacy / PII family
-    "pii_doc_redaction",
-    "pii_scrub_stats",
-    "privacy_l_diversity",
-    "privacy_dp_noisy_counts",
-    # Relational breadth (scalar/agg/window/setop surfaces)
-    "groupingsets_flag_status",
-    "stats_price_moments",
-    "sample_hash_orders",
-    "scalar_string_breadth",
-    "scalar_datetime_breadth",
-    "bool_agg_discount_profile",
-    "scalar_subquery_near_max",
-    "events_trailing_hour_stats",
-    "unpivot_customer_metrics",
-    "salted_user_event_counts",
-    "setop_multiset_lineflags",
-    "window_first_last_ignore_nulls",
-    "posexplode_doc_tokens",
-    "array_agg_supplier_profile",
-    "window_dist_rank_breadth",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q18_large_volume_orders",
+    "dedup_minhash_lsh",
+    "kv_cas_replay",
+    "mr_inverted_index",
+    "sim_bm25_topk",
+    "events_sessionization",
+    "sim_topk_ivf",
+    "range_join_error_context",
 ]
 
 
