@@ -563,3 +563,271 @@ def mm_decode_zip_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_deflated long, total_size long, name_len_sum long, "
         "content_sum long, content_wsum long",
     )
+
+
+# --------------------------------------------------------------------------
+# HTTP envelope inside WARC responses (RFC 9112) — chunked + length-
+# delimited bodies, the payload-extraction step of a real crawl reader
+# --------------------------------------------------------------------------
+
+
+def encode_http_response(
+    status: int,
+    reason: str,
+    headers: list[tuple[str, str]],
+    body: bytes,
+    *,
+    chunked: bool = False,
+    chunk_size: int = 7,
+) -> bytes:
+    """Spec-valid HTTP/1.1 response bytes: status line, header fields,
+    empty line, then either a Content-Length body or a chunked
+    transfer-coding body (hex sizes, CRLF-framed chunks, 0-chunk
+    terminator — RFC 9112 §7.1)."""
+    lines = [f"HTTP/1.1 {status} {reason}".encode()]
+    lines += [f"{n}: {v}".encode() for n, v in headers]
+    if chunked:
+        lines.append(b"Transfer-Encoding: chunked")
+        out = bytearray()
+        for i in range(0, len(body), chunk_size):
+            chunk = body[i : i + chunk_size]
+            out += f"{len(chunk):x}".encode() + _CRLF + chunk + _CRLF
+        out += b"0" + _CRLF + _CRLF
+        payload = bytes(out)
+    else:
+        lines.append(f"Content-Length: {len(body)}".encode())
+        payload = body
+    return _CRLF.join(lines) + _SEP + payload
+
+
+def parse_http_response(content: bytes) -> dict:
+    """REAL HTTP/1.1 response parse: status-line validation, header
+    walk (case-insensitive names, first-wins on the framing headers we
+    consume), then body extraction by Content-Length or by walking the
+    chunked transfer-coding (hex chunk sizes with optional extensions,
+    per-chunk CRLF framing, 0-terminator, optional trailer fields).
+    Raises ValueError on malformed input (bad status line, non-integer
+    status, missing framing header, bad chunk size, chunk framing
+    violations, truncated body, length mismatch, trailing garbage)."""
+    end = content.find(_CRLF)
+    if end < 0:
+        raise ValueError("no status line")
+    parts = content[:end].split(b" ", 2)
+    if len(parts) < 2 or parts[0] not in (b"HTTP/1.1", b"HTTP/1.0"):
+        raise ValueError(f"bad status line {content[:30]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError as exc:
+        raise ValueError(f"non-integer status {parts[1]!r}") from exc
+    if not 100 <= status <= 599:
+        raise ValueError(f"status {status} out of range")
+    reason = parts[2].decode("latin-1") if len(parts) > 2 else ""
+    headers: list[tuple[str, str]] = []
+    i = end + 2
+    while True:
+        end = content.find(_CRLF, i)
+        if end < 0:
+            raise ValueError("unterminated header block")
+        line = content[i:end]
+        i = end + 2
+        if not line:
+            break
+        colon = line.find(b":")
+        if colon <= 0:
+            raise ValueError(f"malformed header line {line[:40]!r}")
+        headers.append(
+            (
+                line[:colon].decode("latin-1").strip().lower(),
+                line[colon + 1 :].decode("latin-1").strip(),
+            )
+        )
+    hmap: dict[str, str] = {}
+    for n, v in headers:
+        hmap.setdefault(n, v)
+    chunked = hmap.get("transfer-encoding", "").lower() == "chunked"
+    if chunked:
+        body = bytearray()
+        while True:
+            end = content.find(_CRLF, i)
+            if end < 0:
+                raise ValueError("unterminated chunk-size line")
+            size_token = content[i:end].split(b";")[0].strip()
+            try:
+                size = int(size_token, 16)
+            except ValueError as exc:
+                raise ValueError(
+                    f"bad chunk size {size_token!r}"
+                ) from exc
+            i = end + 2
+            if size == 0:
+                break
+            if i + size + 2 > len(content):
+                raise ValueError("truncated chunk")
+            body += content[i : i + size]
+            if content[i + size : i + size + 2] != _CRLF:
+                raise ValueError("chunk not CRLF-terminated")
+            i += size + 2
+        # optional trailer fields, then the final empty line
+        while True:
+            end = content.find(_CRLF, i)
+            if end < 0:
+                raise ValueError("unterminated chunked trailer")
+            line = content[i:end]
+            i = end + 2
+            if not line:
+                break
+            if line.find(b":") <= 0:
+                raise ValueError(f"malformed trailer line {line[:40]!r}")
+        if i != len(content):
+            raise ValueError(f"{len(content) - i} bytes after chunked body")
+        body = bytes(body)
+    else:
+        if "content-length" not in hmap:
+            raise ValueError("no Content-Length and not chunked")
+        try:
+            length = int(hmap["content-length"])
+        except ValueError as exc:
+            raise ValueError(
+                f"non-integer Content-Length {hmap['content-length']!r}"
+            ) from exc
+        if i + length != len(content):
+            raise ValueError(
+                f"body is {len(content) - i} bytes, Content-Length {length}"
+            )
+        body = content[i:]
+    return {
+        "status": status,
+        "reason": reason,
+        "headers": headers,
+        "chunked": chunked,
+        "body": body,
+    }
+
+
+# Planted HTTP crawl: k = 1 + doc_id % 3 responses; response s has
+# tokens n = 8 + (doc_id + 2*s) % 9, token i = (doc_id*3 + s*5 + i*11)
+# % 1000; even (doc_id+s) are 200s, odd are 404s; even s are chunked.
+
+
+def _http_tokens(doc_id: int, s: int) -> list[int]:
+    n = 8 + (doc_id + 2 * s) % 9
+    return [(doc_id * 3 + s * 5 + i * 11) % 1000 for i in range(n)]
+
+
+def _http_crawl(doc_id: int) -> bytes:
+    k = 1 + doc_id % 3
+    members = []
+    for s in range(k):
+        body = " ".join(str(v) for v in _http_tokens(doc_id, s)).encode()
+        ok = (doc_id + s) % 2 == 0
+        http = encode_http_response(
+            200 if ok else 404,
+            "OK" if ok else "Not Found",
+            [("Content-Type", "text/plain"), ("Server", f"sg/{doc_id}")],
+            body,
+            chunked=s % 2 == 0,
+        )
+        members.append(
+            encode_gzip_member(
+                encode_warc_record(
+                    "response",
+                    http,
+                    record_id=f"{doc_id}-{s}",
+                    target_uri=f"http://ex.com/d{doc_id}/{s}",
+                    content_type="application/http;msgtype=response",
+                )
+            )
+        )
+    return b"".join(members)
+
+
+@query(
+    "mm_warc_http_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 3 AS k FROM documents),
+    resp AS (
+      SELECT doc_id, k, t.i - 1 AS s,
+             8 + (doc_id + 2 * (t.i - 1)) % 9 AS n,
+             CASE WHEN (doc_id + t.i - 1) % 2 = 0 THEN 200 ELSE 404 END
+               AS status,
+             CASE WHEN (t.i - 1) % 2 = 0 THEN 1 ELSE 0 END AS chunked
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS t(i)),
+    tok AS (
+      SELECT doc_id, s, n, status, chunked,
+             (doc_id * 3 + s * 5 + (u.j - 1) * 11) % 1000 AS v
+      FROM resp, unnest(generate_series(1, CAST(n AS INT))) AS u(j)),
+    per AS (
+      SELECT doc_id, s, n, status, chunked,
+             sum(v) AS tok_sum,
+             sum(length(CAST(v AS VARCHAR))) + n - 1 AS body_bytes
+      FROM tok GROUP BY doc_id, s, n, status, chunked)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_responses,
+           CAST(sum(chunked) AS BIGINT) AS n_chunked,
+           CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(sum(status) AS BIGINT) AS status_sum,
+           CAST(sum(body_bytes) AS BIGINT) AS body_bytes,
+           CAST(sum(tok_sum) AS BIGINT) AS body_token_sum,
+           CAST(sum(n) AS BIGINT) AS body_n_tokens
+    FROM per GROUP BY doc_id
+    """,
+)
+def mm_warc_http_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload extraction from a crawl, the full real stack: WARC
+    records (one gzip member each) whose response bodies are HTTP/1.1
+    envelopes — half chunked transfer-coding, half Content-Length —
+    parsed down to the text payload in one pass.  Three protocol layers
+    (RFC 1952 gzip, ISO 28500 WARC, RFC 9112 HTTP incl. the chunk walk)
+    each verify their own framing; the DuckDB oracle re-derives status
+    mix, chunked count, and exact body statistics from the planted
+    formulas — a chunk-size mis-parse or an off-by-CRLF in the
+    de-chunking changes body_bytes and breaks the value hash.
+
+    Scale shape: two narrow stateless mapInPandas stages, no shuffle —
+    the standard container-family plan; this query IS the shape of a
+    Common-Crawl WET-extraction job."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_http_crawl(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                https = [
+                    parse_http_response(r["content"])
+                    for r in decode_warc_gz(bytes(p))
+                    if r["type"] == "response"
+                ]
+                toks = [
+                    [int(t) for t in h["body"].split(b" ")] for h in https
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_responses": len(https),
+                        "n_chunked": sum(1 for h in https if h["chunked"]),
+                        "n_ok": sum(1 for h in https if h["status"] == 200),
+                        "status_sum": sum(h["status"] for h in https),
+                        "body_bytes": sum(len(h["body"]) for h in https),
+                        "body_token_sum": sum(sum(t) for t in toks),
+                        "body_n_tokens": sum(len(t) for t in toks),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_responses long, n_chunked long, n_ok long, "
+        "status_sum long, body_bytes long, body_token_sum long, "
+        "body_n_tokens long",
+    )

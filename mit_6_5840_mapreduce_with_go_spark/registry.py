@@ -44,12 +44,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS_r01-r06.json, cumulative 231/266).  This round-7 window
 # CLOSES THE LEDGER: the 35 queries that have never had a driver-green
 # row (led by the 7 round-6 container/codec queries, then the
-# stats/events/text/audit tranche), the 4 new round-7 queries (WARC,
-# auto-dispatch, PAX tar, streamed ZIP), and 11 regression
-# re-verification rows from the round-1/2 era (continuity mr_wordcount,
-# TPC-H flagships, dedup/kv flagships, and the three BENCH_r06
-# watch-list queries).  Cumulative driver-verified after this window:
-# 270/270 -- every registered query at least once.  Everything rotated
+# stats/events/text/audit tranche), the 5 new round-7 queries (WARC,
+# HTTP-in-WARC, auto-dispatch, PAX tar, streamed ZIP), and 10
+# regression re-verification rows from the round-1/2 era (continuity
+# mr_wordcount, TPC-H flagships, dedup/kv flagships, and the three
+# BENCH_r06 watch-list queries).  Cumulative driver-verified after this
+# window: 271/271 -- every registered query at least once.  Everything rotated
 # out stays mirror-checked by tools/check_correctness.py over all
 # queries.
 WINDOW_PRIORITY: list[str] = [
@@ -61,8 +61,10 @@ WINDOW_PRIORITY: list[str] = [
     "mm_decode_tar_stats",
     "mm_webdataset_ingest_stats",
     "mm_decode_zip_stats",
-    # Round-7 additions: WARC, magic-byte dispatch, PAX tar, bit-3 ZIP
+    # Round-7 additions: WARC, HTTP envelope (chunked), magic-byte
+    # dispatch, PAX tar, bit-3 ZIP
     "mm_decode_warc_stats",
+    "mm_warc_http_stats",
     "mm_decode_auto_dispatch_stats",
     "mm_decode_tar_pax_stats",
     "mm_decode_zip_stream_stats",
@@ -103,7 +105,6 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "kv_cas_replay",
     "mr_inverted_index",
-    "sim_bm25_topk",
     "events_sessionization",
     "sim_topk_ivf",
     "range_join_error_context",

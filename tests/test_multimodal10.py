@@ -135,3 +135,79 @@ def test_zip_stream_query_consistency(spark):
         assert r["n_streamed"] >= 1
         assert r["n_deflated"] == sum(1 for m in ms if m[2])
         assert r["content_sum"] == sum(sum(m[1]) for m in ms)
+
+
+# --------------------------------------------------------------------------
+# HTTP envelope (RFC 9112): chunked + length-delimited bodies
+# --------------------------------------------------------------------------
+
+
+def test_http_roundtrip_both_framings():
+    body = b"the payload " * 30
+    for chunked in (False, True):
+        raw = W.encode_http_response(
+            200, "OK", [("Content-Type", "text/plain"), ("X-A", "b")],
+            body, chunked=chunked,
+        )
+        out = W.parse_http_response(raw)
+        assert out["status"] == 200 and out["reason"] == "OK"
+        assert out["chunked"] is chunked
+        assert out["body"] == body
+        assert ("content-type", "text/plain") in out["headers"]
+    # empty body, both framings
+    for chunked in (False, True):
+        raw = W.encode_http_response(204, "No Content", [], b"", chunked=chunked)
+        assert W.parse_http_response(raw)["body"] == b""
+
+
+def test_http_chunk_extensions_and_trailers():
+    """Wild chunked bodies carry chunk extensions (';name=value' after
+    the hex size) and trailer fields after the 0-chunk — both legal and
+    both ignored for the payload."""
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"5;ext=1\r\nhello\r\n"
+        b"6\r\n world\r\n"
+        b"0\r\nX-Trailer: v\r\n\r\n"
+    )
+    out = W.parse_http_response(raw)
+    assert out["body"] == b"hello world"
+
+
+def test_http_rejects_malformed():
+    good = W.encode_http_response(200, "OK", [], b"abcde")
+    with pytest.raises(ValueError, match="bad status line"):
+        W.parse_http_response(b"ICY 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="non-integer status"):
+        W.parse_http_response(b"HTTP/1.1 2xx OK\r\n\r\n")
+    with pytest.raises(ValueError, match="out of range"):
+        W.parse_http_response(b"HTTP/1.1 999 Huh\r\nContent-Length: 0\r\n\r\n")
+    with pytest.raises(ValueError, match="no Content-Length"):
+        W.parse_http_response(b"HTTP/1.1 200 OK\r\nX: y\r\n\r\nbody")
+    with pytest.raises(ValueError, match="Content-Length"):
+        W.parse_http_response(good[:-1])  # short body
+    chunked = W.encode_http_response(200, "OK", [], b"hello world", chunked=True)
+    with pytest.raises(ValueError, match="bad chunk size"):
+        W.parse_http_response(chunked.replace(b"\r\n7\r\n", b"\r\nzz\r\n", 1))
+    with pytest.raises(ValueError, match="not CRLF-terminated"):
+        # corrupt the CRLF after the first chunk's data
+        i = chunked.find(b"hello w") + 7
+        W.parse_http_response(chunked[:i] + b"XY" + chunked[i + 2:])
+    with pytest.raises(ValueError, match="bytes after chunked body"):
+        W.parse_http_response(chunked + b"junk")
+
+
+def test_warc_http_query_consistency(spark):
+    rows = W.mm_warc_http_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        k = 1 + d % 3
+        toks = [W._http_tokens(d, s) for s in range(k)]
+        assert r["n_responses"] == k
+        assert r["n_chunked"] == sum(1 for s in range(k) if s % 2 == 0)
+        assert r["n_ok"] == sum(1 for s in range(k) if (d + s) % 2 == 0)
+        assert r["body_token_sum"] == sum(sum(t) for t in toks)
+        assert r["body_bytes"] == sum(
+            len(" ".join(str(v) for v in t)) for t in toks
+        )

@@ -51,6 +51,19 @@ SF1_QUERIES = [
     # past ~1k docs on the synthetic corpus — see multimodal5.py)
     "mm_dedup_image_dhash",
     "mm_decode_jpeg_color_stats",
+    # round-7 additions: the container-ingest family (single sf1 points
+    # existed in .sf1_mirror_r6.log; these give the decade exponents)
+    "mm_decode_gzip_stats",
+    "mm_decode_bmp_stats",
+    "mm_decode_tar_stats",
+    "mm_decode_zip_stats",
+    "mm_webdataset_ingest_stats",
+    "mm_decode_jpeg_progressive_stats",
+    # and the round-7 queries themselves
+    "mm_decode_warc_stats",
+    "mm_decode_auto_dispatch_stats",
+    "mm_decode_tar_pax_stats",
+    "mm_decode_zip_stream_stats",
 ]
 
 
