@@ -293,6 +293,12 @@ def mm_decode_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard decode-family plan (see module docstring for the
     100 TB mapping)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    return warc_stats_pipeline(docs)
+
+
+def warc_stats_pipeline(docs: DataFrame) -> DataFrame:
+    """The two stateless mapInPandas stages shared by the batch query
+    and the streaming twin (streaming/decode.py)."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -789,6 +795,12 @@ def mm_warc_http_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard container-family plan; this query IS the shape of a
     Common-Crawl WET-extraction job."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    return warc_http_pipeline(docs)
+
+
+def warc_http_pipeline(docs: DataFrame) -> DataFrame:
+    """The two stateless mapInPandas stages shared by the batch query
+    and the streaming twin (streaming/decode.py)."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

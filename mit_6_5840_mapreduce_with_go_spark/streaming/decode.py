@@ -42,3 +42,20 @@ def stream_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return progressive_stats_pipeline(
         stream_documents(spark, sf_dir).select("doc_id")
     )
+
+
+def stream_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``mm_decode_warc_stats``: .warc.gz mini-crawls
+    walked per micro-batch as document shards arrive — the actual shape
+    of a continuous Common-Crawl ingest."""
+    from ..operators.multimodal10 import warc_stats_pipeline
+
+    return warc_stats_pipeline(stream_documents(spark, sf_dir).select("doc_id"))
+
+
+def stream_warc_http_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``mm_warc_http_stats``: gzip + WARC + HTTP
+    (chunked) payload extraction per micro-batch."""
+    from ..operators.multimodal10 import warc_http_pipeline
+
+    return warc_http_pipeline(stream_documents(spark, sf_dir).select("doc_id"))

@@ -49,3 +49,31 @@ def test_stream_progressive_stats_equals_batch(spark):
         q.stop()
     want = _rows(M8.mm_decode_jpeg_progressive_stats(spark, SF))
     assert got == want and len(got) > 0
+
+
+def test_stream_warc_stats_equals_batch(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators import multimodal10 as M10
+
+    q = run_to_memory(D.stream_warc_stats(spark, SF), "t_warc_stream", "append")
+    try:
+        q.processAllAvailable()
+        got = _rows(spark.table("t_warc_stream"))
+    finally:
+        q.stop()
+    want = _rows(M10.mm_decode_warc_stats(spark, SF))
+    assert got == want and len(got) > 0
+
+
+def test_stream_warc_http_stats_equals_batch(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators import multimodal10 as M10
+
+    q = run_to_memory(
+        D.stream_warc_http_stats(spark, SF), "t_http_stream", "append"
+    )
+    try:
+        q.processAllAvailable()
+        got = _rows(spark.table("t_http_stream"))
+    finally:
+        q.stop()
+    want = _rows(M10.mm_warc_http_stats(spark, SF))
+    assert got == want and len(got) > 0
