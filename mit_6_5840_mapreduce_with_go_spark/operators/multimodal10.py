@@ -47,10 +47,13 @@ x ~1 GB of exactly this layout) and the walk is unchanged.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load_table
@@ -842,4 +845,383 @@ def warc_http_pipeline(docs: DataFrame) -> DataFrame:
         schema="doc_id long, n_responses long, n_chunked long, n_ok long, "
         "status_sum long, body_bytes long, body_token_sum long, "
         "body_n_tokens long",
+    )
+
+
+# --------------------------------------------------------------------------
+# UTF-8 validation walk (RFC 3629) — wild-crawl byte hygiene
+# --------------------------------------------------------------------------
+
+
+def validate_utf8(data: bytes) -> dict:
+    """REAL UTF-8 validator: the RFC 3629 well-formedness table walked
+    byte-by-byte — C2-DF lead + one continuation; E0/ED get their
+    narrowed second-byte ranges (A0-BF / 80-9F, excluding overlongs and
+    surrogates); F0/F4 likewise (90-BF / 80-8F, excluding overlongs and
+    > U+10FFFF); 80-C1 and F5-FF are never valid leads.  Ill-formed
+    input is counted by MAXIMAL SUBPARTS (Unicode §3.9 / W3C policy,
+    the one Python's errors='replace' implements): a truncated valid
+    prefix is ONE replacement; an out-of-range byte terminates the
+    subpart before it.  Returns byte/char/width/replacement counts and
+    the codepoint sum of the well-formed scalars — enough to prove the
+    walk actually decoded, not just classified."""
+    n = len(data)
+    i = 0
+    n_1b = n_2b = n_3b = n_4b = n_repl = 0
+    cp_sum = 0
+    while i < n:
+        b0 = data[i]
+        if b0 < 0x80:
+            n_1b += 1
+            cp_sum += b0
+            i += 1
+            continue
+        if 0xC2 <= b0 <= 0xDF:
+            need, lo, hi, cp = 1, 0x80, 0xBF, b0 & 0x1F
+        elif 0xE0 <= b0 <= 0xEF:
+            need, cp = 2, b0 & 0x0F
+            lo = 0xA0 if b0 == 0xE0 else 0x80
+            hi = 0x9F if b0 == 0xED else 0xBF
+        elif 0xF0 <= b0 <= 0xF4:
+            need, cp = 3, b0 & 0x07
+            lo = 0x90 if b0 == 0xF0 else 0x80
+            hi = 0x8F if b0 == 0xF4 else 0xBF
+        else:  # 0x80-0xC1 lone continuation / overlong lead, 0xF5-0xFF
+            n_repl += 1
+            i += 1
+            continue
+        j = i + 1
+        ok = True
+        for k in range(need):
+            if j >= n or not (
+                (lo if k == 0 else 0x80) <= data[j] <= (hi if k == 0 else 0xBF)
+            ):
+                ok = False
+                break
+            cp = (cp << 6) | (data[j] & 0x3F)
+            j += 1
+        if ok:
+            if need == 1:
+                n_2b += 1
+            elif need == 2:
+                n_3b += 1
+            else:
+                n_4b += 1
+            cp_sum += cp
+            i = j
+        else:
+            # maximal subpart: the valid prefix (lead + any in-range
+            # continuations) is ONE replacement; the failing byte is
+            # re-examined as the next lead.
+            n_repl += 1
+            i = j
+    return {
+        "n_bytes": n,
+        "n_1b": n_1b,
+        "n_2b": n_2b,
+        "n_3b": n_3b,
+        "n_4b": n_4b,
+        "n_replacements": n_repl,
+        "cp_sum": cp_sum,
+    }
+
+
+# Planted byte stream: n = 30 + doc_id % 20 units, unit type
+# t = (doc_id + i) % 5: ASCII / valid 2-byte / valid 3-byte / lone
+# continuation (1 replacement) / overlong C0 AF (2 replacements).
+
+
+def _utf8_unit(doc_id: int, i: int) -> bytes:
+    t = (doc_id + i) % 5
+    if t == 0:
+        return bytes([0x41 + i % 26])
+    if t == 1:
+        return bytes([0xC2 + i % 2, 0x80 + i % 64])
+    if t == 2:
+        return bytes([0xE4, 0xB8 + i % 4, 0x80 + i % 64])
+    if t == 3:
+        return bytes([0x80 + i % 32])
+    return b"\xc0\xaf"
+
+
+def _utf8_payload(doc_id: int) -> bytes:
+    n = 30 + doc_id % 20
+    return b"".join(_utf8_unit(doc_id, i) for i in range(n))
+
+
+@query(
+    "text_utf8_validation_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 30 + doc_id % 20 AS n FROM documents),
+    u AS (
+      SELECT doc_id, t.i - 1 AS i, (doc_id + t.i - 1) % 5 AS t
+      FROM d, unnest(generate_series(1, CAST(n AS INT))) AS t(i)),
+    c AS (
+      SELECT doc_id, t,
+             CASE t WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+                    WHEN 3 THEN 1 ELSE 2 END AS width,
+             CASE t WHEN 3 THEN 1 WHEN 4 THEN 2 ELSE 0 END AS repl,
+             CASE t
+               WHEN 0 THEN 65 + i % 26
+               WHEN 1 THEN (2 + i % 2) * 64 + i % 64
+               WHEN 2 THEN 4 * 4096 + (56 + i % 4) * 64 + i % 64
+               ELSE 0 END AS cp
+      FROM u)
+    SELECT doc_id,
+           CAST(sum(width) AS BIGINT) AS n_bytes,
+           CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_1b,
+           CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_2b,
+           CAST(sum(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_3b,
+           CAST(0 AS BIGINT) AS n_4b,
+           CAST(sum(repl) AS BIGINT) AS n_replacements,
+           CAST(sum(cp) AS BIGINT) AS cp_sum
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_utf8_validation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-hygiene pass over a raw crawl column: per document, a
+    planted byte stream mixing well-formed 1/2/3-byte sequences with
+    lone continuations and overlong encodings is validated by the
+    from-scratch RFC 3629 walk, emitting width histograms, the
+    maximal-subpart replacement count (the number of U+FFFD a
+    spec-following decoder would substitute — cross-validated against
+    CPython's errors='replace' in tests), and the codepoint sum of the
+    well-formed scalars.  The DuckDB oracle re-derives everything from
+    the unit formula.
+
+    Scale shape: two narrow stateless mapInPandas stages, no shuffle —
+    at 100 TB this is the first pass after WET extraction, and the
+    replacement rate is the standard quality-filter feature."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_utf8_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                out = validate_utf8(bytes(p))
+                out["doc_id"] = int(did)
+                rows.append(out)
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="n_bytes long, n_1b long, n_2b long, n_3b long, n_4b long, "
+        "n_replacements long, cp_sum long, doc_id long",
+    )
+
+
+# --------------------------------------------------------------------------
+# zlib container (RFC 1950) — the PNG-IDAT / deflate-wrapper format,
+# completing the compression family (1950 zlib / 1951 deflate / 1952 gzip)
+# --------------------------------------------------------------------------
+
+
+def encode_zlib_container(data: bytes, *, level: int = 9) -> bytes:
+    """Spec-valid zlib stream (RFC 1950): CMF (CM=8 deflate, CINFO from
+    the compressor), FLG with the FCHECK bits making CMF*256+FLG
+    divisible by 31, raw-deflate body, Adler-32 trailer."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    body = co.compress(data) + co.flush()
+    cmf = 0x78  # CM=8, CINFO=7 (32k window)
+    flevel = {9: 3, 6: 2, 1: 0}.get(level, 2)
+    flg = flevel << 6
+    flg |= 31 - (cmf * 256 + flg) % 31
+    return bytes([cmf, flg]) + body + struct.pack(
+        ">I", zlib.adler32(data) & 0xFFFFFFFF
+    )
+
+
+def decode_zlib_container(payload: bytes) -> dict:
+    """REAL zlib-stream parse (RFC 1950): CM/CINFO validation, FCHECK
+    verification ((CMF*256+FLG) % 31 == 0), FDICT rejected explicitly
+    (preset dictionaries need out-of-band data), raw inflate, Adler-32
+    trailer verification, trailing-garbage rejection.  Raises
+    ValueError on malformed input."""
+    if len(payload) < 6:
+        raise ValueError("truncated zlib stream (shorter than header + trailer)")
+    cmf, flg = payload[0], payload[1]
+    if cmf & 0x0F != 8:
+        raise ValueError(f"unsupported compression method {cmf & 0x0F}")
+    if cmf >> 4 > 7:
+        raise ValueError(f"CINFO {cmf >> 4} exceeds the 32k window limit")
+    if (cmf * 256 + flg) % 31:
+        raise ValueError("FCHECK failed ((CMF*256+FLG) % 31 != 0)")
+    if flg & 0x20:
+        raise ValueError("FDICT preset dictionaries not supported")
+    d = zlib.decompressobj(-15)
+    try:
+        data = d.decompress(payload[2:])
+        data += d.flush()
+    except zlib.error as exc:
+        raise ValueError(f"corrupt DEFLATE stream: {exc}") from exc
+    trailer = d.unused_data
+    if len(trailer) < 4:
+        raise ValueError("truncated Adler-32 trailer")
+    if len(trailer) > 4:
+        raise ValueError(f"{len(trailer) - 4} bytes of trailing garbage")
+    (adler,) = struct.unpack(">I", trailer)
+    if adler != zlib.adler32(data) & 0xFFFFFFFF:
+        raise ValueError("Adler-32 mismatch")
+    return {"flevel": flg >> 6, "data": data}
+
+
+def _zlib_tokens(doc_id: int) -> list[int]:
+    n = 15 + doc_id % 11
+    return [(doc_id * 13 + i * 17) % 1000 for i in range(n)]
+
+
+@query(
+    "mm_decode_zlib_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 15 + doc_id % 11 AS n FROM documents),
+    tok AS (
+      SELECT doc_id, n, t.i - 1 AS i,
+             (doc_id * 13 + (t.i - 1) * 17) % 1000 AS v
+      FROM d, unnest(generate_series(1, CAST(n AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(sum(length(CAST(v AS VARCHAR))) + n - 1 AS BIGINT) AS n_bytes,
+           CAST(sum(v) AS BIGINT) AS token_sum,
+           CAST(sum(v * i) AS BIGINT) AS token_wsum
+    FROM tok GROUP BY doc_id, n
+    """,
+)
+def mm_decode_zlib_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC 1950 wrapper end-to-end (the format inside every PNG
+    IDAT and most protocol compression): planted token text wrapped in
+    a zlib stream in one mapInPandas stage, parsed back — CM/CINFO,
+    FCHECK, FDICT rejection, inflate, Adler-32 — in the next.  The
+    DuckDB oracle re-derives the statistics from the token formula.
+
+    Scale shape: two narrow stateless mapInPandas stages, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                did = int(d)
+                text = " ".join(str(v) for v in _zlib_tokens(did)).encode()
+                payloads.append(
+                    encode_zlib_container(text, level=(9, 6, 1)[did % 3])
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                vals = [
+                    int(t)
+                    for t in decode_zlib_container(bytes(p))["data"].split(b" ")
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_tokens": len(vals),
+                        "n_bytes": len(" ".join(str(v) for v in vals)),
+                        "token_sum": sum(vals),
+                        "token_wsum": sum(v * i for i, v in enumerate(vals)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_tokens long, n_bytes long, token_sum long, "
+        "token_wsum long",
+    )
+
+
+# --------------------------------------------------------------------------
+# URL analytics (JVM-native) — host-level crawl statistics
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_url_host_stats",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'w' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+             CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS is_https,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_query,
+             '/a/' || CAST(doc_id % 13 AS VARCHAR) || '/p'
+                   || CAST(doc_id AS VARCHAR) AS path
+      FROM documents)
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(is_https) AS BIGINT) AS n_https,
+           CAST(sum(has_query) AS BIGINT) AS n_with_query,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(sum(length(path)) AS BIGINT) AS path_len_sum
+    FROM u GROUP BY host
+    """,
+)
+def text_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl analytics the ALL-JVM way: URL strings are
+    constructed with native expressions, then parsed back with Spark's
+    ``parse_url`` (PROTOCOL / HOST / PATH / QUERY extraction — the
+    java.net.URI path, whole-stage-codegen'd, no Python anywhere) and
+    aggregated per host.  The DuckDB oracle derives host/path/flags
+    directly from the doc_id formulas, so a parse_url mis-extraction
+    (port kept in HOST, query leaking into PATH) breaks the value hash.
+
+    Scale shape: one narrow projection + one hash aggregation keyed on
+    host (~350 distinct hosts here; web-crawl host counts are millions
+    but still tiny next to row counts, and the partial agg collapses
+    map-side).  This is the front half of every domain-cap / robots /
+    per-site-quality job in a crawl pipeline — see pipeline_domain_cap
+    for the consumer side."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    url = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        F.lit("w"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com"),
+        F.lit("/a/"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit("/p"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?q="), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        (F.parse_url(url, F.lit("PROTOCOL")) == "https")
+        .cast("long")
+        .alias("is_https"),
+        F.parse_url(url, F.lit("QUERY")).isNotNull()
+        .cast("long")
+        .alias("has_query"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("is_https").alias("n_https"),
+        F.sum("has_query").alias("n_with_query"),
+        F.countDistinct("path").alias("n_paths"),
+        F.sum(F.length("path")).alias("path_len_sum"),
     )

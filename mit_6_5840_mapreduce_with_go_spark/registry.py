@@ -44,12 +44,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS_r01-r06.json, cumulative 231/266).  This round-7 window
 # CLOSES THE LEDGER: the 35 queries that have never had a driver-green
 # row (led by the 7 round-6 container/codec queries, then the
-# stats/events/text/audit tranche), the 5 new round-7 queries (WARC,
-# HTTP-in-WARC, auto-dispatch, PAX tar, streamed ZIP), and 10
-# regression re-verification rows from the round-1/2 era (continuity
-# mr_wordcount, TPC-H flagships, dedup/kv flagships, and the three
-# BENCH_r06 watch-list queries).  Cumulative driver-verified after this
-# window: 271/271 -- every registered query at least once.  Everything rotated
+# stats/events/text/audit tranche), the 8 new round-7 queries (WARC,
+# HTTP-in-WARC, auto-dispatch, PAX tar, streamed ZIP, UTF-8
+# validation, zlib, URL host analytics), and 7 regression
+# re-verification rows from the round-1/2 era (continuity mr_wordcount,
+# TPC-H flagships, dedup/kv flagships, the BENCH_r06 watch-list
+# representative).  Cumulative driver-verified after this window:
+# 274/274 -- every registered query at least once.  Everything rotated
 # out stays mirror-checked by tools/check_correctness.py over all
 # queries.
 WINDOW_PRIORITY: list[str] = [
@@ -68,6 +69,9 @@ WINDOW_PRIORITY: list[str] = [
     "mm_decode_auto_dispatch_stats",
     "mm_decode_tar_pax_stats",
     "mm_decode_zip_stream_stats",
+    "text_utf8_validation_stats",
+    "mm_decode_zlib_stats",
+    "text_url_host_stats",
     # The stats/events/text/audit tranche (never driver-verified)
     "profile_orders_columns",
     "udtf_doc_sentences",
@@ -104,10 +108,7 @@ WINDOW_PRIORITY: list[str] = [
     "q18_large_volume_orders",
     "dedup_minhash_lsh",
     "kv_cas_replay",
-    "mr_inverted_index",
     "events_sessionization",
-    "sim_topk_ivf",
-    "range_join_error_context",
 ]
 
 

@@ -5,6 +5,7 @@ end-to-end query's stats against the planted-crawl definition."""
 from __future__ import annotations
 
 import gzip
+import zlib
 
 import pytest
 
@@ -211,3 +212,100 @@ def test_warc_http_query_consistency(spark):
         assert r["body_bytes"] == sum(
             len(" ".join(str(v) for v in t)) for t in toks
         )
+
+
+# --------------------------------------------------------------------------
+# UTF-8 validation (RFC 3629), zlib container (RFC 1950), URL analytics
+# --------------------------------------------------------------------------
+
+
+def test_utf8_validator_matches_cpython_on_random_bytes():
+    """The maximal-subpart replacement count must equal the number of
+    U+FFFD CPython's errors='replace' substitutes — property-tested
+    over random byte strings (the strongest cross-validation available
+    in-container)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def check(data):
+        out = W.validate_utf8(data)
+        decoded = data.decode("utf-8", "replace")
+        assert out["n_replacements"] == decoded.count("�")
+        n_valid = sum(1 for ch in decoded if ch != "�")
+        assert out["n_1b"] + out["n_2b"] + out["n_3b"] + out["n_4b"] == n_valid
+        assert out["cp_sum"] == sum(
+            ord(ch) for ch in decoded if ch != "�"
+        )
+
+    check()
+
+
+def test_utf8_validator_edge_table():
+    """The classic ill-formed table: overlongs, surrogates, > U+10FFFF,
+    truncations — counted exactly as the Unicode maximal-subpart policy
+    prescribes."""
+    cases = {
+        b"\x80": 1,  # lone continuation
+        b"\xc0\xaf": 2,  # overlong '/': C0 never valid
+        b"\xe0\x80\x80": 3,  # overlong: E0 needs A0-BF second
+        b"\xed\xa0\x80": 3,  # surrogate D800
+        b"\xf4\x90\x80\x80": 4,  # > U+10FFFF
+        b"\xc2": 1,  # truncated 2-byte
+        b"\xe4\xb8": 1,  # truncated 3-byte (valid prefix = 1 subpart)
+        b"\xf0\x9f\x98": 1,  # truncated 4-byte
+        b"\xf0\x28\x8c\x28": 2,  # bad continuations around ASCII
+    }
+    for data, want in cases.items():
+        assert W.validate_utf8(data)["n_replacements"] == want, data
+    ok = "aé中\U0001f600".encode()
+    out = W.validate_utf8(ok)
+    assert (out["n_1b"], out["n_2b"], out["n_3b"], out["n_4b"]) == (1, 1, 1, 1)
+    assert out["n_replacements"] == 0
+    assert out["cp_sum"] == sum(ord(c) for c in "aé中\U0001f600")
+
+
+def test_zlib_roundtrip_and_stdlib_interop():
+    data = b"zlib wrapped payload " * 40
+    for level in (1, 6, 9):
+        pay = W.encode_zlib_container(data, level=level)
+        assert W.decode_zlib_container(pay)["data"] == data
+        assert zlib.decompress(pay) == data  # stdlib reads ours
+    std = zlib.compress(data, 6)  # ours reads stdlib
+    assert W.decode_zlib_container(std)["data"] == data
+
+
+def test_zlib_rejects_malformed():
+    good = W.encode_zlib_container(b"hello world")
+    with pytest.raises(ValueError, match="FCHECK"):
+        W.decode_zlib_container(bytes([good[0], good[1] ^ 0x01]) + good[2:])
+    with pytest.raises(ValueError, match="compression method"):
+        W.decode_zlib_container(bytes([0x79 & 0xF0 | 7, 0]) + good[2:])
+    with pytest.raises(ValueError, match="FDICT"):
+        cmf = 0x78
+        flg = 0x20
+        flg |= 31 - (cmf * 256 + flg) % 31
+        W.decode_zlib_container(bytes([cmf, flg]) + good[2:])
+    with pytest.raises(ValueError, match="Adler-32"):
+        W.decode_zlib_container(good[:-1] + bytes([good[-1] ^ 0xFF]))
+    with pytest.raises(ValueError, match="trailing garbage"):
+        W.decode_zlib_container(good + b"x")
+    with pytest.raises(ValueError, match="truncated"):
+        W.decode_zlib_container(good[:4])
+
+
+def test_url_host_stats_plan_is_jvm_native(spark):
+    """The URL query must stay whole-stage-codegen'd: no Python worker
+    anywhere in the plan (this is the point of the parse_url path)."""
+    df = W.text_url_host_stats(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+    rows = {r["host"]: r for r in df.collect()}
+    # 50 x 7 residue pairs exist only where solutions to the CRT system
+    # exist among doc_ids; spot-check one known host
+    import math
+    assert len(rows) > 0
+    total = sum(r["n_urls"] for r in rows.values())
+    assert total == 500  # sf0.001 documents
