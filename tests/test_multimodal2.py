@@ -172,3 +172,71 @@ def test_png_adam7_interlace_roundtrip():
 
     with _pytest.raises(ValueError, match="interlaced raster"):
         M.decode_png_pixels(rebuilt)
+
+
+# --------------------------------------------------------------------------
+# round 7: palette (color type 3) at packed bit depths
+# --------------------------------------------------------------------------
+
+
+def test_png_palette_roundtrip_all_depths_and_interlace():
+    for depth in (1, 2, 4, 8):
+        npal = 1 << depth
+        pal = [((p * 37) % 256, (p * 59 + 3) % 256, (p * 29 + 7) % 256)
+               for p in range(npal)]
+        for interlace in (False, True):
+            for w, h in ((5, 4), (16, 11), (1, 1), (8, 8)):
+                idx = lambda x, y: (x + y * 3) % npal  # noqa: E731
+                pay = M.encode_png_palette(
+                    w, h, pal, idx, depth=depth, interlace=interlace
+                )
+                gw, gh, ch, recon = M.decode_png_pixels(pay)
+                assert (gw, gh, ch) == (w, h, 3)
+                want = bytes(
+                    b for y in range(h) for x in range(w) for b in pal[idx(x, y)]
+                )
+                assert recon == want, (depth, interlace, w, h)
+
+
+def test_png_palette_rejects_malformed():
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = M.encode_png_palette(4, 3, pal, lambda x, y: (x + y) % 2, depth=1)
+    with pytest.raises(ValueError, match="without a PLTE"):
+        # strip the PLTE chunk (starts after IHDR: sig 8 + ihdr 25)
+        plte_at = good.find(b"PLTE") - 4
+        plte_len = 12 + 6
+        M.decode_png_pixels(good[:plte_at] + good[plte_at + plte_len:])
+    with pytest.raises(ValueError, match="multiple of 3"):
+        import struct as st
+        import zlib as zl
+        bad_plte = st.pack(">I", 4) + b"PLTE" + b"\x01\x02\x03\x04"
+        bad_plte += st.pack(">I", zl.crc32(b"PLTE" + b"\x01\x02\x03\x04") & 0xFFFFFFFF)
+        plte_at = good.find(b"PLTE") - 4
+        M.decode_png_pixels(good[:plte_at] + bad_plte + good[plte_at + 18:])
+    with pytest.raises(ValueError, match="palette size"):
+        # 3 entries at depth 1 (max 2)
+        M.encode_png_palette(4, 3, pal + [(7, 8, 9)], lambda x, y: 0, depth=1)
+    with pytest.raises(ValueError, match="palette bit depth"):
+        import struct as st
+        import zlib as zl
+        # rewrite IHDR with depth 16 for color type 3
+        ihdr = st.pack(">IIBBBBB", 4, 3, 16, 3, 0, 0, 0)
+        chunk = st.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        chunk += st.pack(">I", zl.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        M.decode_png_pixels(good[:8] + chunk + good[8 + 25:])
+
+
+def test_png_palette_query_consistency(spark):
+    rows = M.mm_decode_png_palette_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        depth = (1, 2, 4, 8)[d % 4]
+        npal = 1 << depth
+        w, h = 5 + d % 6, 4 + d % 5
+        assert (r["depth"], r["width"], r["height"]) == (depth, w, h)
+        want_r = sum(
+            M._pal_entry(d, (d + x + y * 3) % npal)[0]
+            for y in range(h) for x in range(w)
+        )
+        assert r["sum_r"] == want_r
