@@ -44,14 +44,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS_r01-r06.json, cumulative 231/266).  This round-7 window
 # CLOSES THE LEDGER: the 35 queries that have never had a driver-green
 # row (led by the 7 round-6 container/codec queries, then the
-# stats/events/text/audit tranche), the 9 new round-7 queries (WARC,
+# stats/events/text/audit tranche), the 10 new round-7 queries (WARC,
 # HTTP-in-WARC, auto-dispatch, PAX tar, streamed ZIP, UTF-8
-# validation, zlib, URL host analytics, palette PNG), and 6 regression
-# re-verification rows from the round-1/2 era (continuity mr_wordcount,
-# TPC-H flagships, dedup/kv flagships).  Cumulative driver-verified
-# after this window: 275/275 -- every registered query at least once.  Everything rotated
-# out stays mirror-checked by tools/check_correctness.py over all
-# queries.
+# validation, zlib, URL host analytics, palette PNG, EXIF), and 5
+# regression re-verification rows from the round-1/2 era (continuity
+# mr_wordcount, TPC-H flagships, dedup flagship).  Cumulative
+# driver-verified after this window: 276/276 -- every registered query
+# at least once.  Everything rotated out stays mirror-checked by
+# tools/check_correctness.py over all queries.
 WINDOW_PRIORITY: list[str] = [
     # Round-6 container/codec queries (added after the r6 rotation)
     "mm_decode_jpeg422_stats",
@@ -72,6 +72,7 @@ WINDOW_PRIORITY: list[str] = [
     "mm_decode_zlib_stats",
     "text_url_host_stats",
     "mm_decode_png_palette_stats",
+    "mm_exif_orientation_stats",
     # The stats/events/text/audit tranche (never driver-verified)
     "profile_orders_columns",
     "udtf_doc_sentences",
@@ -107,7 +108,6 @@ WINDOW_PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "q18_large_volume_orders",
     "dedup_minhash_lsh",
-    "kv_cas_replay",
 ]
 
 
@@ -141,6 +141,7 @@ def load_all() -> None:
         multimodal8,
         multimodal9,
         multimodal10,
+        multimodal11,
         pipelines,
         privacy,
         projection,

@@ -1,0 +1,92 @@
+"""EXIF / TIFF-IFD walk (JPEG APP1): both byte orders, inline vs
+out-of-line values, malformed rejection, marker-stream APP1 location,
+and the end-to-end query against the field formulas."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mit_6_5840_mapreduce_with_go_spark.operators import multimodal11 as E
+
+
+_FIELDS = [
+    (0x0100, 4, 640),
+    (0x0101, 4, 480),
+    (0x010F, 2, "acme"),
+    (0x0112, 3, 6),
+    (0x011A, 5, (300, 7)),
+    (0x0132, 2, "2026:01:05 12:00:00"),
+]
+
+
+def test_exif_roundtrip_both_byte_orders():
+    for be in (False, True):
+        app1 = E.encode_exif_app1(_FIELDS, big_endian=be)
+        out = E.decode_exif(app1)
+        assert out["byte_order"] == ("MM" if be else "II")
+        t = out["tags"]
+        assert t[0x0100] == 640 and t[0x0101] == 480
+        assert t[0x010F] == "acme"
+        assert t[0x0112] == 6
+        assert t[0x011A] == (300, 7)
+        assert t[0x0132] == "2026:01:05 12:00:00"
+
+
+def test_exif_inline_values_are_left_justified():
+    """A SHORT (2 bytes) in the 4-byte value field must read correctly
+    under BOTH byte orders — the classic EXIF implementation bug."""
+    for be in (False, True):
+        app1 = E.encode_exif_app1([(0x0112, 3, 0x1234)], big_endian=be)
+        assert E.decode_exif(app1)["tags"][0x0112] == 0x1234
+
+
+def test_exif_in_jpeg_marker_stream():
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal3 import (
+        encode_jpeg_gray,
+    )
+
+    jpeg = encode_jpeg_gray(16, 16, lambda bx, by: 50)
+    app1 = E.encode_exif_app1(_FIELDS)
+    spliced = E.splice_app1(jpeg, app1)
+    assert E.exif_from_jpeg(spliced)["tags"][0x0112] == 6
+    # the JPEG still decodes (APP1 is skipped by the image decoder)
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal3 import (
+        decode_jpeg_gray,
+    )
+
+    assert decode_jpeg_gray(spliced)["width"] == 16
+    with pytest.raises(ValueError, match="no Exif APP1"):
+        E.exif_from_jpeg(jpeg)
+
+
+def test_exif_rejects_malformed():
+    good = E.encode_exif_app1(_FIELDS)
+    with pytest.raises(ValueError, match="preamble"):
+        E.decode_exif(b"JFIF\x00\x00" + good[6:])
+    with pytest.raises(ValueError, match="byte order"):
+        E.decode_exif(good[:6] + b"XX" + good[8:])
+    with pytest.raises(ValueError, match="magic"):
+        bad = bytearray(good)
+        bad[8] ^= 0xFF
+        E.decode_exif(bytes(bad))
+    with pytest.raises(ValueError, match="truncated IFD"):
+        E.decode_exif(good[:20])
+    with pytest.raises(ValueError, match="out of bounds"):
+        # out-of-line ASCII offset pointed past the end: truncate tail
+        E.decode_exif(good[:-4])
+    with pytest.raises(ValueError, match="zero denominator"):
+        app1 = E.encode_exif_app1([(0x011A, 5, (300, 0))])
+        E.decode_exif(app1)
+
+
+def test_exif_query_consistency(spark):
+    rows = E.mm_exif_orientation_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        d = r["doc_id"]
+        assert r["byte_order"] == ("MM" if d % 2 else "II")
+        assert r["orientation"] == 1 + d % 8
+        assert r["exif_w"] == 100 + d % 900
+        assert r["xres_micro"] == (72 + d % 100) * 1000000 // (1 + d % 3)
