@@ -66,6 +66,11 @@ HEADLINE = [
     # 37-query set without subtracting these two rows)
     "mm_decode_jpeg_color_stats",
     "mm_video_shot_boundaries",
+    # round-7 flagships (NEW in r7 — subtract these three when comparing
+    # totals to earlier rounds): the crawl-ingest stack
+    "mm_decode_warc_stats",
+    "mm_warc_http_stats",
+    "mm_decode_auto_dispatch_stats",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]

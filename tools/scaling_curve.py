@@ -64,6 +64,12 @@ SF1_QUERIES = [
     "mm_decode_auto_dispatch_stats",
     "mm_decode_tar_pax_stats",
     "mm_decode_zip_stream_stats",
+    "mm_warc_http_stats",
+    "text_utf8_validation_stats",
+    "mm_decode_zlib_stats",
+    "text_url_host_stats",
+    "mm_decode_png_palette_stats",
+    "mm_exif_orientation_stats",
 ]
 
 
