@@ -90,6 +90,8 @@ def decode_exif(app1: bytes) -> dict:
     if app1[:6] != b"Exif\x00\x00":
         raise ValueError("missing Exif preamble")
     tiff = app1[6:]
+    if len(tiff) < 8:
+        raise ValueError("truncated TIFF header")
     order = tiff[:2]
     if order == b"II":
         bo = "<"
@@ -111,6 +113,8 @@ def decode_exif(app1: bytes) -> dict:
         tag, typ, count = struct.unpack(bo + "HHI", tiff[at : at + 8])
         if typ not in _TYPE_SIZES:
             raise ValueError(f"unknown field type {typ} (tag {tag:#06x})")
+        if count == 0:
+            raise ValueError(f"zero-count field (tag {tag:#06x})")
         nbytes = _TYPE_SIZES[typ] * count
         if nbytes <= 4:
             data = tiff[at + 8 : at + 8 + nbytes]

@@ -82,6 +82,12 @@ _COS = [[math.cos((2 * x + 1) * u * math.pi / 16.0) for u in range(8)] for x in 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length), canonical JPEG assignment (T.81 C.2)."""
+    if len(bits) != 16:
+        raise ValueError(f"DHT BITS list has {len(bits)} entries (want 16)")
+    if sum(bits) > len(vals):
+        raise ValueError(
+            f"DHT declares {sum(bits)} codes but carries {len(vals)} symbols"
+        )
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -455,8 +461,14 @@ def _parse_jpeg(payload: bytes) -> dict:
                 raise ValueError(f"unsupported sample precision {prec}")
             if ncomp not in (1, 3):
                 raise ValueError(f"{ncomp}-component images not supported")
+            if len(data) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF segment")
             for c in range(ncomp):
                 cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                if not (1 <= samp >> 4 <= 4 and 1 <= samp & 0xF <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {samp >> 4}x{samp & 0xF}"
+                    )
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             samps = [(h_, v_) for _, h_, v_, _ in comps]
             # grayscale 1x1; or 3 components with chroma at 1x1 and Y at

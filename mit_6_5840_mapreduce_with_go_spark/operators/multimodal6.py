@@ -234,6 +234,8 @@ def decode_gif(payload: bytes) -> dict:
     multi-frame animations are out of surface."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
     width, height, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     if not packed & 0x80:
         raise ValueError("missing global color table")
@@ -258,6 +260,8 @@ def decode_gif(payload: bytes) -> dict:
             raise ValueError(f"unknown block 0x{b:02X}")
     else:
         raise ValueError("no image descriptor")
+    if i + 10 > len(payload):
+        raise ValueError("truncated image descriptor")
     left, top, iw, ih, img_packed = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
     if (left, top, iw, ih) != (0, 0, width, height):
         raise ValueError("sub-rectangle frames not supported")
@@ -265,6 +269,8 @@ def decode_gif(payload: bytes) -> dict:
         raise ValueError("local color tables not supported")
     interlaced = bool(img_packed & 0x40)
     i += 10
+    if i >= len(payload):
+        raise ValueError("truncated image data (no LZW minimum code size)")
     min_code_size = payload[i]
     i += 1
     lzw = bytearray()

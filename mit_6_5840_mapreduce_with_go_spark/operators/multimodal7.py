@@ -163,6 +163,8 @@ def decode_qoi(payload: bytes) -> dict:
                 b = (b + (byte & 0x3) - 2) % 256
             elif tag == 0b10:  # LUMA
                 dg = (byte & 0x3F) - 32
+                if i >= len(data):
+                    raise ValueError("truncated QOI_OP_LUMA")
                 nxt = data[i]
                 i += 1
                 r = (r + dg + ((nxt >> 4) & 0xF) - 8) % 256

@@ -534,6 +534,10 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
         if i + 4 > len(payload):
             raise ValueError("truncated marker segment")
         seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker != 0xDA and i + 2 + seg_len > len(payload):
+            raise ValueError(
+                f"truncated marker segment 0xFF{marker:02X} at offset {i}"
+            )
         data = payload[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             j = 0
@@ -556,8 +560,14 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
             if data[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w, nf = struct.unpack(">HHB", data[1:6])
+            if len(data) < 6 + 3 * nf:
+                raise ValueError("truncated SOF2 segment")
             for c in range(nf):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 0xF <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {hv >> 4}x{hv & 0xF}"
+                    )
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             dims = (w, h)
             hmax = max(h_ for _, h_, _, _ in comps)
@@ -586,7 +596,11 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
         elif marker == 0xDA:  # one scan
             if dims is None:
                 raise ValueError("SOS before SOF")
+            if len(data) < seg_len - 2 or not data:
+                raise ValueError("truncated SOS header")
             ns = data[0]
+            if len(data) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS header")
             scan_comps = []  # (component index, dc table, ac table)
             for c in range(ns):
                 cid, tabs = data[1 + 2 * c : 3 + 2 * c]
@@ -597,6 +611,8 @@ def decode_jpeg_progressive(payload: bytes) -> dict:
                     raise ValueError(f"scan references unknown component {cid}")
                 scan_comps.append((ci, tabs >> 4, tabs & 0xF))
             ss, se, ahal = data[1 + 2 * ns : 4 + 2 * ns]
+            if not (ss <= se <= 63):
+                raise ValueError(f"invalid spectral band Ss={ss} Se={se}")
             ah, al = ahal >> 4, ahal & 0xF
             data_start = i + 2 + seg_len
             data_end = _entropy_end(payload, data_start)

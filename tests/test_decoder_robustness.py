@@ -1,0 +1,141 @@
+"""Decoder totality: every container/codec decoder in the package is
+TOTAL over corrupt input — any truncation and any single-byte flip
+either raises ValueError or returns a result, never an IndexError /
+struct.error / ZeroDivisionError / UnicodeDecodeError crash.  Wild
+crawl data is mostly slightly-broken data; a decoder that dies with a
+stray exception type kills the whole Arrow batch instead of routing
+one record to quarantine.
+
+(Caught and fixed by this sweep in round 7: GIF truncated-descriptor
+and missing-LZW-size IndexErrors, progressive-JPEG truncated-segment
+and invalid-Ss/Se and zero-sampling-factor crashes, baseline-JPEG DHT
+short-BITS/short-vals IndexErrors, QOI truncated-LUMA IndexError,
+EXIF short-TIFF-header struct.error and zero-count fields.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from mit_6_5840_mapreduce_with_go_spark.operators import (
+    multimodal as M0,
+    multimodal2 as M2,
+    multimodal3 as M3,
+    multimodal4 as M4,
+    multimodal6 as M6,
+    multimodal7 as M7,
+    multimodal8 as M8,
+    multimodal9 as M9,
+    multimodal10 as M10,
+    multimodal11 as M11,
+)
+
+
+def _pix(x, y, c):
+    return (x * 7 + y * 19 + c * 11) % 256
+
+
+def _cases():
+    return {
+        "ppm": (
+            M0.decode_ppm,
+            b"P6\n4 3\n255\n"
+            + bytes(
+                _pix(x, y, c)
+                for y in range(3)
+                for x in range(4)
+                for c in range(3)
+            ),
+        ),
+        "png": (M2.decode_png, M2.encode_png(6, 7, _pix, interlace=True)),
+        "png_palette": (M2.decode_png_pixels, M2._pal_payload(7)),
+        "jpeg_gray": (
+            M3.decode_jpeg_gray,
+            M3.encode_jpeg_gray(16, 16, lambda bx, by: 77),
+        ),
+        "jpeg_color": (
+            M3.decode_jpeg_color,
+            M3.encode_jpeg_ycbcr(
+                16, 16, lambda bx, by: 90, lambda bx, by: 120, lambda bx, by: 140
+            ),
+        ),
+        "jpeg_progressive": (
+            M8.decode_jpeg_progressive_gray,
+            M8.encode_jpeg_progressive(16, 16, [(1, 1, lambda x, y: 64)], ac_al=1),
+        ),
+        "gif": (
+            M6.decode_gif,
+            M6.encode_gif(
+                5, 4, [(i, i, i) for i in range(8)], lambda x, y: (x + y) % 8
+            ),
+        ),
+        "qoi": (
+            M7.decode_qoi,
+            M7.encode_qoi(
+                4, 3, lambda x, y: (_pix(x, y, 0), _pix(x, y, 1), _pix(x, y, 2))
+            ),
+        ),
+        "wav": (M4.decode_wav, M4.encode_wav(50, lambda i: (i * 3) % 2000 - 1000)),
+        "y4m": (
+            lambda p: M4.decode_y4m_sampled(p, 1),
+            M4.encode_y4m(8, 6, 2, lambda f, x, y: (f + x + y) % 256),
+        ),
+        "gzip": (
+            M9.decode_gzip_member,
+            M9.encode_gzip_member(b"hello world" * 5, fname="x", fhcrc=True),
+        ),
+        "tar_pax": (
+            M9.decode_tar,
+            M9.encode_tar(
+                [("a.txt", 5, b"hello"), ("b" * 120, 6, b"world!")], fmt="pax"
+            ),
+        ),
+        "zip_streamed": (
+            M9.decode_zip,
+            M9.encode_zip([("x.py", b"data" * 10, True, True), ("y", b"z", False)]),
+        ),
+        "bmp": (M9.decode_bmp, M9.encode_bmp(5, 4, _pix)),
+        "warc_gz": (M10.decode_warc_gz, M10._warc_crawl(11)),
+        "http": (
+            M10.parse_http_response,
+            M10.encode_http_response(
+                200, "OK", [("A", "b")], b"hello" * 10, chunked=True
+            ),
+        ),
+        "zlib": (M10.decode_zlib_container, M10.encode_zlib_container(b"q" * 100)),
+        "utf8": (M10.validate_utf8, M10._utf8_payload(7)),
+        "exif": (
+            M11.decode_exif,
+            M11.encode_exif_app1(
+                [(0x0112, 3, 5), (0x010F, 2, "maker"), (0x011A, 5, (7, 3))]
+            ),
+        ),
+        "exif_jpeg": (M11.exif_from_jpeg, M11._exif_jpeg(3)),
+        "auto_dispatch": (M0.decode_image_auto, M0._auto_payload(9)),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_cases()))
+def test_every_truncation_is_a_valueerror(name):
+    fn, pay = _cases()[name]
+    fn(pay)  # the untouched payload must decode
+    for ln in range(len(pay)):
+        try:
+            fn(pay[:ln])
+        except ValueError:
+            pass  # the only acceptable failure mode
+
+
+@pytest.mark.parametrize("name", sorted(_cases()))
+def test_every_byte_flip_is_total(name):
+    """Flip each byte three ways (sampled stride keeps the suite fast;
+    the exhaustive sweep runs out-of-band and found the round-7 bugs).
+    The decoder must return or raise ValueError — nothing else."""
+    fn, pay = _cases()[name]
+    for pos in range(0, len(pay), 3):
+        for flip in (0x01, 0x80, 0xFF):
+            mut = bytearray(pay)
+            mut[pos] ^= flip
+            try:
+                fn(bytes(mut))
+            except ValueError:
+                pass
