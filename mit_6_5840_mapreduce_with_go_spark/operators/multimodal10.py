@@ -57,7 +57,11 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load_table
-from .multimodal9 import decode_gzip_stream, encode_gzip_member
+from .multimodal9 import (
+    decode_gzip_member,
+    decode_gzip_stream,
+    encode_gzip_member,
+)
 
 _CRLF = b"\r\n"
 _SEP = _CRLF + _CRLF
@@ -1224,4 +1228,112 @@ def text_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_query").alias("n_with_query"),
         F.countDistinct("path").alias("n_paths"),
         F.sum(F.length("path")).alias("path_len_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corrupt-record quarantine — the operational decode pattern at 100 TB
+# --------------------------------------------------------------------------
+
+# Planted corpus: gzip members of token text (n = 12 + doc_id % 9,
+# token i = (doc_id * 17 + i * 7) % 1000); every 7th document gets ONE
+# BIT flipped inside the DEFLATE body region.  The gzip trailer CRC-32
+# covers the whole decompressed output, so a body flip ALWAYS surfaces
+# as ValueError (either the inflate dies or the CRC mismatches) — which
+# is what makes the quarantine outcome oracle-derivable.
+
+
+def _quar_tokens(doc_id: int) -> list[int]:
+    n = 12 + doc_id % 9
+    return [(doc_id * 17 + i * 7) % 1000 for i in range(n)]
+
+
+def _quar_payload(doc_id: int) -> bytes:
+    text = " ".join(str(v) for v in _quar_tokens(doc_id)).encode()
+    pay = encode_gzip_member(text)
+    if doc_id % 7 == 0:
+        body = len(pay) - 18  # 10-byte header + 8-byte trailer
+        mut = bytearray(pay)
+        mut[10 + (doc_id // 7) % body] ^= 0x01
+        return bytes(mut)
+    return pay
+
+
+@query(
+    "mm_decode_quarantine_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 12 + doc_id % 9 AS n,
+             CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS ok
+      FROM documents),
+    tok AS (
+      SELECT doc_id, n, ok,
+             (doc_id * 17 + (t.i - 1) * 7) % 1000 AS v
+      FROM d, unnest(generate_series(1, CAST(n AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST(ok AS BIGINT) AS ok,
+           CAST(CASE WHEN ok = 1 THEN max(n) ELSE -1 END AS BIGINT)
+             AS n_tokens,
+           CAST(CASE WHEN ok = 1 THEN sum(v) ELSE -1 END AS BIGINT)
+             AS token_sum
+    FROM tok GROUP BY doc_id, ok
+    """,
+)
+def mm_decode_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode pattern wild data requires: per document a gzip
+    member — every 7th one with a bit flipped in its DEFLATE body — is
+    decoded with per-record quarantine: a ValueError routes the record
+    to (ok=0, sentinel stats) instead of killing the Arrow batch.  The
+    DuckDB oracle derives which documents MUST quarantine (the trailer
+    CRC-32 makes any body corruption value-visible) and the exact stats
+    of the clean ones — a decoder that crashes with a non-ValueError,
+    swallows corruption, or quarantines a clean record all break the
+    hash.  tests/test_decoder_robustness.py proves the ValueError-only
+    contract this pattern rests on, for every decoder in the package.
+
+    Scale shape: two narrow stateless mapInPandas stages, no shuffle;
+    at 100 TB the quarantine rate per shard is the first data-quality
+    dashboard any crawl ingest ships."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_quar_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    vals = [
+                        int(t)
+                        for t in decode_gzip_member(bytes(p))["data"].split(b" ")
+                    ]
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "ok": 1,
+                            "n_tokens": len(vals),
+                            "token_sum": sum(vals),
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "ok": 0,
+                            "n_tokens": -1,
+                            "token_sum": -1,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, ok long, n_tokens long, token_sum long",
     )

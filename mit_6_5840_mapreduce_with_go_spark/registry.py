@@ -44,14 +44,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # CORRECTNESS_r01-r06.json, cumulative 231/266).  This round-7 window
 # CLOSES THE LEDGER: the 35 queries that have never had a driver-green
 # row (led by the 7 round-6 container/codec queries, then the
-# stats/events/text/audit tranche), the 10 new round-7 queries (WARC,
-# HTTP-in-WARC, auto-dispatch, PAX tar, streamed ZIP, UTF-8
-# validation, zlib, URL host analytics, palette PNG, EXIF), and 5
-# regression re-verification rows from the round-1/2 era (continuity
-# mr_wordcount, TPC-H flagships, dedup flagship).  Cumulative
-# driver-verified after this window: 276/276 -- every registered query
-# at least once.  Everything rotated out stays mirror-checked by
-# tools/check_correctness.py over all queries.
+# stats/events/text/audit tranche), the 11 new round-7 queries (WARC,
+# HTTP-in-WARC, auto-dispatch, PAX tar, streamed ZIP, UTF-8 validation,
+# zlib, URL host analytics, palette PNG, EXIF, corrupt-record
+# quarantine), and 4 regression re-verification rows from the
+# round-1/2 era (continuity mr_wordcount, q1/q18, dedup_minhash_lsh).
+# Cumulative driver-verified after this window: 277/277 -- every
+# registered query at least once.  Everything rotated out stays
+# mirror-checked by tools/check_correctness.py over all queries.
 WINDOW_PRIORITY: list[str] = [
     # Round-6 container/codec queries (added after the r6 rotation)
     "mm_decode_jpeg422_stats",
@@ -73,6 +73,7 @@ WINDOW_PRIORITY: list[str] = [
     "text_url_host_stats",
     "mm_decode_png_palette_stats",
     "mm_exif_orientation_stats",
+    "mm_decode_quarantine_stats",
     # The stats/events/text/audit tranche (never driver-verified)
     "profile_orders_columns",
     "udtf_doc_sentences",
@@ -102,10 +103,9 @@ WINDOW_PRIORITY: list[str] = [
     "events_theilsen_daily_trend",
     "events_holt_smoothing",
     "vocab_bpe_roundtrip",
-    # Regression re-verification (r01/r02-era rows + bench watch-list)
+    # Regression re-verification (r01/r02-era rows)
     "mr_wordcount",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
     "q18_large_volume_orders",
     "dedup_minhash_lsh",
 ]

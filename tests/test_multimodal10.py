@@ -309,3 +309,19 @@ def test_url_host_stats_plan_is_jvm_native(spark):
     assert len(rows) > 0
     total = sum(r["n_urls"] for r in rows.values())
     assert total == 500  # sf0.001 documents
+
+
+def test_quarantine_query_consistency(spark):
+    rows = W.mm_decode_quarantine_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_bad = sum(1 for r in rows if r["ok"] == 0)
+    assert n_bad == sum(1 for r in rows if r["doc_id"] % 7 == 0)
+    for r in rows[:60]:
+        d = r["doc_id"]
+        if d % 7 == 0:
+            assert (r["ok"], r["n_tokens"], r["token_sum"]) == (0, -1, -1)
+        else:
+            toks = W._quar_tokens(d)
+            assert (r["ok"], r["n_tokens"], r["token_sum"]) == (
+                1, len(toks), sum(toks),
+            )
