@@ -407,3 +407,154 @@ def mm_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_px long, sum_r long, sum_g long, sum_b long, "
         "wsum_r long, wsum_idx long",
     )
+
+
+# --------------------------------------------------------------------------
+# animated GIF (round 7): GCE delays + multiple image descriptors
+# --------------------------------------------------------------------------
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: list,
+    delays_cs: list[int],
+    *,
+    loop: int = 0,
+) -> bytes:
+    """Spec-valid animated GIF89a: NETSCAPE2.0 looping application
+    extension, then per frame a Graphic Control Extension (disposal 1,
+    centisecond delay) + full-screen image descriptor + LZW data.
+    ``frames`` holds ``index_fn(x, y)`` callables, one per frame."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("frames and delays_cs must align and be non-empty")
+    nbits = max(1, (len(palette) - 1).bit_length())
+    table_size = 1 << nbits
+    if len(palette) > table_size:
+        raise ValueError("palette larger than its declared size")
+    gct = bytearray()
+    for i in range(table_size):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (nbits - 1), 0, 0)
+    out += gct
+    # NETSCAPE looping extension (the de-facto-standard animation marker)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    min_code_size = max(2, nbits)
+    for index_fn, delay in zip(frames, delays_cs):
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", delay)
+        out += b"\x00\x00"  # transparent index (unused) + terminator
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        indices = bytes(
+            index_fn(x, y) for y in range(height) for x in range(width)
+        )
+        lzw = _lzw_compress(indices, min_code_size)
+        out += bytes([min_code_size])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> dict:
+    """REAL animated-GIF walk: header + GCT as in ``decode_gif``, then
+    the full block stream — application/comment/plain-text extensions
+    skipped by sub-block walking, Graphic Control Extensions parsed for
+    per-frame delays, EVERY image descriptor LZW-decoded (full-screen,
+    non-interlaced frames; the single-frame surface handles interlace).
+    Returns frame count, per-frame delays (centiseconds, -1 when no GCE
+    preceded the frame), total duration, and per-frame palette-mapped
+    red-channel sums.  Raises ValueError on malformed input."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    width, height, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    table_size = 2 << (packed & 0x07)
+    i = 13
+    gct = payload[i : i + 3 * table_size]
+    if len(gct) != 3 * table_size:
+        raise ValueError("truncated global color table")
+    i += 3 * table_size
+    delays: list[int] = []
+    sum_r_frames: list[int] = []
+    pending_delay = -1
+    while True:
+        if i >= len(payload):
+            raise ValueError("missing trailer")
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if i + 2 > len(payload):
+                raise ValueError("truncated extension header")
+            label = payload[i + 1]
+            i += 2
+            if label == 0xF9:  # Graphic Control Extension
+                if i + 6 > len(payload) or payload[i] != 4:
+                    raise ValueError("malformed GCE")
+                (pending_delay,) = struct.unpack(
+                    "<H", payload[i + 2 : i + 4]
+                )
+                i += 5
+                if payload[i] != 0:
+                    raise ValueError("GCE missing terminator")
+                i += 1
+            else:  # application/comment/plain-text: skip sub-blocks
+                while i < len(payload) and payload[i] != 0:
+                    i += 1 + payload[i]
+                if i >= len(payload):
+                    raise ValueError("unterminated extension")
+                i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown block 0x{b:02X}")
+        if i + 10 > len(payload):
+            raise ValueError("truncated image descriptor")
+        left, top, iw, ih, img_packed = struct.unpack(
+            "<HHHHB", payload[i + 1 : i + 10]
+        )
+        if (left, top, iw, ih) != (0, 0, width, height):
+            raise ValueError("sub-rectangle frames not supported")
+        if img_packed & 0x80:
+            raise ValueError("local color tables not supported")
+        if img_packed & 0x40:
+            raise ValueError("interlaced animation frames not supported")
+        i += 10
+        if i >= len(payload):
+            raise ValueError("truncated image data (no LZW minimum code size)")
+        min_code_size = payload[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(payload) and payload[i] != 0:
+            n = payload[i]
+            chunk = payload[i + 1 : i + 1 + n]
+            if len(chunk) != n:
+                raise ValueError("truncated LZW sub-block")
+            lzw += chunk
+            i += 1 + n
+        if i >= len(payload):
+            raise ValueError("missing sub-block terminator")
+        i += 1
+        indices = _lzw_decompress(bytes(lzw), min_code_size, width * height)
+        if max(indices) >= table_size:
+            raise ValueError("palette index out of range")
+        sum_r_frames.append(sum(gct[3 * idx] for idx in indices))
+        delays.append(pending_delay)
+        pending_delay = -1
+    if not sum_r_frames:
+        raise ValueError("no image data before trailer")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(sum_r_frames),
+        "delays_cs": delays,
+        "duration_cs": sum(d for d in delays if d > 0),
+        "sum_r_frames": sum_r_frames,
+    }

@@ -68,6 +68,14 @@ def _cases():
                 5, 4, [(i, i, i) for i in range(8)], lambda x, y: (x + y) % 8
             ),
         ),
+        "gif_animation": (
+            M6.decode_gif_frames,
+            M6.encode_gif_animation(
+                6, 5, [(i, i, i) for i in range(8)],
+                [lambda x, y, f=f: (x + y + f) % 8 for f in range(3)],
+                [10, 20, 30],
+            ),
+        ),
         "qoi": (
             M7.decode_qoi,
             M7.encode_qoi(

@@ -118,3 +118,44 @@ def test_decode_gif_stats_consistency(spark):
         d = r["doc_id"]
         assert (r["sum_r"], r["sum_g"], r["sum_b"], r["wsum_r"], r["wsum_idx"]) == _ref(d)
         assert r["interlaced"] == (d % 2 == 1)
+
+
+# --------------------------------------------------------------------------
+# round 7: animated GIF (GCE delays + multiple image descriptors)
+# --------------------------------------------------------------------------
+
+
+def test_gif_animation_roundtrip():
+    pal = [((p * 37) % 256, (p * 11) % 256, (p * 5) % 256) for p in range(8)]
+    frames = [lambda x, y, f=f: (x + y + f) % 8 for f in range(4)]
+    pay = M.encode_gif_animation(6, 5, pal, frames, [10, 20, 30, 40], loop=2)
+    out = M.decode_gif_frames(pay)
+    assert out["n_frames"] == 4
+    assert out["delays_cs"] == [10, 20, 30, 40]
+    assert out["duration_cs"] == 100
+    assert out["sum_r_frames"] == [
+        sum(pal[(x + y + f) % 8][0] for y in range(5) for x in range(6))
+        for f in range(4)
+    ]
+
+
+def test_gif_animation_walks_single_frame_files_too():
+    pal = [((p * 3) % 256, 0, 0) for p in range(4)]
+    single = M.encode_gif(5, 4, pal, lambda x, y: (x + y) % 4)
+    out = M.decode_gif_frames(single)
+    assert out["n_frames"] == 1
+    assert out["delays_cs"] == [-1]  # no GCE in the single-frame writer
+
+
+def test_gif_animation_rejects_malformed():
+    pal = [(1, 2, 3), (4, 5, 6)]
+    good = M.encode_gif_animation(4, 3, pal, [lambda x, y: (x + y) % 2], [7])
+    with pytest.raises(ValueError, match="missing trailer|truncated"):
+        M.decode_gif_frames(good[:-1])
+    with pytest.raises(ValueError, match="malformed GCE"):
+        bad = bytearray(good)
+        i = bad.find(b"\x21\xf9\x04")
+        bad[i + 2] = 5  # wrong GCE block size
+        M.decode_gif_frames(bytes(bad))
+    with pytest.raises(ValueError, match="frames and delays"):
+        M.encode_gif_animation(4, 3, pal, [lambda x, y: 0], [1, 2])
