@@ -273,3 +273,114 @@ def mm_exif_orientation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exif_w long, exif_h long, xres_micro long, make_len long, "
         "is_transposed long",
     )
+
+
+# --------------------------------------------------------------------------
+# MP3 frame-header walk + ID3v2 skip (ISO/IEC 11172-3, public spec) —
+# audio-metadata extraction without audio synthesis.  Round 7 ships the
+# walk + tests; the oracle-gated query joins the round-8 window.
+# --------------------------------------------------------------------------
+
+# MPEG-1 Layer III bitrate table (kbit/s; index 0 = free, 15 = bad)
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None
+)
+_MP3_SAMPLERATES = (44100, 48000, 32000, None)
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def encode_mp3_stream(
+    frames: list[tuple[int, int]], *, id3_size: int = 0
+) -> bytes:
+    """Spec-valid MPEG-1 Layer III frame stream from ``(bitrate_index,
+    samplerate_index)`` pairs, with deterministic dummy payload bytes
+    (the WALK is the surface, not audio synthesis).  ``id3_size``
+    prepends an ID3v2.4 tag of that many content bytes (syncsafe
+    size), the way wild MP3s almost always open."""
+    out = bytearray()
+    if id3_size:
+        ss = [
+            (id3_size >> 21) & 0x7F,
+            (id3_size >> 14) & 0x7F,
+            (id3_size >> 7) & 0x7F,
+            id3_size & 0x7F,
+        ]
+        out += b"ID3\x04\x00\x00" + bytes(ss)
+        out += bytes((i * 7) % 256 for i in range(id3_size))
+    for n, (bi, si) in enumerate(frames):
+        if not 1 <= bi <= 14:
+            raise ValueError(f"bitrate index {bi} out of range")
+        if not 0 <= si <= 2:
+            raise ValueError(f"samplerate index {si} invalid")
+        hdr = (0xFFF << 20) | (0b11 << 19) | (0b01 << 17) | (1 << 16)
+        hdr |= (bi << 12) | (si << 10)
+        flen = 144 * _MP3_BITRATES[bi] * 1000 // _MP3_SAMPLERATES[si]
+        out += hdr.to_bytes(4, "big")
+        out += bytes((n * 13 + j) % 256 for j in range(flen - 4))
+    return bytes(out)
+
+
+def decode_mp3_frames(payload: bytes) -> dict:
+    """REAL MP3 stream walk: optional ID3v2 tag skip (syncsafe size),
+    then frame-by-frame — 11-bit sync, MPEG-1 Layer III validation,
+    bitrate/samplerate table lookup, CRC-flag-aware frame-length
+    arithmetic (144 * bitrate / samplerate + padding), exact integer
+    duration accumulation (1152 samples per frame).  Raises ValueError
+    on malformed input (bad sync, reserved version/layer, free-format
+    or bad bitrate index, reserved samplerate, truncated frame or tag).
+    Returns frame count, duration in exact microseconds, kbps min/max,
+    and whether the stream is VBR."""
+    i = 0
+    n = len(payload)
+    if payload[:3] == b"ID3":
+        if n < 10:
+            raise ValueError("truncated ID3v2 header")
+        ss = payload[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("non-syncsafe ID3v2 size")
+        size = (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+        if 10 + size > n:
+            raise ValueError("ID3v2 tag extends past end of stream")
+        i = 10 + size
+    n_frames = 0
+    dur_us = 0
+    kbps: list[int] = []
+    while i < n:
+        if i + 4 > n:
+            raise ValueError(f"truncated frame header at offset {i}")
+        hdr = int.from_bytes(payload[i : i + 4], "big")
+        if hdr >> 21 != 0x7FF:
+            raise ValueError(f"lost frame sync at offset {i}")
+        version = (hdr >> 19) & 0x3
+        layer = (hdr >> 17) & 0x3
+        if version != 0b11 or layer != 0b01:
+            raise ValueError(
+                f"only MPEG-1 Layer III supported "
+                f"(version bits {version:02b}, layer bits {layer:02b})"
+            )
+        bi = (hdr >> 12) & 0xF
+        si = (hdr >> 10) & 0x3
+        if bi in (0, 15):
+            raise ValueError(f"free-format/bad bitrate index {bi}")
+        if si == 3:
+            raise ValueError("reserved samplerate index")
+        padding = (hdr >> 9) & 0x1
+        sr = _MP3_SAMPLERATES[si]
+        flen = 144 * _MP3_BITRATES[bi] * 1000 // sr + padding
+        if i + flen > n:
+            raise ValueError(
+                f"truncated frame at offset {i} (need {flen} bytes)"
+            )
+        i += flen
+        n_frames += 1
+        dur_us += _MP3_SAMPLES_PER_FRAME * 1_000_000 // sr
+        kbps.append(_MP3_BITRATES[bi])
+    if n_frames == 0:
+        raise ValueError("no MP3 frames found")
+    return {
+        "n_frames": n_frames,
+        "duration_us": dur_us,
+        "kbps_min": min(kbps),
+        "kbps_max": max(kbps),
+        "is_vbr": len(set(kbps)) > 1,
+    }

@@ -118,6 +118,10 @@ def _cases():
             ),
         ),
         "exif_jpeg": (M11.exif_from_jpeg, M11._exif_jpeg(3)),
+        "mp3": (
+            M11.decode_mp3_frames,
+            M11.encode_mp3_stream([(9, 0), (11, 1), (9, 2)], id3_size=20),
+        ),
         "auto_dispatch": (M0.decode_image_auto, M0._auto_payload(9)),
     }
 

@@ -90,3 +90,47 @@ def test_exif_query_consistency(spark):
         assert r["orientation"] == 1 + d % 8
         assert r["exif_w"] == 100 + d % 900
         assert r["xres_micro"] == (72 + d % 100) * 1000000 // (1 + d % 3)
+
+
+# --------------------------------------------------------------------------
+# MP3 frame-header walk + ID3v2 skip (round 7; query joins the r8 window)
+# --------------------------------------------------------------------------
+
+
+def test_mp3_walk_roundtrip_and_vbr():
+    pay = E.encode_mp3_stream([(9, 0), (11, 0), (9, 0)], id3_size=40)
+    out = E.decode_mp3_frames(pay)
+    assert out["n_frames"] == 3
+    assert (out["kbps_min"], out["kbps_max"], out["is_vbr"]) == (128, 192, True)
+    # exact integer duration: 3 frames of 1152 samples at 44100 Hz
+    assert out["duration_us"] == 3 * (1152 * 1_000_000 // 44100)
+    # CBR stream without a tag
+    out = E.decode_mp3_frames(E.encode_mp3_stream([(14, 1)] * 5))
+    assert out["n_frames"] == 5 and not out["is_vbr"]
+    assert out["kbps_min"] == out["kbps_max"] == 320
+
+
+def test_mp3_rejects_malformed():
+    good = E.encode_mp3_stream([(9, 0), (9, 0)])
+    with pytest.raises(ValueError, match="lost frame sync"):
+        E.decode_mp3_frames(b"\x00" + good)
+    with pytest.raises(ValueError, match="truncated frame"):
+        E.decode_mp3_frames(good[:-1])
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        E.decode_mp3_frames(E.encode_mp3_stream([(9, 0)], id3_size=8)[:18])
+    with pytest.raises(ValueError, match="ID3v2 tag extends"):
+        bad = bytearray(E.encode_mp3_stream([(9, 0)], id3_size=8))
+        bad[6:10] = b"\x7f\x7f\x7f\x7f"  # inflate the syncsafe size
+        E.decode_mp3_frames(bytes(bad))
+    with pytest.raises(ValueError, match="bitrate index"):
+        bad = bytearray(good)
+        bad[2] = (bad[2] & 0x0F) | 0xF0  # bitrate index 15
+        E.decode_mp3_frames(bytes(bad))
+    with pytest.raises(ValueError, match="reserved samplerate"):
+        bad = bytearray(good)
+        bad[2] |= 0x0C  # samplerate index 3
+        E.decode_mp3_frames(bytes(bad))
+    with pytest.raises(ValueError, match="Layer III"):
+        bad = bytearray(good)
+        bad[1] ^= 0x02  # layer bits
+        E.decode_mp3_frames(bytes(bad))
