@@ -384,3 +384,107 @@ def decode_mp3_frames(payload: bytes) -> dict:
         "kbps_max": max(kbps),
         "is_vbr": len(set(kbps)) > 1,
     }
+
+
+# --------------------------------------------------------------------------
+# FLAC STREAMINFO walk (the xiph spec, public) — lossless-audio metadata
+# --------------------------------------------------------------------------
+
+
+def encode_flac_streaminfo(
+    *,
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    total_samples: int,
+    min_block: int = 4096,
+    max_block: int = 4096,
+    md5: bytes = b"\x00" * 16,
+    extra_blocks: list[tuple[int, bytes]] | None = None,
+) -> bytes:
+    """Spec-valid FLAC header: ``fLaC`` magic, STREAMINFO metadata
+    block (34 bytes of packed bit fields), optional further metadata
+    blocks (``(type, payload)``), last-block flag on the final one.
+    Audio frames are out of surface — the METADATA walk is the
+    feature, as with the MP3 twin."""
+    if not 1 <= channels <= 8:
+        raise ValueError(f"channels {channels} out of range")
+    if not 4 <= bits_per_sample <= 32:
+        raise ValueError(f"bits-per-sample {bits_per_sample} out of range")
+    if sample_rate >= 1 << 20 or sample_rate == 0:
+        raise ValueError(f"sample rate {sample_rate} out of field range")
+    if total_samples >= 1 << 36:
+        raise ValueError("total samples exceed the 36-bit field")
+    body = struct.pack(">HH", min_block, max_block)
+    body += (0).to_bytes(3, "big") * 2  # min/max framesize unknown
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    body += packed.to_bytes(8, "big") + md5
+    blocks = [(0, body)] + list(extra_blocks or [])
+    out = bytearray(b"fLaC")
+    for k, (btype, payload) in enumerate(blocks):
+        last = 0x80 if k == len(blocks) - 1 else 0
+        out += bytes([last | btype]) + len(payload).to_bytes(3, "big")
+        out += payload
+    return bytes(out)
+
+
+def decode_flac_streaminfo(payload: bytes) -> dict:
+    """REAL FLAC metadata walk: magic, block-header iteration (last
+    flag, 7-bit type, 24-bit length), STREAMINFO bit-field unpacking
+    (20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+    samples, MD5), other block types skipped by length.  Raises
+    ValueError on malformed input (bad magic, missing/short/duplicate
+    STREAMINFO, truncated block, invalid type 127, zero sample rate)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (bad magic)")
+    i = 4
+    info = None
+    n_blocks = 0
+    while True:
+        if i + 4 > len(payload):
+            raise ValueError("truncated metadata block header")
+        hdr = payload[i]
+        btype = hdr & 0x7F
+        if btype == 127:
+            raise ValueError("invalid metadata block type 127")
+        length = int.from_bytes(payload[i + 1 : i + 4], "big")
+        i += 4
+        if i + length > len(payload):
+            raise ValueError(f"truncated metadata block (type {btype})")
+        if btype == 0:
+            if info is not None:
+                raise ValueError("duplicate STREAMINFO")
+            if length != 34:
+                raise ValueError(f"STREAMINFO is {length} bytes (want 34)")
+            blk = payload[i : i + 34]
+            min_block, max_block = struct.unpack(">HH", blk[:4])
+            packed = int.from_bytes(blk[10:18], "big")
+            sample_rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if sample_rate == 0:
+                raise ValueError("zero sample rate")
+            info = {
+                "min_block": min_block,
+                "max_block": max_block,
+                "sample_rate": sample_rate,
+                "channels": channels,
+                "bits_per_sample": bps,
+                "total_samples": total,
+                "duration_us": total * 1_000_000 // sample_rate,
+                "md5": blk[18:34],
+            }
+        i += length
+        n_blocks += 1
+        if hdr & 0x80:
+            break
+    if info is None:
+        raise ValueError("no STREAMINFO block (must be first per spec)")
+    info["n_blocks"] = n_blocks
+    return info

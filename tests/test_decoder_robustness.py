@@ -122,6 +122,14 @@ def _cases():
             M11.decode_mp3_frames,
             M11.encode_mp3_stream([(9, 0), (11, 1), (9, 2)], id3_size=20),
         ),
+        "flac": (
+            M11.decode_flac_streaminfo,
+            M11.encode_flac_streaminfo(
+                sample_rate=44100, channels=2, bits_per_sample=16,
+                total_samples=44100 * 3,
+                extra_blocks=[(4, b"vendor\x00tag")],
+            ),
+        ),
         "auto_dispatch": (M0.decode_image_auto, M0._auto_payload(9)),
     }
 

@@ -134,3 +134,52 @@ def test_mp3_rejects_malformed():
         bad = bytearray(good)
         bad[1] ^= 0x02  # layer bits
         E.decode_mp3_frames(bytes(bad))
+
+
+# --------------------------------------------------------------------------
+# FLAC STREAMINFO walk (round 7; query joins the r8 window)
+# --------------------------------------------------------------------------
+
+
+def test_flac_streaminfo_roundtrip():
+    pay = E.encode_flac_streaminfo(
+        sample_rate=44100, channels=2, bits_per_sample=16,
+        total_samples=44100 * 7, md5=bytes(range(16)),
+        extra_blocks=[(4, b"vendor\x00tag"), (1, b"\x00" * 10)],
+    )
+    out = E.decode_flac_streaminfo(pay)
+    assert out["sample_rate"] == 44100 and out["channels"] == 2
+    assert out["bits_per_sample"] == 16
+    assert out["total_samples"] == 44100 * 7
+    assert out["duration_us"] == 7_000_000
+    assert out["md5"] == bytes(range(16))
+    assert out["n_blocks"] == 3
+    # odd field values exercise the bit boundaries
+    out = E.decode_flac_streaminfo(E.encode_flac_streaminfo(
+        sample_rate=(1 << 20) - 1, channels=8, bits_per_sample=32,
+        total_samples=(1 << 36) - 1,
+    ))
+    assert out["sample_rate"] == (1 << 20) - 1
+    assert out["channels"] == 8 and out["bits_per_sample"] == 32
+    assert out["total_samples"] == (1 << 36) - 1
+
+
+def test_flac_rejects_malformed():
+    good = E.encode_flac_streaminfo(
+        sample_rate=48000, channels=1, bits_per_sample=24, total_samples=480,
+    )
+    with pytest.raises(ValueError, match="bad magic"):
+        E.decode_flac_streaminfo(b"OggS" + good[4:])
+    with pytest.raises(ValueError, match="truncated metadata block"):
+        E.decode_flac_streaminfo(good[:-1])
+    with pytest.raises(ValueError, match="no STREAMINFO"):
+        pay = b"fLaC" + bytes([0x80 | 4, 0, 0, 2]) + b"ab"
+        E.decode_flac_streaminfo(pay)
+    with pytest.raises(ValueError, match="STREAMINFO is"):
+        bad = bytearray(good)
+        bad[7] = 33  # shrink the declared length
+        E.decode_flac_streaminfo(bytes(bad))
+    with pytest.raises(ValueError, match="type 127"):
+        bad = bytearray(good)
+        bad[4] = 127
+        E.decode_flac_streaminfo(bytes(bad))
