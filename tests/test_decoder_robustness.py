@@ -159,3 +159,29 @@ def test_every_byte_flip_is_total(name):
                 fn(bytes(mut))
             except ValueError:
                 pass
+
+
+def test_random_garbage_never_crashes_the_dispatcher():
+    """Arbitrary byte strings into decode_image_auto (the
+    undifferentiated-column entry point): ValueError or a valid dict,
+    never another exception.  Seeded LCG keeps the corpus stable."""
+    state = 0x2545F4914F6CDD1D
+    for trial in range(400):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        n = state % 64
+        buf = bytearray()
+        s = state
+        for _ in range(n):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            buf.append(s >> 56)
+        # half the trials get a real magic prefix so the routed decoder
+        # (not just the dispatch) sees the garbage
+        if trial % 2:
+            magic = (b"P6", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a",
+                     b"qoif", b"BM", b"YUV4MPEG2")[trial % 7]
+            buf = bytearray(magic) + buf
+        try:
+            out = M0.decode_image_auto(bytes(buf))
+            assert isinstance(out, dict) and "format" in out
+        except ValueError:
+            pass

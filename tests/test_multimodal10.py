@@ -325,3 +325,26 @@ def test_quarantine_query_consistency(spark):
             assert (r["ok"], r["n_tokens"], r["token_sum"]) == (
                 1, len(toks), sum(toks),
             )
+
+
+def test_warc_wet_conversion_records():
+    """WET files (the Common-Crawl extracted-text sibling) are WARC
+    files whose payload records carry WARC-Type: conversion and a
+    WARC-Refers-To header — the generic record walk must surface them
+    untouched."""
+    rec = W.encode_warc_record(
+        "conversion",
+        "extracted plain text\nsecond line".encode(),
+        record_id="wet-1",
+        target_uri="http://ex.com/page",
+        content_type="text/plain",
+    )
+    # splice a WARC-Refers-To field in (any named field is legal)
+    rec = rec.replace(
+        b"WARC-Date:", b"WARC-Refers-To: <urn:uuid:orig-1>\r\nWARC-Date:"
+    )
+    out = W.decode_warc(M9.decode_gzip_member(M9.encode_gzip_member(rec))["data"])
+    assert out[0]["type"] == "conversion"
+    assert out[0]["content"].startswith(b"extracted plain text")
+    # and through the .warc.gz composite path
+    assert W.decode_warc_gz(M9.encode_gzip_member(rec))[0]["type"] == "conversion"
