@@ -359,7 +359,14 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             out += bytes(plte[idx])
         return bytes(out)
 
-    raw = zlib.decompress(bytes(idat))
+    # A PNG whose chunk CRCs are all valid can still carry a corrupt
+    # DEFLATE stream in IDAT; zlib raises zlib.error there, which must
+    # become ValueError to keep the decoder totality contract (one bad
+    # record -> quarantine row, never a dead Arrow batch).
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT DEFLATE stream: {exc}") from exc
     if not interlace:
         stride = row_stride(width)
         if len(raw) != height * (stride + 1):

@@ -120,31 +120,36 @@ def decode_gzip_stream(payload: bytes) -> list[dict]:
     members = []
     i = 0
     while i < len(payload):
-        m, consumed = _gzip_member_parse(payload[i:])
+        m, consumed = _gzip_member_parse(payload, i)
         members.append(m)
         i += consumed
     return members
 
 
-def _gzip_member_parse(payload: bytes) -> tuple[dict, int]:
-    """Parse ONE gzip member at the start of ``payload``; returns the
-    member dict and the number of bytes it occupies."""
-    if len(payload) < 18:
+def _gzip_member_parse(payload: bytes, start: int = 0) -> tuple[dict, int]:
+    """Parse ONE gzip member at ``payload[start:]``; returns the member
+    dict and the number of bytes it occupies.  All indexing is
+    offset-based and the DEFLATE body is fed to the decompressor in
+    bounded chunks, so walking an N-byte multi-member stream (the
+    Common-Crawl ``.warc.gz`` convention — one member per record, ~1 GB
+    shards) is O(N) total, never O(N^2) re-slicing."""
+    n = len(payload)
+    if n - start < 18:
         raise ValueError("truncated gzip member (shorter than header + trailer)")
-    if payload[:2] != _GZ_MAGIC:
+    if payload[start : start + 2] != _GZ_MAGIC:
         raise ValueError("not a gzip member (bad magic)")
-    if payload[2] != _CM_DEFLATE:
-        raise ValueError(f"unsupported compression method {payload[2]}")
-    flg = payload[3]
+    if payload[start + 2] != _CM_DEFLATE:
+        raise ValueError(f"unsupported compression method {payload[start + 2]}")
+    flg = payload[start + 3]
     if flg & 0xE0:
         raise ValueError(f"reserved FLG bits set ({flg:#04x})")
-    (mtime,) = struct.unpack("<I", payload[4:8])
-    i = 10
+    (mtime,) = struct.unpack("<I", payload[start + 4 : start + 8])
+    i = start + 10
     if flg & _FEXTRA:
-        if i + 2 > len(payload):
+        if i + 2 > n:
             raise ValueError("truncated FEXTRA length")
         (xlen,) = struct.unpack("<H", payload[i : i + 2])
-        if i + 2 + xlen > len(payload):
+        if i + 2 + xlen > n:
             raise ValueError("truncated FEXTRA field")
         i += 2 + xlen
     fname = fcomment = None
@@ -160,22 +165,33 @@ def _gzip_member_parse(payload: bytes) -> tuple[dict, int]:
                 fcomment = text
             i = end + 1
     if flg & _FHCRC:
-        if i + 2 > len(payload):
+        if i + 2 > n:
             raise ValueError("truncated FHCRC")
         (hcrc,) = struct.unpack("<H", payload[i : i + 2])
-        if hcrc != zlib.crc32(payload[:i]) & 0xFFFF:
+        if hcrc != zlib.crc32(memoryview(payload)[start:i]) & 0xFFFF:
             raise ValueError("header CRC-16 mismatch")
         i += 2
+    # Chunked inflate: hand the decompressor 64 KiB at a time and stop
+    # at end-of-stream, so ``unused_data`` (which materializes a copy)
+    # is never more than one chunk of lookahead.
     d = zlib.decompressobj(-15)
+    out = []
+    pos = i
+    mv = memoryview(payload)
     try:
-        data = d.decompress(payload[i:])
-        data += d.flush()
+        while not d.eof:
+            if pos >= n:
+                raise ValueError("truncated gzip trailer")
+            chunk = mv[pos : pos + 65536]
+            out.append(d.decompress(chunk))
+            pos += len(chunk)
     except zlib.error as exc:
         raise ValueError(f"corrupt DEFLATE stream: {exc}") from exc
-    trailer = d.unused_data
-    if len(trailer) < 8:
+    data = b"".join(out)
+    deflate_end = pos - len(d.unused_data)
+    if deflate_end + 8 > n:
         raise ValueError("truncated gzip trailer")
-    crc, isize = struct.unpack("<II", trailer[:8])
+    crc, isize = struct.unpack("<II", payload[deflate_end : deflate_end + 8])
     if crc != zlib.crc32(data) & 0xFFFFFFFF:
         raise ValueError("body CRC-32 mismatch")
     if isize != len(data) & 0xFFFFFFFF:
@@ -187,7 +203,7 @@ def _gzip_member_parse(payload: bytes) -> tuple[dict, int]:
         "fcomment": fcomment,
         "data": data,
     }
-    return member, len(payload) - (len(trailer) - 8)
+    return member, deflate_end + 8 - start
 
 
 # Planted text: n tokens, token i = (doc_id * 7 + i * 13) % 1000, space-
@@ -706,7 +722,18 @@ def decode_tar(payload: bytes) -> list[dict]:
                     f"non-decimal PAX size {eff['size']!r}"
                 ) from exc
         if "mtime" in eff:
-            mtime = int(float(eff["mtime"]))
+            # POSIX allows a fractional part; take the integer lead
+            # digits directly rather than round-tripping through float
+            # (``1e999`` would raise OverflowError, NaN a differently
+            # worded ValueError, and >2^53 would silently lose
+            # precision).  Negative epochs are legal (pre-1970).
+            lead = eff["mtime"].split(".", 1)[0]
+            try:
+                mtime = int(lead)
+            except ValueError as exc:
+                raise ValueError(
+                    f"non-numeric PAX mtime {eff['mtime']!r}"
+                ) from exc
         if i + size > len(payload):
             raise ValueError(f"truncated content for {name!r}")
         content = payload[i : i + size]
@@ -1060,7 +1087,13 @@ def decode_zip(payload: bytes) -> list[dict]:
     Names decode per APPNOTE: cp437, or UTF-8 when flag bit 11 is set.
     Bit-3 (data-descriptor / streamed) members are walked via the
     central directory's authoritative sizes and their trailing
-    descriptor is verified against it."""
+    descriptor is verified against it.
+
+    When the trailing comment itself contains a byte string that looks
+    like a self-consistent EOCD (legal — comments are free-form),
+    candidates are tried highest-offset first (the APPNOTE readers'
+    convention) and the first whose central directory fully validates
+    wins; only if every candidate fails does the error propagate."""
     n = len(payload)
     candidates = []
     scan_from = max(0, n - 22 - 0xFFFF)
@@ -1073,12 +1106,20 @@ def decode_zip(payload: bytes) -> list[dict]:
         i -= 1
     if not candidates:
         raise ValueError("no end-of-central-directory record found")
-    if len(candidates) > 1:
-        raise ValueError(
-            f"ambiguous EOCD: {len(candidates)} plausible records "
-            f"at offsets {candidates[:4]}"
-        )
-    eocd = candidates[0]
+    # Backwards scan => candidates are already highest-offset first.
+    first_err: ValueError | None = None
+    for eocd in candidates:
+        try:
+            return _zip_walk(payload, eocd)
+        except ValueError as exc:
+            if first_err is None:
+                first_err = exc
+    raise first_err
+
+
+def _zip_walk(payload: bytes, eocd: int) -> list[dict]:
+    """Walk the archive from a chosen EOCD offset (see ``decode_zip``)."""
+    n = len(payload)
     disk, cd_disk, n_disk, n_total, cd_size, cd_off, _ = struct.unpack(
         "<HHHHIIH", payload[eocd + 4 : eocd + 22]
     )

@@ -89,6 +89,32 @@ def test_png_rejects_garbage():
         M.decode_png(png)
 
 
+def test_png_crc_valid_corrupt_idat_is_valueerror():
+    """A PNG whose chunk CRCs are all correct but whose IDAT bytes are
+    not a DEFLATE stream must raise ValueError, not leak zlib.error
+    (the byte-flip fuzzer can't reach this path — a flip always breaks
+    the chunk CRC first)."""
+    png = (
+        M._PNG_SIG
+        + M._chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + M._chunk(b"IDAT", b"\xde\xad\xbe\xef not deflate")
+        + M._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="DEFLATE"):
+        M.decode_png(png)
+    # truncated-but-CRC-valid stream: compress then cut, re-chunk
+    raw = b"\x00" + b"\x01" * 6 + b"\x00" + b"\x02" * 6
+    cut = zlib.compress(raw)[:-4]
+    png = (
+        M._PNG_SIG
+        + M._chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + M._chunk(b"IDAT", cut)
+        + M._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        M.decode_png(png)
+
+
 def test_png_multiple_idat_chunks():
     # IDAT data may be split arbitrarily across chunks (spec §11.2.4)
     good = M.encode_png(6, 6, _checker)

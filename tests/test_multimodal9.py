@@ -411,6 +411,33 @@ def test_tar_pax_mtime_and_size_overrides():
     assert got[0]["size"] == 700 and got[0]["content"] == content
 
 
+def test_tar_pax_mtime_hostile_values():
+    """PAX mtime parses the integer lead digits directly — no float
+    round-trip.  '1e999' must be ValueError (not OverflowError), 'nan'
+    ValueError, a fractional mtime truncates, and values above 2^53
+    survive exactly (float would silently round them)."""
+
+    def archive_with_mtime(s: str) -> bytes:
+        recs = M._pax_records({"mtime": s})
+        pay = bytearray()
+        pay += M._tar_block(b"PaxHeaders.0/f.bin", len(recs), 0, b"x")
+        pay += M._tar_pad(recs)
+        pay += M._tar_block(b"f.bin", 3, 9, b"0")
+        pay += M._tar_pad(b"abc")
+        pay += bytes(1024)
+        return bytes(pay)
+
+    for hostile in ("1e999", "nan", "inf", "-inf", "abc", ""):
+        with pytest.raises(ValueError, match="PAX mtime"):
+            M.decode_tar(archive_with_mtime(hostile))
+    assert M.decode_tar(archive_with_mtime("1700000000.123456789"))[0][
+        "mtime"
+    ] == 1700000000
+    huge = 2**53 + 1  # float(2**53+1) == 2**53 — the old precision bug
+    assert M.decode_tar(archive_with_mtime(str(huge)))[0]["mtime"] == huge
+    assert M.decode_tar(archive_with_mtime("-12.9"))[0]["mtime"] == -12
+
+
 def test_tar_pax_global_header_applies_to_all():
     recs = M._pax_records({"mtime": "424242"})
     pay = bytearray()
@@ -580,16 +607,26 @@ def test_zip_name_encodings():
     assert got[0]["name"] == name_437
 
 
-def test_zip_ambiguous_eocd_rejected():
-    """Two byte-plausible EOCD records (a fake one embedded in a
-    comment whose length field happens to close the file) is ambiguity,
-    not a guess."""
+def test_zip_eocd_in_comment_resolved_by_validation():
+    """A legal archive whose trailing comment happens to contain a
+    byte-plausible EOCD must still decode (APPNOTE readers try
+    candidates highest-offset first and keep the one whose central
+    directory validates).  Here the fake candidate sits at the higher
+    offset but points at a zero-length central directory that does not
+    abut it, so the real EOCD wins."""
     pay = bytearray(M.encode_zip([("x", b"data", False)]))
-    # real EOCD gets a comment that CONTAINS a fake EOCD whose comment
-    # length also reaches end-of-file
     fake = bytearray(M._ZIP_EOCD + bytes(16) + struct.pack("<H", 0))
-    struct.pack_into("<H", fake, 20, 0)  # fake's clen: 0 -> must land at EOF
+    struct.pack_into("<H", fake, 20, 0)  # fake's clen: 0 -> lands at EOF
     struct.pack_into("<H", pay, len(pay) - 2, len(fake))
     pay += fake
-    with pytest.raises(ValueError, match="ambiguous EOCD"):
-        M.decode_zip(bytes(pay))
+    members = M.decode_zip(bytes(pay))
+    assert [m["name"] for m in members] == ["x"]
+    assert members[0]["content"] == b"data"
+
+
+def test_zip_no_valid_eocd_candidate_raises():
+    """When every byte-plausible EOCD candidate fails central-directory
+    validation, the highest-offset candidate's error propagates."""
+    fake = bytearray(M._ZIP_EOCD + bytes(16) + struct.pack("<H", 0))
+    with pytest.raises(ValueError, match="central directory"):
+        M.decode_zip(b"\x00" * 64 + bytes(fake))
