@@ -142,6 +142,7 @@ def load_all() -> None:
         multimodal9,
         multimodal10,
         multimodal11,
+        multimodal12,
         pipelines,
         privacy,
         projection,
