@@ -160,6 +160,7 @@ def load_all() -> None:
         timeseries,
         udafs,
         vocab,
+        warc_ingest,
     )
     from .streaming import windows  # noqa: F401
 
