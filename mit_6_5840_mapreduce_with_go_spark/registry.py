@@ -156,6 +156,7 @@ def load_all() -> None:
         similarity,
         sketches2,
         stats2,
+        stream_projections,
         text,
         timeseries,
         udafs,
