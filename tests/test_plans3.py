@@ -157,3 +157,42 @@ def test_bm25_tfidf_exchange_reuse_lever(spark, sf_dir):
                 f"explode appeared — the isNotNull reuse lever is gone"
             )
             assert n_reuse >= 5, f"only {n_reuse} ReusedExchange (want >=5)"
+
+
+def test_bm25_prf_postings_reuse_and_pass2_decomposition(spark, sf_dir):
+    """Round-8 pin for the PRF tail (the round-7 bench's slowest query):
+
+    1. the corpus postings subtree is REUSED across the three corpus
+       consumers (pass-1 scoring, feedback-df mining, expansion-pass
+       scoring) — counted on the EXECUTED final plan (AQE reuse lands at
+       execution time), where ReusedExchange truncates its subtree, so
+       every printed FileScan/Generate is a genuinely distinct executed
+       operator: at most 3 corpus scans / 5 explodes survive (measured
+       3/5 with reuse; an un-reused plan prints one extra per consumer);
+    2. pass 2 is DECOMPOSED: original-term contributions come from
+       pass 1's scores (scored1 FULL JOIN exp_scored), so the only
+       second corpus scoring pass is over the <=M-per-query expansion
+       vocabulary.  The full-join merge must appear and the plan must
+       keep a healthy ReusedExchange count (>=12 measured 19)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.retrieval import (
+        sim_bm25_prf_expansion,
+    )
+
+    df = sim_bm25_prf_expansion(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    n_scan = len(re.findall(r"FileScan parquet", final))
+    n_gen = len(re.findall(r"Generate explode", final))
+    n_reuse = len(re.findall(r"ReusedExchange", final))
+    assert n_scan <= 3, (
+        f"{n_scan} corpus scans in the final plan (want <=3): a corpus "
+        f"consumer stopped reusing the postings exchange"
+    )
+    assert n_gen <= 5, f"{n_gen} corpus explodes in the final plan (want <=5)"
+    assert n_reuse >= 12, f"only {n_reuse} ReusedExchange (want >=12)"
+    assert re.search(r"SortMergeJoin.*FullOuter|FullOuter.*SortMergeJoin",
+                     final) or "FullOuter" in final, (
+        "pass-2 decomposition merge (scored1 FULL JOIN exp_scored) "
+        "missing from the final plan"
+    )
