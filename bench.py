@@ -71,6 +71,10 @@ HEADLINE = [
     "mm_decode_warc_stats",
     "mm_warc_http_stats",
     "mm_decode_auto_dispatch_stats",
+    # round-8 flagships (NEW in r8 — subtract these two when comparing
+    # totals to earlier rounds): the WARC FILE source and audio metadata
+    "mm_warc_source_stats",
+    "mm_decode_mp3_stats",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]
@@ -124,12 +128,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Min-of-2 per query (the first run pays one-time codegen), plus an
-    # adaptive third run when the two samples disagree by >1.5x — the
-    # signature of transient host contention (observed on the shared
-    # runner: identical-commit totals of 30.6s vs 41.2s). The min
-    # approximates steady-state engine throughput (what a long job
-    # sees), which is the number comparable across rounds.
+    # Min-of-2 per query (the first run pays one-time codegen), with two
+    # variance guards (r6->r7 showed 1.3-1.7x min-swings on sub-second
+    # queries under plain min-of-2):
+    #   - SHORT queries (min under _SHORT_SEC) always get a third run —
+    #     their per-stage overhead is comparable to scheduler jitter, so
+    #     two samples under-sample the noise floor;
+    #   - any query whose samples disagree by >1.5x gets a third run —
+    #     the signature of transient host contention (observed on the
+    #     shared runner: identical-commit totals of 30.6s vs 41.2s).
+    # The min approximates steady-state engine throughput (what a long
+    # job sees); per-query spread (max/min over the samples) is recorded
+    # so a future reader can tell a real regression (stable min moved)
+    # from noise (wide spread) without re-running.
+    _SHORT_SEC = 1.5
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         samples = []
@@ -137,11 +150,14 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
-        if max(samples) > 1.5 * min(samples):
+        while (
+            min(samples) < _SHORT_SEC or max(samples) > 1.5 * min(samples)
+        ) and len(samples) < 3:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) / min(samples), 2)
 
     total = round(sum(timings.values()), 3)
     # Host-load context: the shared runner carries heavy EXTERNAL load
@@ -162,6 +178,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread": spreads,
                 "sf": sf,
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,

@@ -718,7 +718,7 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion = (
         mined.withColumn("rn", F.row_number().over(wexp))
         .filter(F.col("rn") <= _PRF_M)
-        .select("query_id", "word")
+        .select("query_id", "word", "df")
     )
     # Pass 2 decomposed: original-term contributions are EXACTLY pass
     # 1's scores (disjoint vocabularies — expansion is anti-joined
@@ -726,7 +726,30 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query) re-touches the corpus.  The full second scoring pass over
     # the query vocabulary — the old 4.9 s bench tail — is gone; the
     # oracle decomposes identically (scored1 FULL JOIN exp_scored).
-    exp_scored = _bm25_scored(terms, dl, stats, expansion, F.lit(_PRF_BETA))
+    # Expansion words CARRY their corpus-exact df out of the mining leg
+    # (pruning by word keeps every posting of that word, so dff's count
+    # equals the full-vocabulary df), so this leg derives idf inline
+    # instead of re-aggregating postings — one fewer exchange + broadcast
+    # on the bench's critical path.
+    exp_pruned = terms.join(
+        F.broadcast(expansion.select("word").distinct()), "word"
+    )
+    exp_scored = (
+        exp_pruned.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats).select("n", "avgdl"))
+        .join(F.broadcast(expansion), "word")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn("w", _bm25_weight(F.lit(_PRF_BETA)))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
     scored2 = (
         scored1.withColumnRenamed("score", "s1")
         .join(
