@@ -40,74 +40,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round so the hard cross-engine signal accumulates across the registry:
 # rounds 1-6 pinned the TPC-H sweep, the session flagships, the
 # dedup/ANN/curation/text families, the stitched/events/sketch/layout
-# families, and the round-5/6 multimodal suite (all 50/50 green --
-# CORRECTNESS_r01-r06.json, cumulative 231/266).  This round-7 window
-# CLOSES THE LEDGER: the 35 queries that have never had a driver-green
-# row (led by the 7 round-6 container/codec queries, then the
-# stats/events/text/audit tranche), the 11 new round-7 queries (WARC,
-# HTTP-in-WARC, auto-dispatch, PAX tar, streamed ZIP, UTF-8 validation,
-# zlib, URL host analytics, palette PNG, EXIF, corrupt-record
-# quarantine), and 4 regression re-verification rows from the
-# round-1/2 era (continuity mr_wordcount, q1/q18, dedup_minhash_lsh).
-# Cumulative driver-verified after this window: 277/277 -- every
-# registered query at least once.  Everything rotated out stays
-# mirror-checked by tools/check_correctness.py over all queries.
+# families, and the round-5/6 multimodal suite; the round-7 window
+# closed the ledger at 277/277 (every registered query driver-green at
+# least once, CORRECTNESS_r01-r07.json).  From round 8 on the window is
+# a ROLLING REGRESSION GATE: 7 NEW round-8 queries (MP3/FLAC/animated-
+# GIF metadata, the WARC file source, 3 streaming final-state
+# projections), 2 queries whose code CHANGED this round (the BM25 pair
+# — pass-2 decomposition + postings-lever change), and 41 of the
+# STALEST driver-green rows — all 35 rows last verified in round 1 plus
+# 6 round-2-era flagships — so the oldest evidence refreshes first.
+# Everything rotated out stays mirror-checked by
+# tools/check_correctness.py over all queries.
 WINDOW_PRIORITY: list[str] = [
-    # Round-6 container/codec queries (added after the r6 rotation)
-    "mm_decode_jpeg422_stats",
-    "mm_decode_jpeg_progressive_color_stats",
-    "mm_decode_gzip_stats",
-    "mm_decode_bmp_stats",
-    "mm_decode_tar_stats",
-    "mm_webdataset_ingest_stats",
-    "mm_decode_zip_stats",
-    # Round-7 additions: WARC, HTTP envelope (chunked), magic-byte
-    # dispatch, PAX tar, bit-3 ZIP
-    "mm_decode_warc_stats",
-    "mm_warc_http_stats",
-    "mm_decode_auto_dispatch_stats",
-    "mm_decode_tar_pax_stats",
-    "mm_decode_zip_stream_stats",
-    "text_utf8_validation_stats",
-    "mm_decode_zlib_stats",
-    "text_url_host_stats",
-    "mm_decode_png_palette_stats",
-    "mm_exif_orientation_stats",
-    "mm_decode_quarantine_stats",
-    # The stats/events/text/audit tranche (never driver-verified)
-    "profile_orders_columns",
-    "udtf_doc_sentences",
-    "events_value_histogram",
-    "udtf_doc_sentences_arrow",
-    "sim_label_cohesion",
-    "eval_ann_sign_test",
-    "stats_key_skew_profile",
-    "profile_fk_candidates",
-    "stats_approx_groupby_eval",
-    "audit_order_lineitem_recon",
-    "audit_data_contracts",
-    "stats_shrunken_source_value",
-    "audit_benford_prices",
-    "stats_correlation_matrix",
-    "stats_ks_two_sample",
-    "stats_poisson_bootstrap_ci",
-    "stats_diff_in_diff",
-    "text_langid_confusion",
-    "text_bpe_token_count",
-    "text_phrase_search",
-    "events_value_trend",
-    "events_value_outliers",
-    "events_seasonality_profile",
-    "events_mad_outliers",
-    "events_seasonal_naive_eval",
-    "events_theilsen_daily_trend",
-    "events_holt_smoothing",
-    "vocab_bpe_roundtrip",
-    # Regression re-verification (r01/r02-era rows)
-    "mr_wordcount",
-    "q1_pricing_summary",
-    "q18_large_volume_orders",
-    "dedup_minhash_lsh",
+    # New round-8 queries (never driver-verified)
+    "mm_decode_mp3_stats",
+    "mm_decode_flac_stats",
+    "mm_decode_gif_anim_stats",
+    "mm_warc_source_stats",
+    "stream_kv_cas_final_state",
+    "stream_ewma_final_state",
+    "stream_kmv_final_state",
+    # Changed this round (re-verification)
+    "sim_bm25_prf_expansion",
+    "sim_bm25_topk",
+    # Stalest rows: last driver-verified in round 1
+    "agg_distinct_parts_per_supplier",
+    "anti_customers_without_orders",
+    "cluster_kmeans_embeddings",
+    "cube_status_priority",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_pairs_edit_distance",
+    "dedup_simhash_xengine",
+    "events_hourly_type_counts",
+    "events_json_props_extract",
+    "events_user_activity",
+    "join_cross_region_nation",
+    "join_full_outer_nation_balance",
+    "join_segment_order_stats",
+    "kv_last_writer_wins",
+    "mm_binary_features",
+    "mm_decode_frames",
+    "mm_quantize_embeddings",
+    "mr_doc_line_counts",
+    "mr_inverted_index",
+    "mr_nocrash_stats",
+    "pipeline_stratified_sample_by_lang",
+    "pivot_qty_by_linestatus",
+    "range_join_error_context",
+    "rollup_flag_status",
+    "scalar_order_dates",
+    "scalar_part_features",
+    "semi_customers_with_orders",
+    "setop_nations_cust_vs_supp",
+    "subquery_above_nation_avg_balance",
+    "topk_expensive_orders",
+    "window_lag_order_gap_days",
+    "window_running_supplier_revenue",
+    "window_top3_orders_per_customer",
+    # Stalest round-2-era flagships
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "sim_topk_ivf",
+    "events_sessionization",
+    "dedup_incremental_batch",
 ]
 
 
