@@ -185,3 +185,50 @@ def test_random_garbage_never_crashes_the_dispatcher():
             assert isinstance(out, dict) and "format" in out
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Structure-aware mutations (round 8): byte flips usually die on a CRC
+# long before a parser sees them, so offset-heavy formats (EXIF IFD and
+# out-of-line value offsets, FLAC 24-bit block lengths, MP3 syncsafe
+# ID3 sizes and frame-length arithmetic, the streamed-ZIP central-
+# directory/descriptor walk) get a dedicated sweep: every 2- and 4-byte
+# window in the payload is OVERWRITTEN with coherent hostile values
+# (zero, one, all-ones, the payload length, length-1, sign-boundary
+# values), little- and big-endian — exactly the values a mis-bounded
+# seek/length computation turns into an out-of-range read.  Totality
+# contract is the same: ValueError or success, nothing else.
+# ---------------------------------------------------------------------------
+
+_STRUCTURED_CASES = [
+    "exif",
+    "exif_jpeg",
+    "flac",
+    "mp3",
+    "zip_streamed",
+    "tar_pax",
+]
+
+
+@pytest.mark.parametrize("name", _STRUCTURED_CASES)
+def test_hostile_field_overwrites_are_total(name):
+    import struct as _struct
+
+    fn, pay = _cases()[name]
+    fn(pay)
+    n = len(pay)
+    u16s = {0, 1, 0xFFFF, 0x8000, n & 0xFFFF, (n - 1) & 0xFFFF}
+    u32s = {0, 1, 0xFFFFFFFF, 0x7FFFFFFF, 0x80000000, n, n - 1, n + 1}
+    for width, values, fmts in (
+        (2, u16s, ("<H", ">H")),
+        (4, u32s, ("<I", ">I")),
+    ):
+        for pos in range(0, n - width + 1):
+            for v in values:
+                for fmt in fmts:
+                    mut = bytearray(pay)
+                    mut[pos : pos + width] = _struct.pack(fmt, v)
+                    try:
+                        fn(bytes(mut))
+                    except ValueError:
+                        pass  # the only acceptable failure mode
