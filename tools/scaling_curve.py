@@ -70,6 +70,43 @@ SF1_QUERIES = [
     "text_url_host_stats",
     "mm_decode_png_palette_stats",
     "mm_exif_orientation_stats",
+    # round-8 additions (VERDICT r7 #4): the shuffle-heavy families the
+    # mirror had not yet covered at sf1 — dedup LSH/banding variants,
+    # the remaining ANN index family, the BM25/hybrid retrieval stack,
+    # the graph family (cohort-bounded, see SCALING.md), kv shard ops,
+    # sessionization — plus the round-8 queries themselves.
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_simhash_xengine",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_semdedup",
+    "dedup_repeated_spans",
+    "dedup_incremental_batch",
+    "dedup_containment",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_topk_ivfpq",
+    "sim_ivf_probe_sweep",
+    "sim_range_search_lsh",
+    "sim_bm25_prf_expansion",
+    "sim_hybrid_rrf",
+    "sim_mmr_rerank",
+    "graph_pagerank_dup_clusters",
+    "graph_triangle_census",
+    "graph_lpa_communities",
+    "kv_last_writer_wins",
+    "kv_shard_distribution",
+    "kv_consistent_hash_movement",
+    "events_sessionization",
+    # round-8 queries
+    "mm_warc_source_stats",
+    "mm_decode_mp3_stats",
+    "mm_decode_flac_stats",
+    "mm_decode_gif_anim_stats",
+    "stream_kv_cas_final_state",
+    "stream_ewma_final_state",
+    "stream_kmv_final_state",
 ]
 
 
