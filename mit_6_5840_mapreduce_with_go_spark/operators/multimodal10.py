@@ -74,11 +74,14 @@ def encode_warc_record(
     record_id: str,
     date: str = "2026-01-01T00:00:00Z",
     target_uri: str | None = None,
+    refers_to: str | None = None,
     content_type: str = "application/octet-stream",
     version: str = "1.0",
 ) -> bytes:
     """One spec-valid WARC record (ISO 28500 §4): version line, named
-    header fields, empty line, body, two-CRLF separator."""
+    header fields, empty line, body, two-CRLF separator.
+    ``refers_to`` emits WARC-Refers-To — the link a WET conversion
+    record carries back to its source response record."""
     lines = [
         f"WARC/{version}".encode(),
         f"WARC-Type: {warc_type}".encode(),
@@ -87,6 +90,8 @@ def encode_warc_record(
     ]
     if target_uri is not None:
         lines.append(f"WARC-Target-URI: {target_uri}".encode())
+    if refers_to is not None:
+        lines.append(f"WARC-Refers-To: <urn:uuid:{refers_to}>".encode())
     lines.append(f"Content-Type: {content_type}".encode())
     lines.append(f"Content-Length: {len(content)}".encode())
     return _CRLF.join(lines) + _SEP + content + _SEP
@@ -164,6 +169,7 @@ def decode_warc(payload: bytes) -> list[dict]:
                 "record_id": fields["warc-record-id"],
                 "date": fields["warc-date"],
                 "uri": fields.get("warc-target-uri"),
+                "refers_to": fields.get("warc-refers-to"),
                 "content": content,
             }
         )

@@ -41,10 +41,14 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
-def _shard_dir(sf_dir: str) -> str:
+def _shard_dir(sf_dir: str, variant: str = "", builder=None) -> str:
     """Materialize (once, atomically) the shard fixtures for ``sf_dir``
-    and return their directory."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    and return their directory.  ``variant`` namespaces alternate
+    corpora (e.g. the WET shards); ``builder(doc_id) -> bytes`` defaults
+    to the response-crawl builder."""
+    if builder is None:
+        builder = _warc_crawl
+    tag = os.path.basename(os.path.normpath(sf_dir)) + variant
     final = os.path.join(_REPO_ROOT, ".warc_shards", tag)
     if os.path.isdir(final):
         return final
@@ -63,7 +67,7 @@ def _shard_dir(sf_dir: str) -> str:
             with open(os.path.join(tmp, f"shard-{s:03d}.warc.gz"), "wb") as fh:
                 for d in doc_ids:
                     if d % _N_SHARDS == s:
-                        fh.write(_warc_crawl(d))
+                        fh.write(builder(d))
         try:
             os.rename(tmp, final)
         except OSError:
@@ -179,5 +183,150 @@ def mm_warc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("req_bytes").cast("long").alias("req_bytes"),
             F.col("uri_len_sum").cast("long").alias("uri_len_sum"),
             F.col("info_bytes").cast("long").alias("info_bytes"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# WET (extracted-text) shards through the same file source.  A WET file
+# is a WARC whose records are ``conversion`` records: extracted plain
+# text, WARC-Target-URI naming the page, WARC-Refers-To linking back to
+# the source response record (the Common-Crawl *.warc.wet.gz layout).
+# This is the corpus an LLM text pipeline actually ingests first.
+# --------------------------------------------------------------------------
+
+
+def _wet_tokens(doc_id: int, s: int) -> list[int]:
+    n = 8 + (doc_id + 2 * s) % 9
+    return [(doc_id * 11 + s * 5 + i * 7) % 1000 for i in range(n)]
+
+
+def _wet_crawl(doc_id: int) -> bytes:
+    """One .warc.wet.gz mini-shard for ``doc_id``: warcinfo + one
+    conversion record per fetched page, one gzip member per record."""
+    from .multimodal9 import encode_gzip_member
+    from .multimodal10 import encode_warc_record
+
+    k = 1 + doc_id % 4
+    members = [
+        encode_gzip_member(
+            encode_warc_record(
+                "warcinfo",
+                f"software: sparkgraft-wet/{doc_id}".encode(),
+                record_id=f"{doc_id}-wetinfo",
+                content_type="application/warc-fields",
+            )
+        )
+    ]
+    for s in range(k):
+        text = " ".join(str(v) for v in _wet_tokens(doc_id, s)).encode()
+        members.append(
+            encode_gzip_member(
+                encode_warc_record(
+                    "conversion",
+                    text,
+                    record_id=f"{doc_id}-{s}-conv",
+                    target_uri=f"http://ex.com/d{doc_id}/{s}",
+                    refers_to=f"{doc_id}-{s}-resp",
+                    content_type="text/plain",
+                )
+            )
+        )
+    return b"".join(members)
+
+
+@query(
+    "mm_wet_source_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 4 AS k FROM documents),
+    conv AS (
+      SELECT doc_id, k, t.i - 1 AS s,
+             8 + (doc_id + 2 * (t.i - 1)) % 9 AS n
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS t(i)),
+    tok AS (
+      SELECT doc_id, s, n,
+             (doc_id * 11 + s * 5 + (u.j - 1) * 7) % 1000 AS v
+      FROM conv, unnest(generate_series(1, CAST(n AS INT))) AS u(j)),
+    body AS (
+      SELECT doc_id, s, n,
+             sum(v) AS tok_sum,
+             sum(length(CAST(v AS VARCHAR))) + n - 1 AS text_bytes
+      FROM tok GROUP BY doc_id, s, n),
+    agg AS (
+      SELECT doc_id,
+             sum(n) AS n_tokens,
+             sum(tok_sum) AS token_sum,
+             sum(text_bytes) AS text_bytes,
+             sum(length('http://ex.com/d' || CAST(doc_id AS VARCHAR)
+                        || '/' || CAST(s AS VARCHAR))) AS uri_len_sum,
+             sum(length('<urn:uuid:' || CAST(doc_id AS VARCHAR) || '-'
+                        || CAST(s AS VARCHAR) || '-resp>')) AS refers_len_sum
+      FROM body GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(1 + d.k AS BIGINT) AS n_records,
+           CAST(d.k AS BIGINT) AS n_conversions,
+           CAST(agg.n_tokens AS BIGINT) AS n_tokens,
+           CAST(agg.token_sum AS BIGINT) AS token_sum,
+           CAST(agg.text_bytes AS BIGINT) AS text_bytes,
+           CAST(agg.uri_len_sum AS BIGINT) AS uri_len_sum,
+           CAST(agg.refers_len_sum AS BIGINT) AS refers_len_sum
+    FROM d JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def mm_wet_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (extracted-text) FILE ingest through the ``warcfile`` source:
+    conversion records with WARC-Refers-To provenance links, read from
+    real multi-member ``.warc.wet.gz`` shards (one partition per shard)
+    and aggregated per document entirely JVM-side — token counts/sums
+    via ``aggregate(transform(split(...)))`` over the extracted text,
+    byte and URI/provenance-length totals, record-type census.  The
+    oracle re-derives everything from the planting formulas; a
+    refers-to mis-parse or conversion-record mis-walk breaks the hash.
+
+    Scale shape: identical to ``mm_warc_source_stats`` — the WET sweep
+    at 100 TB is this exact DAG over ~100k one-partition shards."""
+    from ..sources.warcfiles import read_warc_source
+
+    shards = os.path.join(
+        _shard_dir(sf_dir, variant="-wet", builder=_wet_crawl), "*.warc.gz"
+    )
+    recs = read_warc_source(spark, shards)
+    doc_id = F.regexp_extract("record_id", r"urn:uuid:(\d+)-", 1).cast("long")
+    is_conv = F.col("warc_type") == "conversion"
+    zero = F.lit(0).cast("long")
+    return (
+        recs.withColumn("doc_id", doc_id)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.when(is_conv, 1).otherwise(0)).alias("n_conversions"),
+            F.sum(
+                F.when(
+                    is_conv, F.size(F.split(F.col("content").cast("string"), " "))
+                ).otherwise(0)
+            ).alias("n_tokens"),
+            F.sum(F.when(is_conv, F.expr(_TOKEN_SUM)).otherwise(zero)).alias(
+                "token_sum"
+            ),
+            F.sum(
+                F.when(is_conv, F.octet_length("content")).otherwise(0)
+            ).alias("text_bytes"),
+            F.sum(F.when(is_conv, F.length("uri")).otherwise(0)).alias(
+                "uri_len_sum"
+            ),
+            F.sum(F.when(is_conv, F.length("refers_to")).otherwise(0)).alias(
+                "refers_len_sum"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_records").cast("long").alias("n_records"),
+            F.col("n_conversions").cast("long").alias("n_conversions"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("token_sum").cast("long").alias("token_sum"),
+            F.col("text_bytes").cast("long").alias("text_bytes"),
+            F.col("uri_len_sum").cast("long").alias("uri_len_sum"),
+            F.col("refers_len_sum").cast("long").alias("refers_len_sum"),
         )
     )

@@ -141,6 +141,7 @@ def load_all() -> None:
         multimodal10,
         multimodal11,
         multimodal12,
+        parquet_footer,
         pipelines,
         privacy,
         projection,

@@ -52,7 +52,8 @@ class WarcDataSource(DataSource):
     def schema(self) -> str:
         return (
             "file string, rec_index long, warc_type string, "
-            "record_id string, date string, uri string, content binary"
+            "record_id string, date string, uri string, "
+            "refers_to string, content binary"
         )
 
     def reader(self, schema) -> "WarcReader":
@@ -94,6 +95,7 @@ class WarcReader(DataSourceReader):
                 r["record_id"],
                 r["date"],
                 r["uri"],
+                r["refers_to"],
                 r["content"],
             )
 

@@ -131,7 +131,20 @@ def _cases():
             ),
         ),
         "auto_dispatch": (M0.decode_image_auto, M0._auto_payload(9)),
+        "parquet_footer": (_parquet_decode, _parquet_payload()),
     }
+
+
+def _parquet_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import parquet_footer
+
+    return parquet_footer.decode_parquet_footer(p)
+
+
+def _parquet_payload():
+    from mit_6_5840_mapreduce_with_go_spark.operators import parquet_footer
+
+    return parquet_footer._parquet_payload(5)
 
 
 @pytest.mark.parametrize("name", sorted(_cases()))

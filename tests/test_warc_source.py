@@ -96,3 +96,24 @@ def test_source_stats_match_payload_column_walk(spark):
     a = {r["doc_id"]: r.asDict() for r in W.mm_warc_source_stats(spark, sf).collect()}
     b = {r["doc_id"]: r.asDict() for r in mm_decode_warc_stats(spark, sf).collect()}
     assert a == b
+
+
+def test_wet_crawl_formulas():
+    """Pure-Python check of the WET planting formulas the oracle
+    re-derives (conversion records, refers-to provenance)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal10 import (
+        decode_warc_gz,
+    )
+
+    for doc_id in (0, 1, 3, 7, 499):
+        recs = decode_warc_gz(W._wet_crawl(doc_id))
+        k = 1 + doc_id % 4
+        assert len(recs) == 1 + k
+        assert recs[0]["type"] == "warcinfo" and recs[0]["refers_to"] is None
+        convs = [r for r in recs if r["type"] == "conversion"]
+        assert len(convs) == k
+        for s, r in enumerate(convs):
+            toks = [int(t) for t in r["content"].split(b" ")]
+            assert toks == W._wet_tokens(doc_id, s)
+            assert r["uri"] == f"http://ex.com/d{doc_id}/{s}"
+            assert r["refers_to"] == f"<urn:uuid:{doc_id}-{s}-resp>"
