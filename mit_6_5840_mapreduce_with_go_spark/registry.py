@@ -43,12 +43,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # families, and the round-5/6 multimodal suite; the round-7 window
 # closed the ledger at 277/277 (every registered query driver-green at
 # least once, CORRECTNESS_r01-r07.json).  From round 8 on the window is
-# a ROLLING REGRESSION GATE: 7 NEW round-8 queries (MP3/FLAC/animated-
-# GIF metadata, the WARC file source, 3 streaming final-state
-# projections), 2 queries whose code CHANGED this round (the BM25 pair
-# — pass-2 decomposition + postings-lever change), and 41 of the
+# a ROLLING REGRESSION GATE: 9 NEW round-8 queries (MP3/FLAC/animated-
+# GIF metadata, the WARC + WET file-source pair, the parquet footer
+# walk, 3 streaming final-state projections), 3 queries whose code
+# CHANGED this round (the BM25 pair — pass-2 decomposition +
+# postings-lever change — and adaptive-k SemDeDup), and 38 of the
 # STALEST driver-green rows — all 35 rows last verified in round 1 plus
-# 6 round-2-era flagships — so the oldest evidence refreshes first.
+# 3 round-2-era flagships — so the oldest evidence refreshes first.
 # Everything rotated out stays mirror-checked by
 # tools/check_correctness.py over all queries.
 WINDOW_PRIORITY: list[str] = [
@@ -57,12 +58,15 @@ WINDOW_PRIORITY: list[str] = [
     "mm_decode_flac_stats",
     "mm_decode_gif_anim_stats",
     "mm_warc_source_stats",
+    "mm_wet_source_stats",
+    "mm_parquet_footer_stats",
     "stream_kv_cas_final_state",
     "stream_ewma_final_state",
     "stream_kmv_final_state",
     # Changed this round (re-verification)
     "sim_bm25_prf_expansion",
     "sim_bm25_topk",
+    "dedup_semdedup",
     # Stalest rows: last driver-verified in round 1
     "agg_distinct_parts_per_supplier",
     "anti_customers_without_orders",
@@ -103,9 +107,6 @@ WINDOW_PRIORITY: list[str] = [
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "q6_forecast_revenue",
-    "sim_topk_ivf",
-    "events_sessionization",
-    "dedup_incremental_batch",
 ]
 
 
