@@ -101,6 +101,8 @@ SF1_QUERIES = [
     "events_sessionization",
     # round-8 queries
     "mm_warc_source_stats",
+    "mm_wet_source_stats",
+    "mm_parquet_footer_stats",
     "mm_decode_mp3_stats",
     "mm_decode_flac_stats",
     "mm_decode_gif_anim_stats",
