@@ -223,3 +223,57 @@ def stream_kmv_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept").cast("bigint").alias("n_hashes_kept"),
         F.round(est, 4).alias("kmv_estimate"),
     )
+
+
+@query(
+    "stream_cdc_final_state",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_id % 2
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    latest AS (SELECT user_id, event_id, value FROM seg WHERE rn = 1),
+    final AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rk
+      FROM latest)
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           value AS last_value,
+           CAST(user_id % 8 AS BIGINT) AS bucket
+    FROM final WHERE rk = 1
+    """,
+)
+def stream_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert state as the streaming twin maintains it
+    (streaming/cdc.py: per-micro-batch latest-per-key reduction, then a
+    partition-scoped MERGE whose cross-batch winner is the larger
+    last_event_id).  Batch projection: events split into two arbitrary
+    segments (event_id parity — the MERGE is last-writer-wins, so any
+    split composes), each reduced with the twin's own in-batch order
+    (ts DESC, event_id DESC), then merged with the twin's own MERGE
+    order (last_event_id).  Output = the state table
+    ``stream_upsert_state`` converges to; the batch twin equality for
+    the streaming leg lives in tests/test_streaming_cdc.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seg = Window.partitionBy(
+        "user_id", (F.col("event_id") % 2).alias("seg")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w_seg))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+    w_merge = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        latest.withColumn("rk", F.row_number().over(w_merge))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+            F.pmod("user_id", F.lit(8)).cast("bigint").alias("bucket"),
+        )
+    )

@@ -55,3 +55,24 @@ def test_kmv_merge_equals_one_shot_sketch(spark):
         for r in sketch_kmv_distinct_users(spark, SF).collect()
     }
     assert got == want
+
+
+def test_cdc_two_segment_merge_equals_last_writer(spark):
+    """The CDC final-state projection's winner per key must equal the
+    last-writer replay (same (ts, event_id) order globally)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.kv import (
+        kv_last_writer_wins,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.operators.stream_projections import (
+        stream_cdc_final_state,
+    )
+
+    got = {
+        r["user_id"]: r["last_event_id"]
+        for r in stream_cdc_final_state(spark, SF).collect()
+    }
+    want = {
+        int(r["key"]): int(r["value"])
+        for r in kv_last_writer_wins(spark, SF).collect()
+    }
+    assert got == want
