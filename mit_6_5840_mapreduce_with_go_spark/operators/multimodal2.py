@@ -17,10 +17,13 @@ formats are stubbed" line can be pushed one format further:
   reconstruction the spec defines), and Adam7 DEINTERLACING (per-pass
   unfilter + scatter, empty passes carrying no rows).  Pixel
   statistics come from the reconstructed raster bytes; malformed input
-  (bad magic, bad CRC, truncated raster, 16-bit depth, unknown
-  interlace method, PLTE violations) raises.  Round 7 added PALETTE
-  (color type 3) at 1/2/4/8-bit packed depths — the wild-web type —
-  with `encode_png_palette` / PLTE expansion in the decoder.
+  (bad magic, bad CRC, truncated raster, illegal depths, unknown
+  interlace method, PLTE/tRNS violations) raises.  Round 7 added
+  PALETTE (color type 3) at 1/2/4/8-bit packed depths — the wild-web
+  type — with `encode_png_palette` / PLTE expansion in the decoder.
+  Round 8 added 16-BIT truecolor/gray/alpha (2-byte big-endian
+  samples, filter bpp = 2*channels, high-byte rescale to 8-bit) and
+  palette tRNS (RGBA expansion, short-chunk entries default opaque).
 
 ``mm_decode_png_stats`` drives it end-to-end: payloads are encoded
 from a pure-integer pixel formula inside one ``mapInPandas`` stage,
@@ -200,6 +203,57 @@ def encode_png(
     )
 
 
+def encode_png16(
+    width: int,
+    height: int,
+    pixel: Callable[[int, int, int], int],
+    *,
+    channels: int = 3,
+    interlace: bool = False,
+) -> bytes:
+    """Spec-valid 16-bit PNG: each 8-bit ``pixel(x, y, c)`` value v is
+    scaled to the 16-bit sample v*257 (the exact 8->16 rescale, high
+    byte == v), written big-endian per the spec.  Same every-filter row
+    schedule as ``encode_png``; filters operate on the raw BYTES with
+    bpp = 2*channels, which is exactly the geometry a naive 8-bit
+    decoder gets wrong."""
+
+    def rows_of(coords):
+        out = []
+        for xs, y in coords:
+            row = bytearray()
+            for x in xs:
+                for c in range(channels):
+                    v = pixel(x, y, c) & 0xFF
+                    row += bytes((v, v))  # v*257 big-endian = (v, v)
+            out.append(bytes(row))
+        return out
+
+    raw = bytearray()
+    if interlace:
+        for p in _ADAM7:
+            x0, y0, dx, dy = p
+            pw, ph = _pass_dims(width, height, p)
+            if pw == 0 or ph == 0:
+                continue
+            xs = range(x0, width, dx)
+            rows = rows_of((xs, y0 + j * dy) for j in range(ph))
+            raw += _filter_rows(rows, channels * 2)
+    else:
+        rows = rows_of((range(width), y) for y in range(height))
+        raw += _filter_rows(rows, channels * 2)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 16, _COLOR_TYPE[channels], 0, 0,
+        1 if interlace else 0,
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def encode_png_palette(
     width: int,
     height: int,
@@ -208,15 +262,20 @@ def encode_png_palette(
     *,
     depth: int = 8,
     interlace: bool = False,
+    trns: list[int] | None = None,
 ) -> bytes:
     """Spec-valid color-type-3 PNG: PLTE chunk + bit-packed index rows
     (MSB-first, 1/2/4/8-bit), filtered with the same every-filter row
     schedule as ``encode_png`` (filters operate on the PACKED bytes,
-    bpp=1, per the spec)."""
+    bpp=1, per the spec).  ``trns`` emits a tRNS chunk of per-entry
+    alphas (may be shorter than the palette; the tail defaults
+    opaque)."""
     if depth not in (1, 2, 4, 8):
         raise ValueError(f"invalid palette bit depth {depth}")
     if not 0 < len(palette) <= min(256, 1 << depth):
         raise ValueError(f"palette size {len(palette)} invalid for depth {depth}")
+    if trns is not None and len(trns) > len(palette):
+        raise ValueError("tRNS longer than the palette")
 
     def pack_row(xs, y) -> bytes:
         out = bytearray(((len(xs) * depth) + 7) // 8)
@@ -245,10 +304,11 @@ def encode_png_palette(
         ">IIBBBBB", width, height, depth, 3, 0, 0, 1 if interlace else 0
     )
     plte = b"".join(bytes(rgb) for rgb in palette)
+    chunks = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+    if trns is not None:
+        chunks += _chunk(b"tRNS", bytes(trns))
     return (
-        _PNG_SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"PLTE", plte)
+        chunks
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
@@ -270,6 +330,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     i = len(_PNG_SIG)
     ihdr: tuple | None = None
     plte: list[tuple[int, int, int]] | None = None
+    trns: list[int] | None = None
     idat = bytearray()
     ended = False
     while i < len(payload):
@@ -296,7 +357,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                         f"unsupported palette bit depth {depth}"
                     )
             elif ctype in _CHANNELS:
-                if depth != 8:
+                if depth not in (8, 16):
                     raise ValueError(f"unsupported bit depth {depth}")
             else:
                 raise ValueError(f"unsupported color type {ctype}")
@@ -320,6 +381,31 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     f"bit depth allows"
                 )
             plte = [tuple(data[k : k + 3]) for k in range(0, length, 3)]
+        elif tag == b"tRNS":
+            if ihdr is None:
+                raise ValueError("tRNS before IHDR")
+            if idat:
+                raise ValueError("tRNS after IDAT")
+            if trns is not None:
+                raise ValueError("duplicate tRNS")
+            ctype_now = ihdr[2]
+            if ctype_now == 3:
+                if plte is None:
+                    raise ValueError("tRNS before PLTE")
+                if length > len(plte):
+                    raise ValueError(
+                        f"tRNS has {length} entries, more than the "
+                        f"{len(plte)}-entry palette"
+                    )
+                trns = list(data)
+            elif ctype_now in (4, 6):
+                raise ValueError(
+                    "tRNS forbidden for color types with an alpha channel"
+                )
+            else:
+                raise ValueError(
+                    f"tRNS for color type {ctype_now} not supported"
+                )
         elif tag == b"IDAT":
             if ihdr is None:
                 raise ValueError("IDAT before IHDR")
@@ -333,19 +419,34 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     paletted = ctype == 3
     if paletted and plte is None:
         raise ValueError("color type 3 without a PLTE chunk")
-    channels = 3 if paletted else _CHANNELS[ctype]
+    # Output channels: palette expands to RGB, or RGBA when a tRNS
+    # chunk supplies per-entry alpha (missing entries default opaque).
+    if paletted:
+        channels = 4 if trns is not None else 3
+    else:
+        channels = _CHANNELS[ctype]
     # In-stream geometry: palette rows are bit-packed indices (bpp for
-    # filtering is 1 byte); truecolor rows are channels bytes per pixel.
-    bpp = 1 if paletted else channels
+    # filtering is 1 byte); truecolor rows are channels samples per
+    # pixel at depth/8 bytes per sample (filters operate on BYTES with
+    # bpp = channels * sample_bytes — the classic 16-bit pitfall).
+    sb = 1 if paletted else depth // 8
+    bpp = 1 if paletted else _CHANNELS[ctype] * sb
 
     def row_stride(pixels: int) -> int:
-        return (pixels * depth + 7) // 8 if paletted else pixels * channels
+        return (
+            (pixels * depth + 7) // 8
+            if paletted
+            else pixels * _CHANNELS[ctype] * sb
+        )
 
     def expand(row: bytes, pixels: int) -> bytes:
-        """Packed index row -> RGB bytes through the palette (MSB-first
-        bit order per the spec); padding bits in the last byte ignored."""
+        """Packed index row -> RGB(A) bytes through the palette
+        (MSB-first bit order per the spec; padding bits in the last
+        byte ignored); 16-bit rows reduce to their high bytes (the
+        spec's sample-depth rescale, exact when the source was scaled
+        up by 257)."""
         if not paletted:
-            return row
+            return row[0::2] if sb == 2 else row
         out = bytearray()
         mask = (1 << depth) - 1
         for i in range(pixels):
@@ -357,6 +458,8 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     f"palette index {idx} >= palette size {len(plte)}"
                 )
             out += bytes(plte[idx])
+            if trns is not None:
+                out.append(trns[idx] if idx < len(trns) else 255)
         return bytes(out)
 
     # A PNG whose chunk CRCs are all valid can still carry a corrupt
@@ -616,4 +719,125 @@ def mm_decode_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         schema="doc_id long, depth long, width long, height long, "
         "n_px long, sum_r long, sum_g long, sum_b long",
+    )
+
+
+# --------------------------------------------------------------------------
+# 16-bit and tRNS (round 8): the two remaining wild-web PNG shapes.
+# Even documents carry a 16-bit truecolor image (samples v*257, so the
+# high-byte rescale recovers the 8-bit formula exactly — a wrong
+# bpp/stride in the 2-byte-per-sample filter geometry scrambles it);
+# odd documents carry an 8-bit palette image WITH a tRNS chunk, so the
+# decoder must expand to RGBA with the short-tRNS opaque default.
+# --------------------------------------------------------------------------
+
+_P16_PAL = [(10 + 25 * i, 5 + 30 * i, 3 * i) for i in range(8)]
+_P16_TRNS = [40 * i for i in range(5)]  # entries 5..7 default opaque
+
+
+def _png16_payload(doc_id: int) -> bytes:
+    if doc_id % 2 == 0:
+        w, h = 5 + doc_id % 6, 4 + doc_id % 5
+        return encode_png16(
+            w, h, lambda x, y, c, d=doc_id: _pix(d, x, y, c), channels=3
+        )
+    w, h = 6 + doc_id % 5, 5 + doc_id % 4
+    return encode_png_palette(
+        w,
+        h,
+        _P16_PAL,
+        lambda x, y, d=doc_id: (x + 2 * y + d) % 8,
+        depth=8,
+        trns=_P16_TRNS,
+    )
+
+
+@query(
+    "mm_decode_png16_trns_stats",
+    oracle="""
+    WITH even AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 2 = 0),
+    even_px AS (
+      SELECT doc_id, w, h,
+             sum((doc_id * 7 + ((c.i - 1) // 3 // w) * 31
+                  + ((c.i - 1) // 3 % w) * 5
+                  + ((c.i - 1) % 3) * 11) % 256) AS s
+      FROM even,
+           unnest(generate_series(1, CAST(w * h * 3 AS INT))) AS c(i)
+      GROUP BY doc_id, w, h),
+    even_out AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS channels,
+             CAST(w * h * 3 AS BIGINT) AS n_px,
+             CAST(s AS BIGINT) AS sum_px,
+             CAST(-1 AS BIGINT) AS alpha_sum
+      FROM even_px),
+    odd AS (
+      SELECT doc_id, 6 + doc_id % 5 AS w, 5 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 2 = 1),
+    odd_cell AS (
+      SELECT doc_id, w, h,
+             ((c.i - 1) % w + 2 * ((c.i - 1) // w) + doc_id) % 8 AS idx
+      FROM odd, unnest(generate_series(1, CAST(w * h AS INT))) AS c(i)),
+    odd_px AS (
+      SELECT doc_id, w, h,
+             sum(10 + 25 * idx + 5 + 30 * idx + 3 * idx
+                 + CASE WHEN idx < 5 THEN 40 * idx ELSE 255 END) AS s,
+             sum(CASE WHEN idx < 5 THEN 40 * idx ELSE 255 END) AS a
+      FROM odd_cell GROUP BY doc_id, w, h),
+    odd_out AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(4 AS BIGINT) AS channels,
+             CAST(w * h * 4 AS BIGINT) AS n_px,
+             CAST(s AS BIGINT) AS sum_px,
+             CAST(a AS BIGINT) AS alpha_sum
+      FROM odd_px)
+    SELECT * FROM even_out UNION ALL SELECT * FROM odd_out
+    """,
+)
+def mm_decode_png16_trns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two remaining wild-web PNG shapes end-to-end: 16-bit
+    truecolor (big-endian 2-byte samples, filter bpp = 2*channels,
+    high-byte rescale) on even documents, palette + tRNS (RGBA
+    expansion with the short-tRNS opaque default) on odd ones.  The
+    oracle re-derives the full raster statistics from the pixel and
+    palette formulas; a stride/bpp mistake in the 16-bit filter
+    geometry or a dropped default-alpha breaks the hash.
+
+    Scale shape: two narrow stateless mapInPandas stages, no shuffle —
+    the standard decode-family plan."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_png16_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, recon = decode_png_pixels(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "n_px": len(recon),
+                        "sum_px": sum(recon),
+                        "alpha_sum": sum(recon[3::4]) if ch == 4 else -1,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, width long, height long, channels long, "
+        "n_px long, sum_px long, alpha_sum long",
     )

@@ -48,6 +48,8 @@ def _cases():
         ),
         "png": (M2.decode_png, M2.encode_png(6, 7, _pix, interlace=True)),
         "png_palette": (M2.decode_png_pixels, M2._pal_payload(7)),
+        "png16": (M2.decode_png_pixels, M2._png16_payload(4)),
+        "png_trns": (M2.decode_png_pixels, M2._png16_payload(7)),
         "jpeg_gray": (
             M3.decode_jpeg_gray,
             M3.encode_jpeg_gray(16, 16, lambda bx, by: 77),

@@ -62,7 +62,9 @@ def test_png_rejects_garbage():
     with pytest.raises(ValueError, match="truncated"):
         M.decode_png(good[:-8])
     with pytest.raises(ValueError, match="bit depth"):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        # 12 is not a legal depth for any color type (16 IS supported
+        # since round 8 — see test_png16_trns.py)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 12, 2, 0, 0, 0)
         M.decode_png(
             M._PNG_SIG + M._chunk(b"IHDR", ihdr) + M._chunk(b"IEND", b"")
         )
