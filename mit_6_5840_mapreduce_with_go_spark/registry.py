@@ -43,14 +43,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # families, and the round-5/6 multimodal suite; the round-7 window
 # closed the ledger at 277/277 (every registered query driver-green at
 # least once, CORRECTNESS_r01-r07.json).  From round 8 on the window is
-# a ROLLING REGRESSION GATE: 9 NEW round-8 queries (MP3/FLAC/animated-
+# a ROLLING REGRESSION GATE: 11 NEW round-8 queries (MP3/FLAC/animated-
 # GIF metadata, the WARC + WET file-source pair, the parquet footer
-# walk, 3 streaming final-state projections), 3 queries whose code
-# CHANGED this round (the BM25 pair — pass-2 decomposition +
-# postings-lever change — and adaptive-k SemDeDup), and 38 of the
-# STALEST driver-green rows — all 35 rows last verified in round 1 plus
-# 3 round-2-era flagships — so the oldest evidence refreshes first.
-# Everything rotated out stays mirror-checked by
+# walk, 16-bit/tRNS PNG, 4 streaming final-state projections), 3
+# queries whose code CHANGED this round (the BM25 pair — pass-2
+# decomposition + postings-lever change — and adaptive-k SemDeDup),
+# and 36 of the STALEST driver-green rows — all 35 rows last verified
+# in round 1 plus q3 from round 2 — so the oldest evidence refreshes
+# first.  Everything rotated out stays mirror-checked by
 # tools/check_correctness.py over all queries.
 WINDOW_PRIORITY: list[str] = [
     # New round-8 queries (never driver-verified)
@@ -60,9 +60,11 @@ WINDOW_PRIORITY: list[str] = [
     "mm_warc_source_stats",
     "mm_wet_source_stats",
     "mm_parquet_footer_stats",
+    "mm_decode_png16_trns_stats",
     "stream_kv_cas_final_state",
     "stream_ewma_final_state",
     "stream_kmv_final_state",
+    "stream_cdc_final_state",
     # Changed this round (re-verification)
     "sim_bm25_prf_expansion",
     "sim_bm25_topk",
@@ -103,10 +105,8 @@ WINDOW_PRIORITY: list[str] = [
     "window_lag_order_gap_days",
     "window_running_supplier_revenue",
     "window_top3_orders_per_customer",
-    # Stalest round-2-era flagships
+    # Stalest round-2-era flagship
     "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
 ]
 
 
