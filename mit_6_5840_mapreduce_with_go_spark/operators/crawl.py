@@ -1,0 +1,467 @@
+"""Crawl-frontier operators: RFC 9309 robots.txt evaluation and a real
+HTML link tokenizer — the two decisions a crawl pipeline makes for
+every fetched page (may I fetch it? what does it link to?), upstream
+of the WARC/WET ingest stack (multimodal10, warc_ingest).
+
+- ``parse_robots`` / ``robots_decision``: the Robots Exclusion
+  Protocol as RFC 9309 specifies it — line-oriented ``key: value``
+  records, ``#`` comments, groups formed by consecutive User-agent
+  lines, case-insensitive product-token UA matching, the MOST-SPECIFIC
+  matching group only (the ``*`` group is consulted solely when no
+  named group matches), longest-path-match precedence with Allow
+  winning length ties, ``*`` and ``$`` wildcards in rule paths, empty
+  Disallow = allow-all, unknown keys (Crawl-delay) carried as
+  extensions.
+- ``iter_html_tokens`` / ``extract_links``: a WHATWG-style tag
+  tokenizer (not a regex): comments (``<!-- -->``), raw-text elements
+  (``script``/``style`` swallow everything to their close tag),
+  attribute parsing with double-/single-/unquoted values, and
+  case-insensitive tag/attribute names.  ``extract_links`` returns
+  ``<a href>`` values in document order — links inside comments or
+  script bodies must NOT surface (the classic crawler trap).
+
+Both queries plant their inputs from pure doc_id formulas so the
+DuckDB oracle re-derives every decision and length; the parsers are
+the real, total article (lenient where the specs are lenient, never a
+stray exception).
+
+Scale shape: both queries are the standard decode-family plan — two
+narrow stateless Arrow-batched mapInPandas stages, no shuffle.  At
+100 TB robots evaluation is a per-host broadcast-dimension lookup and
+link extraction is this exact map over fetched payloads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources import load_table
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309)
+# --------------------------------------------------------------------------
+
+
+def parse_robots(text: str) -> list[dict]:
+    """Parse robots.txt into groups:
+    ``{"agents": [ua...], "rules": [(allow: bool, path: str)...],
+    "extensions": {key: value}}``.  Consecutive User-agent lines open
+    one group; rules before any User-agent line are ignored (RFC 9309
+    §2.2.1); unknown keys inside a group are carried as extensions;
+    blank lines and comments are skipped (a blank line does NOT close
+    a group — only a new User-agent run after rules does)."""
+    groups: list[dict] = []
+    current: dict | None = None
+    in_agent_run = False
+    for raw_line in text.split("\n"):
+        line = raw_line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep:
+            continue  # malformed line: ignored per spec leniency
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                current = {"agents": [], "rules": [], "extensions": {}}
+                groups.append(current)
+                in_agent_run = True
+            current["agents"].append(value.lower())
+        else:
+            in_agent_run = False
+            if current is None:
+                continue  # rule before any user-agent: ignored
+            if key in ("allow", "disallow"):
+                current["rules"].append((key == "allow", value))
+            else:
+                current["extensions"][key] = value
+
+
+    return groups
+
+
+def _rule_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 path matching: prefix match with ``*`` (any run) and a
+    trailing ``$`` (end anchor)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+
+    pos = 0
+    # first part must match at the start
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:]:
+        if part == "":
+            pos = len(path) if anchored else pos
+            continue
+        found = path.find(part, pos)
+        if found < 0:
+            return False
+        pos = found + len(part)
+    if anchored:
+        return pos == len(path) if parts[-1] != "" else True
+    return True
+
+
+def _select_group(groups: list[dict], ua: str) -> dict | None:
+    """The most-specific group for ``ua``: longest matching named
+    agent token wins; the ``*`` group only if nothing matches."""
+    ua = ua.lower()
+    best = None
+    best_len = -1
+    star = None
+    for g in groups:
+        for agent in g["agents"]:
+            if agent == "*":
+                if star is None:
+                    star = g
+            elif agent in ua and len(agent) > best_len:
+                best, best_len = g, len(agent)
+    return best if best is not None else star
+
+
+def robots_decision(
+    groups: list[dict], ua: str, path: str
+) -> tuple[bool, int]:
+    """(allowed, winning_rule_length) for ``ua`` fetching ``path``.
+    No applicable group or no matching rule => allowed with length 0;
+    longest rule path wins, Allow beats Disallow on equal length;
+    an empty Disallow value matches nothing (allow-all)."""
+    g = _select_group(groups, ua)
+    if g is None:
+        return True, 0
+    best_len = -1
+    best_allow = True
+    for allow, pattern in g["rules"]:
+        if pattern == "":
+            continue
+        if _rule_matches(pattern, path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow and not best_allow):
+                best_len, best_allow = plen, allow
+    if best_len < 0:
+        return True, 0
+    return best_allow, best_len
+
+
+# --------------------------------------------------------------------------
+# HTML tag tokenizer
+# --------------------------------------------------------------------------
+
+_RAWTEXT = {"script", "style"}
+
+
+def iter_html_tokens(html: str) -> Iterator[tuple[str, object]]:
+    """Yield ``("start", (tag, attrs))``, ``("end", tag)``,
+    ``("text", s)``, ``("comment", s)`` over ``html``.  Lenient like a
+    browser: unclosed constructs run to end-of-input, raw-text element
+    bodies (script/style) are swallowed whole, names are
+    case-folded."""
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            if i < n:
+                yield "text", html[i:]
+            return
+        if lt > i:
+            yield "text", html[i:lt]
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            if end < 0:
+                yield "comment", html[lt + 4 :]
+                return
+            yield "comment", html[lt + 4 : end]
+            i = end + 3
+            continue
+        gt = html.find(">", lt)
+        if gt < 0:
+            yield "text", html[lt:]
+            return
+        inner = html[lt + 1 : gt]
+        i = gt + 1
+        if inner.startswith("!") or inner.startswith("?"):
+            continue  # doctype / PI: skipped
+        closing = inner.startswith("/")
+        if closing:
+            inner = inner[1:]
+        # tag name = leading run of name characters
+        j = 0
+        while j < len(inner) and (inner[j].isalnum() or inner[j] in "-"):
+            j += 1
+        tag = inner[:j].lower()
+        if not tag:
+            yield "text", html[lt : gt + 1]
+            continue
+        if closing:
+            yield "end", tag
+            continue
+        attrs: dict[str, str] = {}
+        rest = inner[j:]
+        k = 0
+        m = len(rest)
+        while k < m:
+            while k < m and rest[k] in " \t\r\n/":
+                k += 1
+            if k >= m:
+                break
+            a0 = k
+            while k < m and rest[k] not in " \t\r\n=/":
+                k += 1
+            name = rest[a0:k].lower()
+            while k < m and rest[k] in " \t\r\n":
+                k += 1
+            if k < m and rest[k] == "=":
+                k += 1
+                while k < m and rest[k] in " \t\r\n":
+                    k += 1
+                if k < m and rest[k] in "\"'":
+                    q = rest[k]
+                    k += 1
+                    v0 = k
+                    while k < m and rest[k] != q:
+                        k += 1
+                    value = rest[v0:k]
+                    k += 1  # past the closing quote (or end)
+                else:
+                    v0 = k
+                    while k < m and rest[k] not in " \t\r\n":
+                        k += 1
+                    value = rest[v0:k]
+            else:
+                value = ""
+            if name and name not in attrs:
+                attrs[name] = value
+        yield "start", (tag, attrs)
+        if tag in _RAWTEXT:
+            # swallow raw text to the matching close tag
+            close = html.lower().find(f"</{tag}", i)
+            if close < 0:
+                yield "text", html[i:]
+                return
+            yield "text", html[i:close]
+            gt2 = html.find(">", close)
+            yield "end", tag
+            i = n if gt2 < 0 else gt2 + 1
+
+
+def extract_links(html: str) -> list[str]:
+    """``<a href>`` values in document order — comment bodies and
+    raw-text (script/style) contents never contribute."""
+    out = []
+    for kind, payload in iter_html_tokens(html):
+        if kind == "start":
+            tag, attrs = payload
+            if tag == "a" and "href" in attrs:
+                out.append(attrs["href"])
+    return out
+
+
+# --------------------------------------------------------------------------
+# end-to-end queries
+# --------------------------------------------------------------------------
+
+
+def _robots_payload(doc_id: int) -> str:
+    lines = ["# planted robots.txt", "User-agent: sparkbot"]
+    if doc_id % 3 == 0:
+        lines.append("User-agent: otherbot")
+    lines += [
+        "Disallow: /private/",
+        f"Disallow: /tmp-{doc_id % 5}/",
+        f"Crawl-delay: {1 + doc_id % 7}",
+    ]
+    if doc_id % 2 == 1:
+        lines.append("Allow: /private/ok/")
+    lines += [
+        "",
+        "User-agent: *",
+        f"Disallow: /all-{doc_id % 3}/",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+_ROBOT_PROBES = [
+    "/private/x",
+    "/private/ok/y",
+    "/tmp-3/z",
+    "/all-1/w",
+    "/public/p",
+]
+
+
+@query(
+    "crawl_robots_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_groups,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS BIGINT)
+             AS n_rules,
+           CAST(1 + doc_id % 7 AS BIGINT) AS crawl_delay,
+           CAST(1  -- /private/x always denied
+                + CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END
+                + CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END
+                AS BIGINT) AS denied_count,
+           CAST(5 - (1
+                + CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END
+                + CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS allowed_count,
+           CAST(9  -- /private/ matched by probe 1
+                + CASE WHEN doc_id % 2 = 1 THEN 12 ELSE 9 END
+                + CASE WHEN doc_id % 5 = 3 THEN 7 ELSE 0 END
+                AS BIGINT) AS rule_len_sum
+    FROM documents
+    """,
+)
+def crawl_robots_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 end-to-end: per document a planted robots.txt (named
+    group with UA run + extension key + parity-dependent Allow, plus a
+    ``*`` group that must NOT apply to the named agent), evaluated for
+    five probe paths as agent "sparkbot".  The oracle re-derives group
+    and rule counts, the Crawl-delay extension, per-probe decisions
+    (longest-match, Allow-beats-Disallow-on-tie, most-specific-group),
+    and the winning rule lengths; a precedence mistake flips the
+    counts."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "robots": [
+                        _robots_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, robots string")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, txt in zip(pdf["doc_id"], pdf["robots"]):
+                groups = parse_robots(str(txt))
+                named = _select_group(groups, "sparkbot/1.0")
+                denied = 0
+                rule_len_sum = 0
+                for p in _ROBOT_PROBES:
+                    allowed, plen = robots_decision(groups, "sparkbot/1.0", p)
+                    if not allowed:
+                        denied += 1
+                    rule_len_sum += plen
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_groups": len(groups),
+                        "n_rules": len(named["rules"]),
+                        "crawl_delay": int(
+                            named["extensions"]["crawl-delay"]
+                        ),
+                        "denied_count": denied,
+                        "allowed_count": len(_ROBOT_PROBES) - denied,
+                        "rule_len_sum": rule_len_sum,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_groups long, n_rules long, crawl_delay long, "
+        "denied_count long, allowed_count long, rule_len_sum long",
+    )
+
+
+def _html_payload(doc_id: int) -> str:
+    k = 2 + doc_id % 4
+    links = "".join(
+        f'<a href="http://ex.com/p{doc_id}/{j}" class="x">link {j}</a>\n'
+        for j in range(k)
+    )
+    return (
+        "<!doctype html><html><head>\n"
+        f"<script>var trap = '<a href=\"http://fake/{doc_id}\">';</script>\n"
+        f"<!-- <a href=\"/commented/{doc_id}\">no</a> -->\n"
+        "<style>a { color: red; } /* <a href=/css> */</style>\n"
+        "</head><body>\n"
+        f"{links}"
+        f"<a href='/rel/{doc_id}'>rel</a>\n"
+        f"<a href=/u{doc_id} id=last>unquoted</a>\n"
+        "</body></html>\n"
+    )
+
+
+@query(
+    "text_html_links_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS k FROM documents),
+    abs_links AS (
+      SELECT doc_id,
+             sum(length('http://ex.com/p' || CAST(doc_id AS VARCHAR)
+                        || '/' || CAST(t.i - 1 AS VARCHAR))) AS abs_len
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS t(i)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.k + 2 AS BIGINT) AS n_links,
+           CAST(d.k AS BIGINT) AS n_absolute,
+           CAST(2 AS BIGINT) AS n_relative,
+           CAST(a.abs_len
+                + length('/rel/' || CAST(d.doc_id AS VARCHAR))
+                + length('/u' || CAST(d.doc_id AS VARCHAR))
+                AS BIGINT) AS href_len_sum
+    FROM d JOIN abs_links a ON a.doc_id = d.doc_id
+    """,
+)
+def text_html_links_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction end-to-end with a REAL tag tokenizer: per
+    document a planted HTML page whose <a href> population includes
+    double-quoted absolute links, a single-quoted relative link, and
+    an unquoted one — plus three traps that must contribute NOTHING
+    (an anchor inside a script string, one inside a comment, one
+    inside CSS).  The oracle re-derives link counts and href length
+    sums from the planting formulas; a tokenizer that regexes over
+    comments or script bodies overcounts."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "html": [_html_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, html string")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf["doc_id"], pdf["html"]):
+                hrefs = extract_links(str(html))
+                n_abs = sum(1 for h in hrefs if h.startswith("http://"))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_links": len(hrefs),
+                        "n_absolute": n_abs,
+                        "n_relative": len(hrefs) - n_abs,
+                        "href_len_sum": sum(len(h) for h in hrefs),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_links long, n_absolute long, "
+        "n_relative long, href_len_sum long",
+    )

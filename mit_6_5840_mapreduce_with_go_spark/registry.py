@@ -43,15 +43,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # families, and the round-5/6 multimodal suite; the round-7 window
 # closed the ledger at 277/277 (every registered query driver-green at
 # least once, CORRECTNESS_r01-r07.json).  From round 8 on the window is
-# a ROLLING REGRESSION GATE: 11 NEW round-8 queries (MP3/FLAC/animated-
+# a ROLLING REGRESSION GATE: 12 NEW round-8 queries (MP3/FLAC/animated-
 # GIF metadata, the WARC + WET file-source pair, the parquet footer
-# walk, 16-bit/tRNS PNG, 4 streaming final-state projections), 3
-# queries whose code CHANGED this round (the BM25 pair — pass-2
-# decomposition + postings-lever change — and adaptive-k SemDeDup),
-# and 36 of the STALEST driver-green rows — all 35 rows last verified
-# in round 1 plus q3 from round 2 — so the oldest evidence refreshes
-# first.  Everything rotated out stays mirror-checked by
-# tools/check_correctness.py over all queries.
+# walk, 16-bit/tRNS PNG, RFC 9309 robots, 4 streaming final-state
+# projections), 3 queries whose code CHANGED this round (the BM25 pair
+# — pass-2 decomposition + postings-lever change — and adaptive-k
+# SemDeDup), and the 35 STALEST driver-green rows (all last verified
+# in round 1) — so the oldest evidence refreshes first.  Everything
+# rotated out (and the round-8 queries that did not fit, led by
+# text_html_links_stats) stays mirror-checked by
+# tools/check_correctness.py over all queries at three SFs.
 WINDOW_PRIORITY: list[str] = [
     # New round-8 queries (never driver-verified)
     "mm_decode_mp3_stats",
@@ -65,6 +66,7 @@ WINDOW_PRIORITY: list[str] = [
     "stream_ewma_final_state",
     "stream_kmv_final_state",
     "stream_cdc_final_state",
+    "crawl_robots_stats",
     # Changed this round (re-verification)
     "sim_bm25_prf_expansion",
     "sim_bm25_topk",
@@ -105,8 +107,6 @@ WINDOW_PRIORITY: list[str] = [
     "window_lag_order_gap_days",
     "window_running_supplier_revenue",
     "window_top3_orders_per_customer",
-    # Stalest round-2-era flagship
-    "q3_top_revenue_orders",
 ]
 
 
@@ -119,6 +119,7 @@ def load_all() -> None:
         behavior,
         bloom,
         clusters,
+        crawl,
         curation,
         curation2,
         curation3,

@@ -1,0 +1,87 @@
+"""Crawl-frontier operators (operators/crawl.py): RFC 9309 robots
+semantics and the HTML tag tokenizer, beyond what the planted query
+formulas exercise."""
+
+from __future__ import annotations
+
+from mit_6_5840_mapreduce_with_go_spark.operators import crawl as C
+
+
+def _g(text):
+    return C.parse_robots(text)
+
+
+def test_robots_group_formation_and_extensions():
+    g = _g(
+        "Disallow: /ignored-before-any-group/\n"
+        "User-agent: a\nUser-agent: b\nDisallow: /x/\nCrawl-delay: 3\n"
+        "\n"
+        "User-agent: *\nAllow: /\n"
+    )
+    assert len(g) == 2
+    assert g[0]["agents"] == ["a", "b"]
+    assert g[0]["rules"] == [(False, "/x/")]
+    assert g[0]["extensions"] == {"crawl-delay": "3"}
+    # a NEW user-agent run after rules opens a new group; a blank line
+    # alone does not close one
+    g2 = _g("User-agent: a\nDisallow: /x/\n\nAllow: /x/y/\n")
+    assert len(g2) == 1 and len(g2[0]["rules"]) == 2
+
+
+def test_robots_most_specific_group_wins():
+    g = _g(
+        "User-agent: spark\nDisallow: /a/\n\n"
+        "User-agent: sparkbot\nDisallow: /b/\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    # longest matching token: "sparkbot" beats "spark"
+    assert C.robots_decision(g, "SparkBot/2.0", "/b/x") == (False, 3)
+    assert C.robots_decision(g, "SparkBot/2.0", "/a/x") == (True, 0)
+    # unknown agent falls to *
+    assert C.robots_decision(g, "nobody", "/anything") == (False, 1)
+
+
+def test_robots_longest_match_and_tie():
+    g = _g("User-agent: x\nDisallow: /p/\nAllow: /p/ok/\n")
+    assert C.robots_decision(g, "x", "/p/z") == (False, 3)
+    assert C.robots_decision(g, "x", "/p/ok/z") == (True, 6)
+    # equal length: Allow wins
+    g2 = _g("User-agent: x\nDisallow: /same/\nAllow: /sama/\n")
+    assert C.robots_decision(g2, "x", "/same/")[0] is False
+    g3 = _g("User-agent: x\nDisallow: /tie/\nAllow: /tie/\n")
+    assert C.robots_decision(g3, "x", "/tie/z") == (True, 5)
+    # empty Disallow = allow-all
+    g4 = _g("User-agent: x\nDisallow:\n")
+    assert C.robots_decision(g4, "x", "/any") == (True, 0)
+
+
+def test_robots_wildcards():
+    g = _g("User-agent: x\nDisallow: /*.pdf$\nDisallow: /dl/*/raw\n")
+    dec = lambda p: C.robots_decision(g, "x", p)  # noqa: E731
+    assert dec("/a/b/c.pdf") == (False, 7)
+    assert dec("/a/b/c.pdfx")[0] is True  # $ anchors the end
+    assert dec("/dl/v1/raw")[0] is False
+    assert dec("/dl/raw")[0] is True  # * must consume a path segment slot
+
+
+def test_html_tokenizer_traps():
+    html = C._html_payload(7)
+    hrefs = C.extract_links(html)
+    k = 2 + 7 % 4
+    assert len(hrefs) == k + 2
+    assert all("fake" not in h and "commented" not in h and "css" not in h
+               for h in hrefs)
+    assert hrefs[-2] == "/rel/7" and hrefs[-1] == "/u7"
+
+
+def test_html_tokenizer_lenient_edges():
+    # unclosed comment, unclosed tag, unclosed script: no exception
+    assert C.extract_links("<!-- <a href=/x>") == []
+    assert C.extract_links("<a href=/y") == []
+    assert C.extract_links("<script><a href=/z></script") == []
+    # duplicate attribute: first wins (browser behavior)
+    assert C.extract_links('<a href="/one" href="/two">') == ["/one"]
+    # case-insensitive tag/attr names
+    assert C.extract_links('<A HREF="/up">') == ["/up"]
+    # mixed quoting in one tag
+    assert C.extract_links("<a id='q' href=bare>") == ["bare"]
