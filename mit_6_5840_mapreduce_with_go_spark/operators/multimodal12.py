@@ -310,3 +310,187 @@ def mm_decode_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames long, width long, height long, "
         "duration_cs long, delay_min long, delay_max long, red_total long",
     )
+
+
+# --------------------------------------------------------------------------
+# ID3v2.4 frame walk (informal-but-public id3.org spec): the tag the
+# MP3 query skips, now actually parsed — titles/artists/track numbers
+# are the audio-metadata fields a curation pipeline keys on.
+# --------------------------------------------------------------------------
+
+
+def encode_id3v2(frames: list[tuple[str, str]]) -> bytes:
+    """Spec-valid ID3v2.4 tag from ``(frame_id, text)`` pairs: 10-byte
+    header with syncsafe size, per-frame 10-byte header (4-char id,
+    syncsafe size, 2 flag bytes), text frames carry encoding byte 3
+    (UTF-8) + the text."""
+    body = bytearray()
+    for fid, text in frames:
+        if len(fid) != 4 or not fid.isalnum() or not fid.isupper():
+            raise ValueError(f"invalid frame id {fid!r}")
+        payload = b"\x03" + text.encode("utf-8")
+        n = len(payload)
+        if n >= 1 << 28:
+            raise ValueError("frame too large for syncsafe size")
+        ss = bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+        body += fid.encode("ascii") + ss + b"\x00\x00" + payload
+    n = len(body)
+    ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+    return b"ID3\x04\x00\x00" + ss + bytes(body)
+
+
+def decode_id3_frames(payload: bytes) -> dict:
+    """REAL ID3v2.4 walk: header validation (version, flags, syncsafe
+    size), frame iteration (id charset, syncsafe frame size, flag
+    bytes), text-frame decoding (encoding byte: 0 latin-1, 3 UTF-8),
+    padding detection (a zero byte ends the frame area).  Returns
+    ``{"frames": {id: text}, "n_frames": int, "tag_size": int}``.
+    Raises ValueError on malformed input."""
+    if payload[:3] != b"ID3":
+        raise ValueError("not an ID3v2 tag")
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    ver_major, ver_rev, flags = payload[3], payload[4], payload[5]
+    if ver_major not in (3, 4):
+        raise ValueError(f"unsupported ID3v2.{ver_major} tag")
+    if flags & 0x0F:
+        raise ValueError(f"unsupported ID3v2 header flags {flags:#04x}")
+    if flags & 0xF0 & ~0x00 and flags & 0x40:
+        raise ValueError("extended header not supported")
+    ss = payload[6:10]
+    if any(b & 0x80 for b in ss):
+        raise ValueError("non-syncsafe ID3v2 size")
+    size = (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+    if 10 + size > len(payload):
+        raise ValueError("ID3v2 tag extends past end of payload")
+    frames: dict[str, str] = {}
+    i = 10
+    end = 10 + size
+    while i < end:
+        if payload[i] == 0:
+            break  # padding
+        if i + 10 > end:
+            raise ValueError("truncated frame header")
+        fid_raw = payload[i : i + 4]
+        try:
+            fid = fid_raw.decode("ascii")
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"non-ASCII frame id {fid_raw!r}") from exc
+        if not all(c.isupper() or c.isdigit() for c in fid):
+            raise ValueError(f"invalid frame id {fid!r}")
+        fss = payload[i + 4 : i + 8]
+        if ver_major == 4:
+            if any(b & 0x80 for b in fss):
+                raise ValueError("non-syncsafe frame size")
+            fsize = (fss[0] << 21) | (fss[1] << 14) | (fss[2] << 7) | fss[3]
+        else:  # v2.3: plain big-endian
+            fsize = int.from_bytes(fss, "big")
+        i += 10
+        if i + fsize > end:
+            raise ValueError(f"frame {fid} extends past the tag")
+        data = payload[i : i + fsize]
+        i += fsize
+        if fid.startswith("T") and fsize >= 1:
+            enc = data[0]
+            raw = data[1:].split(b"\x00", 1)[0]
+            if enc == 0:
+                frames[fid] = raw.decode("latin-1")
+            elif enc == 3:
+                try:
+                    frames[fid] = raw.decode("utf-8")
+                except UnicodeDecodeError as exc:
+                    raise ValueError(f"bad UTF-8 in {fid}") from exc
+            else:
+                raise ValueError(f"unsupported text encoding {enc} in {fid}")
+        # non-text frames: walked (size discipline) but not decoded
+    return {"frames": frames, "n_frames": len(frames), "tag_size": size}
+
+
+def _id3_mp3_payload(doc_id: int) -> bytes:
+    """An MP3 stream opening with a REAL ID3v2.4 tag (not padding):
+    title/artist/album/track frames from doc_id formulas, then the
+    frame stream of ``_mp3_payload``'s family."""
+    tag = encode_id3v2(
+        [
+            ("TIT2", f"Title {doc_id}"),
+            ("TPE1", f"artist{doc_id % 20}"),
+            ("TALB", f"album{doc_id % 7}"),
+            ("TRCK", str(1 + doc_id % 12)),
+        ]
+    )
+    n = 2 + doc_id % 5
+    si = doc_id % 3
+    frames = [(1 + (doc_id * 3 + k) % 14, si) for k in range(n)]
+    return tag + encode_mp3_stream(frames)
+
+
+@query(
+    "mm_id3_tags_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 5 AS n,
+             list_extract([44100, 48000, 32000],
+                          CAST(1 + doc_id % 3 AS INT)) AS sr
+      FROM documents)
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(length('Title ' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+             AS title_len,
+           CAST(length('artist' || CAST(doc_id % 20 AS VARCHAR)) AS BIGINT)
+             AS artist_len,
+           CAST(length('album' || CAST(doc_id % 7 AS VARCHAR)) AS BIGINT)
+             AS album_len,
+           CAST(1 + doc_id % 12 AS BIGINT) AS track,
+           CAST(n AS BIGINT) AS n_audio_frames,
+           CAST(n * (1152000000 // sr) AS BIGINT) AS duration_us
+    FROM d
+    """,
+)
+def mm_id3_tags_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-metadata extraction two layers deep: per document an MP3
+    opening with a REAL ID3v2.4 tag (UTF-8 text frames, syncsafe frame
+    sizes) followed by a frame stream; the decode stage parses the TAG
+    with the frame walk (title/artist/album lengths, integer track
+    number) and the AUDIO with the frame-header walk (count, exact
+    duration).  The oracle re-derives both layers from the planting
+    formulas; a syncsafe or frame-boundary mistake shifts every field."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_id3_mp3_payload(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                tag = decode_id3_frames(p)
+                audio = decode_mp3_frames(p)
+                f = tag["frames"]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_frames": tag["n_frames"],
+                        "title_len": len(f["TIT2"]),
+                        "artist_len": len(f["TPE1"]),
+                        "album_len": len(f["TALB"]),
+                        "track": int(f["TRCK"]),
+                        "n_audio_frames": audio["n_frames"],
+                        "duration_us": audio["duration_us"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_frames long, title_len long, artist_len long, "
+        "album_len long, track long, n_audio_frames long, duration_us long",
+    )

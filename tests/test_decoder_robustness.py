@@ -134,7 +134,20 @@ def _cases():
         ),
         "auto_dispatch": (M0.decode_image_auto, M0._auto_payload(9)),
         "parquet_footer": (_parquet_decode, _parquet_payload()),
+        "id3v2": (_id3_decode, _id3_payload()),
     }
+
+
+def _id3_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import multimodal12
+
+    return multimodal12.decode_id3_frames(p)
+
+
+def _id3_payload():
+    from mit_6_5840_mapreduce_with_go_spark.operators import multimodal12
+
+    return multimodal12._id3_mp3_payload(11)
 
 
 def _parquet_decode(p):
@@ -222,6 +235,8 @@ _STRUCTURED_CASES = [
     "mp3",
     "zip_streamed",
     "tar_pax",
+    "parquet_footer",
+    "id3v2",
 ]
 
 

@@ -60,3 +60,61 @@ def test_gif_anim_payload_formulas():
         assert m["delays_cs"] == delays
         assert m["duration_cs"] == sum(delays)
         assert sum(m["sum_r_frames"]) == expected_red
+
+
+def test_id3v2_roundtrip_and_edges():
+    import pytest
+
+    frames = [("TIT2", "Héllo wörld"), ("TRCK", "7"), ("TXXX", "x" * 300)]
+    tag = M.encode_id3v2(frames)
+    got = M.decode_id3_frames(tag)
+    assert got["frames"] == dict(frames)
+    assert got["n_frames"] == 3
+    # padding after frames is legal and stops the walk
+    padded = bytearray(tag)
+    n = got["tag_size"] + 64
+    ss = [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    padded[6:10] = bytes(ss)
+    padded += bytes(64)
+    assert M.decode_id3_frames(bytes(padded))["frames"] == dict(frames)
+    # v2.3 plain big-endian frame sizes
+    v23 = bytearray(tag)
+    v23[3] = 3
+    body = bytearray(tag[10:])
+    i = 0
+    while i < len(body):
+        fsize = (
+            (body[i + 4] << 21) | (body[i + 5] << 14)
+            | (body[i + 6] << 7) | body[i + 7]
+        )
+        body[i + 4 : i + 8] = fsize.to_bytes(4, "big")
+        i += 10 + fsize
+    v23 = bytes(v23[:10]) + bytes(body)
+    assert M.decode_id3_frames(v23)["frames"] == dict(frames)
+    # latin-1 text frames (encoding byte 0)
+    lat = M.encode_id3v2([("TIT2", "plain")])
+    lat = bytearray(lat)
+    lat[20] = 0  # first frame's encoding byte: 10 hdr + 10 frame hdr
+    assert M.decode_id3_frames(bytes(lat))["frames"] == {"TIT2": "plain"}
+    # hostile cases
+    with pytest.raises(ValueError, match="not an ID3v2"):
+        M.decode_id3_frames(b"XXX" + tag[3:])
+    with pytest.raises(ValueError, match="unsupported ID3v2.5"):
+        bad = bytearray(tag); bad[3] = 5; M.decode_id3_frames(bytes(bad))
+    with pytest.raises(ValueError, match="frame id"):
+        bad = bytearray(tag); bad[10:14] = b"ti~2"; M.decode_id3_frames(bytes(bad))
+    with pytest.raises(ValueError, match="invalid frame id"):
+        M.encode_id3v2([("ti!2", "x")])
+
+
+def test_id3_mp3_payload_formulas():
+    for doc_id in (0, 1, 7, 19, 499):
+        p = M._id3_mp3_payload(doc_id)
+        tag = M.decode_id3_frames(p)
+        f = tag["frames"]
+        assert f["TIT2"] == f"Title {doc_id}"
+        assert f["TPE1"] == f"artist{doc_id % 20}"
+        assert f["TALB"] == f"album{doc_id % 7}"
+        assert int(f["TRCK"]) == 1 + doc_id % 12
+        audio = decode_mp3_frames(p)
+        assert audio["n_frames"] == 2 + doc_id % 5
