@@ -465,3 +465,143 @@ def text_html_links_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_links long, n_absolute long, "
         "n_relative long, href_len_sum long",
     )
+
+
+# --------------------------------------------------------------------------
+# Sitemap XML (sitemaps.org protocol, public): the third leg of the
+# frontier triangle — robots points at sitemaps, sitemaps enumerate
+# URLs with lastmod/priority hints, pages link onward.
+# --------------------------------------------------------------------------
+
+_XML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # decoded LAST so "&amp;lt;" -> "&lt;" stays literal
+]
+
+
+def decode_xml_text(s: str) -> str:
+    """The five predefined XML entities, with ``&amp;`` decoded last so
+    double-escaped sequences survive literally."""
+    for ent, ch in _XML_ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def sitemap_entries(xml: str) -> list[dict]:
+    """Walk a <urlset> sitemap with the tag tokenizer: one dict per
+    <url>, capturing loc / lastmod / priority text (entity-decoded).
+    Lenient like the rest of the tokenizer; entries missing <loc> are
+    dropped (the protocol makes loc mandatory)."""
+    entries: list[dict] = []
+    current: dict | None = None
+    field: str | None = None
+    for kind, payload in iter_html_tokens(xml):
+        if kind == "start":
+            tag, _ = payload
+            if tag == "url":
+                current = {}
+            elif tag in ("loc", "lastmod", "priority") and current is not None:
+                field = tag
+        elif kind == "end":
+            if payload == "url":
+                if current is not None and "loc" in current:
+                    entries.append(current)
+                current = None
+            elif payload == field:
+                field = None
+        elif kind == "text" and current is not None and field is not None:
+            current[field] = current.get(field, "") + decode_xml_text(
+                payload.strip()
+            )
+    return entries
+
+
+def _sitemap_payload(doc_id: int) -> str:
+    k = 3 + doc_id % 5
+    urls = []
+    for j in range(k):
+        day = 1 + (doc_id + j) % 28
+        urls.append(
+            "<url>"
+            f"<loc>http://ex.com/s{doc_id}?a=1&amp;p={j}</loc>"
+            f"<lastmod>2026-01-{day:02d}</lastmod>"
+            f"<priority>0.{(doc_id + j) % 10}</priority>"
+            "</url>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(urls)
+        + "\n</urlset>\n"
+    )
+
+
+@query(
+    "crawl_sitemap_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 5 AS k FROM documents),
+    u AS (
+      SELECT doc_id, k, t.i - 1 AS j,
+             1 + (doc_id + t.i - 1) % 28 AS day,
+             (doc_id + t.i - 1) % 10 AS prio
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS t(i))
+    SELECT doc_id,
+           CAST(max(k) AS BIGINT) AS n_urls,
+           CAST(sum(length('http://ex.com/s' || CAST(doc_id AS VARCHAR)
+                           || '?a=1&p=' || CAST(j AS VARCHAR)))
+                AS BIGINT) AS loc_len_sum,
+           CAST(sum(day) AS BIGINT) AS lastmod_day_sum,
+           CAST(sum(prio) AS BIGINT) AS priority_tenths_sum
+    FROM u GROUP BY doc_id
+    """,
+)
+def crawl_sitemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion end-to-end: per document a planted
+    sitemaps.org <urlset> (entity-escaped query strings in <loc>,
+    lastmod dates, decimal priorities) walked with the REAL tag
+    tokenizer + XML entity decoding.  The oracle re-derives URL
+    counts, entity-DECODED loc lengths (``&amp;`` counts as one
+    character), day sums, and priority tenths; an entity or
+    text-capture mistake shifts the lengths."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "xml": [_sitemap_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, xml string")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, xml in zip(pdf["doc_id"], pdf["xml"]):
+                es = sitemap_entries(str(xml))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "n_urls": len(es),
+                        "loc_len_sum": sum(len(e["loc"]) for e in es),
+                        "lastmod_day_sum": sum(
+                            int(e["lastmod"][8:10]) for e in es
+                        ),
+                        "priority_tenths_sum": sum(
+                            int(e["priority"][2]) for e in es
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_urls long, loc_len_sum long, "
+        "lastmod_day_sum long, priority_tenths_sum long",
+    )

@@ -85,3 +85,27 @@ def test_html_tokenizer_lenient_edges():
     assert C.extract_links('<A HREF="/up">') == ["/up"]
     # mixed quoting in one tag
     assert C.extract_links("<a id='q' href=bare>") == ["bare"]
+
+
+def test_xml_entity_decode():
+    assert C.decode_xml_text("a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;") == (
+        "a & b <c> \"d\" 'e'"
+    )
+    # double-escaped survives one level
+    assert C.decode_xml_text("&amp;lt;") == "&lt;"
+
+
+def test_sitemap_walk():
+    xml = C._sitemap_payload(4)
+    es = C.sitemap_entries(xml)
+    k = 3 + 4 % 5
+    assert len(es) == k
+    assert es[0]["loc"] == "http://ex.com/s4?a=1&p=0"  # entity decoded
+    assert es[0]["lastmod"] == "2026-01-05"
+    assert es[0]["priority"] == "0.4"
+    # entries without <loc> are dropped; stray text outside fields ignored
+    es2 = C.sitemap_entries(
+        "<urlset> junk <url><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>/x</loc>mid</url></urlset>"
+    )
+    assert [e["loc"] for e in es2] == ["/x"]
