@@ -605,3 +605,173 @@ def crawl_sitemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_urls long, loc_len_sum long, "
         "lastmod_day_sum long, priority_tenths_sum long",
     )
+
+
+# --------------------------------------------------------------------------
+# URL frontier: RFC 3986 normalization + host-keyed dedup — entirely
+# JVM-side (no Python anywhere in the plan).  Dot-segment resolution
+# (§5.2.4) runs as a higher-order ``aggregate`` over the split path,
+# scheme/host case-folding, default-port stripping, and fragment
+# removal as plain expressions; the frontier dedup is a per-host
+# distinct-count aggregation (the shuffle a real frontier shards on,
+# because politeness is per host).
+# --------------------------------------------------------------------------
+
+_NORMALIZE_PATH = (
+    "aggregate("
+    "  split(path, '/'),"
+    "  cast(array() as array<string>),"
+    "  (acc, seg) -> case"
+    "      when seg = '.' or seg = '' then acc"
+    "      when seg = '..' then slice(acc, 1, greatest(size(acc) - 1, 0))"
+    "      else concat(acc, array(seg)) end,"
+    "  acc -> concat('/', array_join(acc, '/')))"
+)
+
+
+def normalize_urls(df: DataFrame, url_col: str) -> DataFrame:
+    """Add a ``norm_url`` column: lowercase scheme+host, default port
+    stripped (:80 http / :443 https), fragment removed, dot segments
+    resolved per RFC 3986 §5.2.4 — all built-in expressions, so the
+    normalization lives inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    hostport = F.lower(
+        F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    out = (
+        df.withColumn("scheme", scheme)
+        .withColumn("hostport", hostport)
+        .withColumn(
+            "host",
+            F.when(
+                (F.col("scheme") == "http") & F.col("hostport").endswith(":80"),
+                F.expr("substring(hostport, 1, length(hostport) - 3)"),
+            )
+            .when(
+                (F.col("scheme") == "https")
+                & F.col("hostport").endswith(":443"),
+                F.expr("substring(hostport, 1, length(hostport) - 4)"),
+            )
+            .otherwise(F.col("hostport")),
+        )
+        .withColumn(
+            "path",
+            F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        )
+        .withColumn(
+            "query_part",
+            F.regexp_extract(url_col, r"\?([^#]*)", 1),
+        )
+        .withColumn("norm_path", F.expr(_NORMALIZE_PATH))
+        .withColumn(
+            "norm_url",
+            F.concat(
+                F.col("scheme"),
+                F.lit("://"),
+                F.col("host"),
+                F.col("norm_path"),
+                F.when(
+                    F.col("query_part") != "",
+                    F.concat(F.lit("?"), F.col("query_part")),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        .drop("scheme", "hostport", "path", "query_part", "norm_path")
+    )
+    return out
+
+
+@query(
+    "crawl_url_frontier_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS h, 2 + doc_id % 3 AS k FROM documents),
+    uniq AS (
+      SELECT d.h, d.doc_id,
+             count(*) AS k_urls,
+             sum(length('http://www.ex' || CAST(d.h AS VARCHAR)
+                        || '.com/a/b/c' || CAST(d.doc_id AS VARCHAR)
+                        || '?q=' || CAST(t.i - 1 AS VARCHAR))) AS len_sum
+      FROM d, unnest(generate_series(1, CAST(d.k AS INT))) AS t(i)
+      GROUP BY d.h, d.doc_id)
+    SELECT 'www.ex' || CAST(h AS VARCHAR) || '.com' AS host,
+           CAST(sum(k_urls + 1) AS BIGINT) AS n_raw,
+           CAST(sum(k_urls) AS BIGINT) AS n_unique,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len_sum) AS BIGINT) AS norm_len_sum
+    FROM uniq GROUP BY h
+    """,
+)
+def crawl_url_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier construction end-to-end, Python-free: per document a
+    planted set of hostile raw URLs (uppercase scheme/host, explicit
+    default port, ``/a/{j}/../b/./`` dot segments, fragments, plus one
+    raw string that collides with another only AFTER normalization),
+    normalized with JVM-side RFC 3986 rules and deduplicated per host
+    — the shuffle key a polite crawler shards on.  The oracle
+    re-derives per-host raw/unique/doc counts and the exact normalized
+    lengths from the planting formulas; any normalization miss (kept
+    fragment, unresolved ``..``, un-stripped port) breaks dedup or the
+    length hash.
+
+    Scale shape: explode + one hash aggregation keyed by (host, url)
+    collapsed map-side, then the host rollup; at 100 TB the frontier
+    is exactly this plan over the link table."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    k = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    raw = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda j: F.concat(
+                        F.lit("HTTP://WWW.Ex"),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit(".COM:80/a/"),
+                        j.cast("string"),
+                        F.lit("/../b/./c"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("?q="),
+                        j.cast("string"),
+                        F.lit("#frag"),
+                    ),
+                ),
+                # the normalization-collision twin of j = 0
+                F.array(
+                    F.concat(
+                        F.lit("http://www.ex"),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit(".com/a/b/c"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("?q=0"),
+                    )
+                ),
+            )
+        ).alias("url"),
+    )
+    norm = normalize_urls(raw, "url")
+    raw_agg = norm.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    uniq = (
+        norm.select("host", "norm_url")
+        .distinct()
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.length("norm_url")).alias("norm_len_sum"),
+        )
+    )
+    return raw_agg.join(uniq, "host").select(
+        "host",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("norm_len_sum").cast("long").alias("norm_len_sum"),
+    )

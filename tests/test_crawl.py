@@ -109,3 +109,27 @@ def test_sitemap_walk():
         "<url><loc>/x</loc>mid</url></urlset>"
     )
     assert [e["loc"] for e in es2] == ["/x"]
+
+
+def test_url_normalization_jvm(spark):
+    """normalize_urls is real RFC 3986: case folding, default-port
+    strip, fragment removal, dot-segment resolution — and the plan is
+    Python-free (no BatchEvalPython / ArrowEvalPython / mapInPandas)."""
+    from mit_6_5840_mapreduce_with_go_spark.plans.explain import physical_plan
+
+    rows = [
+        ("HTTP://WWW.EX.COM:80/a/1/../b/./c?q=1#f", "http://www.ex.com/a/b/c?q=1"),
+        ("https://Host.Org:443/x/./y/../z", "https://host.org/x/z"),
+        ("https://host.org:8443/keep/port", "https://host.org:8443/keep/port"),
+        ("http://h.io/a//b/../../top", "http://h.io/top"),
+        ("http://h.io/../above-root", "http://h.io/above-root"),
+        ("http://h.io/plain", "http://h.io/plain"),
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], "url string")
+    out = C.normalize_urls(df, "url").select("url", "norm_url").collect()
+    got = {r["url"]: r["norm_url"] for r in out}
+    for raw, want in rows:
+        assert got[raw] == want, (raw, got[raw], want)
+    plan = physical_plan(C.normalize_urls(df, "url"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
