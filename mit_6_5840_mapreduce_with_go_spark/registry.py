@@ -127,6 +127,7 @@ def load_all() -> None:
         dedup,
         evaluation,
         graphs2,
+        ingest_csv,
         ivm,
         kv,
         layout,
