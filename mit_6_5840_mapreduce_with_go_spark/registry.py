@@ -124,6 +124,7 @@ def load_all() -> None:
         curation2,
         curation3,
         curation4,
+        curation5,
         dedup,
         evaluation,
         graphs2,
