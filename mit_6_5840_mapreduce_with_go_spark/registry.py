@@ -145,6 +145,7 @@ def load_all() -> None:
         multimodal10,
         multimodal11,
         multimodal12,
+        multimodal13,
         parquet_footer,
         pipelines,
         privacy,

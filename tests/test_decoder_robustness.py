@@ -135,7 +135,20 @@ def _cases():
         "auto_dispatch": (M0.decode_image_auto, M0._auto_payload(9)),
         "parquet_footer": (_parquet_decode, _parquet_payload()),
         "id3v2": (_id3_decode, _id3_payload()),
+        "zstd": (_zstd_decode, _zstd_payload_rb()),
     }
+
+
+def _zstd_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import multimodal13
+
+    return multimodal13.decode_zstd_frames(p)
+
+
+def _zstd_payload_rb():
+    from mit_6_5840_mapreduce_with_go_spark.operators import multimodal13
+
+    return multimodal13._zstd_payload(13)
 
 
 def _id3_decode(p):
@@ -237,6 +250,7 @@ _STRUCTURED_CASES = [
     "tar_pax",
     "parquet_footer",
     "id3v2",
+    "zstd",
 ]
 
 

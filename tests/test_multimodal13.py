@@ -1,0 +1,89 @@
+"""Zstd frame walk (multimodal13): RFC 8878 framing subset — raw/RLE
+blocks, skippable frames, FHD field parsing — plus totality."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from mit_6_5840_mapreduce_with_go_spark.operators import multimodal13 as M
+
+
+def test_roundtrip_raw_rle_skippable():
+    blocks = [("raw", b"hello"), ("rle", b"zzzz"), ("raw", b"!")]
+    pay = M.encode_zstd_raw(
+        blocks, window_log=20, dict_id=300, skippable_prefix=b"IDX0"
+    )
+    m = M.decode_zstd_frames(pay)
+    assert m["content"] == b"hellozzzz!"
+    f = m["frames"][0]
+    assert f["n_blocks"] == 3
+    assert f["window_log"] == 20
+    assert f["dict_id"] == 300
+    assert f["fcs"] == 10 and f["content_len"] == 10
+    assert m["n_skippable"] == 1 and m["skippable_bytes"] == 4
+    # two standard frames concatenate
+    m2 = M.decode_zstd_frames(pay + M.encode_zstd_raw([("raw", b"AB")]))
+    assert m2["content"].endswith(b"AB") and m2["n_frames"] == 2
+
+
+def test_rejections():
+    good = M.encode_zstd_raw([("raw", b"x")])
+    with pytest.raises(ValueError, match="bad zstd magic"):
+        M.decode_zstd_frames(b"\x00\x00\x00\x00" + good[4:])
+    # FCS mismatch
+    bad = bytearray(good)
+    # FCS is the 4 bytes before the block header (magic4+fhd1+wd1 -> 6..10)
+    struct.pack_into("<I", bad, 6, 999)
+    with pytest.raises(ValueError, match="FCS declared"):
+        M.decode_zstd_frames(bytes(bad))
+    # compressed block type rejected
+    bh = (1 | (2 << 1) | (5 << 3)).to_bytes(3, "little")
+    frame = good[:10] + bh + b"12345"
+    with pytest.raises(ValueError, match="Compressed_Block"):
+        M.decode_zstd_frames(frame)
+    # reserved FHD bit
+    bad = bytearray(good)
+    bad[4] |= 0x08
+    with pytest.raises(ValueError, match="reserved FHD"):
+        M.decode_zstd_frames(bytes(bad))
+    with pytest.raises(ValueError, match="rle block payload"):
+        M.encode_zstd_raw([("rle", b"ab")])
+
+
+def test_payload_formulas():
+    for doc_id in (0, 1, 2, 3, 7, 499):
+        m = M.decode_zstd_frames(M._zstd_payload(doc_id))
+        nb = 2 + doc_id % 3
+        f = m["frames"][0]
+        assert f["n_blocks"] == nb
+        assert f["window_log"] == 10 + doc_id % 22
+        want = bytearray()
+        for b in range(nb):
+            if b % 2 == 0:
+                ln = 5 + (doc_id + b) % 9
+                want += bytes((doc_id + b + j) % 256 for j in range(ln))
+            else:
+                ln = 3 + (doc_id + b) % 6
+                want += bytes([(doc_id * 3 + b) % 256]) * ln
+        assert m["content"] == bytes(want)
+        assert m["n_skippable"] == (1 if doc_id % 2 else 0)
+
+
+def test_totality_truncations_and_flips():
+    pay = M._zstd_payload(9)
+    M.decode_zstd_frames(pay)
+    for ln in range(len(pay)):
+        try:
+            M.decode_zstd_frames(pay[:ln])
+        except ValueError:
+            pass
+    for pos in range(len(pay)):
+        for flip in (0x01, 0x80, 0xFF):
+            mut = bytearray(pay)
+            mut[pos] ^= flip
+            try:
+                M.decode_zstd_frames(bytes(mut))
+            except ValueError:
+                pass
