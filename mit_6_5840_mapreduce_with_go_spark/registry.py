@@ -116,6 +116,7 @@ def load_all() -> None:
     positions (the driver-verified window)."""
     from .mapreduce import apps  # noqa: F401
     from .operators import (  # noqa: F401
+        avro_container,
         behavior,
         bloom,
         clusters,

@@ -136,7 +136,20 @@ def _cases():
         "parquet_footer": (_parquet_decode, _parquet_payload()),
         "id3v2": (_id3_decode, _id3_payload()),
         "zstd": (_zstd_decode, _zstd_payload_rb()),
+        "avro": (_avro_decode, _avro_payload_rb()),
     }
+
+
+def _avro_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import avro_container
+
+    return avro_container.decode_avro_container(p)
+
+
+def _avro_payload_rb():
+    from mit_6_5840_mapreduce_with_go_spark.operators import avro_container
+
+    return avro_container._avro_payload(6)
 
 
 def _zstd_decode(p):
@@ -251,6 +264,7 @@ _STRUCTURED_CASES = [
     "parquet_footer",
     "id3v2",
     "zstd",
+    "avro",
 ]
 
 
