@@ -109,6 +109,18 @@ SF1_QUERIES = [
     "stream_kv_cas_final_state",
     "stream_ewma_final_state",
     "stream_kmv_final_state",
+    # late round-8 additions (crawl frontier, table formats, audio tags,
+    # dirty CSV, DSIR, 16-bit/tRNS PNG)
+    "mm_decode_zstd_stats",
+    "mm_decode_avro_stats",
+    "mm_id3_tags_stats",
+    "ingest_csv_permissive_stats",
+    "crawl_sitemap_stats",
+    "crawl_robots_stats",
+    "text_html_links_stats",
+    "crawl_url_frontier_stats",
+    "curation_dsir_weights",
+    "mm_decode_png16_trns_stats",
 ]
 
 
