@@ -41,11 +41,13 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
-def _shard_dir(sf_dir: str, variant: str = "", builder=None) -> str:
+def _shard_dir(
+    sf_dir: str, variant: str = "", builder=None, ext: str = ".warc.gz"
+) -> str:
     """Materialize (once, atomically) the shard fixtures for ``sf_dir``
     and return their directory.  ``variant`` namespaces alternate
-    corpora (e.g. the WET shards); ``builder(doc_id) -> bytes`` defaults
-    to the response-crawl builder."""
+    corpora (e.g. the WET or TFRecord shards); ``builder(doc_id) ->
+    bytes`` defaults to the response-crawl builder."""
     if builder is None:
         builder = _warc_crawl
     tag = os.path.basename(os.path.normpath(sf_dir)) + variant
@@ -64,7 +66,7 @@ def _shard_dir(sf_dir: str, variant: str = "", builder=None) -> str:
     os.makedirs(tmp, exist_ok=True)
     try:
         for s in range(_N_SHARDS):
-            with open(os.path.join(tmp, f"shard-{s:03d}.warc.gz"), "wb") as fh:
+            with open(os.path.join(tmp, f"shard-{s:03d}{ext}"), "wb") as fh:
                 for d in doc_ids:
                     if d % _N_SHARDS == s:
                         fh.write(builder(d))

@@ -137,7 +137,23 @@ def _cases():
         "id3v2": (_id3_decode, _id3_payload()),
         "zstd": (_zstd_decode, _zstd_payload_rb()),
         "avro": (_avro_decode, _avro_payload_rb()),
+        "tfrecord": (_tfrecord_decode, _tfrecord_payload_rb()),
     }
+
+
+def _tfrecord_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import tfrecord
+
+    return [
+        tfrecord.decode_tf_example(f)
+        for f in tfrecord.decode_tfrecord_frames(p)
+    ]
+
+
+def _tfrecord_payload_rb():
+    from mit_6_5840_mapreduce_with_go_spark.operators import tfrecord
+
+    return tfrecord._tfrecord_payload(8)
 
 
 def _avro_decode(p):
@@ -265,6 +281,7 @@ _STRUCTURED_CASES = [
     "id3v2",
     "zstd",
     "avro",
+    "tfrecord",
 ]
 
 
