@@ -162,6 +162,7 @@ def load_all() -> None:
         sketches2,
         stats2,
         stream_projections,
+        tensors,
         tfrecord,
         text,
         timeseries,

@@ -138,7 +138,33 @@ def _cases():
         "zstd": (_zstd_decode, _zstd_payload_rb()),
         "avro": (_avro_decode, _avro_payload_rb()),
         "tfrecord": (_tfrecord_decode, _tfrecord_payload_rb()),
+        "safetensors": (_st_decode, _st_payload_rb()),
+        "npz": (_npz_decode, _npz_payload_rb()),
     }
+
+
+def _st_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import tensors
+
+    return tensors.decode_safetensors(p)
+
+
+def _st_payload_rb():
+    from mit_6_5840_mapreduce_with_go_spark.operators import tensors
+
+    return tensors._st_payload(4)
+
+
+def _npz_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import tensors
+
+    return tensors.decode_npz(p)
+
+
+def _npz_payload_rb():
+    from mit_6_5840_mapreduce_with_go_spark.operators import tensors
+
+    return tensors._npz_payload(4)
 
 
 def _tfrecord_decode(p):
@@ -282,6 +308,8 @@ _STRUCTURED_CASES = [
     "zstd",
     "avro",
     "tfrecord",
+    "safetensors",
+    "npz",
 ]
 
 
