@@ -1,0 +1,137 @@
+"""Exact-threshold set-similarity join via PREFIX FILTERING (the
+PPJoin/AllPairs family — Chaudhuri et al. 2006, Xiao et al. 2008,
+public literature): every document pair with shingle-Jaccard >= t,
+found WITHOUT the all-pairs product and WITHOUT probabilistic recall
+loss — the exact sibling of MinHash-LSH in the dedup toolbox.
+
+The lever is the prefix-filtering theorem: order every document's
+shingle set by one GLOBAL total order (rarest-first: ascending
+document frequency, ties on the shingle string) and keep only the
+first ``p = n - ceil(t*n) + 1`` shingles as its PREFIX; any pair with
+Jaccard >= t must share at least one PREFIX shingle.  Candidates
+therefore come from a join keyed on prefix shingles only — and since
+prefixes are rarest-first, the join keys are precisely the shingles
+with the smallest fan-out.  Candidates are then verified EXACTLY
+(integer cross-multiplied Jaccard test: ``2*i >= na + nb - i`` for
+t = 1/2 — no float in the decision).
+
+Correctness gate: the DuckDB oracle computes the BRUTE-FORCE truth
+(all pairs sharing any shingle, exact Jaccard filter); the Spark side
+must reproduce it exactly, which proves candidate-set COMPLETENESS —
+a wrong prefix length or a divergent global order drops a pair and
+breaks the row-count/hash match.
+
+Scale shape: shingle df is one aggregate; the candidate join is keyed
+on rare shingles (bounded fan-out by construction); verification
+touches candidate pairs only, each via two shingle-keyed joins.  No
+all-pairs product anywhere — at 100 TB this is the exact-dedup pass
+run after LSH triage, or standalone when exact recall is mandated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from .dedup import _shingles
+
+_T_NUM, _T_DEN = 1, 2  # Jaccard threshold t = 1/2
+
+
+@query(
+    "dedup_ppjoin_shingles",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[p + 1] || ' ' || toks[p + 2] || ' ' || toks[p + 3] AS s
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS p
+            FROM t0 WHERE len(toks) >= 3)),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT inter.a, inter.b, i AS inter,
+           sa.n AS na, sb.n AS nb,
+           CAST(1000000 * i // (sa.n + sb.n - i) AS BIGINT) AS jacc_micro
+    FROM inter
+    JOIN sz sa ON sa.doc_id = inter.a
+    JOIN sz sb ON sb.doc_id = inter.b
+    WHERE {_T_DEN} * i >= {_T_NUM} * (sa.n + sb.n - i)
+    """,
+)
+def dedup_ppjoin_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with 3-gram-shingle Jaccard >= 1/2, by prefix
+    filtering + exact verification (see module docstring).  The oracle
+    is the brute-force truth, so a green row proves the prefix
+    candidate set is COMPLETE, not just plausible."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = (
+        _shingles(docs)
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.explode("shingles").alias("s"),
+        )
+    )
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_tbl, "s").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
+    )
+    # p = n - ceil(t*n) + 1; with t = NUM/DEN: ceil = (n*NUM + DEN - 1) div DEN
+    prefix_len = (
+        F.col("n_shingles")
+        - ((F.col("n_shingles") * _T_NUM + _T_DEN - 1) / _T_DEN).cast("long")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s")
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "s")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    sz = sh.select("doc_id", "n_shingles").distinct()
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a"), "s"), "a"
+        )
+        .join(sh.select(F.col("doc_id").alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("a"), F.col("n_shingles").alias("na")),
+            "a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("b"), F.col("n_shingles").alias("nb")),
+            "b",
+        )
+        .filter(
+            _T_DEN * F.col("inter")
+            >= _T_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.expr("1000000 * inter div (na + nb - inter)")
+        .cast("long")
+        .alias("jacc_micro"),
+    )

@@ -127,6 +127,7 @@ def load_all() -> None:
         curation4,
         curation5,
         dedup,
+        dedup2,
         evaluation,
         graphs2,
         ingest_csv,

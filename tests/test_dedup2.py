@@ -1,0 +1,89 @@
+"""PPJoin prefix-filtering set-similarity join (operators/dedup2.py):
+completeness is driver-oracle-gated; here we pin the PRUNING claim
+(candidates strictly fewer than share-any-shingle pairs) and the
+prefix theorem on adversarial small sets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mit_6_5840_mapreduce_with_go_spark.operators import dedup2 as D
+from mit_6_5840_mapreduce_with_go_spark.operators.dedup import _shingles
+from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_prefix_candidates_prune(spark):
+    """The candidate pair count must be well under the
+    share-any-shingle pair count — otherwise the prefix is not doing
+    its job and the 'no all-pairs' scale claim is false."""
+    docs = load_table(spark, SF, "documents")
+    sh = _shingles(docs).select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("s")
+    )
+    all_sharing = (
+        sh.alias("x")
+        .join(sh.alias("y"), "s")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+
+    ranked = sh.join(df_tbl, "s").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
+    )
+    prefix_len = (
+        F.col("n_shingles")
+        - ((F.col("n_shingles") + 1) / 2).cast("long")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s")
+    cands = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "s")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    result = D.dedup_ppjoin_shingles(spark, SF).count()
+    assert result <= cands <= all_sharing
+    assert cands < all_sharing / 2, (cands, all_sharing)
+
+
+def test_prefix_theorem_tiny_adversarial():
+    """Pure-Python check of the completeness bound on hand-built sets:
+    for every pair with J >= 1/2 the prefixes intersect, under any
+    consistent global order."""
+    sets = {
+        "a": {1, 2, 3, 4},
+        "b": {1, 2, 3, 9},     # J(a,b) = 3/5 >= 1/2
+        "c": {4, 5, 6, 7, 8},  # J(a,c) = 1/8 < 1/2
+        "d": {1, 2},           # J(a,d) = 2/4 >= 1/2
+    }
+    # global order: by ascending frequency then value
+    from collections import Counter
+
+    freq = Counter(v for s in sets.values() for v in s)
+    order = lambda v: (freq[v], v)  # noqa: E731
+
+    def prefix(s):
+        n = len(s)
+        p = n - (n * 1 + 2 - 1) // 2 + 1  # t = 1/2
+        return set(sorted(s, key=order)[:p])
+
+    def jacc(x, y):
+        return len(x & y) / len(x | y)
+
+    names = sorted(sets)
+    for i, x in enumerate(names):
+        for y in names[i + 1 :]:
+            if jacc(sets[x], sets[y]) >= 0.5:
+                assert prefix(sets[x]) & prefix(sets[y]), (x, y)
