@@ -135,3 +135,148 @@ def dedup_ppjoin_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jacc_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+# (Kiveris et al., "Connected Components in MapReduce and Beyond",
+# 2014 — public).  The package's other CC (clusters.connected_
+# components) propagates min labels ONE HOP per round, i.e. O(diameter)
+# rounds; star contraction converges in O(log n) rounds, which is the
+# difference between 15 and 40+ shuffles on a 100 TB chain-shaped dup
+# graph.  Composed here over the PPJoin exact-similarity pairs.
+# --------------------------------------------------------------------------
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every v in Gamma(u) with v > u, m = min(Gamma+(u))."""
+    with_self = edges.union(
+        edges.select(F.col("u"), F.col("u").alias("v"))
+    ).distinct()
+    m = with_self.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        edges.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every v in Gamma-(u) (neighbors <= u) plus u itself,
+    m = min(Gamma-(u) + {u})."""
+    down = edges.filter(F.col("v") <= F.col("u"))
+    with_self = down.union(
+        down.select(F.col("u"), F.col("u").alias("v"))
+    ).distinct()
+    m = with_self.groupBy("u").agg(F.min("v").alias("m"))
+    pairs = with_self.join(m, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    own = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        pairs.union(own).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """pairs(a, b) -> (doc_id, cluster_id = component minimum), by
+    alternating large-star/small-star until the edge set fixpoint.
+    Convergence is detected with a cheap (count, sum) aggregate action
+    per round — bounded control-plane reads, never the edge set."""
+    def resym(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    edges = _symmetric(pairs).localCheckpoint()
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("u"), F.lit(0)),
+            F.coalesce(F.sum("v"), F.lit(0)),
+        ).collect()[0]
+        return tuple(row)
+
+    sig = signature(edges)
+    for _ in range(max_rounds):
+        # each star operator works on node neighborhoods, so the edge
+        # set is re-symmetrized before each application (the paper's
+        # per-node grouping sees every edge from both endpoints)
+        edges = _small_star(
+            resym(_large_star(edges))
+        ).localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+        edges = resym(edges).localCheckpoint()
+    # fixpoint: every edge points at its component minimum (star graph)
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return labels.union(roots).groupBy("doc_id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+@query(
+    "dedup_cc_two_phase",
+    oracle=f"""
+    WITH RECURSIVE t0 AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[p + 1] || ' ' || toks[p + 2] || ' ' || toks[p + 3] AS s
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS p
+            FROM t0 WHERE len(toks) >= 3)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sz sa ON sa.doc_id = inter.a
+      JOIN sz sb ON sb.doc_id = inter.b
+      WHERE {_T_DEN} * i >= {_T_NUM} * (sa.n + sb.n - i)),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT src AS doc_id, dst AS r FROM edges
+      UNION SELECT doc_id, doc_id FROM (SELECT DISTINCT src AS doc_id
+                                        FROM edges)
+      UNION
+      SELECT reach.doc_id, edges.dst
+      FROM reach JOIN edges ON edges.src = reach.r)
+    SELECT CAST(min(r) AS BIGINT) AS cluster_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_members
+    FROM (SELECT doc_id, min(r) AS r FROM reach GROUP BY doc_id) x
+    GROUP BY x.r
+    """,
+)
+def dedup_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster census over the PPJoin exact-similarity graph,
+    with components found by large-star/small-star contraction (see
+    ``cc_two_phase``).  The recursive-CTE oracle computes the
+    transitive-closure truth; the star contraction must land on the
+    identical component partition (canonical member = minimum id)."""
+    pairs = dedup_ppjoin_shingles(spark, sf_dir).select("a", "b")
+    labels = cc_two_phase(pairs)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    ).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )

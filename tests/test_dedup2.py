@@ -87,3 +87,47 @@ def test_prefix_theorem_tiny_adversarial():
         for y in names[i + 1 :]:
             if jacc(sets[x], sets[y]) >= 0.5:
                 assert prefix(sets[x]) & prefix(sets[y]), (x, y)
+
+
+def test_cc_two_phase_chain_and_star(spark):
+    """Star contraction lands on the component minimum for chain,
+    star, and two-component shapes — including the adversarial long
+    chain where one-hop label propagation needs O(n) rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)]       # chain 10..20
+        + [(30, 31), (30, 32), (30, 33)]          # star rooted at 30
+        + [(40, 41)],                              # separate pair
+        "a long, b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.cc_two_phase(pairs).collect()
+    }
+    for n in range(10, 21):
+        assert got[n] == 10, (n, got[n])
+    for n in (30, 31, 32, 33):
+        assert got[n] == 30
+    assert got[40] == 40 and got[41] == 40
+
+
+def test_cc_two_phase_matches_label_propagation(spark):
+    """Same partition as the existing one-hop propagation CC on the
+    real PPJoin graph."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = D.dedup_ppjoin_shingles(spark, SF).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+    )
+    star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.cc_two_phase(
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        ).collect()
+    }
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert star == prop
