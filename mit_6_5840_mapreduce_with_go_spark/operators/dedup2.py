@@ -12,8 +12,9 @@ Jaccard >= t must share at least one PREFIX shingle.  Candidates
 therefore come from a join keyed on prefix shingles only — and since
 prefixes are rarest-first, the join keys are precisely the shingles
 with the smallest fan-out.  Candidates are then verified EXACTLY
-(integer cross-multiplied Jaccard test: ``2*i >= na + nb - i`` for
-t = 1/2 — no float in the decision).
+(integer cross-multiplied Jaccard test:
+``DEN*i >= NUM*(na+nb-i)`` for t = NUM/DEN — no float in the
+decision), after PPJoin's length and positional prunes.
 
 Correctness gate: the DuckDB oracle computes the BRUTE-FORCE truth
 (all pairs sharing any shingle, exact Jaccard filter); the Spark side
@@ -37,7 +38,7 @@ from ..registry import query
 from ..sources import load_table
 from .dedup import _shingles
 
-_T_NUM, _T_DEN = 1, 2  # Jaccard threshold t = 1/2
+_T_NUM, _T_DEN = 4, 5  # Jaccard threshold t = 4/5
 
 
 @query(
@@ -66,7 +67,7 @@ _T_NUM, _T_DEN = 1, 2  # Jaccard threshold t = 1/2
     """,
 )
 def dedup_ppjoin_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with 3-gram-shingle Jaccard >= 1/2, by prefix
+    """All pairs with 3-gram-shingle Jaccard >= 4/5, by prefix
     filtering + exact verification (see module docstring).  The oracle
     is the brute-force truth, so a green row proves the prefix
     candidate set is COMPLETE, not just plausible."""
@@ -92,15 +93,50 @@ def dedup_ppjoin_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         - ((F.col("n_shingles") * _T_NUM + _T_DEN - 1) / _T_DEN).cast("long")
         + 1
     )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s")
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "s", "rn", "n_shingles"
+    )
+    # Candidate generation with PPJoin's two extra pruning levers:
+    # - LENGTH filter: J >= t forces t*na <= nb and t*nb <= na;
+    # - POSITIONAL filter: a match at prefix positions (px, py) bounds
+    #   the achievable overlap by 1 + min(na - px, nb - py); the pair
+    #   survives only if some witness match leaves room for the
+    #   required overlap o = ceil(NUM*(na+nb)/(NUM+DEN)).
+    # Both are exact (integer cross-multiplication), so completeness
+    # is untouched — the brute-force oracle still pins it.
+    x = prefix.select(
+        F.col("doc_id").alias("a"),
+        F.col("s"),
+        F.col("rn").alias("px"),
+        F.col("n_shingles").alias("nxa"),
+    )
+    y = prefix.select(
+        F.col("doc_id").alias("b"),
+        F.col("s"),
+        F.col("rn").alias("py"),
+        F.col("n_shingles").alias("nxb"),
+    )
     cand = (
-        prefix.alias("x")
-        .join(prefix.alias("y"), "s")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        x.join(y, "s")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (_T_NUM * F.col("nxa") <= _T_DEN * F.col("nxb"))
+            & (_T_NUM * F.col("nxb") <= _T_DEN * F.col("nxa"))
         )
-        .distinct()
+        .withColumn(
+            "ub",
+            F.lit(1)
+            + F.least(
+                F.col("nxa") - F.col("px"), F.col("nxb") - F.col("py")
+            ),
+        )
+        .groupBy("a", "b", "nxa", "nxb")
+        .agg(F.max("ub").alias("ub"))
+        .filter(
+            (_T_NUM + _T_DEN) * F.col("ub")
+            >= _T_NUM * (F.col("nxa") + F.col("nxb"))
+        )
+        .select("a", "b")
     )
     sz = sh.select("doc_id", "n_shingles").distinct()
     inter = (

@@ -41,7 +41,9 @@ def test_prefix_candidates_prune(spark):
     )
     prefix_len = (
         F.col("n_shingles")
-        - ((F.col("n_shingles") + 1) / 2).cast("long")
+        - (
+            (F.col("n_shingles") * D._T_NUM + D._T_DEN - 1) / D._T_DEN
+        ).cast("long")
         + 1
     )
     prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc_id", "s")
@@ -55,7 +57,7 @@ def test_prefix_candidates_prune(spark):
     )
     result = D.dedup_ppjoin_shingles(spark, SF).count()
     assert result <= cands <= all_sharing
-    assert cands < all_sharing / 2, (cands, all_sharing)
+    assert cands < all_sharing / 4, (cands, all_sharing)
 
 
 def test_prefix_theorem_tiny_adversarial():
@@ -76,7 +78,7 @@ def test_prefix_theorem_tiny_adversarial():
 
     def prefix(s):
         n = len(s)
-        p = n - (n * 1 + 2 - 1) // 2 + 1  # t = 1/2
+        p = n - (n * 1 + 2 - 1) // 2 + 1  # t = 1/2 for the tiny sets
         return set(sorted(s, key=order)[:p])
 
     def jacc(x, y):
