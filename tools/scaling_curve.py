@@ -121,6 +121,12 @@ SF1_QUERIES = [
     "crawl_url_frontier_stats",
     "curation_dsir_weights",
     "mm_decode_png16_trns_stats",
+    "mm_decode_tfrecord_stats",
+    "mm_tfrecord_source_stats",
+    "mm_safetensors_stats",
+    "mm_decode_npz_stats",
+    "dedup_ppjoin_shingles",
+    "dedup_cc_two_phase",
 ]
 
 
