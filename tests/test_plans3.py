@@ -196,3 +196,38 @@ def test_bm25_prf_postings_reuse_and_pass2_decomposition(spark, sf_dir):
         "pass-2 decomposition merge (scored1 FULL JOIN exp_scored) "
         "missing from the final plan"
     )
+
+
+def test_round8_queries_no_cartesian_no_python_hotpath(spark, sf_dir):
+    """Round-8 non-decode queries: no CartesianProduct anywhere, and
+    the frontier/PPJoin/DSIR aggregation paths stay JVM-side (Python
+    appears only in Arrow-batched decode stages, never row-at-a-time)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.crawl import (
+        crawl_url_frontier_stats,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation5 import (
+        curation_dsir_weights,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.operators.dedup2 import (
+        dedup_ppjoin_shingles,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.operators.ingest_csv import (
+        ingest_csv_permissive_stats,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.plans.explain import (
+        assert_no_cartesian,
+        physical_plan,
+    )
+
+    for fn in (
+        crawl_url_frontier_stats,
+        curation_dsir_weights,
+        dedup_ppjoin_shingles,
+        ingest_csv_permissive_stats,
+    ):
+        df = fn(spark, sf_dir)
+        assert_no_cartesian(df)
+        plan = physical_plan(df)
+        assert "BatchEvalPython" not in plan, fn.__name__
+        if fn is not dedup_ppjoin_shingles:
+            assert "MapInPandas" not in plan, fn.__name__
