@@ -128,6 +128,7 @@ def load_all() -> None:
         curation5,
         dedup,
         dedup2,
+        dispatch2,
         evaluation,
         graphs2,
         ingest_csv,
