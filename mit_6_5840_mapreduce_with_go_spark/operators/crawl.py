@@ -87,28 +87,40 @@ def parse_robots(text: str) -> list[dict]:
 
 def _rule_matches(pattern: str, path: str) -> bool:
     """RFC 9309 path matching: prefix match with ``*`` (any run) and a
-    trailing ``$`` (end anchor)."""
+    trailing ``$`` (end anchor).
+
+    Unanchored parts match leftmost-first (leftmost placement leaves
+    the maximal suffix for later parts, so existence matching is
+    exact).  For ``$``-anchored patterns the FINAL literal must match
+    at the very END of the path — leftmost placement would wrongly
+    reject ``/fish*.php$`` against ``/fish.php?x=.php`` — and a bare
+    ``$`` (empty anchored pattern) matches only the empty path."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
     parts = pattern.split("*")
 
-    pos = 0
     # first part must match at the start
     if not path.startswith(parts[0]):
         return False
     pos = len(parts[0])
-    for part in parts[1:]:
+    middle = parts[1:-1] if (anchored and len(parts) > 1) else parts[1:]
+    for part in middle:
         if part == "":
-            pos = len(path) if anchored else pos
             continue
         found = path.find(part, pos)
         if found < 0:
             return False
         pos = found + len(part)
-    if anchored:
-        return pos == len(path) if parts[-1] != "" else True
-    return True
+    if not anchored:
+        return True
+    if len(parts) == 1:
+        # no '*': anchored pattern must equal the whole path
+        return pos == len(path)
+    last = parts[-1]
+    # the final literal must sit at the very end, reachable after the
+    # positions already consumed by the earlier parts
+    return path.endswith(last) and len(path) - len(last) >= pos
 
 
 def _select_group(groups: list[dict], ua: str) -> dict | None:
@@ -277,6 +289,7 @@ def _robots_payload(doc_id: int) -> str:
     lines += [
         "Disallow: /private/",
         f"Disallow: /tmp-{doc_id % 5}/",
+        "Disallow: /*.tmp$",
         f"Crawl-delay: {1 + doc_id % 7}",
     ]
     if doc_id % 2 == 1:
@@ -295,6 +308,11 @@ _ROBOT_PROBES = [
     "/tmp-3/z",
     "/all-1/w",
     "/public/p",
+    # exercise the $-anchored wildcard rule /*.tmp$ — including the
+    # repeated-final-literal path that leftmost-matching wrongly allows
+    "/files/x.tmp",
+    "/files/x.tmp.gz",
+    "/a.tmp.tmp",
 ]
 
 
@@ -303,18 +321,21 @@ _ROBOT_PROBES = [
     oracle="""
     SELECT doc_id,
            CAST(2 AS BIGINT) AS n_groups,
-           CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS BIGINT)
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS BIGINT)
              AS n_rules,
            CAST(1 + doc_id % 7 AS BIGINT) AS crawl_delay,
-           CAST(1  -- /private/x always denied
+           -- /private/x always denied; the two .tmp$ probes
+           -- (/files/x.tmp and /a.tmp.tmp) always denied
+           CAST(3
                 + CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END
                 + CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END
                 AS BIGINT) AS denied_count,
-           CAST(5 - (1
+           CAST(8 - (3
                 + CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END
                 + CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END)
                 AS BIGINT) AS allowed_count,
-           CAST(9  -- /private/ matched by probe 1
+           -- 9 for /private/ on probe 1, 7+7 for '/*.tmp$' twice
+           CAST(23
                 + CASE WHEN doc_id % 2 = 1 THEN 12 ELSE 9 END
                 + CASE WHEN doc_id % 5 = 3 THEN 7 ELSE 0 END
                 AS BIGINT) AS rule_len_sum
@@ -633,7 +654,15 @@ def normalize_urls(df: DataFrame, url_col: str) -> DataFrame:
     """Add a ``norm_url`` column: lowercase scheme+host, default port
     stripped (:80 http / :443 https), fragment removed, dot segments
     resolved per RFC 3986 §5.2.4 — all built-in expressions, so the
-    normalization lives inside whole-stage codegen."""
+    normalization lives inside whole-stage codegen.
+
+    Deliberately STRICTER than §5.2.4 alone: ALL empty path segments
+    are dropped, so ``//`` runs collapse (``/a//b`` → ``/a/b``) and a
+    trailing ``/`` is removed (``/a/`` → ``/a``).  That is a frontier
+    canonicalization choice (the same page is almost always served for
+    both spellings, and duplicate fetches cost more than the rare
+    semantic distinction), not an RFC equivalence claim — callers that
+    need RFC-exact equality must not use this for comparison."""
     from pyspark.sql import functions as F
 
     scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))

@@ -227,8 +227,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """pairs(a, b) -> (doc_id, cluster_id = component minimum), by
     alternating large-star/small-star until the edge set fixpoint.
-    Convergence is detected with a cheap (count, sum) aggregate action
-    per round — bounded control-plane reads, never the edge set."""
+    Convergence is screened with a cheap (count, sum, sum) aggregate
+    per round — bounded control-plane reads, never the edge set — and
+    then CONFIRMED exactly (symmetric ``exceptAll`` emptiness) before
+    declaring the fixpoint, so a signature collision between two
+    distinct edge sets cannot end the loop early.  Exhausting
+    ``max_rounds`` without a confirmed fixpoint raises instead of
+    silently emitting unconverged labels."""
     def resym(e: DataFrame) -> DataFrame:
         return e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -244,6 +249,8 @@ def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         return tuple(row)
 
     sig = signature(edges)
+    prev = edges
+    converged = False
     for _ in range(max_rounds):
         # each star operator works on node neighborhoods, so the edge
         # set is re-symmetrized before each application (the paper's
@@ -253,9 +260,21 @@ def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         ).localCheckpoint()
         new_sig = signature(edges)
         if new_sig == sig:
-            break
+            # the signature is a screen, not a proof — two distinct
+            # edge sets can share (count, sum, sum).  Confirm with an
+            # exact symmetric-difference emptiness check; this runs
+            # once per apparent fixpoint, on already-checkpointed sets.
+            if prev.exceptAll(edges).union(edges.exceptAll(prev)).isEmpty():
+                converged = True
+                break
         sig = new_sig
+        prev = edges
         edges = resym(edges).localCheckpoint()
+    if not converged:
+        raise RuntimeError(
+            f"cc_two_phase: no confirmed fixpoint within {max_rounds} "
+            "rounds — labels would be unconverged"
+        )
     # fixpoint: every edge points at its component minimum (star graph)
     labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(

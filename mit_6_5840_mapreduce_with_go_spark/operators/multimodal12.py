@@ -357,8 +357,14 @@ def decode_id3_frames(payload: bytes) -> dict:
         raise ValueError(f"unsupported ID3v2.{ver_major} tag")
     if flags & 0x0F:
         raise ValueError(f"unsupported ID3v2 header flags {flags:#04x}")
-    if flags & 0xF0 & ~0x00 and flags & 0x40:
+    if flags & 0x80:
+        # unsynchronised tags shift every frame boundary; parsing one
+        # without de-unsynchronisation yields silently-wrong text
+        raise ValueError("unsynchronised ID3v2 tag not supported")
+    if flags & 0x40:
         raise ValueError("extended header not supported")
+    if flags & 0x10:
+        raise ValueError("ID3v2 footer not supported")
     ss = payload[6:10]
     if any(b & 0x80 for b in ss):
         raise ValueError("non-syncsafe ID3v2 size")

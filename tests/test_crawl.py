@@ -133,3 +133,33 @@ def test_url_normalization_jvm(spark):
     plan = physical_plan(C.normalize_urls(df, "url"))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_robots_anchored_wildcard_greedy_end_match():
+    """$-anchored patterns must match the FINAL literal at the END of
+    the path (greedy), not at its first occurrence — the repeated-
+    final-literal paths here flip under leftmost matching."""
+    m = C._rule_matches
+    # RFC-shaped cases with the final literal repeated mid-path
+    assert m("/fish*.php$", "/fish.php?x=.php")
+    assert m("/a*b$", "/axbxb")
+    assert m("/*.tmp$", "/a.tmp.tmp")
+    assert not m("/*.tmp$", "/a.tmp.gz")
+    # bare '$' (empty anchored pattern) matches only the empty path
+    assert m("$", "")
+    assert not m("$", "/")
+    assert not m("$", "/x")
+    # no-star anchored pattern = exact equality
+    assert m("/fish.php$", "/fish.php")
+    assert not m("/fish.php$", "/fish.php?id=1")
+    # trailing '*$' matches anything after the prefix
+    assert m("/a*$", "/anything")
+    assert not m("/a*$", "/b")
+    # middle parts stay leftmost; the final end-match must not reuse
+    # characters the middle parts consumed
+    assert m("/a*bc*d$", "/axbcy_dd")
+    assert not m("/a*bc*d$", "/adbc")
+    # end-to-end through decision precedence
+    g = C.parse_robots("User-agent: x\nDisallow: /dl*.zip$\n")
+    assert C.robots_decision(g, "x", "/dl/a.zip?v=.zip") == (False, 9)
+    assert C.robots_decision(g, "x", "/dl/a.zipx")[0] is True

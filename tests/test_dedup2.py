@@ -133,3 +133,21 @@ def test_cc_two_phase_matches_label_propagation(spark):
         for r in connected_components(pairs).collect()
     }
     assert star == prop
+
+
+def test_cc_two_phase_raises_without_convergence(spark):
+    """Exhausting max_rounds without a CONFIRMED fixpoint raises
+    instead of silently emitting unconverged labels."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="no confirmed fixpoint"):
+        D.cc_two_phase(pairs, max_rounds=1)
+    # and with enough rounds the same graph converges to the minimum
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.cc_two_phase(pairs).collect()
+    }
+    assert set(got.values()) == {0}

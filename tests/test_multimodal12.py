@@ -118,3 +118,20 @@ def test_id3_mp3_payload_formulas():
         assert int(f["TRCK"]) == 1 + doc_id % 12
         audio = decode_mp3_frames(p)
         assert audio["n_frames"] == 2 + doc_id % 5
+
+
+def test_id3v2_unsync_and_footer_flags_rejected():
+    """Unsynchronisation (0x80) shifts every frame boundary and a
+    footer (0x10) changes the tag extent; both must raise rather than
+    silently misparse (experimental 0x20 is parse-neutral: accepted)."""
+    import pytest
+
+    tag = bytearray(M.encode_id3v2([("TIT2", "x")]))
+    for flag in (0x80, 0x10, 0x40):
+        bad = bytearray(tag)
+        bad[5] |= flag
+        with pytest.raises(ValueError):
+            M.decode_id3_frames(bytes(bad))
+    ok = bytearray(tag)
+    ok[5] |= 0x20
+    assert M.decode_id3_frames(bytes(ok))["frames"] == {"TIT2": "x"}
