@@ -57,3 +57,81 @@ def test_transform_with_state_cas_equals_batch_replay(spark, sf_dir):
         for r in kv_cas_replay(spark, sf_dir).collect()
     }
     assert got == want
+
+
+class _FakeValueState:
+    """Dict-backed stand-in for a per-key transformWithState value
+    handle — lets the processor's transition logic run without the
+    protobuf wire protocol."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema):
+        self._state = _FakeValueState()
+        return self._state
+
+
+def test_cas_processor_direct_drive_equals_batch_replay(spark, sf_dir):
+    """Protobuf-free complement to the env-gated end-to-end test:
+    drives CasProcessor.handleInputRows directly per key with a
+    dict-backed state handle, split into 3 chunks per key so state
+    carry-over across microbatch calls is exercised, and asserts the
+    final emissions equal the oracle-checked batch fold."""
+    import pandas as pd
+
+    from mit_6_5840_mapreduce_with_go_spark.streaming.kv_state2 import (
+        CasProcessor,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.col("event_id").cast("string").alias("value"),
+            (F.col("event_id") % 4).alias("expected"),
+            "ts",
+            "event_id",
+        )
+        .toPandas()
+    )
+    got = {}
+    for key, kdf in ops.groupby("key"):
+        kdf = kdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        proc = CasProcessor()
+        proc.init(_FakeHandle())
+        n = len(kdf)
+        cuts = sorted({0, max(1, n // 3), max(2, 2 * n // 3), n})
+        last = None
+        for lo, hi in zip(cuts, cuts[1:]):
+            chunk = kdf.iloc[lo:hi]
+            if len(chunk) == 0:
+                continue
+            for out in proc.handleInputRows((key,), iter([chunk]), None):
+                last = out.iloc[-1]
+        proc.close()
+        got[key] = (
+            last["value"],
+            int(last["version"]),
+            int(last["n_ok"]),
+            int(last["n_errversion"]),
+        )
+    want = {
+        r["key"]: (r["value"], r["version"], r["n_ok"], r["n_errversion"])
+        for r in kv_cas_replay(spark, sf_dir).collect()
+    }
+    assert got == want
