@@ -712,6 +712,48 @@ def normalize_urls(df: DataFrame, url_col: str) -> DataFrame:
     return out
 
 
+def _planted_raw_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): per document 2 + doc_id % 3 hostile raw URLs
+    (uppercase scheme/host, explicit :80, ``/a/{j}/../b/./`` dot
+    segments, fragments) plus one raw string that collides with the
+    j = 0 URL only AFTER normalization.  Shared by the frontier-dedup
+    and politeness-scheduling queries."""
+    from pyspark.sql import functions as F
+
+    k = (F.lit(2) + F.col("doc_id") % 3).cast("int")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), k - 1),
+                    lambda j: F.concat(
+                        F.lit("HTTP://WWW.Ex"),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit(".COM:80/a/"),
+                        j.cast("string"),
+                        F.lit("/../b/./c"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("?q="),
+                        j.cast("string"),
+                        F.lit("#frag"),
+                    ),
+                ),
+                # the normalization-collision twin of j = 0
+                F.array(
+                    F.concat(
+                        F.lit("http://www.ex"),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit(".com/a/b/c"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("?q=0"),
+                    )
+                ),
+            )
+        ).alias("url"),
+    )
+
+
 @query(
     "crawl_url_frontier_stats",
     oracle="""
@@ -751,38 +793,7 @@ def crawl_url_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
-    k = (F.lit(2) + F.col("doc_id") % 3).cast("int")
-    raw = docs.select(
-        "doc_id",
-        F.explode(
-            F.concat(
-                F.transform(
-                    F.sequence(F.lit(0), k - 1),
-                    lambda j: F.concat(
-                        F.lit("HTTP://WWW.Ex"),
-                        (F.col("doc_id") % 10).cast("string"),
-                        F.lit(".COM:80/a/"),
-                        j.cast("string"),
-                        F.lit("/../b/./c"),
-                        F.col("doc_id").cast("string"),
-                        F.lit("?q="),
-                        j.cast("string"),
-                        F.lit("#frag"),
-                    ),
-                ),
-                # the normalization-collision twin of j = 0
-                F.array(
-                    F.concat(
-                        F.lit("http://www.ex"),
-                        (F.col("doc_id") % 10).cast("string"),
-                        F.lit(".com/a/b/c"),
-                        F.col("doc_id").cast("string"),
-                        F.lit("?q=0"),
-                    )
-                ),
-            )
-        ).alias("url"),
-    )
+    raw = _planted_raw_urls(docs)
     norm = normalize_urls(raw, "url")
     raw_agg = norm.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_raw"),
@@ -803,4 +814,97 @@ def crawl_url_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_unique").cast("long").alias("n_unique"),
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("norm_len_sum").cast("long").alias("norm_len_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# politeness scheduling: the crawl-side operator after frontier dedup —
+# each host's URLs are fetched sequentially, one every Crawl-delay
+# seconds, so slot assignment is a rank within the host partition and
+# fetch_at = slot * delay.  The shuffle key is the SAME host key the
+# frontier dedup already shards on (politeness is per host); at 100 TB
+# there are millions of hosts, so the window partitioning is wide —
+# the 10-host planted corpus is small only because the oracle is.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "crawl_schedule_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 10 AS h, 2 + doc_id % 3 AS k FROM documents),
+    urls AS (
+      SELECT d.h,
+             'http://www.ex' || CAST(d.h AS VARCHAR) || '.com/a/b/c'
+               || CAST(d.doc_id AS VARCHAR) || '?q=' || CAST(t.i - 1 AS VARCHAR)
+               AS norm_url
+      FROM d, unnest(generate_series(1, CAST(d.k AS INT))) AS t(i)),
+    sched AS (
+      SELECT h, norm_url,
+             (row_number() OVER (PARTITION BY h ORDER BY norm_url) - 1)
+               * (1 + h % 7) AS fetch_at,
+             row_number() OVER (PARTITION BY h ORDER BY norm_url) - 1 AS slot
+      FROM urls)
+    SELECT 'www.ex' || CAST(h AS VARCHAR) || '.com' AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(1 + h % 7 AS BIGINT) AS crawl_delay,
+           CAST(max(fetch_at) AS BIGINT) AS makespan,
+           CAST(sum(fetch_at) AS BIGINT) AS fetch_at_sum,
+           CAST(count(DISTINCT fetch_at // 10) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN slot < 3 THEN length(norm_url) ELSE 0 END)
+                AS BIGINT) AS first3_len_sum
+    FROM sched GROUP BY h
+    """,
+)
+def crawl_schedule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduling over the deduped frontier: rank
+    each host's unique URLs (deterministic URL order), assign fetch
+    slot ``rank - 1`` and ``fetch_at = slot * crawl_delay`` (the
+    host's parsed Crawl-delay, planted as ``1 + h % 7`` to match the
+    robots corpus), then report per host the URL count, delay,
+    makespan, total wait, the number of distinct 10-second fetch
+    buckets actually used, and the total length of the first three
+    scheduled URLs.  The oracle re-derives the schedule with its own
+    window over the same unique-URL set, so a rank that is not dense
+    per host, a mis-keyed delay, or a wrong dedup changes the hash.
+
+    Plan shape: the planted-frontier explode, normalization, and
+    (host, url) dedup collapse map-side; ONE shuffle on host carries
+    both the dedup and the window rank (politeness is per host, so
+    the rank reuses the dedup's partitioning); the final host rollup
+    rides the same key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    # one explicit shuffle on host: hashpartitioning(host) satisfies
+    # the clustered distribution for BOTH the (host, norm_url) distinct
+    # and the per-host window rank, so neither inserts its own exchange
+    uniq = (
+        normalize_urls(_planted_raw_urls(docs), "url")
+        .select("host", "norm_url")
+        .repartition("host")
+        .distinct()
+    )
+    delay = (
+        F.lit(1)
+        + F.regexp_extract("host", r"^www\.ex(\d+)\.com$", 1).cast("long") % 7
+    )
+    w = Window.partitionBy("host").orderBy("norm_url")
+    sched = (
+        uniq.withColumn("slot", F.row_number().over(w) - F.lit(1))
+        .withColumn("crawl_delay", delay)
+        .withColumn("fetch_at", F.col("slot") * F.col("crawl_delay"))
+    )
+    return sched.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.min("crawl_delay").cast("long").alias("crawl_delay"),
+        F.max("fetch_at").cast("long").alias("makespan"),
+        F.sum("fetch_at").cast("long").alias("fetch_at_sum"),
+        F.countDistinct(F.expr("fetch_at div 10")).cast("long").alias("n_buckets"),
+        F.sum(
+            F.when(F.col("slot") < 3, F.length("norm_url")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("first3_len_sum"),
     )

@@ -163,3 +163,44 @@ def test_robots_anchored_wildcard_greedy_end_match():
     g = C.parse_robots("User-agent: x\nDisallow: /dl*.zip$\n")
     assert C.robots_decision(g, "x", "/dl/a.zip?v=.zip") == (False, 9)
     assert C.robots_decision(g, "x", "/dl/a.zipx")[0] is True
+
+
+def test_crawl_schedule_invariants_and_single_host_shuffle(spark):
+    """Politeness schedule: per-host closed forms hold (makespan =
+    (n-1)*delay, total wait = delay*n*(n-1)/2 for a dense slot rank),
+    and the executed plan carries dedup + window + rollup on ONE
+    host-keyed exchange (plus the deliberate small-table fan-out)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.crawl import (
+        crawl_schedule_stats,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.plans.explain import physical_plan
+
+    df = crawl_schedule_stats(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 10
+    for r in rows:
+        n, d = r["n_urls"], r["crawl_delay"]
+        assert r["makespan"] == (n - 1) * d
+        assert r["fetch_at_sum"] == d * n * (n - 1) // 2
+        # every 10-second bucket in [0, makespan] with a fetch in it
+        assert 1 <= r["n_buckets"] <= r["makespan"] // 10 + 1
+        assert r["first3_len_sum"] > 0
+
+    # executedPlan string (not formatted explain: AQE's formatted
+    # output hides exchanges behind query-stage placeholders); after
+    # materialization AQE appends "== Initial Plan ==" — count the
+    # FINAL plan only
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    import re
+
+    hash_ex = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 1, hash_ex
+    assert "host" in hash_ex[0]
+    assert not re.search(r"BatchEvalPython|ArrowEvalPython|PythonMapInArrow", plan)
