@@ -75,6 +75,12 @@ HEADLINE = [
     # totals to earlier rounds): the WARC FILE source and audio metadata
     "mm_warc_source_stats",
     "mm_decode_mp3_stats",
+    # round-9 flagships (NEW in r9 — subtract these two when comparing
+    # totals to earlier rounds): the most expensive round-8 operators,
+    # previously invisible to trend tracking (VERDICT r8 #8) — exact
+    # set-similarity join and star-contraction connected components
+    "dedup_ppjoin_shingles",
+    "dedup_cc_two_phase",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]
@@ -83,11 +89,16 @@ HEADLINE = [
 # 1-min loadavg above this at start means some OTHER workload owns the
 # host and every timing would be uniformly inflated (BENCH_r05 recorded
 # loadavg 10.9 and a 53.7s total that a quiet-host re-run measured at
-# 43.8s).  We wait (bounded) for quiet, and if it never comes, stamp the
-# artifact so a reader can't mistake contamination for a regression.
-_LOAD_QUIET_THRESHOLD = 4.0
+# 43.8s; BENCH_r08 started at 2.9 with per-query spreads up to 7x and
+# the old 4.0 threshold let it pass unflagged).  We wait (bounded) for
+# quiet, and if it never comes, stamp the artifact so a reader can't
+# mistake contamination for a regression.
+_LOAD_QUIET_THRESHOLD = 1.0
 _LOAD_WAIT_SECONDS = 300
 _LOAD_POLL_SECONDS = 20
+# a query whose samples still disagree by more than this after the
+# retry budget is individually unreliable regardless of start loadavg
+_SPREAD_FLAG = 3.0
 
 
 def _loadavg() -> list[float]:
@@ -156,6 +167,12 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+        # a >3x disagreement is transient contention, not jitter: spend
+        # one more sample trying to capture a clean min before flagging
+        while max(samples) > _SPREAD_FLAG * min(samples) and len(samples) < 4:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
         spreads[name] = round(max(samples) / min(samples), 2)
 
@@ -170,7 +187,14 @@ def main() -> None:
     # loadavg still exceeded the threshold after the bounded quiet-wait
     # (the run's own 32 threads inflate the END number legitimately).
     load_end = _loadavg()
-    contaminated = bool(load_start) and load_start[0] > _LOAD_QUIET_THRESHOLD
+    load_contaminated = (
+        bool(load_start) and load_start[0] > _LOAD_QUIET_THRESHOLD
+    )
+    # per-query honesty: queries whose spread stayed above the flag
+    # after the retry budget — their min may still be inflated
+    spread_flagged = sorted(
+        n for n, s in spreads.items() if s > _SPREAD_FLAG
+    )
     print(
         json.dumps(
             {
@@ -182,7 +206,9 @@ def main() -> None:
                 "sf": sf,
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
-                "load_contaminated": contaminated,
+                "load_contaminated": load_contaminated,
+                "spread_flagged": spread_flagged,
+                "contaminated": load_contaminated or bool(spread_flagged),
             }
         )
     )

@@ -127,6 +127,11 @@ SF1_QUERIES = [
     "mm_decode_npz_stats",
     "dedup_ppjoin_shingles",
     "dedup_cc_two_phase",
+    # round-9 additions: the natural-text PPJoin leg (the evidence that
+    # prefix filtering scales on realistic element frequencies) and the
+    # politeness scheduler completing the crawl stack
+    "dedup_ppjoin_zipf",
+    "crawl_schedule_stats",
 ]
 
 
