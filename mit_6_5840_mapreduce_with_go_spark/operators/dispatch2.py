@@ -51,45 +51,74 @@ from .tensors import decode_npz, decode_safetensors, _npz_payload, _st_payload
 from .tfrecord import _masked_crc, decode_tfrecord_frames, _tfrecord_payload
 
 
-def decode_container_auto(payload: bytes) -> dict:
-    """Identify + decode one container payload (see module docstring).
-    Returns ``{"format": str, "n_items": int}``."""
+def identify_container(payload: bytes) -> str | None:
+    """Pure identification (magic bytes / CRC proof / JSON-header
+    heuristic), no decoding beyond what identification itself needs
+    (the NPZ-vs-ZIP split walks the central directory for member
+    names).  Returns the format name or None for "not a container"."""
     n = len(payload)
     if n >= 12 and payload[:4] == b"PAR1" and payload[-4:] == b"PAR1":
-        m = decode_parquet_footer(payload)
-        return {"format": "parquet", "n_items": m["n_row_groups"]}
+        return "parquet"
     if payload[:4] == b"Obj\x01":
-        m = decode_avro_container(payload)
-        return {"format": "avro", "n_items": m["n_records"]}
+        return "avro"
     if payload[:2] == b"\x1f\x8b":
-        return {"format": "gzip", "n_items": len(decode_gzip_stream(payload))}
+        return "gzip"
     if n >= 4:
         (magic,) = struct.unpack("<I", payload[:4])
         if magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F:
-            m = decode_zstd_frames(payload)
-            return {"format": "zstd", "n_items": m["frames"][0]["n_blocks"]}
+            return "zstd"
     if payload[:5] == b"WARC/":
-        return {"format": "warc", "n_items": len(decode_warc(payload))}
+        return "warc"
     if payload[:4] == b"PK\x03\x04":
         members = decode_zip(payload)
         if members and all(m["name"].endswith(".npy") for m in members):
-            return {"format": "npz", "n_items": len(decode_npz(payload))}
-        return {"format": "zip", "n_items": len(members)}
+            return "npz"
+        return "zip"
     if n > 262 and payload[257:262] == b"ustar":
-        return {"format": "tar", "n_items": len(decode_tar(payload))}
+        return "tar"
     if n >= 12:
         (crc,) = struct.unpack("<I", payload[8:12])
         if crc == _masked_crc(payload[:8]):
-            return {
-                "format": "tfrecord",
-                "n_items": len(decode_tfrecord_frames(payload)),
-            }
+            return "tfrecord"
     if n >= 9:
         (hlen,) = struct.unpack("<Q", payload[:8])
         if 0 < hlen <= n - 8 and payload[8:9] == b"{":
-            m = decode_safetensors(payload)
-            return {"format": "safetensors", "n_items": m["n_tensors"]}
-    raise ValueError("unrecognized container format")
+            return "safetensors"
+    return None
+
+
+def decode_container_auto(payload: bytes) -> dict:
+    """Identify + decode one container payload (see module docstring).
+    Returns ``{"format": str, "n_items": int}``."""
+    fmt = identify_container(payload)
+    if fmt is None:
+        raise ValueError("unrecognized container format")
+    if fmt == "parquet":
+        m = decode_parquet_footer(payload)
+        return {"format": "parquet", "n_items": m["n_row_groups"]}
+    if fmt == "avro":
+        m = decode_avro_container(payload)
+        return {"format": "avro", "n_items": m["n_records"]}
+    if fmt == "gzip":
+        return {"format": "gzip", "n_items": len(decode_gzip_stream(payload))}
+    if fmt == "zstd":
+        m = decode_zstd_frames(payload)
+        return {"format": "zstd", "n_items": m["frames"][0]["n_blocks"]}
+    if fmt == "warc":
+        return {"format": "warc", "n_items": len(decode_warc(payload))}
+    if fmt == "npz":
+        return {"format": "npz", "n_items": len(decode_npz(payload))}
+    if fmt == "zip":
+        return {"format": "zip", "n_items": len(decode_zip(payload))}
+    if fmt == "tar":
+        return {"format": "tar", "n_items": len(decode_tar(payload))}
+    if fmt == "tfrecord":
+        return {
+            "format": "tfrecord",
+            "n_items": len(decode_tfrecord_frames(payload)),
+        }
+    m = decode_safetensors(payload)
+    return {"format": "safetensors", "n_items": m["n_tensors"]}
 
 
 _FORMATS = [
@@ -99,7 +128,13 @@ _FORMATS = [
 
 
 def _auto_container_payload(doc_id: int) -> bytes:
-    kind = _FORMATS[doc_id % 10]
+    return _container_payload(_FORMATS[doc_id % 10], doc_id)
+
+
+def _container_payload(kind: str, doc_id: int) -> bytes:
+    """Planted payload for one named container format; item counts
+    follow each family's doc_id formulas regardless of which query
+    selects the format (shared with the total-triage corpus)."""
     if kind == "gzip":
         return _gzip_payload(doc_id)
     if kind == "zip":

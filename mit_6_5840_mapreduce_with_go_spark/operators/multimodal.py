@@ -749,12 +749,17 @@ def _auto_pix(doc_id: int, x: int, y: int, c: int) -> int:
 
 
 def _auto_payload(doc_id: int) -> bytes:
+    return _image_payload(doc_id % 5, doc_id)
+
+
+def _image_payload(fam: int, doc_id: int) -> bytes:
+    """Planted still-image payload for family index ``fam`` (0 ppm,
+    1 png, 2 qoi, 3 bmp, 4 gif) — shared with the total-triage corpus."""
     from .multimodal2 import encode_png
     from .multimodal6 import encode_gif
     from .multimodal7 import encode_qoi
     from .multimodal9 import encode_bmp
 
-    fam = doc_id % 5
     w, h = _auto_dims(doc_id)
     pix = lambda x, y, c, d=doc_id: _auto_pix(d, x, y, c)  # noqa: E731
     if fam == 0:

@@ -129,6 +129,7 @@ def load_all() -> None:
         dedup,
         dedup2,
         dispatch2,
+        dispatch3,
         evaluation,
         graphs2,
         ingest_csv,

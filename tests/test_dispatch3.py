@@ -1,0 +1,85 @@
+"""Total triage (operators/dispatch3.py): all twenty formats routed to
+the right family/decoder, the tier order never shadows a real format,
+and the dispatcher is total under truncation/flip/garbage."""
+
+from __future__ import annotations
+
+import pytest
+
+from mit_6_5840_mapreduce_with_go_spark.operators import dispatch3 as D3
+
+
+def test_all_twenty_formats_routed():
+    for doc_id in range(40):  # two full cycles
+        want = D3._ANY_KINDS[doc_id % 20]
+        got = D3.decode_any_auto(D3._any_payload(doc_id))
+        assert got["format"] == want, (doc_id, got, want)
+        fam = (
+            "container"
+            if doc_id % 20 < 10
+            else ("media" if doc_id % 20 < 17 else "audio")
+        )
+        assert got["family"] == fam
+        assert got["n_items"] >= 1
+
+
+def test_mp3_proof_not_magic():
+    """MP3 has no magic: a payload opening with the 0xFF sync byte but
+    an invalid frame header quarantines (never reported as mp3)."""
+    p = bytearray(D3._any_payload(17))  # mp3 slot
+    assert D3.decode_any_auto(bytes(p))["format"] == "mp3"
+    bad = bytes([0xFF, 0xFB, 0xFF, 0xC4]) + bytes(16)  # bad bitrate idx
+    with pytest.raises(ValueError):
+        D3.decode_any_auto(bad)
+
+
+def test_id3_before_mp3_and_flac_magic():
+    assert D3.decode_any_auto(D3._any_payload(19))["format"] == "id3"
+    assert D3.decode_any_auto(D3._any_payload(18))["format"] == "flac"
+    # an ID3-opening stream must not be reported as raw mp3
+    got = D3.decode_any_auto(D3._any_payload(39))
+    assert got == {"family": "audio", "format": "id3", "n_items": 4}
+
+
+@pytest.mark.parametrize("kind_idx", range(20))
+def test_truncation_total(kind_idx):
+    """Every truncation of every format's payload either decodes or
+    raises ValueError — nothing else (sampled stride for suite speed;
+    the per-format exhaustive sweeps run in test_decoder_robustness)."""
+    pay = D3._any_payload(kind_idx)
+    D3.decode_any_auto(pay)
+    for ln in range(0, len(pay), 7):
+        try:
+            D3.decode_any_auto(pay[:ln])
+        except ValueError:
+            pass
+
+
+@pytest.mark.parametrize("kind_idx", range(20))
+def test_byte_flip_total(kind_idx):
+    pay = D3._any_payload(kind_idx)
+    for pos in range(0, len(pay), 5):
+        for flip in (0x01, 0x80, 0xFF):
+            mut = bytearray(pay)
+            mut[pos] ^= flip
+            try:
+                D3.decode_any_auto(bytes(mut))
+            except ValueError:
+                pass
+
+
+def test_garbage_quarantines_totally():
+    state = 0xA076_1D64_78BD_642F
+    for _ in range(400):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        n = state % 96
+        buf = bytearray()
+        s = state
+        for _ in range(n):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            buf.append((s >> 33) & 0xFF)
+        try:
+            m = D3.decode_any_auto(bytes(buf))
+            assert set(m) == {"family", "format", "n_items"}
+        except ValueError:
+            pass

@@ -132,6 +132,7 @@ SF1_QUERIES = [
     # politeness scheduler completing the crawl stack
     "dedup_ppjoin_zipf",
     "crawl_schedule_stats",
+    "mm_any_auto_dispatch_stats",
 ]
 
 
