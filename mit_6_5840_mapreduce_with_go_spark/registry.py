@@ -43,70 +43,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # families, and the round-5/6 multimodal suite; the round-7 window
 # closed the ledger at 277/277 (every registered query driver-green at
 # least once, CORRECTNESS_r01-r07.json).  From round 8 on the window is
-# a ROLLING REGRESSION GATE: 12 NEW round-8 queries (MP3/FLAC/animated-
-# GIF metadata, the WARC + WET file-source pair, the parquet footer
-# walk, 16-bit/tRNS PNG, RFC 9309 robots, 4 streaming final-state
-# projections), 3 queries whose code CHANGED this round (the BM25 pair
-# — pass-2 decomposition + postings-lever change — and adaptive-k
-# SemDeDup), and the 35 STALEST driver-green rows (all last verified
-# in round 1) — so the oldest evidence refreshes first.  Everything
-# rotated out (and the round-8 queries that did not fit, led by
-# text_html_links_stats) stays mirror-checked by
-# tools/check_correctness.py over all queries at three SFs.
+# a ROLLING REGRESSION GATE.  The round-9 window: the 15 round-8
+# post-freeze queries (the only rows with no hard driver-green record —
+# container formats, crawl frontier, PPJoin/CC, CSV, DSIR), 3 NEW
+# round-9 queries (politeness scheduler, natural-text PPJoin, total
+# triage), 2 CHANGED queries (robots $-anchor fix + corpus extension;
+# image-builder refactor), and the 30 STALEST driver-green rows (last
+# verified in round 2: the TPC-H tranche and the first ANN/text rows) —
+# oldest evidence refreshes first.  Everything rotated out stays
+# mirror-checked by tools/check_correctness.py over all queries at
+# three SFs.
 WINDOW_PRIORITY: list[str] = [
-    # New round-8 queries (never driver-verified)
-    "mm_decode_mp3_stats",
-    "mm_decode_flac_stats",
-    "mm_decode_gif_anim_stats",
-    "mm_warc_source_stats",
-    "mm_wet_source_stats",
-    "mm_parquet_footer_stats",
-    "mm_decode_png16_trns_stats",
-    "stream_kv_cas_final_state",
-    "stream_ewma_final_state",
-    "stream_kmv_final_state",
-    "stream_cdc_final_state",
+    # Round-8 post-freeze queries: registered after the round-8 window
+    # froze, so these 15 are the only rows with no hard driver-green
+    # record (judge mirror-verified all 15 in round 8) — head of the
+    # round-9 window per VERDICT r8 #1.
+    "mm_decode_avro_stats",
+    "text_html_links_stats",
+    "crawl_sitemap_stats",
+    "crawl_url_frontier_stats",
+    "curation_dsir_weights",
+    "dedup_ppjoin_shingles",
+    "dedup_cc_two_phase",
+    "mm_decode_zstd_stats",
+    "mm_safetensors_stats",
+    "mm_decode_npz_stats",
+    "mm_decode_tfrecord_stats",
+    "mm_tfrecord_source_stats",
+    "mm_container_auto_dispatch_stats",
+    "ingest_csv_permissive_stats",
+    "mm_id3_tags_stats",
+    # New round-9 queries (never driver-verified)
+    "crawl_schedule_stats",
+    "dedup_ppjoin_zipf",
+    "mm_any_auto_dispatch_stats",
+    # Changed this round (re-verification): the robots $-anchor fix
+    # extended the planted corpus; the image-payload builder refactor
+    # touched the image auto-dispatch corpus
     "crawl_robots_stats",
-    # Changed this round (re-verification)
-    "sim_bm25_prf_expansion",
-    "sim_bm25_topk",
-    "dedup_semdedup",
-    # Stalest rows: last driver-verified in round 1
-    "agg_distinct_parts_per_supplier",
-    "anti_customers_without_orders",
-    "cluster_kmeans_embeddings",
-    "cube_status_priority",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_pairs_edit_distance",
-    "dedup_simhash_xengine",
-    "events_hourly_type_counts",
-    "events_json_props_extract",
-    "events_user_activity",
-    "join_cross_region_nation",
-    "join_full_outer_nation_balance",
-    "join_segment_order_stats",
-    "kv_last_writer_wins",
-    "mm_binary_features",
-    "mm_decode_frames",
-    "mm_quantize_embeddings",
-    "mr_doc_line_counts",
-    "mr_inverted_index",
-    "mr_nocrash_stats",
-    "pipeline_stratified_sample_by_lang",
-    "pivot_qty_by_linestatus",
-    "range_join_error_context",
-    "rollup_flag_status",
-    "scalar_order_dates",
-    "scalar_part_features",
-    "semi_customers_with_orders",
-    "setop_nations_cust_vs_supp",
-    "subquery_above_nation_avg_balance",
-    "topk_expensive_orders",
-    "window_lag_order_gap_days",
-    "window_running_supplier_revenue",
-    "window_top3_orders_per_customer",
+    "mm_decode_auto_dispatch_stats",
+    # Stalest rows: last driver-verified in round 2 (first 30 of 45;
+    # the remaining 15 r2-era rows head the round-10 backlog)
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_late_shipment_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_item_customers",
+    "q11_important_parts",
+    "q12_priority_lateness",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_part_suppliers",
+    "q21_sole_blame_suppliers",
+    "q22_inactive_wealthy_customers",
+    "pipeline_train_val_test_split",
+    "sim_topk_bruteforce",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sim_tfidf_topk",
+    "text_quality_score",
+    "eval_quality_auc",
+    "sim_mmr_rerank",
+    "maintenance_ivm_join_view",
+    "dedup_incremental_batch",
 ]
 
 
