@@ -133,6 +133,43 @@ SF1_QUERIES = [
     "dedup_ppjoin_zipf",
     "crawl_schedule_stats",
     "mm_any_auto_dispatch_stats",
+    # round-9 mirror extension (VERDICT r8 #4): the shuffle-heavy /
+    # pair-generating families not yet covered at sf1 — graph k-hop,
+    # the bitmap/layout stack, the curation stage pipeline, sliding
+    # sketches, session-path/cohort events, basket mining, and the
+    # remaining join/split stages
+    "graph_khop_reachability",
+    "layout_zorder_buckets",
+    "layout_delta_varint_estimate",
+    "layout_rle_run_estimate",
+    "layout_partition_prune_advisor",
+    "layout_zorder_skip_measure",
+    "layout_range_partition_plan",
+    "bitmap_type_day_overlap",
+    "pipeline_paragraph_dedup",
+    "pipeline_group_split",
+    "pipeline_cluster_safe_split",
+    "pipeline_source_overlap_matrix",
+    "pipeline_domain_cap",
+    "pipeline_pack_sequences",
+    "pipeline_epoch_shuffle",
+    "pipeline_pretrain_corpus",
+    "pipeline_chunk_documents",
+    "sketch_kmv_source_overlap",
+    "sketch_hll_sliding_union",
+    "sketch_cms_sliding_counts",
+    "sketch_bloom_partition_prune",
+    "events_top_session_paths",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_pattern_sessions",
+    "events_changepoint_binary_seg",
+    "basket_frequent_triples",
+    "basket_association_rules",
+    "cluster_kmeans_embeddings",
+    "udtf_doc_sentences_arrow",
+    "asof_join_next_purchase_after_error",
+    "maintenance_snapshot_diff",
 ]
 
 
