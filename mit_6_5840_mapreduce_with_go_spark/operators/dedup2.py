@@ -247,9 +247,19 @@ def _zipf_token_sets(docs: DataFrame) -> DataFrame:
             AS STRING))
             """
         ).alias("s"),
-    ).distinct()
-    n = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return tok.join(n, "doc_id").select("doc_id", "n_shingles", "s")
+    )
+    # one explicit doc_id exchange serves the set-dedup AND the set-size
+    # window (subset-clustering satisfaction, no groupBy+join back), and
+    # the identical subtree lets every ppjoin_pairs consumer reuse it
+    tok = tok.repartition("doc_id").distinct()
+    return tok.select(
+        "doc_id",
+        F.count(F.lit(1))
+        .over(W.partitionBy("doc_id"))
+        .cast("long")
+        .alias("n_shingles"),
+        "s",
+    )
 
 
 @query(
