@@ -59,6 +59,8 @@ def identify_container(payload: bytes) -> str | None:
     n = len(payload)
     if n >= 12 and payload[:4] == b"PAR1" and payload[-4:] == b"PAR1":
         return "parquet"
+    if payload[:3] == b"ORC" and n >= 5:
+        return "orc"
     if payload[:4] == b"Obj\x01":
         return "avro"
     if payload[:2] == b"\x1f\x8b":
@@ -96,6 +98,13 @@ def decode_container_auto(payload: bytes) -> dict:
     if fmt == "parquet":
         m = decode_parquet_footer(payload)
         return {"format": "parquet", "n_items": m["n_row_groups"]}
+    if fmt == "orc":
+        from .lakehouse import decode_orc_footer
+
+        return {
+            "format": "orc",
+            "n_items": decode_orc_footer(payload)["n_stripes"],
+        }
     if fmt == "avro":
         m = decode_avro_container(payload)
         return {"format": "avro", "n_items": m["n_records"]}

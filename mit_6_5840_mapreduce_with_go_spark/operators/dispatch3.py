@@ -96,18 +96,23 @@ def decode_any_auto(payload: bytes) -> dict:
     raise ValueError("unrecognized payload format (quarantine)")
 
 
-# the 20-format mixed corpus: ten containers, seven media, three audio
+# the 21-format mixed corpus: eleven containers, seven media, three audio
 _ANY_KINDS = list(_FORMATS) + [
+    "orc",
     "ppm", "png", "qoi", "bmp", "gif", "wav", "y4m", "mp3", "flac", "id3",
 ]
 
 
 def _any_payload(doc_id: int) -> bytes:
-    kind = _ANY_KINDS[doc_id % 20]
+    kind = _ANY_KINDS[doc_id % 21]
     if kind in _FORMATS:
         return _container_payload(kind, doc_id)
+    if kind == "orc":
+        from .lakehouse import _orc_payload
+
+        return _orc_payload(doc_id)
     if kind in ("ppm", "png", "qoi", "bmp", "gif"):
-        return _image_payload(_ANY_KINDS.index(kind) - 10, doc_id)
+        return _image_payload(_ANY_KINDS.index(kind) - 11, doc_id)
     if kind == "wav":
         from .multimodal4 import encode_wav
 
@@ -143,13 +148,13 @@ def _any_payload(doc_id: int) -> bytes:
 @query(
     "mm_any_auto_dispatch_stats",
     oracle="""
-    WITH d AS (SELECT doc_id, doc_id % 20 AS kind FROM documents)
+    WITH d AS (SELECT doc_id, doc_id % 21 AS kind FROM documents)
     SELECT doc_id,
-           CASE WHEN kind < 10 THEN 'container'
-                WHEN kind < 17 THEN 'media'
+           CASE WHEN kind < 11 THEN 'container'
+                WHEN kind < 18 THEN 'media'
                 ELSE 'audio' END AS family,
            list_extract(['gzip','zip','tar','warc','zstd','avro',
-                         'tfrecord','npz','safetensors','parquet',
+                         'tfrecord','npz','safetensors','parquet','orc',
                          'ppm','png','qoi','bmp','gif','wav','y4m',
                          'mp3','flac','id3'],
                         CAST(1 + kind AS INT)) AS fmt,
@@ -164,20 +169,21 @@ def _any_payload(doc_id: int) -> bytes:
                 WHEN 7 THEN 1 + doc_id % 3
                 WHEN 8 THEN 2 + doc_id % 3
                 WHEN 9 THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
-                WHEN 17 THEN 3 + doc_id % 6
-                WHEN 19 THEN 4
+                WHEN 10 THEN 1 + doc_id % 4
+                WHEN 18 THEN 3 + doc_id % 6
+                WHEN 20 THEN 4
                 ELSE 1 END AS BIGINT) AS n_items
     FROM d
     """,
 )
 def mm_any_auto_dispatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One TOTAL triage pass over a mixed dump of all TWENTY formats
-    (by doc_id mod 20): ten containers, five still images, WAV, Y4M,
-    and the three audio-metadata formats — including the two proof-
-    identified containers (TFRecord, safetensors) and the magic-less
-    MP3.  The oracle re-derives family, format, and item counts from
-    the planting formulas; any misroute errors in the wrong decoder or
-    breaks a count."""
+    """One TOTAL triage pass over a mixed dump of all TWENTY-ONE
+    formats (by doc_id mod 21): eleven containers (incl. ORC), five
+    still images, WAV, Y4M, and the three audio-metadata formats —
+    including the two proof-identified containers (TFRecord,
+    safetensors) and the magic-less MP3.  The oracle re-derives
+    family, format, and item counts from the planting formulas; any
+    misroute errors in the wrong decoder or breaks a count."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -45,11 +45,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # least once, CORRECTNESS_r01-r07.json).  From round 8 on the window is
 # a ROLLING REGRESSION GATE.  The round-9 window: the 15 round-8
 # post-freeze queries (the only rows with no hard driver-green record —
-# container formats, crawl frontier, PPJoin/CC, CSV, DSIR), 3 NEW
+# container formats, crawl frontier, PPJoin/CC, CSV, DSIR), 6 NEW
 # round-9 queries (politeness scheduler, natural-text PPJoin, total
-# triage), 2 CHANGED queries (robots $-anchor fix + corpus extension;
-# image-builder refactor), and the 30 STALEST driver-green rows (last
-# verified in round 2: the TPC-H tranche and the first ANN/text rows) —
+# triage, ORC footer, Delta log replay, Iceberg census), 2 CHANGED
+# queries (robots $-anchor fix + corpus extension; image-builder
+# refactor), and the 27 STALEST driver-green rows (last verified in
+# round 2: the TPC-H tranche and the first ANN/text rows) —
 # oldest evidence refreshes first.  Everything rotated out stays
 # mirror-checked by tools/check_correctness.py over all queries at
 # three SFs.
@@ -77,6 +78,9 @@ WINDOW_PRIORITY: list[str] = [
     "crawl_schedule_stats",
     "dedup_ppjoin_zipf",
     "mm_any_auto_dispatch_stats",
+    "mm_decode_orc_stats",
+    "table_delta_log_replay",
+    "table_iceberg_manifest_census",
     # Changed this round (re-verification): the robots $-anchor fix
     # extended the planted corpus; the image-payload builder refactor
     # touched the image auto-dispatch corpus
@@ -111,9 +115,6 @@ WINDOW_PRIORITY: list[str] = [
     "sim_tfidf_topk",
     "text_quality_score",
     "eval_quality_auc",
-    "sim_mmr_rerank",
-    "maintenance_ivm_join_view",
-    "dedup_incremental_batch",
 ]
 
 
@@ -142,6 +143,7 @@ def load_all() -> None:
         ingest_csv,
         ivm,
         kv,
+        lakehouse,
         layout,
         market,
         multimodal,

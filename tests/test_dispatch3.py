@@ -9,15 +9,15 @@ import pytest
 from mit_6_5840_mapreduce_with_go_spark.operators import dispatch3 as D3
 
 
-def test_all_twenty_formats_routed():
-    for doc_id in range(40):  # two full cycles
-        want = D3._ANY_KINDS[doc_id % 20]
+def test_all_twenty_one_formats_routed():
+    for doc_id in range(42):  # two full cycles
+        want = D3._ANY_KINDS[doc_id % 21]
         got = D3.decode_any_auto(D3._any_payload(doc_id))
         assert got["format"] == want, (doc_id, got, want)
         fam = (
             "container"
-            if doc_id % 20 < 10
-            else ("media" if doc_id % 20 < 17 else "audio")
+            if doc_id % 21 < 11
+            else ("media" if doc_id % 21 < 18 else "audio")
         )
         assert got["family"] == fam
         assert got["n_items"] >= 1
@@ -26,7 +26,7 @@ def test_all_twenty_formats_routed():
 def test_mp3_proof_not_magic():
     """MP3 has no magic: a payload opening with the 0xFF sync byte but
     an invalid frame header quarantines (never reported as mp3)."""
-    p = bytearray(D3._any_payload(17))  # mp3 slot
+    p = bytearray(D3._any_payload(18))  # mp3 slot
     assert D3.decode_any_auto(bytes(p))["format"] == "mp3"
     bad = bytes([0xFF, 0xFB, 0xFF, 0xC4]) + bytes(16)  # bad bitrate idx
     with pytest.raises(ValueError):
@@ -34,14 +34,14 @@ def test_mp3_proof_not_magic():
 
 
 def test_id3_before_mp3_and_flac_magic():
-    assert D3.decode_any_auto(D3._any_payload(19))["format"] == "id3"
-    assert D3.decode_any_auto(D3._any_payload(18))["format"] == "flac"
+    assert D3.decode_any_auto(D3._any_payload(20))["format"] == "id3"
+    assert D3.decode_any_auto(D3._any_payload(19))["format"] == "flac"
     # an ID3-opening stream must not be reported as raw mp3
-    got = D3.decode_any_auto(D3._any_payload(39))
+    got = D3.decode_any_auto(D3._any_payload(41))
     assert got == {"family": "audio", "format": "id3", "n_items": 4}
 
 
-@pytest.mark.parametrize("kind_idx", range(20))
+@pytest.mark.parametrize("kind_idx", range(21))
 def test_truncation_total(kind_idx):
     """Every truncation of every format's payload either decodes or
     raises ValueError — nothing else (sampled stride for suite speed;
@@ -55,7 +55,7 @@ def test_truncation_total(kind_idx):
             pass
 
 
-@pytest.mark.parametrize("kind_idx", range(20))
+@pytest.mark.parametrize("kind_idx", range(21))
 def test_byte_flip_total(kind_idx):
     pay = D3._any_payload(kind_idx)
     for pos in range(0, len(pay), 5):

@@ -133,6 +133,9 @@ SF1_QUERIES = [
     "dedup_ppjoin_zipf",
     "crawl_schedule_stats",
     "mm_any_auto_dispatch_stats",
+    "mm_decode_orc_stats",
+    "table_delta_log_replay",
+    "table_iceberg_manifest_census",
     # round-9 mirror extension (VERDICT r8 #4): the shuffle-heavy /
     # pair-generating families not yet covered at sf1 — graph k-hop,
     # the bitmap/layout stack, the curation stage pipeline, sliding
