@@ -216,3 +216,100 @@ def mm_any_auto_dispatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         schema="doc_id long, family string, fmt string, n_items long",
     )
+
+
+@query(
+    "mm_any_auto_quarantine_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 21 AS kind FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN 'quarantine'
+                WHEN kind < 11 THEN 'container'
+                WHEN kind < 18 THEN 'media'
+                ELSE 'audio' END AS family,
+           CASE WHEN doc_id % 7 = 3 THEN 'quarantine'
+                ELSE list_extract(['gzip','zip','tar','warc','zstd',
+                         'avro','tfrecord','npz','safetensors','parquet',
+                         'orc','ppm','png','qoi','bmp','gif','wav','y4m',
+                         'mp3','flac','id3'],
+                        CAST(1 + kind AS INT)) END AS fmt,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN 0
+                ELSE CASE kind
+                WHEN 0 THEN 1
+                WHEN 1 THEN 2 + doc_id % 4
+                WHEN 2 THEN 2 + doc_id % 4
+                WHEN 3 THEN 1 + 2 * (1 + doc_id % 3)
+                WHEN 4 THEN 2 + doc_id % 3
+                WHEN 5 THEN 30 + doc_id % 40
+                WHEN 6 THEN 2 + doc_id % 4
+                WHEN 7 THEN 1 + doc_id % 3
+                WHEN 8 THEN 2 + doc_id % 3
+                WHEN 9 THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                WHEN 10 THEN 1 + doc_id % 4
+                WHEN 18 THEN 3 + doc_id % 6
+                WHEN 20 THEN 4
+                ELSE 1 END END AS BIGINT) AS n_items,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS BIGINT)
+             AS ok
+    FROM d
+    """,
+)
+def mm_any_auto_quarantine_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The triage behavior that actually matters at 100 TB: one bad
+    record must become a QUARANTINE ROW, never a failed job.  Every
+    7th document's payload is provably unrecognizable (a planted
+    garbage prefix); the decode stage catches ValueError — and ONLY
+    ValueError, anything else is a decoder bug and still fails the
+    task — and emits (family='quarantine', n_items=0, ok=0).  The
+    oracle re-derives the good-row counts and the quarantine mask."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 7 == 3:
+                    payloads.append(b"\x00GARBAGE" + bytes(8))
+                else:
+                    payloads.append(_any_payload(d))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    m = decode_any_auto(bytes(p))
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "family": m["family"],
+                            "fmt": m["format"],
+                            "n_items": m["n_items"],
+                            "ok": 1,
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "family": "quarantine",
+                            "fmt": "quarantine",
+                            "n_items": 0,
+                            "ok": 0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, family string, fmt string, n_items long, "
+        "ok long",
+    )

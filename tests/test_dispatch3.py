@@ -83,3 +83,26 @@ def test_garbage_quarantines_totally():
             assert set(m) == {"family", "format", "n_items"}
         except ValueError:
             pass
+
+
+def test_quarantine_census_errors_as_data(spark):
+    """Every 7th payload is provably garbage: the census emits a
+    quarantine ROW for it (never a task failure), and good rows carry
+    the same family/format the clean dispatch reports."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.dispatch3 import (
+        mm_any_auto_quarantine_stats,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in mm_any_auto_quarantine_stats(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for did, r in rows.items():
+        if did % 7 == 3:
+            assert r["family"] == "quarantine" and r["ok"] == 0
+            assert r["n_items"] == 0
+        else:
+            assert r["ok"] == 1 and r["n_items"] >= 1
+            assert r["fmt"] == D3._ANY_KINDS[did % 21]
