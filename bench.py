@@ -75,12 +75,14 @@ HEADLINE = [
     # totals to earlier rounds): the WARC FILE source and audio metadata
     "mm_warc_source_stats",
     "mm_decode_mp3_stats",
-    # round-9 flagships (NEW in r9 — subtract these two when comparing
+    # round-9 flagships (NEW in r9 — subtract these three when comparing
     # totals to earlier rounds): the most expensive round-8 operators,
     # previously invisible to trend tracking (VERDICT r8 #8) — exact
-    # set-similarity join and star-contraction connected components
+    # set-similarity join and star-contraction connected components —
+    # plus the lakehouse representative (JVM-only Delta log replay)
     "dedup_ppjoin_shingles",
     "dedup_cc_two_phase",
+    "table_delta_log_replay",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]
