@@ -491,3 +491,140 @@ def table_iceberg_manifest_census(
         "n_added_manifests long, added_sum long, deleted_sum long, "
         "live_rows long",
     )
+
+
+@query(
+    "table_delta_time_travel",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS k FROM documents),
+    vers AS (
+      SELECT doc_id, k, v.i - 1 AS v
+      FROM d, unnest(generate_series(1, CAST(k AS INT))) AS v(i)),
+    cum AS (
+      SELECT doc_id, v,
+             sum(1 + (doc_id + u.i - 1) % 3) AS files_added,
+             sum((SELECT sum(100 + (doc_id * 7 + (u.i - 1) * 13
+                                    + (j.i - 1) * 3) % 50)
+                  FROM unnest(generate_series(
+                    1, CAST(1 + (doc_id + u.i - 1) % 3 AS INT))) AS j(i)))
+               AS rows_added
+      FROM vers, unnest(generate_series(1, CAST(v + 1 AS INT))) AS u(i)
+      GROUP BY doc_id, v),
+    rem AS (
+      SELECT doc_id, v,
+             CASE WHEN v >= 1 THEN
+               (SELECT sum(100 + (doc_id * 7 + (u.i - 1) * 13) % 50)
+                FROM unnest(generate_series(1, CAST(v AS INT))) AS u(i))
+             ELSE 0 END AS rows_removed
+      FROM vers)
+    SELECT cum.doc_id, CAST(cum.v AS BIGINT) AS version,
+           CAST(cum.files_added - cum.v AS BIGINT) AS n_live_files,
+           CAST(cum.rows_added - rem.rows_removed AS BIGINT) AS live_rows
+    FROM cum JOIN rem ON rem.doc_id = cum.doc_id AND rem.v = cum.v
+    """,
+)
+def table_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SAME planted transaction log as
+    ``table_delta_log_replay``: the live-file census AS OF every
+    version, computed the way a reader reconstructs history — parse
+    the action lines (``from_json``, JVM-side), recover each remove's
+    row count by joining it back to its add by path (remove actions
+    don't carry sizes, exactly like Delta), aggregate per-version
+    deltas, and roll them up with a cumulative window per table.  One
+    output row per (table, version); the oracle re-derives every
+    prefix sum from the planting formulas.
+
+    Scale shape: the remove->add join and the per-version aggregate
+    ride one (doc_id, path)-keyed shuffle; the cumulative window is
+    per table over K rows (versions), not files."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    k = (F.lit(2) + F.col("doc_id") % 4).cast("int")
+    commits = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), k - 1)).alias("v")
+    )
+    jj = (F.lit(1) + (F.col("doc_id") + F.col("v")) % 3).cast("int")
+    path = lambda v, j: F.concat(  # noqa: E731
+        F.lit("part-"),
+        F.col("doc_id").cast("string"),
+        F.lit("-"),
+        v.cast("string"),
+        F.lit("-"),
+        j.cast("string"),
+    )
+    rows_of = (
+        F.lit(100)
+        + (F.col("doc_id") * 7 + F.col("v") * 13 + F.col("j") * 3) % 50
+    )
+    add_lines = commits.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), jj - 1)).alias("j"),
+        "v",
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit('{"add":{"path":"'),
+            path(F.col("v"), F.col("j")),
+            F.lit('","size":'),
+            (rows_of * 100).cast("string"),
+            F.lit(',"rows":'),
+            rows_of.cast("string"),
+            F.lit(',"ver":'),
+            F.col("v").cast("string"),
+            F.lit("}}"),
+        ).alias("line"),
+    )
+    rm_lines = commits.filter(F.col("v") >= 1).select(
+        "doc_id",
+        F.concat(
+            F.lit('{"remove":{"path":"'),
+            path(F.col("v") - 1, F.lit(0)),
+            F.lit('","ver":'),
+            F.col("v").cast("string"),
+            F.lit("}}"),
+        ).alias("line"),
+    )
+    acts = (
+        add_lines.unionByName(rm_lines)
+        .withColumn("a", F.from_json("line", _DELTA_ACTION_SCHEMA))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("a.add.path"), F.col("a.remove.path")).alias(
+                "path"
+            ),
+            F.col("a.add.ver").alias("add_ver"),
+            F.col("a.add.rows").alias("rows"),
+            F.col("a.remove.ver").alias("rm_ver"),
+        )
+    )
+    adds = acts.filter(F.col("add_ver").isNotNull()).select(
+        "doc_id", "path", F.col("add_ver").alias("ver"), "rows"
+    )
+    # a remove carries no size: recover it from the add it retracts
+    removes = (
+        acts.filter(F.col("rm_ver").isNotNull())
+        .select("doc_id", "path", F.col("rm_ver").alias("ver"))
+        .join(adds.select("doc_id", "path", "rows"), ["doc_id", "path"])
+    )
+    add_delta = adds.groupBy("doc_id", "ver").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("rows").alias("dr")
+    )
+    rm_delta = removes.groupBy("doc_id", "ver").agg(
+        (-F.count(F.lit(1))).alias("df"), (-F.sum("rows")).alias("dr")
+    )
+    deltas = add_delta.unionByName(rm_delta).groupBy("doc_id", "ver").agg(
+        F.sum("df").alias("df"), F.sum("dr").alias("dr")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("ver")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return deltas.select(
+        "doc_id",
+        F.col("ver").cast("long").alias("version"),
+        F.sum("df").over(w).cast("long").alias("n_live_files"),
+        F.sum("dr").over(w).cast("long").alias("live_rows"),
+    )

@@ -115,3 +115,33 @@ def test_iceberg_census_decode(spark):
         assert r["latest_snapshot"] == 200 + did
         assert r["n_added_manifests"] == 1
         assert r["live_rows"] == r["added_sum"] - r["deleted_sum"]
+
+
+def test_delta_time_travel_prefix_sums(spark):
+    """Per-version live census equals the closed forms, versions are
+    dense per table, and the final version matches the full replay."""
+    import re
+
+    df = L.table_delta_time_travel(spark, "/root/testdata/sf0.001")
+    rows = {}
+    for r in df.collect():
+        rows.setdefault(r["doc_id"], {})[r["version"]] = r
+    replay = {
+        r["doc_id"]: r
+        for r in L.table_delta_log_replay(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for did, byver in list(rows.items())[:40]:
+        k = 2 + did % 4
+        assert sorted(byver) == list(range(k))
+        for v in range(k):
+            n_live = sum(1 + (did + u) % 3 for u in range(v + 1)) - v
+            assert byver[v]["n_live_files"] == n_live, (did, v)
+        last = byver[k - 1]
+        assert last["n_live_files"] == replay[did]["n_live_files"]
+        assert last["live_rows"] == replay[did]["live_rows_sum"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"BatchEvalPython|ArrowEvalPython|PythonMapInArrow|MapInPandas", plan
+    )

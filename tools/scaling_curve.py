@@ -135,6 +135,7 @@ SF1_QUERIES = [
     "mm_any_auto_dispatch_stats",
     "mm_decode_orc_stats",
     "table_delta_log_replay",
+    "table_delta_time_travel",
     "table_iceberg_manifest_census",
     # round-9 mirror extension (VERDICT r8 #4): the shuffle-heavy /
     # pair-generating families not yet covered at sf1 — graph k-hop,
