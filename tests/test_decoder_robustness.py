@@ -140,7 +140,27 @@ def _cases():
         "tfrecord": (_tfrecord_decode, _tfrecord_payload_rb()),
         "safetensors": (_st_decode, _st_payload_rb()),
         "npz": (_npz_decode, _npz_payload_rb()),
+        "orc": (_orc_decode, _orc_payload_rb()),
+        "any_dispatch": (_any_decode, _orc_payload_rb()),
     }
+
+
+def _orc_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import lakehouse
+
+    return lakehouse.decode_orc_footer(p)
+
+
+def _orc_payload_rb():
+    from mit_6_5840_mapreduce_with_go_spark.operators import lakehouse
+
+    return lakehouse._orc_payload(6)
+
+
+def _any_decode(p):
+    from mit_6_5840_mapreduce_with_go_spark.operators import dispatch3
+
+    return dispatch3.decode_any_auto(p)
 
 
 def _st_decode(p):
@@ -310,6 +330,11 @@ _STRUCTURED_CASES = [
     "tfrecord",
     "safetensors",
     "npz",
+    # round 9: the ORC tail-first walk is ALL offsets (postscript
+    # length byte, footer length, stripe extents) — swept directly and
+    # through the total dispatcher
+    "orc",
+    "any_dispatch",
 ]
 
 
