@@ -754,9 +754,10 @@ def _planted_raw_urls(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "crawl_url_frontier_stats",
-    oracle="""
+# shared by the one-shot frontier query and its streaming final-state
+# projection (stream_projections.py) — the composed dedup state must
+# land on the identical census
+FRONTIER_ORACLE = """
     WITH d AS (
       SELECT doc_id, doc_id % 10 AS h, 2 + doc_id % 3 AS k FROM documents),
     uniq AS (
@@ -773,8 +774,10 @@ def _planted_raw_urls(docs: DataFrame) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len_sum) AS BIGINT) AS norm_len_sum
     FROM uniq GROUP BY h
-    """,
-)
+    """
+
+
+@query("crawl_url_frontier_stats", oracle=FRONTIER_ORACLE)
 def crawl_url_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier construction end-to-end, Python-free: per document a
     planted set of hostile raw URLs (uppercase scheme/host, explicit

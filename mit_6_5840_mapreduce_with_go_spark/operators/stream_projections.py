@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import fnv32a_col
 from ..registry import query
 from ..sources import load_table
+from .crawl import FRONTIER_ORACLE
 from .kv import CAS_ORACLE, _ops
 from .relational3 import _KMV_K
 
@@ -276,4 +277,62 @@ def stream_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
             F.pmod("user_id", F.lit(8)).cast("bigint").alias("bucket"),
         )
+    )
+
+
+@query("stream_frontier_final_state", oracle=FRONTIER_ORACLE)
+def stream_frontier_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier dedup as the streaming twin executes it
+    (streaming/windows.py::stream_frontier_unique): the URL corpus is
+    split into two micro-batch segments (doc parity), each segment is
+    deduplicated, and segment 2 keeps only keys ABSENT from segment
+    1's state (the anti-join a streaming dropDuplicates state store
+    performs); the final state is the union.  Raw/doc counters
+    accumulate additively across segments, the way streaming counters
+    do.  Oracle: FRONTIER_ORACLE verbatim — the composed state must
+    land on the identical per-host census."""
+    from .crawl import _planted_raw_urls, normalize_urls
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    norm = normalize_urls(_planted_raw_urls(docs), "url").withColumn(
+        "seg", (F.col("doc_id") % 2).cast("int")
+    )
+    # additive per-segment counters (micro-batch partials summed)
+    raw_agg = (
+        norm.groupBy("host", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw_seg"),
+            F.countDistinct("doc_id").alias("n_docs_seg"),
+        )
+        .groupBy("host")
+        .agg(
+            F.sum("n_raw_seg").alias("n_raw"),
+            # doc ids are parity-disjoint across segments, so the doc
+            # counter is additive too — same invariant the streaming
+            # counter relies on (each doc arrives in exactly one batch)
+            F.sum("n_docs_seg").alias("n_docs"),
+        )
+    )
+    s1 = (
+        norm.filter(F.col("seg") == 0)
+        .select("host", "norm_url")
+        .distinct()
+    )
+    s2 = (
+        norm.filter(F.col("seg") == 1)
+        .select("host", "norm_url")
+        .distinct()
+        .join(s1, ["host", "norm_url"], "left_anti")
+    )
+    state = s1.unionByName(s2)
+    uniq = state.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.length("norm_url")).alias("norm_len_sum"),
+    )
+    return raw_agg.join(uniq, "host").select(
+        "host",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("norm_len_sum").cast("long").alias("norm_len_sum"),
     )

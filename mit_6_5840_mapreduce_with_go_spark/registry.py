@@ -45,10 +45,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # least once, CORRECTNESS_r01-r07.json).  From round 8 on the window is
 # a ROLLING REGRESSION GATE.  The round-9 window: the 15 round-8
 # post-freeze queries (the only rows with no hard driver-green record —
-# container formats, crawl frontier, PPJoin/CC, CSV, DSIR), 8 NEW
+# container formats, crawl frontier, PPJoin/CC, CSV, DSIR), 9 NEW
 # round-9 queries (politeness scheduler, natural-text PPJoin, total
 # triage + quarantine census, ORC footer, Delta log replay + time
-# travel, Iceberg census), 2 CHANGED queries (robots $-anchor fix + corpus
+# travel, Iceberg census, streaming-frontier final state), 2 CHANGED queries (robots $-anchor fix + corpus
 # extension; image-builder refactor), and the 26 STALEST driver-green
 # rows (last verified in round 2: the TPC-H tranche and the first
 # ANN/text rows) — oldest evidence refreshes first.  Everything rotated out stays
@@ -83,13 +83,14 @@ WINDOW_PRIORITY: list[str] = [
     "table_iceberg_manifest_census",
     "mm_any_auto_quarantine_stats",
     "table_delta_time_travel",
+    "stream_frontier_final_state",
     # Changed this round (re-verification): the robots $-anchor fix
     # extended the planted corpus; the image-payload builder refactor
     # touched the image auto-dispatch corpus
     "crawl_robots_stats",
     "mm_decode_auto_dispatch_stats",
-    # Stalest rows: last driver-verified in round 2 (first 25 of 45;
-    # the remaining 20 r2-era rows head the round-10 backlog)
+    # Stalest rows: last driver-verified in round 2 (first 24 of 45;
+    # the remaining 21 r2-era rows head the round-10 backlog)
     "q2_min_cost_supplier",
     "q3_top_revenue_orders",
     "q4_late_shipment_orders",
@@ -114,7 +115,6 @@ WINDOW_PRIORITY: list[str] = [
     "sim_topk_bruteforce",
     "sim_topk_ivf",
     "sim_topk_lsh",
-    "sim_tfidf_topk",
 ]
 
 

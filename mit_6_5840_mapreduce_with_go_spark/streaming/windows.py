@@ -257,3 +257,21 @@ def stream_static_contamination(
         F.explode(F.array_distinct(_word_ngrams(toks, _CONTAM_N))).alias("ng"),
     )
     return grams.join(F.broadcast(bench_ngrams), "ng").select("doc_id", "ng")
+
+
+def stream_frontier_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the frontier dedup: planted raw URLs arrive
+    with document shards, are normalized JVM-side, and pass through a
+    streaming ``dropDuplicates`` on (host, norm_url) — the state the
+    crawler's frontier holds.  Emits each never-seen-before URL once
+    (append mode).  On an unbounded crawl the state would be bounded
+    with ``withWatermark`` + an event-time column or a TTL'd
+    transformWithState store; the planted corpus is finite, so the
+    test twin keeps exact state."""
+    from ..operators.crawl import _planted_raw_urls, normalize_urls
+
+    docs = stream_documents(spark, sf_dir).select("doc_id")
+    norm = normalize_urls(_planted_raw_urls(docs), "url")
+    return norm.select("host", "norm_url").dropDuplicates(
+        ["host", "norm_url"]
+    )

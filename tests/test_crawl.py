@@ -204,3 +204,38 @@ def test_crawl_schedule_invariants_and_single_host_shuffle(spark):
     assert len(hash_ex) == 1, hash_ex
     assert "host" in hash_ex[0]
     assert not re.search(r"BatchEvalPython|ArrowEvalPython|PythonMapInArrow", plan)
+
+
+def test_stream_frontier_equals_batch(spark, sf_dir):
+    """The streaming frontier dedup (dropDuplicates state over arriving
+    shards) emits exactly the batch-distinct URL set."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.crawl import (
+        _planted_raw_urls,
+        normalize_urls,
+    )
+    from mit_6_5840_mapreduce_with_go_spark.sources import load_table
+    from mit_6_5840_mapreduce_with_go_spark.streaming.windows import (
+        run_to_memory,
+        stream_frontier_unique,
+    )
+
+    q = run_to_memory(
+        stream_frontier_unique(spark, sf_dir), "t_frontier", "append"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["host"], r["norm_url"])
+            for r in spark.table("t_frontier").collect()
+        }
+    finally:
+        q.stop()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    want = {
+        (r["host"], r["norm_url"])
+        for r in normalize_urls(_planted_raw_urls(docs), "url")
+        .select("host", "norm_url")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
