@@ -137,6 +137,7 @@ SF1_QUERIES = [
     "table_delta_log_replay",
     "table_delta_time_travel",
     "table_iceberg_manifest_census",
+    "stream_frontier_final_state",
     # round-9 mirror extension (VERDICT r8 #4): the shuffle-heavy /
     # pair-generating families not yet covered at sf1 — graph k-hop,
     # the bitmap/layout stack, the curation stage pipeline, sliding
