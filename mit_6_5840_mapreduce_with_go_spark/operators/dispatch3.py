@@ -102,6 +102,11 @@ _ANY_KINDS = list(_FORMATS) + [
     "ppm", "png", "qoi", "bmp", "gif", "wav", "y4m", "mp3", "flac", "id3",
 ]
 
+# Explicit image-kind -> _image_payload family index (ADVICE r9: deriving
+# this from _ANY_KINDS list position silently shifts every image family
+# if a kind is ever inserted before "ppm").
+_IMAGE_FAMILY = {"ppm": 0, "png": 1, "qoi": 2, "bmp": 3, "gif": 4}
+
 
 def _any_payload(doc_id: int) -> bytes:
     kind = _ANY_KINDS[doc_id % 21]
@@ -111,8 +116,8 @@ def _any_payload(doc_id: int) -> bytes:
         from .lakehouse import _orc_payload
 
         return _orc_payload(doc_id)
-    if kind in ("ppm", "png", "qoi", "bmp", "gif"):
-        return _image_payload(_ANY_KINDS.index(kind) - 11, doc_id)
+    if kind in _IMAGE_FAMILY:
+        return _image_payload(_IMAGE_FAMILY[kind], doc_id)
     if kind == "wav":
         from .multimodal4 import encode_wav
 

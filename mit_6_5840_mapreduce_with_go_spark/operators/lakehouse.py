@@ -127,7 +127,9 @@ def decode_orc_footer(payload: bytes) -> dict:
     if compression not in (None, 0):
         raise ValueError(f"unsupported ORC compression codec {compression}")
     foot_end = len(payload) - 1 - ps_len
-    if footer_len > foot_end:
+    # footer may not overlap the 3-byte "ORC" head magic (ADVICE r9:
+    # footer_len == foot_end would previously pass despite the overlap)
+    if footer_len > foot_end - 3:
         raise ValueError("ORC footer extends past start of file")
     footer = parse_proto(payload[foot_end - footer_len : foot_end])
     content_length = None

@@ -2,18 +2,20 @@
 framing of the compressor modern crawls are converging on (Common
 Crawl publishes .zst listings; zstd WARCs are the successor layout).
 
-Scope is the FRAME FORMAT, honestly bounded the way the package bounds
-progressive JPEG: magic, frame-header descriptor bits (FCS field size,
-single-segment, checksum, dictionary-ID size), window descriptor
-(exponent + mantissa), dictionary ID, frame content size, then the
-block chain — 3-byte little-endian block headers (last-block bit,
-2-bit type, 21-bit size) with RAW blocks (verbatim bytes) and RLE
-blocks (one byte repeated size times) fully decoded.  Entropy-coded
-``Compressed_Block``s are out of scope (FSE/Huffman decoding is a
-compressor port, not a framing walk) and raise a clear ValueError, as
-do reserved blocks, content-size mismatches, and truncations.
-Skippable frames (magic 0x184D2A5?) are parsed and skipped by length —
-they are how indexes ride inside .zst streams.
+Round 8 scoped this to the FRAME FORMAT: magic, frame-header
+descriptor bits (FCS field size, single-segment, checksum,
+dictionary-ID size), window descriptor (exponent + mantissa),
+dictionary ID, frame content size, then the block chain — 3-byte
+little-endian block headers (last-block bit, 2-bit type, 21-bit size)
+with RAW blocks (verbatim bytes) and RLE blocks (one byte repeated
+size times) fully decoded.  Round 10 removed the one remaining bound:
+entropy-coded ``Compressed_Block``s now decode for real via the
+FSE/Huffman layer in ``multimodal14`` (golden-verified against system
+libzstd output), and ``Content_Checksum`` frames are VERIFIED with the
+XXH64 implementation there instead of skipped.  Reserved blocks,
+content-size mismatches, and truncations still raise a clear
+ValueError.  Skippable frames (magic 0x184D2A5?) are parsed and
+skipped by length — they are how indexes ride inside .zst streams.
 
 ``encode_zstd_raw`` builds spec-valid frames from (kind, payload)
 block plans, so the decoder is exercised by a real byte layout, and
@@ -167,6 +169,10 @@ def decode_zstd_frames(payload: bytes) -> dict:
             fcs = None
         i += fcs_size
         frame_content = bytearray()
+        # frame-level entropy state (round 10): window buffer, Huffman
+        # table for Treeless_Literals, FSE tables for Repeat_Mode, the
+        # three repeated offsets (reset to 1/4/8 per frame, RFC 8878)
+        est = {"window": frame_content, "huf": None, "reps": [1, 4, 8]}
         n_blocks = 0
         while True:
             if i + 3 > n:
@@ -184,11 +190,13 @@ def decode_zstd_frames(payload: bytes) -> dict:
                     raise ValueError("truncated RLE block byte")
                 frame_content += bytes([payload[i]]) * bsize
                 i += 1
-            elif btype == 2:
-                raise ValueError(
-                    "entropy-coded Compressed_Block not supported "
-                    "(framing walk only)"
-                )
+            elif btype == 2:  # entropy-coded (FSE/Huffman), round 10
+                from .multimodal14 import decode_compressed_block
+
+                if i + bsize > n:
+                    raise ValueError("truncated compressed block")
+                decode_compressed_block(payload[i : i + bsize], est)
+                i += bsize
             else:
                 raise ValueError("reserved block type")
             n_blocks += 1
@@ -202,7 +210,12 @@ def decode_zstd_frames(payload: bytes) -> dict:
         if checksum:
             if i + 4 > n:
                 raise ValueError("truncated content checksum")
-            i += 4  # xxh64 low bits: carried, not recomputed (no stdlib xxh)
+            from .multimodal14 import xxh64
+
+            (stored,) = struct.unpack("<I", payload[i : i + 4])
+            if xxh64(bytes(frame_content)) & 0xFFFFFFFF != stored:
+                raise ValueError("content checksum mismatch")
+            i += 4
         frames.append(
             {
                 "window_log": window_log,
@@ -210,6 +223,11 @@ def decode_zstd_frames(payload: bytes) -> dict:
                 "fcs": fcs,
                 "n_blocks": n_blocks,
                 "content_len": len(frame_content),
+                # entropy-layer census (round 10): zero for frames of
+                # raw/RLE blocks only
+                "n_sequences": est.get("n_seqs", 0),
+                "n_literals": est.get("n_lits", 0),
+                "huf_tlog": est["huf"][1] if est.get("huf") else 0,
             }
         )
         content += frame_content

@@ -1,0 +1,1349 @@
+"""Zstandard ENTROPY layer (RFC 8878 §4.1-4.2, public spec): FSE
+(tANS) table build + table-description read, canonical Huffman weight
+decode (direct and FSE-compressed), 1-stream and 4-stream
+Huffman-coded literals, and the full sequences section (predefined /
+RLE / FSE_Compressed / Repeat modes, three interleaved backward-read
+FSE states, repeated-offset resolution, windowed match copy) — the
+part round 8's framing walk (multimodal13) honestly bounded out.
+
+With this module, ``multimodal13.decode_zstd_frames`` becomes TOTAL
+over the block types: Compressed_Block delegates here, carrying
+frame-level state (window buffer, Huffman table for Treeless_Literals,
+FSE tables for Repeat_Mode, the three repeated offsets).  XXH64 is
+implemented too (public algorithm), so Content_Checksum frames are now
+VERIFIED, not skipped.
+
+Golden cross-validation: the test suite compresses corpora with the
+system libzstd (via ctypes) at several levels and asserts this
+pure-Python decoder reproduces the exact bytes — the decoder is
+checked against the reference implementation's real output, not just
+against our own encoder.
+
+The encoder half (``encode_zstd_compressed``) plants spec-valid
+entropy-coded frames for the registered query: it Huffman-codes
+literals (direct-weight and FSE-compressed-weight tree descriptions,
+1- and 4-stream), tANS-encodes sequence codes against predefined, RLE,
+and custom FSE tables, and emits Treeless/Repeat continuation blocks —
+so every decoder path is exercised by a corpus whose statistics a
+DuckDB oracle re-derives from the planting formulas.
+
+Scale shape: the standard decode-family plan — two narrow stateless
+Arrow-batched mapInPandas stages, no shuffle, payload bytes never
+leave the executor that built them.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources import load_table
+
+_MASK64 = (1 << 64) - 1
+_ZSTD_MAGIC = 0xFD2FB528
+
+# ---------------------------------------------------------------------------
+# XXH64 (public algorithm; RFC 8878 frames carry its low 32 bits)
+
+_XP1 = 11400714785074694791
+_XP2 = 14029467366897019727
+_XP3 = 1609587929392839161
+_XP4 = 9650029242287828579
+_XP5 = 2870177450012600261
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def _xxh_round(acc: int, val: int) -> int:
+    acc = (acc + val * _XP2) & _MASK64
+    return (_rotl64(acc, 31) * _XP1) & _MASK64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 digest (used by zstd's Content_Checksum, low 32 bits)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _MASK64
+        v2 = (seed + _XP2) & _MASK64
+        v3 = seed & _MASK64
+        v4 = (seed - _XP1) & _MASK64
+        while i + 32 <= n:
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1, v2 = _xxh_round(v1, a), _xxh_round(v2, b)
+            v3, v4 = _xxh_round(v3, c), _xxh_round(v4, d)
+            i += 32
+        acc = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _MASK64
+        for v in (v1, v2, v3, v4):
+            acc = ((acc ^ _xxh_round(0, v)) * _XP1 + _XP4) & _MASK64
+    else:
+        acc = (seed + _XP5) & _MASK64
+    acc = (acc + n) & _MASK64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        acc = (_rotl64(acc ^ _xxh_round(0, k), 27) * _XP1 + _XP4) & _MASK64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        acc = (_rotl64(acc ^ (k * _XP1 & _MASK64), 23) * _XP2 + _XP3) & _MASK64
+        i += 4
+    while i < n:
+        acc = (_rotl64(acc ^ (data[i] * _XP5 & _MASK64), 11) * _XP1) & _MASK64
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _XP2) & _MASK64
+    acc ^= acc >> 29
+    acc = (acc * _XP3) & _MASK64
+    acc ^= acc >> 32
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Bit IO.  zstd entropy bitstreams are written forward but READ BACKWARD
+# starting just below a final 1-bit sentinel; FSE table descriptions are
+# read FORWARD in little-endian bit order.
+
+
+class _BackBits:
+    """Backward bit reader: last set bit of the last byte is the
+    padding sentinel; reads proceed from just below it toward bit 0."""
+
+    __slots__ = ("acc", "pos")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ValueError("bitstream missing padding sentinel")
+        self.acc = int.from_bytes(data, "little")
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        """Strict read: overrun is a corruption error."""
+        if n > self.pos:
+            raise ValueError("bitstream overrun")
+        self.pos -= n
+        return (self.acc >> self.pos) & ((1 << n) - 1)
+
+    def read_pad(self, n: int) -> int:
+        """Read allowing overrun (missing low bits read as 0); the FSE
+        Huffman-weights loop detects end-of-stream via ``pos < 0``."""
+        self.pos -= n
+        if self.pos >= 0:
+            return (self.acc >> self.pos) & ((1 << n) - 1)
+        avail = n + self.pos
+        if avail <= 0:
+            return 0
+        return (self.acc & ((1 << avail) - 1)) << (n - avail)
+
+    def peek_pad(self, n: int) -> int:
+        p = self.pos - n
+        if p >= 0:
+            return (self.acc >> p) & ((1 << n) - 1)
+        avail = max(n + p, 0)
+        if avail <= 0:
+            return 0
+        return (self.acc & ((1 << avail) - 1)) << (n - avail)
+
+
+class _FwdBits:
+    """Forward little-endian-bit-order reader (FSE table descriptions)."""
+
+    __slots__ = ("acc", "bitpos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.acc = int.from_bytes(data, "little")
+        self.bitpos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if self.bitpos + n > self.nbits:
+            raise ValueError("table description overruns its data")
+        v = (self.acc >> self.bitpos) & ((1 << n) - 1)
+        self.bitpos += n
+        return v
+
+    def rewind(self, n: int) -> None:
+        self.bitpos -= n
+
+    def bytes_consumed(self) -> int:
+        return (self.bitpos + 7) // 8
+
+
+def _write_backstream(items_read_order: list[tuple[int, int]]) -> bytes:
+    """Build a backward bitstream whose reads return ``items`` in order."""
+    acc = 0
+    nb = 0
+    for v, n in reversed(items_read_order):
+        if v >> n:
+            raise ValueError(f"value {v} does not fit in {n} bits")
+        acc |= v << nb
+        nb += n
+    acc |= 1 << nb  # sentinel
+    nb += 1
+    return acc.to_bytes((nb + 7) // 8, "little")
+
+
+class _FwdWriter:
+    __slots__ = ("acc", "bitpos")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.bitpos = 0
+
+    def add(self, v: int, n: int) -> None:
+        self.acc |= v << self.bitpos
+        self.bitpos += n
+
+    def close(self) -> bytes:
+        return self.acc.to_bytes((self.bitpos + 7) // 8 or 1, "little")
+
+
+# ---------------------------------------------------------------------------
+# FSE decode tables (RFC 8878 §4.1.1): normalized counts -> state machine.
+
+
+class _FseTable:
+    __slots__ = ("alog", "size", "sym", "nbits", "base")
+
+    def __init__(self, alog: int, sym: list[int], nbits: list[int], base: list[int]):
+        self.alog = alog
+        self.size = 1 << alog
+        self.sym = sym
+        self.nbits = nbits
+        self.base = base
+
+
+def fse_build_table(probs: list[int], alog: int) -> _FseTable:
+    """Spread symbols over the state table (step = 5/8·size + 3) and
+    derive per-cell (nbBits, baseline) exactly as the spec prescribes."""
+    size = 1 << alog
+    if sum(p if p > 0 else (1 if p == -1 else 0) for p in probs) != size:
+        raise ValueError("normalized counts do not sum to table size")
+    cells: list[int] = [-1] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            cells[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            cells[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("FSE spread did not return to state 0")
+    counter = [p if p > 0 else 1 for p in probs]
+    sym: list[int] = [0] * size
+    nb: list[int] = [0] * size
+    base: list[int] = [0] * size
+    for u in range(size):
+        s = cells[u]
+        x = counter[s]
+        counter[s] = x + 1
+        b = alog - (x.bit_length() - 1)
+        sym[u] = s
+        nb[u] = b
+        base[u] = (x << b) - size
+    return _FseTable(alog, sym, nb, base)
+
+
+def _rle_table(symbol: int) -> _FseTable:
+    """RLE_Mode: a 0-bit single-state table emitting one symbol."""
+    return _FseTable(0, [symbol], [0], [0])
+
+
+def fse_read_table_desc(fb: _FwdBits, max_alog: int) -> tuple[list[int], int]:
+    """Read a variable-bit FSE table description (forward bitstream),
+    returning (normalized counts, accuracy_log).  Consumes whole bytes."""
+    alog = fb.read(4) + 5
+    if alog > max_alog:
+        raise ValueError(f"accuracy log {alog} exceeds maximum {max_alog}")
+    remaining = 1 << alog
+    probs: list[int] = []
+    while remaining > 0:
+        if len(probs) > 255:
+            raise ValueError("FSE table description has too many symbols")
+        bits = (remaining + 1).bit_length()
+        val = fb.read(bits)
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - (remaining + 1)
+        if (val & lower_mask) < threshold:
+            fb.rewind(1)
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        prob = val - 1
+        probs.append(prob)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            while True:
+                rep = fb.read(2)
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining < 0:
+        raise ValueError("FSE normalized counts overshoot table size")
+    # table descriptions end on a byte boundary
+    fb.bitpos = fb.bytes_consumed() * 8
+    return probs, alog
+
+
+def fse_write_table_desc(probs: list[int], alog: int) -> bytes:
+    """Inverse of ``fse_read_table_desc`` (same threshold coding)."""
+    w = _FwdWriter()
+    w.add(alog - 5, 4)
+    remaining = 1 << alog
+    i = 0
+    while remaining > 0:
+        prob = probs[i]
+        i += 1
+        bits = (remaining + 1).bit_length()
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - (remaining + 1)
+        val = prob + 1
+        if val < threshold:
+            w.add(val, bits - 1)
+        elif val <= lower_mask:
+            w.add(val, bits)
+        else:
+            w.add(val + threshold, bits)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            # count following zeros, emit 2-bit repeat flags
+            run = 0
+            while i + run < len(probs) and probs[i + run] == 0:
+                run += 1
+            while True:
+                rep = min(run, 3)
+                w.add(rep, 2)
+                for _ in range(rep):
+                    i += 1
+                run -= rep
+                if rep != 3:
+                    break
+    if i != len(probs):
+        raise ValueError("trailing zero counts cannot be represented")
+    return w.close()
+
+
+class _FseEncoder:
+    """tANS encoder against a decode table: processes symbols in
+    reverse, yielding the bit items the decoder will read forward."""
+
+    def __init__(self, table: _FseTable):
+        self.t = table
+        # cells per symbol, for initial-state choice
+        self.cells: dict[int, list[int]] = {}
+        for u, s in enumerate(table.sym):
+            self.cells.setdefault(s, []).append(u)
+        # tile lookup: previous-state -> cell, per symbol
+        self.tile: dict[int, list[int]] = {}
+        for s, cs in self.cells.items():
+            cover = [0] * table.size
+            for c in cs:
+                for v in range(1 << table.nbits[c]):
+                    cover[table.base[c] + v] = c
+            self.tile[s] = cover
+
+    def encode(
+        self, symbols: list[int], final_min_bits: int = 0
+    ) -> tuple[int, list[tuple[int, int]]]:
+        """Returns (initial_state, update bit items in DECODE order):
+        decoder reads init state (alog bits) then each update.
+        ``final_min_bits`` constrains the freely-chosen final decode
+        state to a cell needing at least that many bits (the Huffman
+        weight stream relies on its phantom final read overrunning)."""
+        if not symbols:
+            raise ValueError("empty symbol sequence")
+        state = next(
+            c
+            for c in self.cells[symbols[-1]]
+            if self.t.nbits[c] >= final_min_bits
+        )
+        updates: list[tuple[int, int]] = []
+        for s in reversed(symbols[:-1]):
+            cell = self.tile[s][state]
+            updates.append((state - self.t.base[cell], self.t.nbits[cell]))
+            state = cell
+        updates.reverse()
+        return state, updates
+
+
+# ---------------------------------------------------------------------------
+# Predefined distributions and code baselines (RFC 8878 tables).
+
+_LL_DEFAULT = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+]
+_ML_DEFAULT = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1, -1, -1, -1,
+]
+_OF_DEFAULT = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, -1, -1, -1, -1, -1,
+]
+
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+]
+_LL_EXTRA = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_ML_BASE = [c + 3 for c in range(32)] + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051,
+    4099, 8195, 16387, 32771, 65539,
+]
+_ML_EXTRA = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+_MAX_CODE = {"ll": 35, "of": 31, "ml": 52}
+_MAX_ALOG = {"ll": 9, "of": 8, "ml": 9}
+_PREDEF: dict[str, _FseTable] = {}
+
+
+def _predef(kind: str) -> _FseTable:
+    if kind not in _PREDEF:
+        dist = {"ll": (_LL_DEFAULT, 6), "of": (_OF_DEFAULT, 5), "ml": (_ML_DEFAULT, 6)}[kind]
+        _PREDEF[kind] = fse_build_table(*dist)
+    return _PREDEF[kind]
+
+
+# ---------------------------------------------------------------------------
+# Huffman (RFC 8878 §4.2.1): canonical table from weights; streams are
+# backward bitstreams decoded with a tableLog-bit prefix window.
+
+_HUF_MAX_LOG = 11
+
+
+def _huf_table_from_weights(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
+    """Full weight list (all symbols incl. the derived last) -> prefix
+    decode table of size 2^tableLog mapping peeked index -> (sym, nbits)."""
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("no nonzero Huffman weights")
+    tlog = total.bit_length() - 1
+    if (1 << tlog) != total:
+        raise ValueError("Huffman weights do not sum to a power of two")
+    if tlog > _HUF_MAX_LOG:
+        raise ValueError(f"Huffman table log {tlog} exceeds {_HUF_MAX_LOG}")
+    table: list[tuple[int, int]] = [(-1, 0)] * (1 << tlog)
+    idx = 0
+    for w in range(1, tlog + 1):  # max weight = tlog (codes >= 1 bit)
+        for s, ws in enumerate(weights):
+            if ws == w:
+                span = 1 << (w - 1)
+                nb = tlog + 1 - w
+                table[idx : idx + span] = [(s, nb)] * span
+                idx += span
+    if idx != 1 << tlog:
+        raise ValueError("Huffman table not fully tiled")
+    return table, tlog
+
+
+def _huf_complete_weights(partial: list[int]) -> list[int]:
+    """Append the derived last weight (total must become a power of 2)."""
+    total = sum(1 << (w - 1) for w in partial if w > 0)
+    if total == 0:
+        raise ValueError("all-zero Huffman weights")
+    tlog = total.bit_length()  # smallest power of two STRICTLY above total
+    rest = (1 << tlog) - total
+    if rest & (rest - 1):
+        raise ValueError("Huffman weights leave a non-power-of-two remainder")
+    return partial + [rest.bit_length()]
+
+
+def huf_read_tree(data: bytes) -> tuple[list[tuple[int, int]], int, int]:
+    """Huffman_Tree_Description -> (decode table, tableLog, bytes used)."""
+    if not data:
+        raise ValueError("empty Huffman tree description")
+    hb = data[0]
+    if hb >= 128:
+        n = hb - 127  # number of encoded weights (= symbols - 1)
+        nbytes = (n + 1) // 2
+        if 1 + nbytes > len(data):
+            raise ValueError("truncated direct Huffman weights")
+        partial = []
+        for k in range(n):
+            byte = data[1 + k // 2]
+            partial.append((byte >> 4) if k % 2 == 0 else (byte & 0x0F))
+        used = 1 + nbytes
+    else:
+        csize = hb
+        if 1 + csize > len(data):
+            raise ValueError("truncated FSE-compressed Huffman weights")
+        sub = data[1 : 1 + csize]
+        fb = _FwdBits(sub)
+        probs, alog = fse_read_table_desc(fb, 6)
+        table = fse_build_table(probs, alog)
+        stream = sub[fb.bytes_consumed() :]
+        br = _BackBits(stream)
+        s1 = br.read_pad(alog)
+        s2 = br.read_pad(alog)
+        if br.pos < 0:
+            raise ValueError("Huffman weight stream too short for states")
+        partial = []
+        while True:
+            if len(partial) > 254:
+                raise ValueError("too many Huffman weights")
+            partial.append(table.sym[s1])
+            s1 = table.base[s1] + br.read_pad(table.nbits[s1])
+            if br.pos < 0:
+                partial.append(table.sym[s2])
+                break
+            partial.append(table.sym[s2])
+            s2 = table.base[s2] + br.read_pad(table.nbits[s2])
+            if br.pos < 0:
+                partial.append(table.sym[s1])
+                break
+        used = 1 + csize
+    if any(w > _HUF_MAX_LOG for w in partial):
+        raise ValueError("Huffman weight exceeds maximum")
+    weights = _huf_complete_weights(partial)
+    table2, tlog = _huf_table_from_weights(weights)
+    return table2, tlog, used
+
+
+def huf_decode_stream(
+    stream: bytes, table: list[tuple[int, int]], tlog: int, regen: int
+) -> bytearray:
+    br = _BackBits(stream)
+    out = bytearray(regen)
+    for k in range(regen):
+        sym, nb = table[br.peek_pad(tlog)]
+        if sym < 0:
+            raise ValueError("invalid Huffman code")
+        br.pos -= nb
+        if br.pos < 0:
+            raise ValueError("Huffman stream overrun")
+        out[k] = sym
+    if br.pos != 0:
+        raise ValueError("Huffman stream has trailing bits")
+    return out
+
+
+def _huf_decode_literals(
+    part: bytes, table: list[tuple[int, int]], tlog: int, regen: int, four: bool
+) -> bytearray:
+    if not four:
+        return huf_decode_stream(part, table, tlog, regen)
+    if len(part) < 6:
+        raise ValueError("missing 4-stream jump table")
+    s1, s2, s3 = struct.unpack_from("<HHH", part, 0)
+    body = part[6:]
+    s4 = len(body) - s1 - s2 - s3
+    if s4 <= 0:
+        raise ValueError("4-stream sizes exceed literal data")
+    rs = (regen + 3) // 4
+    last = regen - 3 * rs
+    if last < 0:
+        raise ValueError("regenerated size too small for 4 streams")
+    out = bytearray()
+    ofs = 0
+    for sz, r in ((s1, rs), (s2, rs), (s3, rs), (s4, last)):
+        out += huf_decode_stream(body[ofs : ofs + sz], table, tlog, r)
+        ofs += sz
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compressed_Block decode (literals section + sequences section).
+
+_BLOCK_OUT_CAP = 1 << 26  # hostile-input guard when no FCS is declared
+
+
+def _match_copy(out: bytearray, offset: int, ml: int) -> None:
+    if offset <= 0 or offset > len(out):
+        raise ValueError("match offset beyond decoded window")
+    while ml > 0:
+        take = min(offset, ml)
+        out += out[-offset : len(out) - offset + take]
+        ml -= take
+        offset += take  # the copied span extends the repeatable region
+
+
+def decode_compressed_block(data: bytes, st: dict) -> int:
+    """Decode one Compressed_Block into ``st['window']`` (the frame
+    output buffer), using and updating frame-level entropy state.
+    Returns the number of bytes appended."""
+    if not data:
+        raise ValueError("empty compressed block")
+    b0 = data[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype <= 1:  # Raw_Literals / RLE_Literals
+        if sf in (0, 2):
+            regen = b0 >> 3
+            hdr = 1
+        elif sf == 1:
+            if len(data) < 2:
+                raise ValueError("truncated literals header")
+            regen = (b0 >> 4) | (data[1] << 4)
+            hdr = 2
+        else:
+            if len(data) < 3:
+                raise ValueError("truncated literals header")
+            regen = (b0 >> 4) | (data[1] << 4) | (data[2] << 12)
+            hdr = 3
+        if regen > _BLOCK_OUT_CAP:
+            raise ValueError("literals size implausibly large")
+        if ltype == 0:
+            if hdr + regen > len(data):
+                raise ValueError("raw literals extend past block")
+            lits = bytearray(data[hdr : hdr + regen])
+            consumed = hdr + regen
+        else:
+            if hdr >= len(data):
+                raise ValueError("missing RLE literal byte")
+            lits = bytearray([data[hdr]]) * regen
+            consumed = hdr + 1
+    else:  # Compressed_Literals / Treeless_Literals
+        if sf == 0:
+            hdr, four, bits = 3, False, 10
+        elif sf == 1:
+            hdr, four, bits = 3, True, 10
+        elif sf == 2:
+            hdr, four, bits = 4, True, 14
+        else:
+            hdr, four, bits = 5, True, 18
+        if len(data) < hdr:
+            raise ValueError("truncated literals header")
+        v = int.from_bytes(data[:hdr], "little") >> 4
+        regen = v & ((1 << bits) - 1)
+        csize = (v >> bits) & ((1 << bits) - 1)
+        if regen > _BLOCK_OUT_CAP:
+            raise ValueError("literals size implausibly large")
+        if hdr + csize > len(data):
+            raise ValueError("compressed literals extend past block")
+        sub = data[hdr : hdr + csize]
+        if ltype == 2:
+            table, tlog, used = huf_read_tree(sub)
+            st["huf"] = (table, tlog)
+            sub = sub[used:]
+        else:
+            if st.get("huf") is None:
+                raise ValueError("Treeless_Literals with no previous table")
+            table, tlog = st["huf"]
+        lits = _huf_decode_literals(bytes(sub), table, tlog, regen, four)
+        consumed = hdr + csize
+
+    st["n_lits"] = st.get("n_lits", 0) + len(lits)
+    rest = data[consumed:]
+    if not rest:
+        raise ValueError("missing sequences section")
+    b = rest[0]
+    if b == 0:
+        if len(rest) != 1:
+            raise ValueError("data after empty sequences section")
+        out = st["window"]
+        out += lits
+        return len(lits)
+    if b < 128:
+        nbseq, k = b, 1
+    elif b < 255:
+        if len(rest) < 2:
+            raise ValueError("truncated sequence count")
+        nbseq, k = ((b - 128) << 8) + rest[1], 2
+    else:
+        if len(rest) < 3:
+            raise ValueError("truncated sequence count")
+        nbseq, k = rest[1] + (rest[2] << 8) + 0x7F00, 3
+    st["n_seqs"] = st.get("n_seqs", 0) + nbseq
+    if len(rest) <= k:
+        raise ValueError("missing symbol compression modes")
+    mb = rest[k]
+    k += 1
+    if mb & 3:
+        raise ValueError("reserved sequence mode bits set")
+    tabs: dict[str, _FseTable] = {}
+    for kind, mode in (("ll", mb >> 6), ("of", (mb >> 4) & 3), ("ml", (mb >> 2) & 3)):
+        if mode == 0:
+            tabs[kind] = _predef(kind)
+        elif mode == 1:
+            if k >= len(rest):
+                raise ValueError("truncated RLE mode symbol")
+            symb = rest[k]
+            k += 1
+            if symb > _MAX_CODE[kind]:
+                raise ValueError(f"RLE {kind} code {symb} out of range")
+            tabs[kind] = _rle_table(symb)
+        elif mode == 2:
+            fb = _FwdBits(rest[k:])
+            probs, alog = fse_read_table_desc(fb, _MAX_ALOG[kind])
+            if len(probs) > _MAX_CODE[kind] + 1:
+                raise ValueError(f"{kind} table has out-of-range symbols")
+            tabs[kind] = fse_build_table(probs, alog)
+            k += fb.bytes_consumed()
+        else:
+            prev = st.get(f"{kind}_tab")
+            if prev is None:
+                raise ValueError(f"Repeat_Mode {kind} with no previous table")
+            tabs[kind] = prev
+        st[f"{kind}_tab"] = tabs[kind]
+    llt, oft, mlt = tabs["ll"], tabs["of"], tabs["ml"]
+
+    br = _BackBits(bytes(rest[k:]))
+    ll_s = br.read(llt.alog)
+    of_s = br.read(oft.alog)
+    ml_s = br.read(mlt.alog)
+    out = st["window"]
+    reps = st["reps"]
+    start = len(out)
+    lit_pos = 0
+    for i in range(nbseq):
+        of_code = oft.sym[of_s]
+        if of_code > 31:
+            raise ValueError("offset code out of range")
+        ov = (1 << of_code) + br.read(of_code)
+        ml_code = mlt.sym[ml_s]
+        ml = _ML_BASE[ml_code] + br.read(_ML_EXTRA[ml_code])
+        ll_code = llt.sym[ll_s]
+        ll = _LL_BASE[ll_code] + br.read(_LL_EXTRA[ll_code])
+        if i + 1 < nbseq:
+            ll_s = llt.base[ll_s] + br.read(llt.nbits[ll_s])
+            ml_s = mlt.base[ml_s] + br.read(mlt.nbits[ml_s])
+            of_s = oft.base[of_s] + br.read(oft.nbits[of_s])
+        if ov > 3:
+            offset = ov - 3
+            reps[:] = [offset, reps[0], reps[1]]
+        else:
+            idx = ov - 1 if ll > 0 else ov  # ll==0 shifts the repcode index
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps[:] = [offset, reps[0], reps[2]]
+            elif idx == 2:
+                offset = reps[2]
+                reps[:] = [offset, reps[0], reps[1]]
+            else:  # ll == 0 and ov == 3
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ValueError("repeated offset underflow")
+                reps[:] = [offset, reps[0], reps[1]]
+        if lit_pos + ll > len(lits):
+            raise ValueError("sequence consumes more literals than exist")
+        out += lits[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        if len(out) - start + ml > _BLOCK_OUT_CAP:
+            raise ValueError("block output implausibly large")
+        _match_copy(out, offset, ml)
+    if br.pos != 0:
+        raise ValueError("sequence bitstream has trailing bits")
+    out += lits[lit_pos:]
+    return len(out) - start
+
+
+# ---------------------------------------------------------------------------
+# Encoder: plants spec-valid entropy-coded frames so the query corpus
+# exercises every decoder path (and so tests can roundtrip).
+
+
+def _normalize_counts(counts: dict[int, int], alog: int) -> list[int]:
+    """Exact largest-remainder normalization of symbol counts to
+    2^alog, every present symbol >= 1.  Returns dense probs list."""
+    size = 1 << alog
+    total = sum(counts.values())
+    maxsym = max(counts)
+    if len(counts) > size:
+        raise ValueError("more symbols than table cells")
+    probs = [0] * (maxsym + 1)
+    rems = []
+    assigned = 0
+    for s, c in counts.items():
+        share = c * size / total
+        p = max(1, int(share))
+        probs[s] = p
+        assigned += p
+        rems.append((share - int(share), -c, s))
+    drift = size - assigned
+    rems.sort(reverse=True)
+    i = 0
+    while drift != 0:
+        _, _, s = rems[i % len(rems)]
+        if drift > 0:
+            probs[s] += 1
+            drift -= 1
+        elif probs[s] > 1:
+            probs[s] -= 1
+            drift += 1
+        i += 1
+        if i > 10 * size:
+            raise ValueError("normalization failed to converge")
+    return probs
+
+
+def _huf_assign_weights(data: bytes) -> list[int]:
+    """Weight per symbol 0..max(data) with sum(2^(w-1)) an exact power
+    of two (so the last-weight derivation closes)."""
+    hist: dict[int, int] = {}
+    for b in data:
+        hist[b] = hist.get(b, 0) + 1
+    if len(hist) < 2:
+        raise ValueError("Huffman planting needs >= 2 distinct symbols")
+    maxsym = max(hist)
+    weights = [0] * (maxsym + 1)
+    for s in hist:
+        weights[s] = 1
+    total = len(hist)
+    target = 1 << (total - 1).bit_length()
+    by_freq = sorted(hist, key=lambda s: -hist[s])
+    deficit = target - total
+    guard = 0
+    while deficit > 0:
+        for s in by_freq:
+            add = 1 << (weights[s] - 1)
+            if add <= deficit and weights[s] < _HUF_MAX_LOG:
+                weights[s] += 1
+                deficit -= add
+                break
+        guard += 1
+        if guard > 4096:
+            raise ValueError("weight assignment failed to converge")
+    return weights
+
+
+def _huf_codes(weights: list[int]) -> tuple[dict[int, tuple[int, int]], int]:
+    """Canonical (code, nbits) per symbol, mirroring the decode tiling."""
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    tlog = total.bit_length() - 1
+    if (1 << tlog) != total or tlog > _HUF_MAX_LOG:
+        raise ValueError("invalid weight total")
+    codes: dict[int, tuple[int, int]] = {}
+    idx = 0
+    for w in range(1, tlog + 1):
+        for s, ws in enumerate(weights):
+            if ws == w:
+                nb = tlog + 1 - w
+                codes[s] = (idx >> (w - 1), nb)
+                idx += 1 << (w - 1)
+    return codes, tlog
+
+
+def _huf_encode_stream(
+    data: bytes, codes: dict[int, tuple[int, int]]
+) -> bytes:
+    return _write_backstream([codes[b] for b in data])
+
+
+def _huf_tree_direct(weights: list[int]) -> bytes:
+    partial = weights[:-1]
+    n = len(partial)
+    if not 1 <= n <= 128:
+        raise ValueError("direct weights need 1..128 encoded symbols")
+    out = bytearray([127 + n])
+    for k in range(0, n, 2):
+        hi = partial[k] << 4
+        lo = partial[k + 1] if k + 1 < n else 0
+        out.append(hi | lo)
+    return bytes(out)
+
+
+def _huf_tree_fse(weights: list[int]) -> bytes:
+    """FSE-compressed weight stream: 2 interleaved states; the decoder
+    stops on bitstream overrun, so the stream carries exactly the
+    updates for weights[0..n-3] and the final update overruns."""
+    partial = weights[:-1]
+    n = len(partial)
+    if n < 2:
+        raise ValueError("FSE weights need >= 2 encoded symbols")
+    counts: dict[int, int] = {}
+    for w in partial:
+        counts[w] = counts.get(w, 0) + 1
+    alog = 6
+    probs = _normalize_counts(counts, alog)
+    if max(probs) == 1 << alog:
+        # a single-symbol full table has only 0-bit cells, so the
+        # decoder's stop-on-overrun would never fire; shave one cell
+        # onto a phantom weight value the stream never emits (encoder
+        # state paths only visit cells of emitted symbols)
+        big = probs.index(max(probs))
+        probs[big] -= 1
+        phantom = 0 if big != 0 else 1
+        while len(probs) <= phantom:
+            probs.append(0)
+        probs[phantom] += 1
+    table = fse_build_table(probs, alog)
+    desc = fse_write_table_desc(probs, alog)
+    chain0 = partial[0::2]
+    chain1 = partial[1::2]
+    enc = _FseEncoder(table)
+    # the chain whose LAST symbol is w[n-2] performs the overrunning
+    # phantom read: its final decode state must need >= 1 bit
+    last_chain = (n - 2) % 2
+    init0, upd0 = enc.encode(chain0, final_min_bits=1 if last_chain == 0 else 0)
+    init1, upd1 = enc.encode(chain1, final_min_bits=1 if last_chain == 1 else 0)
+    items = [(init0, alog), (init1, alog)]
+    for k in range(n - 2):  # updates 0..n-3 present; n-2 omitted (overrun)
+        items.append(upd0[k // 2] if k % 2 == 0 else upd1[k // 2])
+    stream = _write_backstream(items)
+    blob = desc + stream
+    if len(blob) >= 128:
+        raise ValueError("FSE weight description too large")
+    return bytes([len(blob)]) + blob
+
+
+def _ll_to_code(v: int) -> tuple[int, int, int]:
+    for code in range(35, -1, -1):
+        if v >= _LL_BASE[code]:
+            return code, v - _LL_BASE[code], _LL_EXTRA[code]
+    raise ValueError("bad literals length")
+
+
+def _ml_to_code(v: int) -> tuple[int, int, int]:
+    if v < 3:
+        raise ValueError("match length below minimum")
+    for code in range(52, -1, -1):
+        if v >= _ML_BASE[code]:
+            return code, v - _ML_BASE[code], _ML_EXTRA[code]
+    raise ValueError("bad match length")
+
+
+def _of_to_code(ov: int) -> tuple[int, int, int]:
+    if ov < 1:
+        raise ValueError("offset value below 1")
+    n = ov.bit_length() - 1
+    return n, ov - (1 << n), n
+
+
+def _seq_table(kind: str, mode: str, codes: list[int], st: dict):
+    """Resolve (mode_bits, header_bytes, table) for one symbol stream."""
+    if mode == "predef":
+        t = _predef(kind)
+        st[f"enc_{kind}"] = t
+        return 0, b"", t
+    if mode == "rle":
+        if len(set(codes)) != 1:
+            raise ValueError("RLE mode needs a single code value")
+        t = _rle_table(codes[0])
+        st[f"enc_{kind}"] = t
+        return 1, bytes([codes[0]]), t
+    if mode == "fse":
+        counts: dict[int, int] = {}
+        for c in codes:
+            counts[c] = counts.get(c, 0) + 1
+        alog = min(_MAX_ALOG[kind], max(5, (len(counts) - 1).bit_length() + 1))
+        probs = _normalize_counts(counts, alog)
+        t = fse_build_table(probs, alog)
+        st[f"enc_{kind}"] = t
+        return 2, fse_write_table_desc(probs, alog), t
+    if mode == "repeat":
+        t = st.get(f"enc_{kind}")
+        if t is None:
+            raise ValueError("repeat mode with no previous table")
+        return 3, b"", t
+    raise ValueError(f"unknown mode {mode}")
+
+
+def _apply_seqs(
+    window: bytearray, reps: list[int], lits: bytes, seqs: list[tuple[int, int, int]]
+) -> None:
+    """Encoder-side twin of sequence execution (content for FCS/xxh64)."""
+    pos = 0
+    for ll, ov, ml in seqs:
+        if ov > 3:
+            offset = ov - 3
+            reps[:] = [offset, reps[0], reps[1]]
+        else:
+            idx = ov - 1 if ll > 0 else ov
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps[:] = [offset, reps[0], reps[2]]
+            elif idx == 2:
+                offset = reps[2]
+                reps[:] = [offset, reps[0], reps[1]]
+            else:
+                offset = reps[0] - 1
+                reps[:] = [offset, reps[0], reps[1]]
+        window += lits[pos : pos + ll]
+        pos += ll
+        _match_copy(window, offset, ml)
+    window += lits[pos:]
+
+
+def build_compressed_block(
+    lits_kind: str,
+    lits: bytes,
+    seqs: list[tuple[int, int, int]],
+    modes: tuple[str, str, str],
+    st: dict,
+    *,
+    four_stream: bool = False,
+    tree: str = "direct",
+) -> bytes:
+    """Assemble one Compressed_Block body.  ``lits_kind``: raw / rle /
+    huf / huf_treeless; ``modes``: (ll, of, ml) sequence table modes."""
+    out = bytearray()
+    regen = len(lits)
+    if lits_kind == "raw":
+        if regen < 32:
+            out.append((regen << 3) | 0)
+        else:
+            out += struct.pack("<H", ((regen << 4) | 0x4 | 0))[:2]
+        out += lits
+    elif lits_kind == "rle":
+        if regen and lits != bytes([lits[0]]) * regen:
+            raise ValueError("rle literals must repeat one byte")
+        if regen < 32:
+            out.append((regen << 3) | 1)
+        else:
+            out += struct.pack("<H", ((regen << 4) | 0x4 | 1))[:2]
+        out.append(lits[0])
+    elif lits_kind in ("huf", "huf_treeless"):
+        if lits_kind == "huf":
+            weights = _huf_assign_weights(lits)
+            st["enc_huf"] = (weights, *_huf_codes(weights))
+            treedesc = (
+                _huf_tree_direct(weights) if tree == "direct" else _huf_tree_fse(weights)
+            )
+        else:
+            if "enc_huf" not in st:
+                raise ValueError("treeless literals with no previous tree")
+            treedesc = b""
+        weights, codes, tlog = st["enc_huf"]
+        for b in set(lits):
+            if weights[b] if b < len(weights) else 0:
+                continue
+            raise ValueError(f"literal {b} has no Huffman code")
+        if four_stream:
+            rs = (regen + 3) // 4
+            parts = [lits[i * rs : (i + 1) * rs] for i in range(3)]
+            parts.append(lits[3 * rs :])
+            if not parts[3]:
+                raise ValueError("4-stream needs a nonempty last stream")
+            encs = [_huf_encode_stream(p, codes) for p in parts]
+            body = treedesc + struct.pack(
+                "<HHH", len(encs[0]), len(encs[1]), len(encs[2])
+            ) + b"".join(encs)
+            sf = 1
+        else:
+            body = treedesc + _huf_encode_stream(lits, codes)
+            sf = 0
+        csize = len(body)
+        if regen >= 1 << 10 or csize >= 1 << 10:
+            raise ValueError("literals exceed the 10-bit size format")
+        ltype = 2 if lits_kind == "huf" else 3
+        v = ltype | (sf << 2) | (regen << 4) | (csize << 14)
+        out += v.to_bytes(3, "little")
+        out += body
+    else:
+        raise ValueError(f"unknown literals kind {lits_kind}")
+
+    nseq = len(seqs)
+    if nseq == 0:
+        out.append(0)
+        return bytes(out)
+    if nseq < 128:
+        out.append(nseq)
+    elif nseq < 0x7F00 + 255:
+        out.append(128 + (nseq >> 8))
+        out.append(nseq & 0xFF)
+    else:
+        out += bytes([255, (nseq - 0x7F00) & 0xFF, (nseq - 0x7F00) >> 8])
+    ll_items = [_ll_to_code(ll) for ll, _, _ in seqs]
+    of_items = [_of_to_code(ov) for _, ov, _ in seqs]
+    ml_items = [_ml_to_code(ml) for _, _, ml in seqs]
+    mll, hll, tll = _seq_table("ll", modes[0], [c for c, _, _ in ll_items], st)
+    mof, hof, tof = _seq_table("of", modes[1], [c for c, _, _ in of_items], st)
+    mml, hml, tml = _seq_table("ml", modes[2], [c for c, _, _ in ml_items], st)
+    out.append((mll << 6) | (mof << 4) | (mml << 2))
+    out += hll + hof + hml
+    e_ll = _FseEncoder(tll).encode([c for c, _, _ in ll_items])
+    e_of = _FseEncoder(tof).encode([c for c, _, _ in of_items])
+    e_ml = _FseEncoder(tml).encode([c for c, _, _ in ml_items])
+    items = [(e_ll[0], tll.alog), (e_of[0], tof.alog), (e_ml[0], tml.alog)]
+    for i in range(nseq):
+        items.append((of_items[i][1], of_items[i][2]))
+        items.append((ml_items[i][1], ml_items[i][2]))
+        items.append((ll_items[i][1], ll_items[i][2]))
+        if i + 1 < nseq:
+            items.append(e_ll[1][i])
+            items.append(e_ml[1][i])
+            items.append(e_of[1][i])
+    out += _write_backstream(items)
+    return bytes(out)
+
+
+def encode_compressed_frame(
+    block_specs: list[dict],
+    *,
+    window_log: int = 18,
+    checksum: bool = True,
+    with_fcs: bool = True,
+) -> tuple[bytes, bytes]:
+    """Assemble a full zstd frame of Compressed_Blocks (specs as taken
+    by ``build_compressed_block``; a spec may also be
+    ``{"kind": "raw_block", "data": ...}`` / ``rle_block``).  Returns
+    (frame bytes, decoded content) — content from the encoder-side
+    execution twin, which tests cross-check against the decoder."""
+    st: dict = {}
+    content = bytearray()
+    reps = [1, 4, 8]
+    bodies: list[tuple[int, bytes, int]] = []  # (btype, body, rle_size)
+    for spec in block_specs:
+        if spec.get("kind") == "raw_block":
+            content += spec["data"]
+            bodies.append((0, spec["data"], 0))
+            continue
+        if spec.get("kind") == "rle_block":
+            content += bytes([spec["byte"]]) * spec["size"]
+            bodies.append((1, bytes([spec["byte"]]), spec["size"]))
+            continue
+        body = build_compressed_block(
+            spec["lits_kind"],
+            spec["lits"],
+            spec["seqs"],
+            spec["modes"],
+            st,
+            four_stream=spec.get("four_stream", False),
+            tree=spec.get("tree", "direct"),
+        )
+        _apply_seqs(content, reps, spec["lits"], spec["seqs"])
+        bodies.append((2, body, 0))
+    out = bytearray()
+    fhd = 0
+    if checksum:
+        fhd |= 0x04
+    fcs_bytes = b""
+    if with_fcs:
+        fhd |= 0x80  # FCS code 2 -> 4-byte field
+        fcs_bytes = struct.pack("<I", len(content))
+    if not 10 <= window_log <= 41:
+        raise ValueError("window_log out of range")
+    out += struct.pack("<I", _ZSTD_MAGIC)
+    out.append(fhd)
+    out.append((window_log - 10) << 3)
+    out += fcs_bytes
+    for k, (btype, body, rle_size) in enumerate(bodies):
+        last = 1 if k == len(bodies) - 1 else 0
+        size = rle_size if btype == 1 else len(body)
+        out += (last | (btype << 1) | (size << 3)).to_bytes(3, "little")
+        out += body
+    if checksum:
+        out += struct.pack("<I", xxh64(bytes(content)) & 0xFFFFFFFF)
+    return bytes(out), bytes(content)
+
+
+# ---------------------------------------------------------------------------
+# Planted corpus: per doc one entropy-coded frame; doc_id % 5 picks the
+# decoder paths exercised (see variant table in the query docstring).
+
+
+def _zstd_entropy_payload(doc_id: int) -> bytes:
+    d = doc_id
+    v = d % 5
+    m = 5 + d % 31
+    kk = 6 + d % 13
+    t = 4 + d % 9
+
+    def f(j: int) -> int:
+        return (d * 7 + j) % 61
+
+    def g(j: int) -> int:
+        return (d * 11 + 3 * j) % 61
+
+    def fr(lo: int, n: int, fn) -> bytes:
+        return bytes(fn(j) for j in range(lo, lo + n))
+
+    if v == 0:
+        l1 = 40 + d % 57
+        specs = [
+            dict(
+                lits_kind="raw",
+                lits=fr(0, l1, f) + fr(0, t, g),
+                seqs=[(l1, l1 + 3, m), (0, 1, kk)],
+                modes=("predef", "predef", "predef"),
+            )
+        ]
+    elif v == 1:
+        l1 = 40 + d % 57
+        c0 = (d * 7) % 61
+        specs = [
+            dict(
+                lits_kind="rle",
+                lits=bytes([c0]) * (l1 + t),
+                seqs=[(l1, l1 + 3, m)],
+                modes=("rle", "rle", "rle"),
+            )
+        ]
+    elif v == 2:
+        l1 = 61 + d % 36
+        specs = [
+            dict(
+                lits_kind="huf",
+                lits=fr(0, l1, f) + fr(0, t, g),
+                seqs=[(l1, l1 + 3, m), (0, 1, kk)],
+                modes=("predef", "predef", "predef"),
+                tree="direct",
+            )
+        ]
+    elif v == 3:
+        l1 = 200 + d % 50
+        specs = [
+            dict(
+                lits_kind="huf",
+                lits=fr(0, l1, f) + fr(0, t, g),
+                seqs=[(l1, l1 + 3, m), (0, 1, kk)],
+                modes=("fse", "fse", "fse"),
+                four_stream=True,
+                tree="fse",
+            )
+        ]
+    else:
+        l1 = 70 + d % 30
+        l2 = 30 + d % 20
+        m2 = 4 + d % 7
+        t2 = 3 + d % 5
+
+        def f2(j: int) -> int:
+            return (d * 7 + 5 + j) % 61
+
+        def g2(j: int) -> int:
+            return (d * 13 + 2 * j) % 61
+
+        b1len = l1 + m + kk + t
+        specs = [
+            dict(
+                lits_kind="huf",
+                lits=fr(0, l1, f) + fr(0, t, g),
+                seqs=[(l1, l1 + 3, m), (0, 1, kk)],
+                modes=("predef", "predef", "predef"),
+                tree="direct",
+            ),
+            dict(
+                lits_kind="huf_treeless",
+                lits=fr(0, l2, f2) + fr(0, t2, g2),
+                seqs=[(l2, b1len + l2 + 3, m2)],
+                modes=("repeat", "repeat", "repeat"),
+            ),
+        ]
+    frame, _ = encode_compressed_frame(specs, window_log=18, checksum=True)
+    return frame
+
+
+_ENTROPY_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 5 AS variant,
+         5 + doc_id % 31 AS m,
+         6 + doc_id % 13 AS kk,
+         4 + doc_id % 9 AS t,
+         CASE doc_id % 5
+           WHEN 0 THEN 40 + doc_id % 57
+           WHEN 1 THEN 40 + doc_id % 57
+           WHEN 2 THEN 61 + doc_id % 36
+           WHEN 3 THEN 200 + doc_id % 50
+           ELSE 70 + doc_id % 30 END AS l1,
+         30 + doc_id % 20 AS l2,
+         4 + doc_id % 7 AS m2,
+         3 + doc_id % 5 AS t2
+  FROM documents),
+s AS (
+  SELECT doc_id, variant, m, kk, t, l1, l2, m2, t2,
+         (SELECT sum((doc_id*7 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(l1 AS INT))) AS u(j)) AS sf_l1,
+         (SELECT sum((doc_id*7 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(m AS INT))) AS u(j)) AS sf_m,
+         (SELECT sum((doc_id*11 + 3*(u.j - 1)) % 61)
+          FROM unnest(generate_series(1, CAST(t AS INT))) AS u(j)) AS sg_t,
+         kk * ((doc_id*7 + m - 1) % 61) AS rep_sum,
+         (SELECT sum((doc_id*7 + 5 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(l2 AS INT))) AS u(j)) AS sf2_l2,
+         (SELECT sum((doc_id*7 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(m2 AS INT))) AS u(j)) AS sf_m2,
+         (SELECT sum((doc_id*13 + 2*(u.j - 1)) % 61)
+          FROM unnest(generate_series(1, CAST(t2 AS INT))) AS u(j)) AS sg2_t2
+  FROM d)
+SELECT doc_id,
+       CAST(variant AS BIGINT) AS variant,
+       CAST(CASE WHEN variant = 4 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks,
+       CAST(CASE variant WHEN 1 THEN 1 WHEN 4 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_sequences,
+       CAST(CASE WHEN variant = 4 THEN l1 + t + l2 + t2 ELSE l1 + t END
+            AS BIGINT) AS n_literals,
+       CAST(CASE variant
+              WHEN 1 THEN l1 + m + t
+              WHEN 4 THEN l1 + m + kk + t + l2 + m2 + t2
+              ELSE l1 + m + kk + t END AS BIGINT) AS content_len,
+       CAST(CASE variant
+              WHEN 1 THEN ((doc_id*7) % 61) * (l1 + m + t)
+              WHEN 4 THEN sf_l1 + sf_m + rep_sum + sg_t + sf2_l2 + sf_m2 + sg2_t2
+              ELSE sf_l1 + sf_m + rep_sum + sg_t END AS BIGINT) AS content_sum,
+       CAST(CASE WHEN variant IN (2, 3, 4) THEN 6 ELSE 0 END AS BIGINT)
+         AS huf_tlog,
+       CAST(18 AS BIGINT) AS window_log
+FROM s
+"""
+
+
+@query("mm_decode_zstd_entropy_stats", oracle=_ENTROPY_ORACLE)
+def mm_decode_zstd_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard ENTROPY decoding end-to-end (round 10, closing the one
+    format where round 8's walk stopped at framing): per document a
+    spec-valid frame of Compressed_Blocks is built and REALLY decoded —
+    FSE table descriptions and tANS state machines, canonical Huffman
+    literals (direct + FSE-compressed weight trees, 1- and 4-stream),
+    predefined/RLE/FSE/Repeat sequence-table modes, Treeless literals,
+    repeated-offset resolution (incl. the ll==0 shift), cross-block
+    window copies, and a VERIFIED XXH64 content checksum.  Variants by
+    doc_id%5: 0 raw-literals+predefined, 1 RLE-literals+RLE-modes,
+    2 Huffman-1-stream direct tree, 3 Huffman-4-stream FSE tree +
+    FSE-coded sequence tables, 4 two blocks with Treeless+Repeat
+    continuation and a cross-block match.  The decoder is additionally
+    golden-verified in tests against real libzstd output; the oracle
+    re-derives every statistic from the planting formulas."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [_zstd_entropy_payload(int(x)) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    mm = docs.mapInPandas(encode_batches, schema="doc_id long, payload binary")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal13 import decode_zstd_frames
+
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_zstd_frames(bytes(p))
+                fr0 = meta["frames"][0]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "variant": int(did) % 5,
+                        "n_blocks": fr0["n_blocks"],
+                        "n_sequences": fr0["n_sequences"],
+                        "n_literals": fr0["n_literals"],
+                        "content_len": fr0["content_len"],
+                        "content_sum": sum(meta["content"]),
+                        "huf_tlog": fr0["huf_tlog"],
+                        "window_log": fr0["window_log"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, variant long, n_blocks long, n_sequences long, "
+        "n_literals long, content_len long, content_sum long, "
+        "huf_tlog long, window_log long",
+    )

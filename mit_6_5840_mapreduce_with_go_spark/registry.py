@@ -159,6 +159,7 @@ def load_all() -> None:
         multimodal11,
         multimodal12,
         multimodal13,
+        multimodal14,
         parquet_footer,
         pipelines,
         privacy,

@@ -38,10 +38,11 @@ def test_rejections():
     struct.pack_into("<I", bad, 6, 999)
     with pytest.raises(ValueError, match="FCS declared"):
         M.decode_zstd_frames(bytes(bad))
-    # compressed block type rejected
+    # compressed block type now DECODES (round 10 entropy layer);
+    # a garbage body must still be rejected, not crash
     bh = (1 | (2 << 1) | (5 << 3)).to_bytes(3, "little")
     frame = good[:10] + bh + b"12345"
-    with pytest.raises(ValueError, match="Compressed_Block"):
+    with pytest.raises(ValueError):
         M.decode_zstd_frames(frame)
     # reserved FHD bit
     bad = bytearray(good)
