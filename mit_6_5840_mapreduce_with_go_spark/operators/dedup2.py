@@ -148,6 +148,13 @@ def ppjoin_pairs(sh: DataFrame) -> DataFrame:
         )
         .select("a", "b")
     )
+    return _ppjoin_verify(cand, sh)
+
+
+def _ppjoin_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact integer-Jaccard verification of candidate pairs: two
+    shingle-keyed joins count the intersection; sizes come from the
+    element table; no float in the decision."""
     sz = sh.select("doc_id", "n_shingles").distinct()
     inter = (
         cand.join(
@@ -181,6 +188,166 @@ def ppjoin_pairs(sh: DataFrame) -> DataFrame:
         .cast("long")
         .alias("jacc_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate-budget kill-switch (round 10, VERDICT r9 #6).  PPJoin's
+# candidate work is sum(pf(s)^2) over prefix-element frequencies pf; a
+# shingle-dense adversarial input can push a few elements' pf high
+# enough to make the self-join quadratic SILENTLY.  The capped variant
+# excludes prefix elements with pf > cap from candidate generation
+# (bounding per-element work at cap^2, i.e. total work linear in the
+# element count) and REPORTS each excluded element as an overflow
+# accounting row — worst-case inputs degrade to a flagged partial
+# instead of a runaway join, mirroring the MinHash-LSH bucket cap.
+#
+# Reported subset semantics (what the oracle re-derives exactly):
+# a pair appears iff Jaccard >= t AND the pair shares at least one
+# NON-overflow prefix element.  The positional prune is NOT applied
+# here: its overlap bound is only valid for the first common prefix
+# element under the global order, and capping can remove that witness,
+# which would turn the prune from exact into lossy.  The length filter
+# (pure size arithmetic) remains.
+# --------------------------------------------------------------------------
+
+_PPJOIN_CAP = 2  # pinned low so the driver corpus exercises the overflow path
+
+
+def ppjoin_pairs_capped(
+    sh: DataFrame, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """PPJoin with a per-prefix-element candidate budget.  Returns
+    (verified pairs among capped candidates, overflow census rows
+    (s, pf) for prefix elements whose frequency exceeded the cap)."""
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_tbl, "s").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
+    )
+    prefix_len = (
+        F.col("n_shingles")
+        - ((F.col("n_shingles") * _T_NUM + _T_DEN - 1) / _T_DEN).cast("long")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "doc_id", "s", "n_shingles"
+    )
+    pf = prefix.groupBy("s").agg(F.count(F.lit(1)).alias("pf"))
+    overflow = pf.filter(F.col("pf") > cap)
+    pre_ok = prefix.join(pf.filter(F.col("pf") <= cap).select("s"), "s")
+    x = pre_ok.select(
+        F.col("doc_id").alias("a"), "s", F.col("n_shingles").alias("nxa")
+    )
+    y = pre_ok.select(
+        F.col("doc_id").alias("b"), "s", F.col("n_shingles").alias("nxb")
+    )
+    cand = (
+        x.join(y, "s")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (_T_NUM * F.col("nxa") <= _T_DEN * F.col("nxb"))
+            & (_T_NUM * F.col("nxb") <= _T_DEN * F.col("nxa"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return _ppjoin_verify(cand, sh), overflow
+
+
+@query(
+    "dedup_ppjoin_capped",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[p + 1] || ' ' || toks[p + 2] || ' ' || toks[p + 3] AS s
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS p
+            FROM t0 WHERE len(toks) >= 3)),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM sh GROUP BY doc_id),
+    dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+    ranked AS (
+      SELECT sh.doc_id, sh.s,
+             row_number() OVER (PARTITION BY sh.doc_id
+                                ORDER BY dfq.df ASC, sh.s ASC) AS rn,
+             sz.n AS n
+      FROM sh JOIN dfq ON dfq.s = sh.s JOIN sz ON sz.doc_id = sh.doc_id),
+    prefix AS (
+      SELECT * FROM ranked
+      WHERE rn <= n - ((n * {_T_NUM} + {_T_DEN} - 1) // {_T_DEN}) + 1),
+    pf AS (SELECT s, CAST(count(*) AS BIGINT) AS pf FROM prefix GROUP BY s),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM prefix x
+      JOIN prefix y ON x.s = y.s AND x.doc_id < y.doc_id
+      JOIN pf ON pf.s = x.s AND pf.pf <= {_PPJOIN_CAP}
+      WHERE {_T_NUM} * x.n <= {_T_DEN} * y.n
+        AND {_T_NUM} * y.n <= {_T_DEN} * x.n),
+    inter AS (
+      SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a
+      JOIN sh y ON y.doc_id = c.b AND y.s = x.s
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT 'pair' AS kind, CAST(NULL AS VARCHAR) AS s,
+             inter.a, inter.b, i AS inter, sa.n AS na, sb.n AS nb,
+             CAST(1000000 * i // (sa.n + sb.n - i) AS BIGINT) AS jacc_micro
+      FROM inter
+      JOIN sz sa ON sa.doc_id = inter.a
+      JOIN sz sb ON sb.doc_id = inter.b
+      WHERE {_T_DEN} * i >= {_T_NUM} * (sa.n + sb.n - i))
+    SELECT * FROM pairs
+    UNION ALL
+    SELECT 'overflow', s, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           pf, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM pf WHERE pf > {_PPJOIN_CAP}
+    """,
+)
+def dedup_ppjoin_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin with the candidate-budget kill-switch engaged (cap
+    pinned at {cap} prefix occurrences so the driver corpus exercises
+    the overflow path): verified pairs reachable through in-budget
+    prefix elements, UNION the overflow accounting rows.  The oracle
+    re-derives BOTH halves — the capped candidate rule and the census —
+    so the degraded-mode semantics are pinned cross-engine, not just
+    the happy path."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    sh = (
+        _shingles(docs)
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.explode("shingles").alias("s"),
+        )
+    )
+    pairs, overflow = ppjoin_pairs_capped(sh, _PPJOIN_CAP)
+    nul = F.lit(None).cast("long")
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.lit(None).cast("string").alias("s"),
+        "a",
+        "b",
+        "inter",
+        "na",
+        "nb",
+        "jacc_micro",
+    )
+    over_rows = overflow.select(
+        F.lit("overflow").alias("kind"),
+        "s",
+        nul.alias("a"),
+        nul.alias("b"),
+        F.col("pf").cast("long").alias("inter"),
+        nul.alias("na"),
+        nul.alias("nb"),
+        nul.alias("jacc_micro"),
+    )
+    return pair_rows.unionAll(over_rows)
 
 
 # --------------------------------------------------------------------------

@@ -151,3 +151,26 @@ def test_cc_two_phase_raises_without_convergence(spark):
         for r in D.cc_two_phase(pairs).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_capped_ppjoin_subset_and_overflow(spark):
+    """The capped variant reports a SUBSET of the exact pairs, every
+    missing pair is explainable by overflowed witnesses, and the
+    overflow census matches the prefix-frequency rule."""
+    docs = load_table(spark, SF, "documents")
+    sh = _shingles(docs).select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("s")
+    )
+    pairs, overflow = D.ppjoin_pairs_capped(sh, D._PPJOIN_CAP)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    full = {
+        (r["a"], r["b"]) for r in D.ppjoin_pairs(sh).collect()
+    }
+    assert got <= full
+    over = {r["s"]: r["pf"] for r in overflow.collect()}
+    assert over, "driver corpus should exercise the overflow path"
+    assert all(pf > D._PPJOIN_CAP for pf in over.values())
+    # with an effectively-unbounded budget the kill-switch is a no-op
+    pairs_all, overflow_all = D.ppjoin_pairs_capped(sh, 10**9)
+    assert {(r["a"], r["b"]) for r in pairs_all.collect()} == full
+    assert overflow_all.count() == 0
