@@ -83,6 +83,9 @@ HEADLINE = [
     "dedup_ppjoin_shingles",
     "dedup_cc_two_phase",
     "table_delta_log_replay",
+    # round-10 flagship (NEW in r10 — subtract when comparing totals to
+    # earlier rounds): full zstd entropy decode (FSE/Huffman/sequences)
+    "mm_decode_zstd_entropy_stats",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]
@@ -125,6 +128,41 @@ def _wait_for_quiet_host() -> list[float]:
         time.sleep(_LOAD_POLL_SECONDS)
         load = _loadavg()
     return load
+
+
+def _plan_fingerprint(df) -> str:
+    """Normalized physical-plan signature (exprIds/plan-ids/paths
+    stripped): a plan regression that stays under the timing noise
+    floor still flips the fingerprint, so BENCH artifacts can be
+    diffed structurally round over round (VERDICT r9 #5)."""
+    import hashlib
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = re.sub(r"#\d+", "#", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
+    plan = re.sub(r"\[id=[^\]]*\]", "", plan)
+    plan = re.sub(r"(file|dbfs|s3a?):[^\s,\])]*", "path:", plan)
+    plan = re.sub(r"isFinalPlan=\w+", "", plan)
+    lines = [ln.strip(" :+-*()") for ln in plan.splitlines() if ln.strip()]
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def _previous_plan_fps() -> tuple[int, dict[str, str]]:
+    """Latest BENCH_r{N}.json in the repo root that carries plan_fp."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, fps = -1, {}
+    for fname in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, fname)) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if "plan_fp" in data and int(m.group(1)) > best:
+            best, fps = int(m.group(1)), data["plan_fp"]
+    return best, fps
 
 
 def main() -> None:
@@ -179,6 +217,19 @@ def main() -> None:
         spreads[name] = round(max(samples) / min(samples), 2)
 
     total = round(sum(timings.values()), 3)
+    # structural plan fingerprints (no execution: plan-build only) and
+    # the diff against the most recent artifact that carries them
+    plan_fp: dict[str, str] = {}
+    for name in HEADLINE:
+        try:
+            plan_fp[name] = _plan_fingerprint(queries[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - fingerprinting is advisory
+            plan_fp[name] = f"error:{type(exc).__name__}"
+    prev_round, prev_fps = _previous_plan_fps()
+    plan_changed = sorted(
+        n for n, fp in plan_fp.items() if prev_fps and prev_fps.get(n) not in (None, fp)
+    )
+    plan_new = sorted(n for n in plan_fp if prev_fps and n not in prev_fps)
     # Host-load context: the shared runner carries heavy EXTERNAL load
     # bursts (observed loadavg 1-4 with no repo process running), which
     # inflate identical-commit totals by 1.3-1.9x uniformly across
@@ -211,6 +262,10 @@ def main() -> None:
                 "load_contaminated": load_contaminated,
                 "spread_flagged": spread_flagged,
                 "contaminated": load_contaminated or bool(spread_flagged),
+                "plan_fp": plan_fp,
+                "plan_fp_prev_round": prev_round if prev_fps else None,
+                "plan_changed": plan_changed,
+                "plan_new": plan_new,
             }
         )
     )

@@ -18,12 +18,12 @@ billions of keys. The per-batch fold is O(ops in batch) with no
 cross-key traffic.
 
 Environment note: transformWithState's Python protocol requires the
-``google.protobuf`` package, which this container ships broken (empty
-namespace package, and installs are disallowed). The implementation is
-complete and the equivalence test (tests/test_streaming2.py) skips
-ONLY when ``google.protobuf.descriptor`` is unimportable — on an
-environment with protobuf present the three-way equality executes
-end to end.
+``google.protobuf`` package, which this container does not ship (and
+installs are disallowed).  Since round 10, tests/conftest.py bridges
+to the pure-Python protobuf 6.32.0 runtime already present inside the
+system Google Cloud SDK (tests/_protobuf_vendor/README.md), so the
+three-way equality test EXECUTES end to end here — no skip remains.
+On a machine with a real protobuf install the bridge is inert.
 """
 
 from __future__ import annotations
@@ -37,7 +37,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql import types as T
 
-from .kv_state import OUTPUT_SCHEMA, STATE_SCHEMA
+from .kv_state import OUTPUT_SCHEMA
+
+# transformWithState value-state schema: exactly the tuple the
+# processor stores.  (kv_state.py's applyInPandasWithState twin keeps
+# two extra bookkeeping fields; borrowing its 6-field schema here made
+# the state server reject every update with STRUCT_ARRAY_LENGTH_MISMATCH
+# — a latent bug for as long as the protobuf env-skip kept this
+# processor from ever executing, caught in round 10 the moment the
+# bridged protobuf runtime let the protocol run for real.)
+TWS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("n_ok", T.LongType()),
+        T.StructField("n_errversion", T.LongType()),
+    ]
+)
 
 
 class CasProcessor(StatefulProcessor):
@@ -46,7 +62,7 @@ class CasProcessor(StatefulProcessor):
     increments the ErrVersion counter and leaves state unchanged."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._state = handle.getValueState("cas", STATE_SCHEMA)
+        self._state = handle.getValueState("cas", TWS_STATE_SCHEMA)
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
