@@ -43,78 +43,79 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # families, and the round-5/6 multimodal suite; the round-7 window
 # closed the ledger at 277/277 (every registered query driver-green at
 # least once, CORRECTNESS_r01-r07.json).  From round 8 on the window is
-# a ROLLING REGRESSION GATE.  The round-9 window: the 15 round-8
-# post-freeze queries (the only rows with no hard driver-green record —
-# container formats, crawl frontier, PPJoin/CC, CSV, DSIR), 9 NEW
-# round-9 queries (politeness scheduler, natural-text PPJoin, total
-# triage + quarantine census, ORC footer, Delta log replay + time
-# travel, Iceberg census, streaming-frontier final state), 2 CHANGED queries (robots $-anchor fix + corpus
-# extension; image-builder refactor), and the 26 STALEST driver-green
-# rows (last verified in round 2: the TPC-H tranche and the first
-# ANN/text rows) — oldest evidence refreshes first.  Everything rotated out stays
-# mirror-checked by tools/check_correctness.py over all queries at
-# three SFs.
+# a ROLLING REGRESSION GATE under a freshness SLA (VERDICT r9 #2):
+# each round the window carries (a) every NEW query, (b) every CHANGED
+# query, then (c) fills to 50 with the rows whose hard driver-green
+# evidence is OLDEST in the cumulative CORRECTNESS_r* ledger — so no
+# row's driver evidence ages past ~5 rounds.  The round-10 window: 2
+# new (zstd entropy layer, capped PPJoin), 4 changed (total zstd walk,
+# ORC bound, dispatcher payload builder), the 21 rows last verified in
+# round 2, and the 23 oldest round-4 rows.  Everything rotated out
+# stays mirror-checked by tools/check_correctness.py over all queries
+# at three SFs.
 WINDOW_PRIORITY: list[str] = [
-    # Round-8 post-freeze queries: registered after the round-8 window
-    # froze, so these 15 are the only rows with no hard driver-green
-    # record (judge mirror-verified all 15 in round 8) — head of the
-    # round-9 window per VERDICT r8 #1.
-    "mm_decode_avro_stats",
-    "text_html_links_stats",
-    "crawl_sitemap_stats",
-    "crawl_url_frontier_stats",
-    "curation_dsir_weights",
-    "dedup_ppjoin_shingles",
-    "dedup_cc_two_phase",
+    # --- Round-10 window ---
+    # New this round (never driver-verified): the zstd entropy layer
+    # and the PPJoin candidate-budget kill-switch
+    "mm_decode_zstd_entropy_stats",
+    "dedup_ppjoin_capped",
+    # Changed this round (re-verification): the zstd frame walker is
+    # now total (compressed blocks decode; checksums verified), the ORC
+    # footer bound tightened (ADVICE r9), the total dispatcher's image
+    # family map was made explicit (payload builder touched)
     "mm_decode_zstd_stats",
-    "mm_safetensors_stats",
-    "mm_decode_npz_stats",
-    "mm_decode_tfrecord_stats",
-    "mm_tfrecord_source_stats",
-    "mm_container_auto_dispatch_stats",
-    "ingest_csv_permissive_stats",
-    "mm_id3_tags_stats",
-    # New round-9 queries (never driver-verified)
-    "crawl_schedule_stats",
-    "dedup_ppjoin_zipf",
-    "mm_any_auto_dispatch_stats",
     "mm_decode_orc_stats",
-    "table_delta_log_replay",
-    "table_iceberg_manifest_census",
+    "mm_any_auto_dispatch_stats",
     "mm_any_auto_quarantine_stats",
-    "table_delta_time_travel",
-    "stream_frontier_final_state",
-    # Changed this round (re-verification): the robots $-anchor fix
-    # extended the planted corpus; the image-payload builder refactor
-    # touched the image auto-dispatch corpus
-    "crawl_robots_stats",
-    "mm_decode_auto_dispatch_stats",
-    # Stalest rows: last driver-verified in round 2 (first 24 of 45;
-    # the remaining 21 r2-era rows head the round-10 backlog)
-    "q2_min_cost_supplier",
-    "q3_top_revenue_orders",
-    "q4_late_shipment_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_item_customers",
-    "q11_important_parts",
-    "q12_priority_lateness",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_dominant_part_suppliers",
-    "q21_sole_blame_suppliers",
-    "q22_inactive_wealthy_customers",
-    "pipeline_train_val_test_split",
-    "sim_topk_bruteforce",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
+    # Freshness SLA (VERDICT r9 #2): the 21 rows whose last hard
+    # driver-green evidence dates to round 2 — after this window no
+    # registry row's driver evidence is older than round 4
+    "mr_wordcount_gutenberg",
+    "events_sessionization",
+    "sim_tfidf_topk",
+    "text_repetition_quality",
+    "pipeline_contamination_check",
+    "pipeline_pack_sequences",
+    "dedup_incremental_batch",
+    "mm_pca_power_iteration",
+    "eval_quality_auc",
+    "maintenance_ivm_join_view",
+    "layout_zorder_buckets",
+    "asof_join_last_order_before_event",
+    "sketch_distinct_users",
+    "sketch_countmin_user_counts",
+    "scd2_user_value_history",
+    "sim_topk_pq_adc",
+    "sim_mmr_rerank",
+    "sketch_cms_sliding_counts",
+    "text_quality_score",
+    "events_time_weighted_avg",
+    "vocab_bpe_merges",
+    # ...and the 23 oldest round-4 rows (the remaining 25 r4-era rows
+    # head the round-11 backlog)
+    "dedup_clusters",
+    "dedup_keep_best",
+    "graph_pagerank_dup_clusters",
+    "graph_triangle_census",
+    "graph_khop_reachability",
+    "cluster_silhouette_simplified",
+    "pipeline_curated_documents",
+    "pipeline_drop_reasons",
+    "pipeline_domain_cap",
+    "pipeline_pretrain_corpus",
+    "pipeline_quality_resample",
+    "pipeline_corpus_composition",
+    "pipeline_paragraph_dedup",
+    "pipeline_chunk_documents",
+    "pipeline_group_split",
+    "pipeline_weighted_sample",
+    "pipeline_mixture_weights",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_minhash_xengine",
+    "dedup_minhash_pr_eval",
+    "eval_calibration_bins",
+    "eval_threshold_sweep",
 ]
 
 

@@ -175,6 +175,207 @@ SF1_QUERIES = [
     "udtf_doc_sentences_arrow",
     "asof_join_next_purchase_after_error",
     "maintenance_snapshot_diff",
+    # round-10 extension (VERDICT r9 #1): the FULL registry —
+    # every remaining registered query gains a decade row, so the
+    # sf1 mirror no longer has an unmeasured tail
+    "anti_customers_without_orders",
+    "array_agg_supplier_profile",
+    "asof_join_last_order_before_event",
+    "audit_benford_prices",
+    "audit_data_contracts",
+    "audit_order_lineitem_recon",
+    "behavior_journey_similarity",
+    "bool_agg_discount_profile",
+    "cluster_silhouette_simplified",
+    "cube_status_priority",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_minhash_pr_eval",
+    "dedup_minhash_xengine",
+    "dedup_pairs_edit_distance",
+    "dedup_ppjoin_capped",
+    "dedup_simhash",
+    "eval_ann_sign_test",
+    "eval_calibration_bins",
+    "eval_conformal_coverage",
+    "eval_markov_next_event",
+    "eval_quality_auc",
+    "eval_threshold_sweep",
+    "events_ab_welch_t",
+    "events_attribution_models",
+    "events_cusum_drift",
+    "events_ewma_value",
+    "events_funnel_conversion",
+    "events_gap_fill_hourly",
+    "events_holt_smoothing",
+    "events_hourly_type_counts",
+    "events_json_props_extract",
+    "events_kaplan_meier",
+    "events_leadlag_xcorr",
+    "events_mad_outliers",
+    "events_ohlc_bars",
+    "events_rate_anomaly",
+    "events_rolling_median",
+    "events_seasonal_naive_eval",
+    "events_seasonality_profile",
+    "events_theilsen_daily_trend",
+    "events_time_weighted_avg",
+    "events_trailing_hour_stats",
+    "events_user_activity",
+    "events_value_histogram",
+    "events_value_outliers",
+    "events_value_trend",
+    "groupingsets_flag_status",
+    "join_cross_region_nation",
+    "join_full_outer_nation_balance",
+    "join_segment_order_stats",
+    "kv_get_lookup",
+    "maintenance_compaction_bins",
+    "maintenance_ivm_agg_retraction",
+    "maintenance_ivm_join_view",
+    "mm_any_auto_quarantine_stats",
+    "mm_audio_vad_segments",
+    "mm_binary_features",
+    "mm_container_auto_dispatch_stats",
+    "mm_decode_frames",
+    "mm_decode_gif_stats",
+    "mm_decode_jpeg422_stats",
+    "mm_decode_jpeg_progressive_color_stats",
+    "mm_decode_jpeg_stats",
+    "mm_decode_png_stats",
+    "mm_decode_ppm_stats",
+    "mm_decode_qoi_stats",
+    "mm_decode_quarantine_stats",
+    "mm_decode_wav_stats",
+    "mm_decode_zstd_entropy_stats",
+    "mm_dedup_audio_fingerprint",
+    "mm_dedup_image_pr_eval",
+    "mm_embedding_dim_stats",
+    "mm_embedding_drift_psi",
+    "mm_jl_projection",
+    "mm_quantize_embeddings",
+    "mm_resize_plan",
+    "mm_video_frame_sample",
+    "mm_video_keyframes",
+    "mm_video_shot_boundaries",
+    "mr_doc_line_counts",
+    "mr_inverted_index",
+    "mr_nocrash_stats",
+    "mr_wordcount",
+    "mr_wordcount_gutenberg",
+    "percentile_prices_by_status",
+    "pii_doc_redaction",
+    "pii_scrub_stats",
+    "pipeline_contamination_check",
+    "pipeline_corpus_composition",
+    "pipeline_curated_documents",
+    "pipeline_drop_reasons",
+    "pipeline_labels_asof_features",
+    "pipeline_mixture_weights",
+    "pipeline_mixture_weights_exact",
+    "pipeline_padding_waste",
+    "pipeline_quality_resample",
+    "pipeline_stratified_sample_by_lang",
+    "pipeline_train_val_test_split",
+    "pipeline_weighted_sample",
+    "pivot_qty_by_linestatus",
+    "posexplode_doc_tokens",
+    "privacy_dp_noisy_counts",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "profile_fk_candidates",
+    "profile_orders_columns",
+    "q10_returned_item_customers",
+    "q11_important_parts",
+    "q12_priority_lateness",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_part_suppliers",
+    "q21_sole_blame_suppliers",
+    "q22_inactive_wealthy_customers",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_late_shipment_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "range_join_error_context",
+    "rollup_flag_status",
+    "salted_user_event_counts",
+    "sample_hash_orders",
+    "scalar_datetime_breadth",
+    "scalar_order_dates",
+    "scalar_part_features",
+    "scalar_string_breadth",
+    "scalar_subquery_near_max",
+    "scd2_user_value_history",
+    "semi_customers_with_orders",
+    "setop_multiset_lineflags",
+    "setop_nations_cust_vs_supp",
+    "sim_ann_ndcg_eval",
+    "sim_ann_recall_eval",
+    "sim_ivf_incremental_update",
+    "sim_label_cohesion",
+    "sim_matryoshka_prefix_recall",
+    "sketch_cms_join_size",
+    "sketch_countmin_user_counts",
+    "sketch_distinct_users",
+    "sketch_kmv_distinct_users",
+    "sketch_quantile_histogram",
+    "skyline_orders_cheap_early",
+    "stats_approx_groupby_eval",
+    "stats_chi2_independence",
+    "stats_correlation_matrix",
+    "stats_diff_in_diff",
+    "stats_key_skew_profile",
+    "stats_ks_two_sample",
+    "stats_lorenz_gini",
+    "stats_poisson_bootstrap_ci",
+    "stats_price_moments",
+    "stats_shrunken_source_value",
+    "stats_winsorized_moments",
+    "stream_cdc_final_state",
+    "subquery_above_nation_avg_balance",
+    "text_boilerplate_ngrams",
+    "text_bpe_token_count",
+    "text_char_entropy",
+    "text_collocations_pmi",
+    "text_fingerprint",
+    "text_heaps_law",
+    "text_heaps_law_gutenberg",
+    "text_keywords_tfidf",
+    "text_lang_guess",
+    "text_langid_confusion",
+    "text_ngram_novelty",
+    "text_phrase_search",
+    "text_quality_classifier_linear",
+    "text_quality_score",
+    "text_repetition_quality",
+    "text_token_stats",
+    "text_tokenizer_fertility",
+    "text_unigram_logprob",
+    "text_vocab_coverage",
+    "text_zipf_fit",
+    "topk_expensive_orders",
+    "udaf_interdecile_value_spread",
+    "udaf_median_event_gap",
+    "udtf_doc_sentences",
+    "unpivot_customer_metrics",
+    "vocab_bpe_apply",
+    "vocab_bpe_roundtrip",
+    "window_dist_rank_breadth",
+    "window_first_last_ignore_nulls",
+    "window_lag_order_gap_days",
+    "window_ntile_rank_lead",
+    "window_top3_orders_per_customer",
 ]
 
 
