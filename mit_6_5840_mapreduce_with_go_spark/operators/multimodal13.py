@@ -104,11 +104,19 @@ def encode_zstd_raw(
     return bytes(out)
 
 
-def decode_zstd_frames(payload: bytes) -> dict:
+def decode_zstd_frames(payload: bytes, dictionaries: dict | None = None) -> dict:
     """REAL RFC 8878 frame walk (see module docstring).  Returns
     ``content`` (decoded bytes across all standard frames), per-frame
     metadata, and the skippable-frame census.  Raises ValueError on
-    malformed/unsupported input."""
+    malformed/unsupported input.
+
+    ``dictionaries`` maps dictionary ID -> structured dictionary (raw
+    bytes, or the output of ``multimodal14.parse_zstd_dictionary``); a
+    frame whose Dictionary_ID is present gets the dictionary's content
+    as its match-window prefix, its entropy tables for Treeless/Repeat
+    modes, and its initial repeat offsets (RFC 8878 §5).  IDs not
+    provided keep the round-8 lenient behavior (decode proceeds; a
+    block actually needing the dictionary fails cleanly)."""
     i, n = 0, len(payload)
     content = bytearray()
     frames = []
@@ -168,11 +176,27 @@ def decode_zstd_frames(payload: bytes) -> dict:
         else:
             fcs = None
         i += fcs_size
-        frame_content = bytearray()
         # frame-level entropy state (round 10): window buffer, Huffman
         # table for Treeless_Literals, FSE tables for Repeat_Mode, the
-        # three repeated offsets (reset to 1/4/8 per frame, RFC 8878)
-        est = {"window": frame_content, "huf": None, "reps": [1, 4, 8]}
+        # three repeated offsets (reset to 1/4/8 per frame, RFC 8878).
+        # A referenced dictionary seeds all four (base marks where the
+        # frame's own content starts inside the window).
+        window = bytearray()
+        base = 0
+        est = {"window": window, "huf": None, "reps": [1, 4, 8]}
+        if dict_id and dictionaries and dict_id in dictionaries:
+            from .multimodal14 import parse_zstd_dictionary
+
+            d = dictionaries[dict_id]
+            if isinstance(d, (bytes, bytearray)):
+                d = parse_zstd_dictionary(bytes(d))
+            window += d["content"]
+            base = len(window)
+            est["huf"] = d["huf"]
+            est["reps"] = list(d["reps"])
+            est["ll_tab"] = d["ll_tab"]
+            est["of_tab"] = d["of_tab"]
+            est["ml_tab"] = d["ml_tab"]
         n_blocks = 0
         while True:
             if i + 3 > n:
@@ -183,12 +207,12 @@ def decode_zstd_frames(payload: bytes) -> dict:
             if btype == 0:  # Raw
                 if i + bsize > n:
                     raise ValueError("truncated raw block")
-                frame_content += payload[i : i + bsize]
+                window += payload[i : i + bsize]
                 i += bsize
             elif btype == 1:  # RLE
                 if i >= n:
                     raise ValueError("truncated RLE block byte")
-                frame_content += bytes([payload[i]]) * bsize
+                window += bytes([payload[i]]) * bsize
                 i += 1
             elif btype == 2:  # entropy-coded (FSE/Huffman), round 10
                 from .multimodal14 import decode_compressed_block
@@ -202,10 +226,10 @@ def decode_zstd_frames(payload: bytes) -> dict:
             n_blocks += 1
             if last:
                 break
-        if fcs is not None and len(frame_content) != fcs:
+        frame_len = len(window) - base
+        if fcs is not None and frame_len != fcs:
             raise ValueError(
-                f"frame content is {len(frame_content)} bytes, "
-                f"FCS declared {fcs}"
+                f"frame content is {frame_len} bytes, FCS declared {fcs}"
             )
         if checksum:
             if i + 4 > n:
@@ -213,7 +237,7 @@ def decode_zstd_frames(payload: bytes) -> dict:
             from .multimodal14 import xxh64
 
             (stored,) = struct.unpack("<I", payload[i : i + 4])
-            if xxh64(bytes(frame_content)) & 0xFFFFFFFF != stored:
+            if xxh64(bytes(window[base:])) & 0xFFFFFFFF != stored:
                 raise ValueError("content checksum mismatch")
             i += 4
         frames.append(
@@ -222,7 +246,7 @@ def decode_zstd_frames(payload: bytes) -> dict:
                 "dict_id": dict_id,
                 "fcs": fcs,
                 "n_blocks": n_blocks,
-                "content_len": len(frame_content),
+                "content_len": len(window) - base,
                 # entropy-layer census (round 10): zero for frames of
                 # raw/RLE blocks only
                 "n_sequences": est.get("n_seqs", 0),
@@ -230,7 +254,7 @@ def decode_zstd_frames(payload: bytes) -> dict:
                 "huf_tlog": est["huf"][1] if est.get("huf") else 0,
             }
         )
-        content += frame_content
+        content += window[base:]
     if not frames:
         raise ValueError("no zstd frames found")
     return {

@@ -1085,15 +1085,33 @@ def encode_compressed_frame(
     window_log: int = 18,
     checksum: bool = True,
     with_fcs: bool = True,
+    dict_seed: dict | None = None,
 ) -> tuple[bytes, bytes]:
     """Assemble a full zstd frame of Compressed_Blocks (specs as taken
     by ``build_compressed_block``; a spec may also be
     ``{"kind": "raw_block", "data": ...}`` / ``rle_block``).  Returns
     (frame bytes, decoded content) — content from the encoder-side
-    execution twin, which tests cross-check against the decoder."""
+    execution twin, which tests cross-check against the decoder.
+
+    ``dict_seed`` (from ``write_zstd_dictionary``'s second return)
+    makes this a dictionary frame: the Dictionary_ID goes in the frame
+    header, the encoder state starts from the dictionary's entropy
+    tables / repcodes, and the match window is seeded with the
+    dictionary content (excluded from the returned content and FCS)."""
     st: dict = {}
     content = bytearray()
     reps = [1, 4, 8]
+    base = 0
+    dict_id = 0
+    if dict_seed is not None:
+        dict_id = dict_seed["dict_id"]
+        content += dict_seed["content"]
+        base = len(content)
+        reps = list(dict_seed["reps"])
+        st["enc_huf"] = dict_seed["enc_huf"]
+        st["enc_ll"] = dict_seed["enc_ll"]
+        st["enc_of"] = dict_seed["enc_of"]
+        st["enc_ml"] = dict_seed["enc_ml"]
     bodies: list[tuple[int, bytes, int]] = []  # (btype, body, rle_size)
     for spec in block_specs:
         if spec.get("kind") == "raw_block":
@@ -1115,19 +1133,24 @@ def encode_compressed_frame(
         )
         _apply_seqs(content, reps, spec["lits"], spec["seqs"])
         bodies.append((2, body, 0))
+    frame_content = bytes(content[base:])
     out = bytearray()
     fhd = 0
     if checksum:
         fhd |= 0x04
+    if dict_id:
+        fhd |= 0x03  # 4-byte Dictionary_ID field
     fcs_bytes = b""
     if with_fcs:
         fhd |= 0x80  # FCS code 2 -> 4-byte field
-        fcs_bytes = struct.pack("<I", len(content))
+        fcs_bytes = struct.pack("<I", len(frame_content))
     if not 10 <= window_log <= 41:
         raise ValueError("window_log out of range")
     out += struct.pack("<I", _ZSTD_MAGIC)
     out.append(fhd)
     out.append((window_log - 10) << 3)
+    if dict_id:
+        out += struct.pack("<I", dict_id)
     out += fcs_bytes
     for k, (btype, body, rle_size) in enumerate(bodies):
         last = 1 if k == len(bodies) - 1 else 0
@@ -1135,8 +1158,8 @@ def encode_compressed_frame(
         out += (last | (btype << 1) | (size << 3)).to_bytes(3, "little")
         out += body
     if checksum:
-        out += struct.pack("<I", xxh64(bytes(content)) & 0xFFFFFFFF)
-    return bytes(out), bytes(content)
+        out += struct.pack("<I", xxh64(frame_content) & 0xFFFFFFFF)
+    return bytes(out), frame_content
 
 
 # ---------------------------------------------------------------------------
@@ -1345,5 +1368,242 @@ def mm_decode_zstd_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         schema="doc_id long, variant long, n_blocks long, n_sequences long, "
         "n_literals long, content_len long, content_sum long, "
+        "huf_tlog long, window_log long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dictionaries (RFC 8878 §5): magic, dictionary ID, preset entropy
+# tables (Huffman literals, then FSE offsets/match-lengths/literals-
+# lengths), three initial repeat offsets, then content — which seeds
+# the match window of every frame that references the dictionary.
+
+_ZSTD_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dictionary(data: bytes) -> dict:
+    """Parse a structured zstd dictionary into the frame-state seed:
+    entropy tables (used by Treeless_Literals / Repeat_Mode in the
+    frame's FIRST blocks), initial repcodes, and the content prefix."""
+    if len(data) < 8:
+        raise ValueError("dictionary too short")
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != _ZSTD_DICT_MAGIC:
+        raise ValueError(f"bad dictionary magic {magic:#010x}")
+    (dict_id,) = struct.unpack_from("<I", data, 4)
+    if dict_id == 0:
+        raise ValueError("dictionary ID 0 is reserved")
+    pos = 8
+    table, tlog, used = huf_read_tree(data[pos:])
+    pos += used
+    tabs: dict[str, _FseTable] = {}
+    for kind in ("of", "ml", "ll"):
+        fb = _FwdBits(data[pos:])
+        probs, alog = fse_read_table_desc(fb, _MAX_ALOG[kind])
+        if len(probs) > _MAX_CODE[kind] + 1:
+            raise ValueError(f"dictionary {kind} table has out-of-range symbols")
+        tabs[kind] = fse_build_table(probs, alog)
+        pos += fb.bytes_consumed()
+    if pos + 12 > len(data):
+        raise ValueError("dictionary truncated before repcodes")
+    reps = list(struct.unpack_from("<III", data, pos))
+    pos += 12
+    content = data[pos:]
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError("dictionary repcode outside content")
+    return {
+        "dict_id": dict_id,
+        "huf": (table, tlog),
+        "of_tab": tabs["of"],
+        "ml_tab": tabs["ml"],
+        "ll_tab": tabs["ll"],
+        "reps": reps,
+        "content": content,
+    }
+
+
+def write_zstd_dictionary(
+    dict_id: int,
+    content: bytes,
+    *,
+    lit_sample: bytes,
+    of_codes: list[int],
+    ml_codes: list[int],
+    ll_codes: list[int],
+    reps: list[int] | None = None,
+) -> tuple[bytes, dict]:
+    """Assemble a spec-valid structured dictionary for planting: the
+    Huffman table covers ``lit_sample``'s alphabet; each FSE table is
+    normalized from the given code usage; repcodes default to 1/4/8.
+    Returns (dictionary bytes, encoder seed for
+    ``encode_compressed_frame(dict_seed=...)``)."""
+    weights = _huf_assign_weights(lit_sample)
+    out = bytearray(struct.pack("<II", _ZSTD_DICT_MAGIC, dict_id))
+    out += _huf_tree_direct(weights)
+    seed: dict = {
+        "dict_id": dict_id,
+        "content": content,
+        "enc_huf": (weights, *_huf_codes(weights)),
+    }
+    for kind, codes in (("of", of_codes), ("ml", ml_codes), ("ll", ll_codes)):
+        counts: dict[int, int] = {}
+        for c in codes:
+            counts[c] = counts.get(c, 0) + 1
+        alog = min(_MAX_ALOG[kind], max(5, (len(counts) - 1).bit_length() + 1))
+        probs = _normalize_counts(counts, alog)
+        seed[f"enc_{kind}"] = fse_build_table(probs, alog)
+        out += fse_write_table_desc(probs, alog)
+    reps = reps or [1, 4, 8]
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError("planted repcode outside dictionary content")
+    seed["reps"] = list(reps)
+    out += struct.pack("<III", *reps)
+    out += content
+    return bytes(out), seed
+
+
+def _zstd_dict_payload(doc_id: int) -> tuple[bytes, bytes]:
+    """Planted dictionary + frame pair: the frame's FIRST block uses
+    Treeless_Literals (dict Huffman), Repeat_Mode sequence tables (dict
+    FSE), a repcode resolved from the dictionary's initial offsets, and
+    a match reaching back into the dictionary content."""
+    d = doc_id
+    dl = 50 + d % 40
+    dict_id = 1009 + d % 97
+    r1 = 10 + d % 20
+    l1 = 40 + d % 57
+    m = 5 + d % 31
+    m2 = 4 + d % 7
+    t = 4 + d % 9
+    dc = bytes((d * 5 + 2 * j) % 61 for j in range(dl))
+    lits = bytes((d * 7 + j) % 61 for j in range(l1)) + bytes(
+        (d * 11 + 3 * j) % 61 for j in range(t)
+    )
+    seqs = [
+        (l1, 1, m),  # ll>0, Offset_Value 1 -> dict rep1 = r1
+        (0, dl + l1 + m + 3, m2),  # copy dc[0:m2] from the dict window
+    ]
+    ll_codes = sorted({_ll_to_code(l1)[0], 0})
+    of_codes = sorted({0, _of_to_code(dl + l1 + m + 3)[0]})
+    ml_codes = sorted({_ml_to_code(m)[0], _ml_to_code(m2)[0]})
+    dict_bytes, seed = write_zstd_dictionary(
+        dict_id,
+        dc,
+        lit_sample=bytes(range(61)) * 2,
+        of_codes=of_codes,
+        ml_codes=ml_codes,
+        ll_codes=ll_codes,
+        reps=[r1, 4, 8],
+    )
+    frame, _ = encode_compressed_frame(
+        [
+            dict(
+                lits_kind="huf_treeless",
+                lits=lits,
+                seqs=seqs,
+                modes=("repeat", "repeat", "repeat"),
+            )
+        ],
+        dict_seed=seed,
+    )
+    return dict_bytes, frame
+
+
+_DICT_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         50 + doc_id % 40 AS dl,
+         1009 + doc_id % 97 AS dict_id,
+         10 + doc_id % 20 AS r1,
+         40 + doc_id % 57 AS l1,
+         5 + doc_id % 31 AS m,
+         4 + doc_id % 7 AS m2,
+         4 + doc_id % 9 AS t
+  FROM documents),
+s AS (
+  SELECT doc_id, dl, dict_id, r1, l1, m, m2, t,
+         (SELECT sum((doc_id*7 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(l1 AS INT))) AS u(j)) AS s_lits,
+         (SELECT sum((doc_id*7 + l1 - r1 + ((u.j - 1) % r1)) % 61)
+          FROM unnest(generate_series(1, CAST(m AS INT))) AS u(j)) AS s_match,
+         (SELECT sum((doc_id*5 + 2*(u.j - 1)) % 61)
+          FROM unnest(generate_series(1, CAST(m2 AS INT))) AS u(j)) AS s_dict,
+         (SELECT sum((doc_id*11 + 3*(u.j - 1)) % 61)
+          FROM unnest(generate_series(1, CAST(t AS INT))) AS u(j)) AS s_tail
+  FROM d)
+SELECT doc_id,
+       CAST(dict_id AS BIGINT) AS dict_id,
+       CAST(l1 + m + m2 + t AS BIGINT) AS content_len,
+       CAST(s_lits + s_match + s_dict + s_tail AS BIGINT) AS content_sum,
+       CAST(2 AS BIGINT) AS n_sequences,
+       CAST(l1 + t AS BIGINT) AS n_literals,
+       CAST(6 AS BIGINT) AS huf_tlog,
+       CAST(18 AS BIGINT) AS window_log
+FROM s
+"""
+
+
+@query("mm_decode_zstd_dict_stats", oracle=_DICT_ORACLE)
+def mm_decode_zstd_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstd DICTIONARY decoding end-to-end (RFC 8878 §5): per document
+    a structured dictionary (magic, ID, preset Huffman + OF/ML/LL FSE
+    tables, initial repcodes, content) is built, then a frame that can
+    ONLY decode through it — Treeless_Literals against the dictionary's
+    Huffman table, Repeat_Mode against its FSE tables, a repcode
+    resolved from its initial offsets, and a match copy reaching back
+    into the dictionary content seeded as the window prefix.  The
+    dictionary parser + dict-seeded frame decode are additionally
+    golden-verified in tests against real libzstd output
+    (ZDICT-trained dictionary + ZSTD_compress_usingDict).  The oracle
+    re-derives every statistic from the planting formulas, including
+    the periodic overlap copy (source span r1 < match length m)."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [_zstd_dict_payload(int(x)) for x in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "dict_bytes": [p[0] for p in pairs],
+                    "frame": [p[1] for p in pairs],
+                }
+            )
+
+    mm = docs.mapInPandas(
+        encode_batches, schema="doc_id long, dict_bytes binary, frame binary"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal13 import decode_zstd_frames
+
+        for pdf in batches:
+            rows = []
+            for did, db, fb in zip(pdf["doc_id"], pdf["dict_bytes"], pdf["frame"]):
+                dd = parse_zstd_dictionary(bytes(db))
+                meta = decode_zstd_frames(
+                    bytes(fb), dictionaries={dd["dict_id"]: dd}
+                )
+                fr0 = meta["frames"][0]
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "dict_id": dd["dict_id"],
+                        "content_len": fr0["content_len"],
+                        "content_sum": sum(meta["content"]),
+                        "n_sequences": fr0["n_sequences"],
+                        "n_literals": fr0["n_literals"],
+                        "huf_tlog": fr0["huf_tlog"],
+                        "window_log": fr0["window_log"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(
+        decode_batches,
+        schema="doc_id long, dict_id long, content_len long, "
+        "content_sum long, n_sequences long, n_literals long, "
         "huf_tlog long, window_log long",
     )

@@ -256,3 +256,93 @@ def test_huffman_weight_completion_and_codes():
     table, tlog2 = M14._huf_table_from_weights(w)
     assert tlog2 == tlog
     assert bytes(M14.huf_decode_stream(enc, table, tlog, len(lits))) == lits
+
+
+def _train_dict(lib) -> bytes:
+    import ctypes
+
+    c_sz = ctypes.c_size_t
+    lib.ZDICT_trainFromBuffer.restype = c_sz
+    lib.ZDICT_trainFromBuffer.argtypes = [
+        ctypes.c_void_p, c_sz, ctypes.c_char_p, ctypes.POINTER(c_sz), ctypes.c_uint,
+    ]
+    lib.ZDICT_isError.restype = ctypes.c_uint
+    rng = random.Random(3)
+    words = [
+        bytes(rng.choice(b"abcdefghij") for _ in range(rng.randrange(4, 9)))
+        for _ in range(30)
+    ]
+    samples = [b" ".join(rng.choice(words) for _ in range(60)) for _ in range(120)]
+    blob = b"".join(samples)
+    sizes = (c_sz * len(samples))(*[len(s) for s in samples])
+    dbuf = ctypes.create_string_buffer(4096)
+    n = lib.ZDICT_trainFromBuffer(dbuf, 4096, blob, sizes, len(samples))
+    assert not lib.ZDICT_isError(n)
+    return dbuf.raw[:n], words
+
+
+def test_golden_dictionary_frames_against_libzstd():
+    """ZDICT-trained structured dictionary + ZSTD_compress_usingDict
+    frames decode byte-exact through parse_zstd_dictionary + the
+    dict-seeded frame walk (dict window matches, dict entropy tables,
+    dict repcodes — as the reference encoder actually uses them)."""
+    import ctypes
+
+    lib = _libzstd()
+    c_sz = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [c_sz]
+    lib.ZSTD_compress_usingDict.restype = c_sz
+    lib.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, c_sz,
+        ctypes.c_char_p, c_sz, ctypes.c_char_p, c_sz, ctypes.c_int,
+    ]
+    lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    dict_bytes, words = _train_dict(lib)
+    d = M14.parse_zstd_dictionary(dict_bytes)
+    rng = random.Random(11)
+    for k in range(6):
+        src = b" ".join(rng.choice(words) for _ in range(40 + 40 * k))
+        for level in (1, 3, 9, 19):
+            cctx = ctypes.c_void_p(lib.ZSTD_createCCtx())
+            bound = lib.ZSTD_compressBound(len(src))
+            dst = ctypes.create_string_buffer(bound)
+            n = lib.ZSTD_compress_usingDict(
+                cctx, dst, bound, src, len(src), dict_bytes, len(dict_bytes), level
+            )
+            lib.ZSTD_freeCCtx(cctx)
+            assert not lib.ZSTD_isError(n)
+            got = decode_zstd_frames(
+                dst.raw[:n], dictionaries={d["dict_id"]: dict_bytes}
+            )
+            assert got["content"] == src, (k, level)
+
+
+def test_planted_dictionary_query_semantics():
+    """Planted dict frames decode exactly AND are undecodable without
+    the dictionary (they really use its tables/window/repcodes)."""
+    for d in (0, 7, 61, 123, 4096):
+        db, fb = M14._zstd_dict_payload(d)
+        dd = M14.parse_zstd_dictionary(db)
+        meta = decode_zstd_frames(fb, dictionaries={dd["dict_id"]: dd})
+        assert meta["frames"][0]["n_sequences"] == 2
+        with pytest.raises(ValueError):
+            decode_zstd_frames(fb)
+
+
+def test_hostile_dictionary_mutations_total():
+    rng = random.Random(5)
+    db, fb = M14._zstd_dict_payload(99)
+    for _ in range(300):
+        mut = bytearray(db)
+        k = rng.randrange(3)
+        if k == 0:
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+        elif k == 1:
+            mut = mut[: rng.randrange(len(mut))]
+        else:
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            dd = M14.parse_zstd_dictionary(bytes(mut))
+            decode_zstd_frames(fb, dictionaries={dd["dict_id"]: dd})
+        except ValueError:
+            pass

@@ -175,6 +175,8 @@ SF1_QUERIES = [
     "udtf_doc_sentences_arrow",
     "asof_join_next_purchase_after_error",
     "maintenance_snapshot_diff",
+    # round-10 queries
+    "mm_decode_zstd_dict_stats",
     # round-10 extension (VERDICT r9 #1): the FULL registry —
     # every remaining registered query gains a decade row, so the
     # sf1 mirror no longer has an unmeasured tail
