@@ -234,9 +234,15 @@ def ppjoin_pairs_capped(
     prefix = ranked.filter(F.col("rn") <= prefix_len).select(
         "doc_id", "s", "n_shingles"
     )
-    pf = prefix.groupBy("s").agg(F.count(F.lit(1)).alias("pf"))
-    overflow = pf.filter(F.col("pf") > cap)
-    pre_ok = prefix.join(pf.filter(F.col("pf") <= cap).select("s"), "s")
+    # prefix frequency as a window over s: ONE s-keyed exchange carries
+    # both the budget check and the candidate self-join (vs a separate
+    # agg + join, which costs two more exchanges for the same answer)
+    pf_col = F.count(F.lit(1)).over(W.partitionBy("s"))
+    prefix = prefix.withColumn("pf", pf_col)
+    overflow = (
+        prefix.filter(F.col("pf") > cap).select("s", "pf").dropDuplicates(["s"])
+    )
+    pre_ok = prefix.filter(F.col("pf") <= cap)
     x = pre_ok.select(
         F.col("doc_id").alias("a"), "s", F.col("n_shingles").alias("nxa")
     )
