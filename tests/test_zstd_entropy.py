@@ -346,3 +346,29 @@ def test_hostile_dictionary_mutations_total():
             decode_zstd_frames(fb, dictionaries={dd["dict_id"]: dd})
         except ValueError:
             pass
+
+
+def test_systematic_overwrite_sweep_total():
+    """Repo-convention structure-aware sweep: EVERY byte offset of a
+    planted entropy frame and a dictionary pair gets overwritten (0x00,
+    0xFF, +1) — decode must return or raise ValueError at every single
+    position, never hang or raise anything else."""
+    frame = M14._zstd_entropy_payload(17)
+    db, fb = M14._zstd_dict_payload(17)
+    dd_ok = M14.parse_zstd_dictionary(db)
+
+    def sweep(blob, decode):
+        for pos in range(len(blob)):
+            for val in (0x00, 0xFF, (blob[pos] + 1) & 0xFF):
+                if val == blob[pos]:
+                    continue
+                mut = bytearray(blob)
+                mut[pos] = val
+                try:
+                    decode(bytes(mut))
+                except ValueError:
+                    pass
+
+    sweep(frame, decode_zstd_frames)
+    sweep(fb, lambda b: decode_zstd_frames(b, dictionaries={dd_ok["dict_id"]: dd_ok}))
+    sweep(db, M14.parse_zstd_dictionary)
