@@ -1331,6 +1331,14 @@ def mm_decode_zstd_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden-verified in tests against real libzstd output; the oracle
     re-derives every statistic from the planting formulas."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    return zstd_entropy_pipeline(docs)
+
+
+def zstd_entropy_pipeline(docs: DataFrame) -> DataFrame:
+    """The encode -> entropy-decode pipeline over a doc_id frame; both
+    stages are stateless Arrow-batched maps, so the SAME function backs
+    the batch query and the Structured Streaming twin
+    (streaming/decode.py::stream_zstd_entropy_stats)."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

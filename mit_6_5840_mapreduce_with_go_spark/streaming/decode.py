@@ -59,3 +59,12 @@ def stream_warc_http_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal10 import warc_http_pipeline
 
     return warc_http_pipeline(stream_documents(spark, sf_dir).select("doc_id"))
+
+
+def stream_zstd_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``mm_decode_zstd_entropy_stats``: full
+    FSE/Huffman zstd decode per micro-batch as document shards arrive —
+    the shape of a continuous .zst crawl ingest."""
+    from ..operators.multimodal14 import zstd_entropy_pipeline
+
+    return zstd_entropy_pipeline(stream_documents(spark, sf_dir).select("doc_id"))

@@ -77,3 +77,20 @@ def test_stream_warc_http_stats_equals_batch(spark):
         q.stop()
     want = _rows(M10.mm_warc_http_stats(spark, SF))
     assert got == want and len(got) > 0
+
+
+def test_stream_zstd_entropy_stats_equals_batch(spark):
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal14 import (
+        mm_decode_zstd_entropy_stats,
+    )
+
+    q = run_to_memory(
+        D.stream_zstd_entropy_stats(spark, SF), "t_zstd_stream", "append"
+    )
+    try:
+        q.processAllAvailable()
+        got = _rows(spark.table("t_zstd_stream"))
+    finally:
+        q.stop()
+    want = _rows(mm_decode_zstd_entropy_stats(spark, SF))
+    assert got == want and len(got) > 0
