@@ -1615,3 +1615,94 @@ def mm_decode_zstd_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sum long, n_sequences long, n_literals long, "
         "huf_tlog long, window_log long",
     )
+
+
+_ZST_SOURCE_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 5 AS variant,
+         5 + doc_id % 31 AS m,
+         6 + doc_id % 13 AS kk,
+         4 + doc_id % 9 AS t,
+         CASE doc_id % 5
+           WHEN 0 THEN 40 + doc_id % 57
+           WHEN 1 THEN 40 + doc_id % 57
+           WHEN 2 THEN 61 + doc_id % 36
+           WHEN 3 THEN 200 + doc_id % 50
+           ELSE 70 + doc_id % 30 END AS l1,
+         30 + doc_id % 20 AS l2,
+         4 + doc_id % 7 AS m2,
+         3 + doc_id % 5 AS t2
+  FROM documents),
+s AS (
+  SELECT doc_id, variant, m, kk, t, l1, l2, m2, t2,
+         (SELECT sum((doc_id*7 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(l1 AS INT))) AS u(j)) AS sf_l1,
+         (SELECT sum((doc_id*7 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(m AS INT))) AS u(j)) AS sf_m,
+         (SELECT sum((doc_id*11 + 3*(u.j - 1)) % 61)
+          FROM unnest(generate_series(1, CAST(t AS INT))) AS u(j)) AS sg_t,
+         kk * ((doc_id*7 + m - 1) % 61) AS rep_sum,
+         (SELECT sum((doc_id*7 + 5 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(l2 AS INT))) AS u(j)) AS sf2_l2,
+         (SELECT sum((doc_id*7 + u.j - 1) % 61)
+          FROM unnest(generate_series(1, CAST(m2 AS INT))) AS u(j)) AS sf_m2,
+         (SELECT sum((doc_id*13 + 2*(u.j - 1)) % 61)
+          FROM unnest(generate_series(1, CAST(t2 AS INT))) AS u(j)) AS sg2_t2
+  FROM d)
+SELECT 'shard-' || lpad(CAST(doc_id % 8 AS VARCHAR), 3, '0') || '.zst' AS file,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+            AS BIGINT) AS frame_index,
+       CAST(CASE WHEN variant = 4 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks,
+       CAST(CASE variant WHEN 1 THEN 1 WHEN 4 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_sequences,
+       CAST(CASE WHEN variant = 4 THEN l1 + t + l2 + t2 ELSE l1 + t END
+            AS BIGINT) AS n_literals,
+       CAST(CASE variant
+              WHEN 1 THEN l1 + m + t
+              WHEN 4 THEN l1 + m + kk + t + l2 + m2 + t2
+              ELSE l1 + m + kk + t END AS BIGINT) AS content_len,
+       CAST(CASE variant
+              WHEN 1 THEN ((doc_id*7) % 61) * (l1 + m + t)
+              WHEN 4 THEN sf_l1 + sf_m + rep_sum + sg_t + sf2_l2 + sf_m2 + sg2_t2
+              ELSE sf_l1 + sf_m + rep_sum + sg_t END AS BIGINT) AS content_sum,
+       CAST(CASE WHEN variant IN (2, 3, 4) THEN 6 ELSE 0 END AS BIGINT)
+         AS huf_tlog,
+       CAST(18 AS BIGINT) AS window_log
+FROM s
+"""
+
+
+@query("mm_zst_source_stats", oracle=_ZST_SOURCE_ORACLE)
+def mm_zst_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-listing-shaped .zst FILE ingest end-to-end: the planted
+    entropy-coded frames (same five-variant corpus as
+    ``mm_decode_zstd_entropy_stats``) are concatenated into real
+    ``.zst`` shard files — one multi-frame stream per shard, the Common
+    Crawl listing layout — and read back through the ``zstfile`` Python
+    Data Source (one input partition per shard; FSE/Huffman decode and
+    XXH64 verification executor-side inside the partition read).  The
+    oracle re-derives the census per (shard file, frame index), so the
+    shard assignment and the in-shard frame ORDER are pinned
+    cross-engine, not just the per-frame stats — file-source ==
+    payload-column parity for the zstd family."""
+    from ..sources.zstfiles import read_zst_source
+    from .warc_ingest import _shard_dir
+
+    import os as _os
+
+    shards = _os.path.join(
+        _shard_dir(sf_dir, variant="zst", builder=_zstd_entropy_payload, ext=".zst"),
+        "*.zst",
+    )
+    return read_zst_source(spark, shards).select(
+        "file",
+        "frame_index",
+        "n_blocks",
+        "n_sequences",
+        "n_literals",
+        "content_len",
+        "content_sum",
+        "huf_tlog",
+        "window_log",
+    )

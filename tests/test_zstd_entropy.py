@@ -372,3 +372,37 @@ def test_systematic_overwrite_sweep_total():
     sweep(frame, decode_zstd_frames)
     sweep(fb, lambda b: decode_zstd_frames(b, dictionaries={dd_ok["dict_id"]: dd_ok}))
     sweep(db, M14.parse_zstd_dictionary)
+
+
+def test_zst_source_partition_granularity_and_parity(spark, sf_dir):
+    """The zstfile source yields one input partition per shard, and the
+    per-frame census equals the payload-column pipeline's (file-source
+    == column parity over the SAME corpus)."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal14 import (
+        mm_decode_zstd_entropy_stats,
+        mm_zst_source_stats,
+    )
+
+    src = mm_zst_source_stats(spark, sf_dir)
+    assert src.rdd.getNumPartitions() == 8  # one per shard
+    got = {
+        (r["file"], r["frame_index"]): (
+            r["n_blocks"], r["n_sequences"], r["n_literals"],
+            r["content_len"], r["content_sum"],
+        )
+        for r in src.collect()
+    }
+    col = mm_decode_zstd_entropy_stats(spark, sf_dir).collect()
+    # rebuild the shard mapping: doc -> (shard file, in-shard rank)
+    by_shard: dict[int, list[int]] = {}
+    for r in col:
+        by_shard.setdefault(r["doc_id"] % 8, []).append(r["doc_id"])
+    want = {}
+    for s, docs in by_shard.items():
+        for idx, d in enumerate(sorted(docs)):
+            row = next(r for r in col if r["doc_id"] == d)
+            want[(f"shard-{s:03d}.zst", idx)] = (
+                row["n_blocks"], row["n_sequences"], row["n_literals"],
+                row["content_len"], row["content_sum"],
+            )
+    assert got == want and len(got) > 0
