@@ -1259,6 +1259,15 @@ def _zstd_entropy_payload(doc_id: int) -> bytes:
     return frame
 
 
+def _zstd_entropy_frame_and_content(doc_id: int) -> tuple[bytes, bytes]:
+    """Frame + decoded content for the entropy corpus doc (the seekable
+    shard writer needs both for its seek-table entries)."""
+    frame = _zstd_entropy_payload(doc_id)
+    from .multimodal13 import decode_zstd_frames
+
+    return frame, decode_zstd_frames(frame)["content"]
+
+
 _ENTROPY_ORACLE = """
 WITH d AS (
   SELECT doc_id,
@@ -1696,6 +1705,88 @@ def mm_zst_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*.zst",
     )
     return read_zst_source(spark, shards).select(
+        "file",
+        "frame_index",
+        "n_blocks",
+        "n_sequences",
+        "n_literals",
+        "content_len",
+        "content_sum",
+        "huf_tlog",
+        "window_log",
+    )
+
+
+def _seekable_shard_dir(sf_dir: str) -> str:
+    """Materialize (once, atomically) SEEKABLE .zst shard fixtures:
+    same corpus and shard assignment as ``mm_zst_source_stats``, plus a
+    checksummed seek table per shard."""
+    import os as _os
+
+    from ..sources.zstfiles import write_seekable_shard
+    from .warc_ingest import _N_SHARDS, _REPO_ROOT
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) + "zstseek"
+    final = _os.path.join(_REPO_ROOT, ".warc_shards", tag)
+    if _os.path.isdir(final):
+        return final
+    import pyarrow.parquet as pq
+
+    doc_ids = sorted(
+        int(d)
+        for d in pq.read_table(
+            _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    )
+    tmp = f"{final}.tmp-{_os.getpid()}"
+    _os.makedirs(tmp, exist_ok=True)
+    try:
+        for sh in range(_N_SHARDS):
+            frames, contents = [], []
+            for d in doc_ids:
+                if d % _N_SHARDS == sh:
+                    fr, ct = _zstd_entropy_frame_and_content(d)
+                    frames.append(fr)
+                    contents.append(ct)
+            with open(_os.path.join(tmp, f"shard-{sh:03d}.zst"), "wb") as fh:
+                fh.write(write_seekable_shard(frames, contents))
+        try:
+            _os.rename(tmp, final)
+        except OSError:
+            pass  # concurrent materializer won
+        return final
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SEEK_MIN_BYTES = 120
+
+_ZST_SEEKABLE_ORACLE = (
+    "SELECT * FROM (" + _ZST_SOURCE_ORACLE + f") WHERE content_len >= {_SEEK_MIN_BYTES}"
+)
+
+
+@query("mm_zst_seekable_stats", oracle=_ZST_SEEKABLE_ORACLE)
+def mm_zst_seekable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEKABLE-zstd pruning end-to-end (public zstd seekable-format
+    spec): each shard ends with a checksummed seek table (per-frame
+    compressed/decompressed sizes + XXH64), and the source reads in
+    PRUNING mode — only frames whose table-declared decompressed size
+    is >= {bytes} are decoded; the rest are never touched (the pytest
+    proof plants a corrupt below-threshold frame that would raise if
+    decoded).  At 100 TB this is frame-level skipping inside .zst
+    shards: point reads decode kilobytes, not gigabytes.  The oracle is
+    the full-census oracle filtered by the derived content size, so
+    BOTH the selection rule and the preserved original frame indices
+    are pinned cross-engine."""
+    from ..sources.zstfiles import read_zst_source_seekable
+
+    import os as _os
+
+    shards = _os.path.join(_seekable_shard_dir(sf_dir), "*.zst")
+    return read_zst_source_seekable(spark, shards, _SEEK_MIN_BYTES).select(
         "file",
         "frame_index",
         "n_blocks",

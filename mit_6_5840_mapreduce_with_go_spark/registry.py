@@ -47,10 +47,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # each round the window carries (a) every NEW query, (b) every CHANGED
 # query, then (c) fills to 50 with the rows whose hard driver-green
 # evidence is OLDEST in the cumulative CORRECTNESS_r* ledger — so no
-# row's driver evidence ages past ~5 rounds.  The round-10 window: 4
-# new (zstd entropy layer + dictionaries + .zst file source, capped PPJoin), 4 changed (total zstd walk,
+# row's driver evidence ages past ~5 rounds.  The round-10 window: 5
+# new (zstd entropy layer + dictionaries + .zst file source + seekable pruning, capped PPJoin), 4 changed (total zstd walk,
 # ORC bound, dispatcher payload builder), the 21 rows last verified in
-# round 2, and the 21 oldest round-4 rows.  Everything rotated out
+# round 2, and the 20 oldest round-4 rows.  Everything rotated out
 # stays mirror-checked by tools/check_correctness.py over all queries
 # at three SFs.
 WINDOW_PRIORITY: list[str] = [
@@ -61,6 +61,7 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_ppjoin_capped",
     "mm_decode_zstd_dict_stats",
     "mm_zst_source_stats",
+    "mm_zst_seekable_stats",
     # Changed this round (re-verification): the zstd frame walker is
     # now total (compressed blocks decode; checksums verified), the ORC
     # footer bound tightened (ADVICE r9), the total dispatcher's image
@@ -93,7 +94,7 @@ WINDOW_PRIORITY: list[str] = [
     "text_quality_score",
     "events_time_weighted_avg",
     "vocab_bpe_merges",
-    # ...and the 21 oldest round-4 rows (the remaining 25 r4-era rows
+    # ...and the 20 oldest round-4 rows (the remaining 25 r4-era rows
     # head the round-11 backlog)
     "dedup_clusters",
     "dedup_keep_best",
@@ -115,7 +116,6 @@ WINDOW_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_minhash_xengine",
-    "dedup_minhash_pr_eval",
 ]
 
 

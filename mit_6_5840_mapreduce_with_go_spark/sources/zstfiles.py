@@ -58,6 +58,8 @@ class ZstReader(DataSourceReader):
         if not path:
             raise ValueError("zstfile source requires a path glob")
         self._path = path
+        mfb = options.get("min_frame_bytes")
+        self._min_frame_bytes = int(mfb) if mfb is not None else None
 
     def partitions(self) -> list[InputPartition]:
         files = sorted(_glob.glob(self._path))
@@ -68,12 +70,47 @@ class ZstReader(DataSourceReader):
     def read(self, partition: InputPartition):
         # Executor-side import keeps sources/ -> operators/ acyclic.
         from ..operators.multimodal13 import decode_zstd_frames
+        from ..operators.multimodal14 import xxh64
 
         p = partition.value
         with open(p, "rb") as fh:
             payload = fh.read()
-        meta = decode_zstd_frames(payload)
         base = os.path.basename(p)
+        if self._min_frame_bytes is not None:
+            # PRUNING mode: requires a seek table; frames below the
+            # threshold are never decoded (their bytes are never read
+            # past the table) — frame-level skipping inside the shard
+            entries = parse_seek_table(payload)
+            if entries is None:
+                raise ValueError(
+                    f"{base}: min_frame_bytes pruning needs a seek table"
+                )
+            for idx, en in enumerate(entries):
+                if en["d_size"] < self._min_frame_bytes:
+                    continue
+                meta = decode_zstd_frames(
+                    payload[en["c_off"] : en["c_off"] + en["c_size"]]
+                )
+                fr = meta["frames"][0]
+                body = meta["content"]
+                if en["checksum"] is not None and (
+                    xxh64(bytes(body)) & 0xFFFFFFFF != en["checksum"]
+                ):
+                    raise ValueError(f"{base}: seek-table checksum mismatch")
+                yield (
+                    base,
+                    idx,
+                    body,
+                    fr["content_len"],
+                    sum(body),
+                    fr["n_blocks"],
+                    fr["n_sequences"],
+                    fr["n_literals"],
+                    fr["huf_tlog"],
+                    fr["window_log"],
+                )
+            return
+        meta = decode_zstd_frames(payload)
         content = meta["content"]
         pos = 0
         for idx, fr in enumerate(meta["frames"]):
@@ -97,3 +134,94 @@ def read_zst_source(spark, path_glob: str):
     """Register (idempotent) and read the zstfile source."""
     spark.dataSource.register(ZstDataSource)
     return spark.read.format("zstfile").load(path_glob)
+
+
+# ---------------------------------------------------------------------------
+# Seekable format (public spec: zstd contrib/seekable_format): the shard
+# ends with a skippable frame (magic 0x184D2A5E) holding per-frame
+# (compressed_size, decompressed_size[, xxh64-low32]) entries and a
+# 9-byte footer (frame count, descriptor, magic 0x8F92EAB1).  With the
+# table, a reader can jump straight to the frames it needs — at 100 TB
+# this is frame-level partition pruning inside .zst shards: point reads
+# decode KBs, not GBs.
+
+_SEEK_MAGIC_SKIPPABLE = 0x184D2A5E
+_SEEK_MAGIC_FOOTER = 0x8F92EAB1
+
+
+def write_seekable_shard(
+    frames: list[bytes], contents: list[bytes], *, with_checksum: bool = True
+) -> bytes:
+    """Concatenate zstd frames and append the seek-table skippable
+    frame (entries in frame order + footer)."""
+    import struct
+
+    if len(frames) != len(contents):
+        raise ValueError("frames and contents must align")
+    body = b"".join(frames)
+    entry_size = 12 if with_checksum else 8
+    table = bytearray()
+    for fr, ct in zip(frames, contents):
+        table += struct.pack("<II", len(fr), len(ct))
+        if with_checksum:
+            from ..operators.multimodal14 import xxh64
+
+            table += struct.pack("<I", xxh64(ct) & 0xFFFFFFFF)
+    desc = 0x80 if with_checksum else 0x00
+    table += struct.pack("<IBI", len(frames), desc, _SEEK_MAGIC_FOOTER)
+    out = bytearray(body)
+    out += struct.pack("<II", _SEEK_MAGIC_SKIPPABLE, len(table))
+    out += table
+    assert entry_size * len(frames) + 9 == len(table)
+    return bytes(out)
+
+
+def parse_seek_table(payload: bytes) -> list[dict] | None:
+    """Returns per-frame entries ``{c_off, c_size, d_size, checksum}``
+    if the shard ends with a valid seek table, else None.  Raises
+    ValueError on a table that declares itself but is malformed."""
+    import struct
+
+    if len(payload) < 17 or struct.unpack("<I", payload[-4:])[0] != _SEEK_MAGIC_FOOTER:
+        return None
+    n_frames, desc = struct.unpack("<IB", payload[-9:-4])
+    if desc & 0x7C:
+        raise ValueError("reserved seek-table descriptor bits set")
+    with_checksum = bool(desc & 0x80)
+    entry_size = 12 if with_checksum else 8
+    table_size = entry_size * n_frames + 9
+    frame_start = len(payload) - table_size - 8
+    if frame_start < 0:
+        raise ValueError("seek table larger than file")
+    magic, sz = struct.unpack_from("<II", payload, frame_start)
+    if magic != _SEEK_MAGIC_SKIPPABLE or sz != table_size:
+        raise ValueError("seek-table skippable frame header mismatch")
+    entries = []
+    pos = frame_start + 8
+    c_off = 0
+    for _ in range(n_frames):
+        c_size, d_size = struct.unpack_from("<II", payload, pos)
+        pos += 8
+        checksum = None
+        if with_checksum:
+            (checksum,) = struct.unpack_from("<I", payload, pos)
+            pos += 4
+        entries.append(
+            {"c_off": c_off, "c_size": c_size, "d_size": d_size, "checksum": checksum}
+        )
+        c_off += c_size
+    if c_off != frame_start:
+        raise ValueError("seek-table sizes do not cover the frame area")
+    return entries
+
+
+def read_zst_source_seekable(spark, path_glob: str, min_frame_bytes: int):
+    """Register and read the zstfile source in PRUNING mode: only
+    frames whose seek-table decompressed size is >= the threshold are
+    decoded (the rest are never touched)."""
+    spark.dataSource.register(ZstDataSource)
+    return (
+        spark.read.format("zstfile")
+        .option("min_frame_bytes", str(min_frame_bytes))
+        .load(path_glob)
+    )

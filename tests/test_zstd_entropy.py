@@ -406,3 +406,74 @@ def test_zst_source_partition_granularity_and_parity(spark, sf_dir):
                 row["content_len"], row["content_sum"],
             )
     assert got == want and len(got) > 0
+
+
+def test_seekable_pruning_never_touches_skipped_frames(spark, tmp_path):
+    """A corrupt frame planted BELOW the pruning threshold decodes the
+    shard fine in pruning mode (proof the reader jumps by seek-table
+    offsets and never decodes skipped frames), while a full walk of the
+    same shard raises."""
+    from mit_6_5840_mapreduce_with_go_spark.sources.zstfiles import (
+        parse_seek_table,
+        read_zst_source_seekable,
+        write_seekable_shard,
+    )
+
+    frames, contents = [], []
+    for d in (3, 123, 7):  # variants 3 (big, kept) / 3 / 2
+        fr, ct = M14._zstd_entropy_frame_and_content(d)
+        frames.append(fr)
+        contents.append(ct)
+    # corrupt a SMALL frame (variant 2, content ~80-180 bytes < the big
+    # v3 frames): flip bytes mid-frame, but keep its seek-table entry
+    small = bytearray(frames[2])
+    small[len(small) // 2] ^= 0xFF
+    small[len(small) // 2 + 1] ^= 0xFF
+    frames[2] = bytes(small)
+    shard = write_seekable_shard(frames, contents)
+    p = tmp_path / "corrupt-shard.zst"
+    p.write_bytes(shard)
+    entries = parse_seek_table(shard)
+    assert entries is not None and len(entries) == 3
+    threshold = max(len(contents[2]) + 1, 200)
+    got = read_zst_source_seekable(spark, str(p), threshold).collect()
+    kept = {r["frame_index"] for r in got}
+    assert 2 not in kept and kept, kept  # corrupt frame skipped, others decoded
+    # the full (non-pruning) walk must hit the corruption
+    with pytest.raises(Exception):
+        from mit_6_5840_mapreduce_with_go_spark.sources.zstfiles import (
+            read_zst_source,
+        )
+
+        read_zst_source(spark, str(p)).collect()
+
+
+def test_seek_table_roundtrip_and_hostile():
+    from mit_6_5840_mapreduce_with_go_spark.sources.zstfiles import (
+        parse_seek_table,
+        write_seekable_shard,
+    )
+
+    frames, contents = zip(
+        *(M14._zstd_entropy_frame_and_content(d) for d in range(5))
+    )
+    shard = write_seekable_shard(list(frames), list(contents))
+    entries = parse_seek_table(shard)
+    assert [e["c_size"] for e in entries] == [len(f) for f in frames]
+    assert [e["d_size"] for e in entries] == [len(c) for c in contents]
+    assert all(
+        e["checksum"] == M14.xxh64(c) & 0xFFFFFFFF
+        for e, c in zip(entries, contents)
+    )
+    # a non-seekable stream reports None (not an error)
+    assert parse_seek_table(b"".join(frames)) is None
+    # hostile mutations of the table area: ValueError or clean parse
+    rng = random.Random(9)
+    for _ in range(300):
+        mut = bytearray(shard)
+        pos = rng.randrange(len(shard) - 80, len(shard))
+        mut[pos] ^= 1 << rng.randrange(8)
+        try:
+            parse_seek_table(bytes(mut))
+        except ValueError:
+            pass

@@ -178,6 +178,7 @@ SF1_QUERIES = [
     # round-10 queries
     "mm_decode_zstd_dict_stats",
     "mm_zst_source_stats",
+    "mm_zst_seekable_stats",
     # round-10 extension (VERDICT r9 #1): the FULL registry —
     # every remaining registered query gains a decade row, so the
     # sf1 mirror no longer has an unmeasured tail
