@@ -316,8 +316,8 @@ def ppjoin_pairs_capped(
 )
 def dedup_ppjoin_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin with the candidate-budget kill-switch engaged (cap
-    pinned at {cap} prefix occurrences so the driver corpus exercises
-    the overflow path): verified pairs reachable through in-budget
+    pinned at _PPJOIN_CAP=2 prefix occurrences so the driver corpus
+    exercises the overflow path): verified pairs reachable through in-budget
     prefix elements, UNION the overflow accounting rows.  The oracle
     re-derives BOTH halves — the capped candidate rule and the census —
     so the degraded-mode semantics are pinned cross-engine, not just

@@ -198,6 +198,16 @@ def decode_zstd_frames(payload: bytes, dictionaries: dict | None = None) -> dict
             est["of_tab"] = d["of_tab"]
             est["ml_tab"] = d["ml_tab"]
         n_blocks = 0
+        # Cumulative per-frame output bound (hostile-input guard): a
+        # valid frame never exceeds its declared FCS at any block
+        # boundary; a frame with NO declared FCS is capped at
+        # _BLOCK_OUT_CAP *cumulatively* — without this, a stream of
+        # raw/RLE blocks (each individually under the per-block cap in
+        # multimodal14) is a decompression bomb: a 4 KB input can
+        # demand a ~2 GB window and a ~1 MB input ~500 GB.
+        from .multimodal14 import _BLOCK_OUT_CAP
+
+        frame_out_cap = fcs if fcs is not None else _BLOCK_OUT_CAP
         while True:
             if i + 3 > n:
                 raise ValueError("truncated block header")
@@ -224,6 +234,12 @@ def decode_zstd_frames(payload: bytes, dictionaries: dict | None = None) -> dict
             else:
                 raise ValueError("reserved block type")
             n_blocks += 1
+            if len(window) - base > frame_out_cap:
+                raise ValueError(
+                    f"frame output {len(window) - base} exceeds "
+                    f"{'declared FCS' if fcs is not None else 'no-FCS cap'} "
+                    f"{frame_out_cap}"
+                )
             if last:
                 break
         frame_len = len(window) - base

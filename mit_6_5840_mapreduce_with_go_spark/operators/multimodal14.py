@@ -114,42 +114,72 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 
 class _BackBits:
     """Backward bit reader: last set bit of the last byte is the
-    padding sentinel; reads proceed from just below it toward bit 0."""
+    padding sentinel; reads proceed from just below it toward bit 0.
 
-    __slots__ = ("acc", "pos")
+    The stream is NOT held as one big int (re-shifting a full-stream
+    integer on every read is O(n^2) in block size — seconds per 128 KB
+    block on the libzstd golden corpus).  Instead ``acc`` caches only
+    the bits [lo*8, pos) still ahead of the cursor, refilled from
+    ``data`` in 16-byte chunks as the cursor descends, so every read
+    shifts a <=~200-bit integer.  Callers may decrement ``pos``
+    directly (Huffman skip path); stale bits above ``pos`` are trimmed
+    on the next refill and masked out of every extraction."""
+
+    __slots__ = ("data", "lo", "acc", "pos")
+
+    _REFILL = 16  # bytes per refill chunk
 
     def __init__(self, data: bytes):
         if not data or data[-1] == 0:
             raise ValueError("bitstream missing padding sentinel")
-        self.acc = int.from_bytes(data, "little")
+        self.data = data
         self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+        self.lo = len(data)  # lowest byte index loaded into acc
+        self.acc = 0
+
+    def _ensure(self, n: int) -> None:
+        """Load bytes until acc covers bits [lo*8, pos) with
+        lo*8 <= pos-n (or lo == 0), then trim bits at/above pos."""
+        while self.lo > 0 and self.pos - n < self.lo * 8:
+            step = min(self._REFILL, self.lo)
+            new_lo = self.lo - step
+            self.acc = (self.acc << (step * 8)) | int.from_bytes(
+                self.data[new_lo : self.lo], "little"
+            )
+            self.lo = new_lo
+        self.acc &= (1 << max(self.pos - self.lo * 8, 0)) - 1
 
     def read(self, n: int) -> int:
         """Strict read: overrun is a corruption error."""
         if n > self.pos:
             raise ValueError("bitstream overrun")
+        self._ensure(n)
         self.pos -= n
-        return (self.acc >> self.pos) & ((1 << n) - 1)
+        shift = self.pos - self.lo * 8
+        v = (self.acc >> shift) & ((1 << n) - 1)
+        self.acc &= (1 << shift) - 1
+        return v
 
     def read_pad(self, n: int) -> int:
         """Read allowing overrun (missing low bits read as 0); the FSE
         Huffman-weights loop detects end-of-stream via ``pos < 0``."""
-        self.pos -= n
-        if self.pos >= 0:
-            return (self.acc >> self.pos) & ((1 << n) - 1)
-        avail = n + self.pos
+        if n <= self.pos:
+            return self.read(n)
+        avail = self.pos
         if avail <= 0:
+            self.pos -= n
             return 0
-        return (self.acc & ((1 << avail) - 1)) << (n - avail)
+        v = self.read(avail)
+        self.pos -= n - avail
+        return v << (n - avail)
 
     def peek_pad(self, n: int) -> int:
-        p = self.pos - n
-        if p >= 0:
-            return (self.acc >> p) & ((1 << n) - 1)
-        avail = max(n + p, 0)
-        if avail <= 0:
+        if self.pos <= 0:
             return 0
-        return (self.acc & ((1 << avail) - 1)) << (n - avail)
+        k = min(n, self.pos)
+        self._ensure(k)
+        shift = self.pos - k - self.lo * 8
+        return ((self.acc >> shift) & ((1 << k) - 1)) << (n - k)
 
 
 class _FwdBits:
@@ -1753,7 +1783,11 @@ def _seekable_shard_dir(sf_dir: str) -> str:
         try:
             _os.rename(tmp, final)
         except OSError:
-            pass  # concurrent materializer won
+            # concurrent materializer won — but only if final actually
+            # exists; a non-race failure (e.g. cross-device tmp) must
+            # surface here, not as a later FileNotFoundError from glob
+            if not _os.path.isdir(final):
+                raise
         return final
     finally:
         import shutil

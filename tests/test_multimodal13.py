@@ -88,3 +88,48 @@ def test_totality_truncations_and_flips():
                 M.decode_zstd_frames(bytes(mut))
             except ValueError:
                 pass
+
+
+def test_no_fcs_rle_bomb_bounded():
+    """ADVICE r10: a frame that declares NO content size must still be
+    output-bounded — a handful of max-size RLE blocks (each under the
+    per-block cap) would otherwise accumulate gigabytes from a ~140-byte
+    input.  The cumulative no-FCS cap raises fast instead."""
+    import time
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal14 import (
+        _BLOCK_OUT_CAP,
+    )
+
+    frame = bytearray(struct.pack("<I", 0xFD2FB528))
+    frame += bytes([0x00])  # FHD: no FCS, no dict, not single-segment
+    frame += bytes([(27 - 10) << 3])  # window descriptor: 128 MiB window
+    bsize = (1 << 21) - 1  # max 21-bit block size
+    nblocks = _BLOCK_OUT_CAP // bsize + 2
+    for k in range(nblocks):
+        bh = (1 if k == nblocks - 1 else 0) | (1 << 1) | (bsize << 3)
+        frame += bh.to_bytes(3, "little") + b"A"
+    t0 = time.time()
+    with pytest.raises(ValueError, match="exceeds no-FCS cap"):
+        M.decode_zstd_frames(bytes(frame))
+    assert time.time() - t0 < 10.0  # bounded allocation, not a 2 GB window
+
+
+def test_no_fcs_frame_under_cap_decodes():
+    """The no-FCS cap must not reject legitimate FCS-less frames."""
+    pay = M.encode_zstd_raw(
+        [("raw", b"abc" * 100), ("rle", b"q" * 4096)], with_fcs=False
+    )
+    m = M.decode_zstd_frames(pay)
+    assert m["frames"][0]["fcs"] is None
+    assert m["content"] == b"abc" * 100 + b"q" * 4096
+
+
+def test_fcs_cap_rejects_mid_frame_overrun():
+    """A frame whose blocks exceed the DECLARED FCS fails at the first
+    offending block boundary (not only at the end-of-frame check)."""
+    good = M.encode_zstd_raw([("raw", b"xy"), ("raw", b"z")])
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 6, 1)  # declare FCS=1, frame emits 3
+    with pytest.raises(ValueError, match="exceeds declared FCS"):
+        M.decode_zstd_frames(bytes(bad))
