@@ -131,26 +131,80 @@ def _wait_for_quiet_host() -> list[float]:
 
 
 def _plan_fingerprint(df) -> str:
-    """Normalized physical-plan signature (exprIds/plan-ids/paths
-    stripped): a plan regression that stays under the timing noise
-    floor still flips the fingerprint, so BENCH artifacts can be
-    diffed structurally round over round (VERDICT r9 #5)."""
+    """Normalized physical-plan signature: a plan regression that stays
+    under the timing noise floor still flips the fingerprint, so BENCH
+    artifacts can be diffed structurally round over round (VERDICT r9
+    #5).  Two normalization layers:
+
+    - strip run-varying scalars: exprIds, plan ids, paths, AQE final
+      flags;
+    - canonicalize each LINE to its sorted token multiset.  The r10
+      instability (8/48 fingerprints flipping across identical runs)
+      was NOT cache state: Catalyst's RewriteDistinctAggregates (and
+      friends) order rewritten aggregate lists and `gid` assignments by
+      exprId-dependent hash iteration, permuting comma-separated items
+      within otherwise identical lines build-to-build.  Sorting tokens
+      per line makes the fingerprint invariant to intra-line
+      permutation while still keying on the operator tree (line order,
+      operator names, column/function multisets)."""
     import hashlib
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = re.sub(r"#\d+", "#", plan)
+    # higher-order-function lambda variables are numbered by a
+    # session-GLOBAL counter (x_21, y_22, ...) — the number is part of
+    # the variable NAME, not an exprId, so it survives the #N strip and
+    # depends on how many lambdas the session planned before this query
+    plan = re.sub(r"\blambda ([A-Za-z]+)_\d+#", r"lambda \1#", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
+    # AQE materializes sibling shuffle stages concurrently; which one
+    # finishes first decides the QueryStage / WholeStageCodegen numbers
+    # (observed flipping run-to-run in iterative queries whose builds
+    # execute stages, e.g. power iteration)
+    plan = re.sub(r"QueryStage \d+", "QueryStage", plan)
+    plan = re.sub(r"\*\(\d+\)", "*", plan)
     plan = re.sub(r"\[id=[^\]]*\]", "", plan)
     plan = re.sub(r"(file|dbfs|s3a?):[^\s,\])]*", "path:", plan)
     plan = re.sub(r"isFinalPlan=\w+", "", plan)
-    lines = [ln.strip(" :+-*()") for ln in plan.splitlines() if ln.strip()]
+    lines = []
+    for ln in plan.splitlines():
+        ln = ln.strip(" :+-*()")
+        if not ln:
+            continue
+        lines.append(" ".join(sorted(re.split(r"[\s,\[\]()]+", ln))))
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
-def _previous_plan_fps() -> tuple[int, dict[str, str]]:
-    """Latest BENCH_r{N}.json in the repo root that carries plan_fp."""
+def _stable_plan_fingerprint(spark, fn, sf_dir: str) -> str:
+    """Run-stable fingerprint (VERDICT r10 #2): the r10 artifact showed
+    8/48 fingerprints flipping across identical runs because cache
+    state from the timing phase leaked InMemoryTableScan nodes into the
+    'normalized' plan.  Clear the cache before EACH computation (a
+    query's plan-build may itself register cache entries that a later
+    build would pick up), compute TWICE on fresh DataFrames, and refuse
+    to report a fingerprint the run itself could not reproduce."""
+    fps = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        fps.append(_plan_fingerprint(fn(spark, sf_dir)))
+    if fps[0] != fps[1]:
+        return f"unstable:{fps[0]}/{fps[1]}"
+    return fps[0]
+
+
+def _previous_plan_fps(sf: float) -> tuple[int, dict[str, str]]:
+    """Latest artifact in the repo root carrying STABLE plan
+    fingerprints.  BENCH_r10's fingerprints were cache-contaminated
+    (8/48 flipped across identical runs) and carry no stability marker,
+    so the diff baseline starts at the first artifact that proves its
+    own reproducibility via plan_fp_stable — r10-vs-r11 is intentionally
+    not diffed (VERDICT r10 #2 re-baseline).  Checks BENCH_r{N}.json and
+    the local PLAN_FP_BASELINE.json the bench writes each run (the
+    driver truncates stdout artifacts; the local file is authoritative)."""
     here = os.path.dirname(os.path.abspath(__file__))
     best, fps = -1, {}
+    # only diff same-SF baselines: planner size estimates (join
+    # strategy, AQE) legitimately differ across scale factors
     for fname in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
         if not m:
@@ -160,9 +214,34 @@ def _previous_plan_fps() -> tuple[int, dict[str, str]]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        if "plan_fp" in data and int(m.group(1)) > best:
-            best, fps = int(m.group(1)), data["plan_fp"]
+        rnd = int(m.group(1))
+        if (
+            data.get("plan_fp_stable")
+            and data.get("plan_fp")
+            and data.get("sf") == sf
+            and rnd > best
+        ):
+            best, fps = rnd, data["plan_fp"]
+    try:
+        with open(os.path.join(here, "PLAN_FP_BASELINE.json")) as f:
+            entry = json.load(f).get("by_sf", {}).get(str(sf))
+        if entry and int(entry.get("round", -1)) > best:
+            best, fps = int(entry["round"]), entry["plan_fp"]
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
     return best, fps
+
+
+def _current_round() -> int:
+    """Highest N across BENCH_r{N}/CORRECTNESS_r{N} artifacts + 1 (the
+    round in progress)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = 0
+    for fname in os.listdir(here):
+        m = re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json", fname)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
 
 
 def main() -> None:
@@ -217,15 +296,18 @@ def main() -> None:
         spreads[name] = round(max(samples) / min(samples), 2)
 
     total = round(sum(timings.values()), 3)
-    # structural plan fingerprints (no execution: plan-build only) and
-    # the diff against the most recent artifact that carries them
+    # structural plan fingerprints (no execution: plan-build only),
+    # each computed twice under a cleared cache and only reported when
+    # the run reproduces it (VERDICT r10 #2), then the diff against the
+    # most recent STABLE baseline
     plan_fp: dict[str, str] = {}
     for name in HEADLINE:
         try:
-            plan_fp[name] = _plan_fingerprint(queries[name](spark, sf_dir))
+            plan_fp[name] = _stable_plan_fingerprint(spark, queries[name], sf_dir)
         except Exception as exc:  # noqa: BLE001 - fingerprinting is advisory
             plan_fp[name] = f"error:{type(exc).__name__}"
-    prev_round, prev_fps = _previous_plan_fps()
+    plan_fp_stable = not any(fp.startswith("unstable:") for fp in plan_fp.values())
+    prev_round, prev_fps = _previous_plan_fps(sf)
     plan_changed = sorted(
         n for n, fp in plan_fp.items() if prev_fps and prev_fps.get(n) not in (None, fp)
     )
@@ -248,27 +330,74 @@ def main() -> None:
     spread_flagged = sorted(
         n for n, s in spreads.items() if s > _SPREAD_FLAG
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_spread": spreads,
-                "sf": sf,
-                "loadavg_start": load_start,
-                "loadavg_end": load_end,
-                "load_contaminated": load_contaminated,
-                "spread_flagged": spread_flagged,
-                "contaminated": load_contaminated or bool(spread_flagged),
-                "plan_fp": plan_fp,
-                "plan_fp_prev_round": prev_round if prev_fps else None,
-                "plan_changed": plan_changed,
-                "plan_new": plan_new,
-            }
+    contaminated = load_contaminated or bool(spread_flagged)
+    this_round = _current_round()
+    # full artifact line: LARGE STATIC BLOCKS FIRST, timings LAST — the
+    # driver keeps only the final ~2000 chars of stdout, and BENCH_r10
+    # lost every per-query second to the plan_fp block printed after
+    # them (VERDICT r10 #1)
+    full = {
+        "plan_fp": plan_fp,
+        "plan_fp_stable": plan_fp_stable,
+        "plan_fp_prev_round": prev_round if prev_fps else None,
+        "plan_changed": plan_changed,
+        "plan_new": plan_new,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "load_contaminated": load_contaminated,
+        "spread_flagged": spread_flagged,
+        "query_spread": spreads,
+        "round": this_round,
+        "metric": "headline_queries_total_sec",
+        "unit": "sec",
+        "sf": sf,
+        "contaminated": contaminated,
+        "queries": timings,
+        "value": total,
+    }
+    print(json.dumps(full))
+    # authoritative local fingerprint baseline, keyed by SF (stdout
+    # artifacts are truncated by the driver; next round's diff reads
+    # this file and never mixes scale factors)
+    if plan_fp_stable:
+        here = os.path.dirname(os.path.abspath(__file__))
+        base_path = os.path.join(here, "PLAN_FP_BASELINE.json")
+        try:
+            with open(base_path) as f:
+                base = json.load(f)
+        except (OSError, ValueError):
+            base = {}
+        base.setdefault("by_sf", {})[str(sf)] = {
+            "round": this_round,
+            "plan_fp_stable": True,
+            "plan_fp": plan_fp,
+        }
+        with open(base_path, "w") as f:
+            json.dump(base, f, indent=1)
+    # compact timings-only line LAST: guaranteed to fit whole inside the
+    # driver's 2000-char tail so the round's perf record survives intact
+    for ndig in (2, 1):
+        compact = {
+            "metric": "headline_queries_total_sec",
+            "value": round(total, ndig),
+            "unit": "sec",
+            "sf": sf,
+            "round": this_round,
+            "contaminated": contaminated,
+            "n_spread_flagged": len(spread_flagged),
+            "plan_fp_stable": plan_fp_stable,
+            "queries": {n: round(t, ndig) for n, t in timings.items()},
+        }
+        line = json.dumps(compact)
+        if len(line) <= 1950:
+            break
+    else:  # pragma: no cover - 48 short names never reach this
+        compact["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:30]
         )
-    )
+        compact["queries_truncated_to_slowest"] = 30
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -47,75 +47,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # each round the window carries (a) every NEW query, (b) every CHANGED
 # query, then (c) fills to 50 with the rows whose hard driver-green
 # evidence is OLDEST in the cumulative CORRECTNESS_r* ledger — so no
-# row's driver evidence ages past ~5 rounds.  The round-10 window: 5
-# new (zstd entropy layer + dictionaries + .zst file source + seekable pruning, capped PPJoin), 4 changed (total zstd walk,
-# ORC bound, dispatcher payload builder), the 21 rows last verified in
-# round 2, and the 20 oldest round-4 rows.  Everything rotated out
-# stays mirror-checked by tools/check_correctness.py over all queries
-# at three SFs.
+# row's driver evidence ages past ~5 rounds.  The round-11 window: 1
+# new (zstfile Catalyst filter pushdown), 5 changed (the zstd family —
+# cumulative no-FCS output cap in the frame walk, the chunk-refilled
+# _BackBits bit reader, the pushdown refactor of the zstfile reader,
+# the seekable shard-dir rename hardening), the 28 rows whose evidence
+# dates to round 4, and the 16 alphabetically-first round-5 rows (the
+# remaining 31 r5 rows head the round-12 backlog).  Everything rotated
+# out stays mirror-checked by tools/check_correctness.py over all
+# queries at three SFs.
 WINDOW_PRIORITY: list[str] = [
-    # --- Round-10 window ---
-    # New this round (never driver-verified): the zstd entropy layer
-    # and the PPJoin candidate-budget kill-switch
+    # --- Round-11 window ---
+    # New this round (never driver-verified)
+    "mm_zst_pushdown_stats",
+    # Changed this round (re-verification): zstd decode internals and
+    # the zstfile source reader
+    "mm_decode_zstd_stats",
     "mm_decode_zstd_entropy_stats",
-    "dedup_ppjoin_capped",
     "mm_decode_zstd_dict_stats",
     "mm_zst_source_stats",
     "mm_zst_seekable_stats",
-    # Changed this round (re-verification): the zstd frame walker is
-    # now total (compressed blocks decode; checksums verified), the ORC
-    # footer bound tightened (ADVICE r9), the total dispatcher's image
-    # family map was made explicit (payload builder touched)
-    "mm_decode_zstd_stats",
-    "mm_decode_orc_stats",
-    "mm_any_auto_dispatch_stats",
-    "mm_any_auto_quarantine_stats",
-    # Freshness SLA (VERDICT r9 #2): the 21 rows whose last hard
-    # driver-green evidence dates to round 2 — after this window no
-    # registry row's driver evidence is older than round 4
-    "mr_wordcount_gutenberg",
-    "events_sessionization",
-    "sim_tfidf_topk",
-    "text_repetition_quality",
-    "pipeline_contamination_check",
-    "pipeline_pack_sequences",
-    "dedup_incremental_batch",
-    "mm_pca_power_iteration",
-    "eval_quality_auc",
-    "maintenance_ivm_join_view",
-    "layout_zorder_buckets",
-    "asof_join_last_order_before_event",
-    "sketch_distinct_users",
-    "sketch_countmin_user_counts",
-    "scd2_user_value_history",
-    "sim_topk_pq_adc",
-    "sim_mmr_rerank",
-    "sketch_cms_sliding_counts",
-    "text_quality_score",
-    "events_time_weighted_avg",
-    "vocab_bpe_merges",
-    # ...and the 20 oldest round-4 rows (the remaining 25 r4-era rows
-    # head the round-11 backlog)
-    "dedup_clusters",
-    "dedup_keep_best",
-    "graph_pagerank_dup_clusters",
-    "graph_triangle_census",
-    "graph_khop_reachability",
-    "cluster_silhouette_simplified",
-    "pipeline_curated_documents",
-    "pipeline_drop_reasons",
-    "pipeline_domain_cap",
-    "pipeline_pretrain_corpus",
-    "pipeline_quality_resample",
-    "pipeline_corpus_composition",
-    "pipeline_paragraph_dedup",
-    "pipeline_chunk_documents",
-    "pipeline_group_split",
-    "pipeline_weighted_sample",
-    "pipeline_mixture_weights",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_minhash_xengine",
+    # Freshness SLA: the 28 rows whose last hard driver-green evidence
+    # dates to round 4 — after this window no registry row's driver
+    # evidence is older than round 5
+    "dedup_containment",
+    "dedup_minhash_pr_eval",
+    "eval_calibration_bins",
+    "eval_threshold_sweep",
+    "graph_lpa_communities",
+    "kv_cas_replay",
+    "kv_get_lookup",
+    "kv_shard_distribution",
+    "privacy_k_anonymity",
+    "sim_ann_ndcg_eval",
+    "sim_ann_recall_eval",
+    "sim_hybrid_rrf",
+    "sim_ivf_incremental_update",
+    "sim_matryoshka_prefix_recall",
+    "sim_range_search_lsh",
+    "sim_topk_ivfpq",
+    "sketch_quantile_histogram",
+    "stats_chi2_independence",
+    "stats_lorenz_gini",
+    "stats_winsorized_moments",
+    "text_char_entropy",
+    "text_collocations_pmi",
+    "text_fingerprint",
+    "text_keywords_tfidf",
+    "text_lang_guess",
+    "text_ngram_novelty",
+    "text_token_stats",
+    "vocab_bpe_apply",
+    # ...and the 16 alphabetically-first round-5 rows
+    "asof_join_next_purchase_after_error",
+    "bitmap_type_day_overlap",
+    "events_ab_welch_t",
+    "events_attribution_models",
+    "events_changepoint_binary_seg",
+    "events_cusum_drift",
+    "events_ewma_value",
+    "events_funnel_conversion",
+    "events_gap_fill_hourly",
+    "events_kaplan_meier",
+    "events_leadlag_xcorr",
+    "events_markov_transitions",
+    "events_ohlc_bars",
+    "events_pattern_sessions",
+    "events_rate_anomaly",
+    "events_retention_cohorts",
 ]
 
 

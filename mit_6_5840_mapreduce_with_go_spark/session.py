@@ -46,6 +46,12 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS) which the parquet
         # reader rejects; read as long and convert in sources/tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python Data Source filter pushdown (zstfile absorbs
+        # content_len >= X into seek-table frame pruning); Spark errors
+        # on any read of a pushFilters-implementing source while this
+        # is off, and the sources/zstfiles.py helpers also set it at
+        # runtime for vanilla (driver-created) sessions
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )

@@ -28,7 +28,26 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+)
+
+# Python Data Source filter pushdown is gated by a session conf and
+# Spark REFUSES (DATA_SOURCE_PUSHDOWN_DISABLED) to plan a read of a
+# pushFilters-implementing source while it is off — a deliberate
+# loud-failure so pushdown is never silently dropped.  Every helper
+# below enables it; direct format("zstfile") callers on a bare session
+# get Spark's pointed error naming this conf.
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
+def _enable_pushdown(spark) -> None:
+    spark.conf.set(_PUSHDOWN_CONF, "true")
 
 
 class ZstDataSource(DataSource):
@@ -60,6 +79,37 @@ class ZstReader(DataSourceReader):
         self._path = path
         mfb = options.get("min_frame_bytes")
         self._min_frame_bytes = int(mfb) if mfb is not None else None
+        # threshold learned from Catalyst via pushFilters (VERDICT r10
+        # #4): same pruning as the option, but the caller just writes
+        # .where("content_len >= X") — no option knowledge needed
+        self._pushdown_min: int | None = None
+
+    def pushFilters(self, filters):
+        """Absorb `content_len >= X` / `content_len > X` conjuncts:
+        the seek table's per-frame decompressed size IS content_len, so
+        the source's frame pruning implements these filters EXACTLY and
+        Spark need not re-evaluate them (they are not yielded back).
+        Everything else stays Spark-side.  Shards without a seek table
+        fall back to walk-then-filter inside read(), which preserves
+        exactness (see read()).  IsNotNull on any column is absorbed as
+        trivially true: every field of every emitted row is populated
+        (so Catalyst's implied null-check doesn't leave a residual
+        Filter node over the scan)."""
+        for f in filters:
+            if isinstance(f, IsNotNull):
+                continue
+            thr = None
+            if getattr(f, "attribute", None) == ("content_len",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, GreaterThanOrEqual):
+                    thr = f.value
+                elif isinstance(f, GreaterThan):
+                    thr = f.value + 1
+            if thr is None:
+                yield f
+            else:
+                self._pushdown_min = max(self._pushdown_min or 0, thr)
 
     def partitions(self) -> list[InputPartition]:
         files = sorted(_glob.glob(self._path))
@@ -76,17 +126,34 @@ class ZstReader(DataSourceReader):
         with open(p, "rb") as fh:
             payload = fh.read()
         base = os.path.basename(p)
-        if self._min_frame_bytes is not None:
-            # PRUNING mode: requires a seek table; frames below the
-            # threshold are never decoded (their bytes are never read
-            # past the table) — frame-level skipping inside the shard
+        threshold = max(
+            self._min_frame_bytes or 0, self._pushdown_min or 0
+        ) or None
+        if threshold is not None:
+            # PRUNING mode: frames whose seek-table decompressed size
+            # is below the threshold are never decoded (their bytes are
+            # never read past the table) — frame-level skipping inside
+            # the shard
             entries = parse_seek_table(payload)
             if entries is None:
-                raise ValueError(
-                    f"{base}: min_frame_bytes pruning needs a seek table"
+                if self._min_frame_bytes is not None:
+                    # the explicit OPTION demands pruning: a shard that
+                    # cannot prune is a loud error, not a silent full
+                    # decode
+                    raise ValueError(
+                        f"{base}: min_frame_bytes pruning needs a seek table"
+                    )
+                # pushdown-only threshold: correctness must hold on any
+                # shard, so fall back to the full walk and filter here
+                # (the absorbed predicate is still honored exactly)
+                yield from (
+                    row
+                    for row in self._walk_all(payload, base, decode_zstd_frames)
+                    if row[3] >= threshold
                 )
+                return
             for idx, en in enumerate(entries):
-                if en["d_size"] < self._min_frame_bytes:
+                if en["d_size"] < threshold:
                     continue
                 meta = decode_zstd_frames(
                     payload[en["c_off"] : en["c_off"] + en["c_size"]]
@@ -110,6 +177,10 @@ class ZstReader(DataSourceReader):
                     fr["window_log"],
                 )
             return
+        yield from self._walk_all(payload, base, decode_zstd_frames)
+
+    @staticmethod
+    def _walk_all(payload: bytes, base: str, decode_zstd_frames):
         meta = decode_zstd_frames(payload)
         content = meta["content"]
         pos = 0
@@ -133,6 +204,7 @@ class ZstReader(DataSourceReader):
 def read_zst_source(spark, path_glob: str):
     """Register (idempotent) and read the zstfile source."""
     spark.dataSource.register(ZstDataSource)
+    _enable_pushdown(spark)
     return spark.read.format("zstfile").load(path_glob)
 
 
@@ -220,6 +292,7 @@ def read_zst_source_seekable(spark, path_glob: str, min_frame_bytes: int):
     frames whose seek-table decompressed size is >= the threshold are
     decoded (the rest are never touched)."""
     spark.dataSource.register(ZstDataSource)
+    _enable_pushdown(spark)
     return (
         spark.read.format("zstfile")
         .option("min_frame_bytes", str(min_frame_bytes))
