@@ -503,11 +503,15 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """(v, m) for every v in Gamma(u) with v > u, m = min(Gamma+(u))."""
-    with_self = edges.union(
-        edges.select(F.col("u"), F.col("u").alias("v"))
-    ).distinct()
-    m = with_self.groupBy("u").agg(F.min("v").alias("m"))
+    """(v, m) for every v in Gamma(u) with v > u, m = min(Gamma+(u)).
+
+    min over Gamma+(u) = min(u, min(Gamma(u))) — computed with a
+    ``least`` over the plain groupBy, NOT by materializing a
+    union+distinct of self-edges: that was a full extra shuffle of the
+    edge set every round."""
+    m = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("m")
+    )
     return (
         edges.filter(F.col("v") > F.col("u"))
         .join(m, "u")
@@ -519,13 +523,17 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """(v, m) for every v in Gamma-(u) (neighbors <= u) plus u itself,
-    m = min(Gamma-(u) + {u})."""
+    m = min(Gamma-(u) + {u}).
+
+    Same self-edge folding as ``_large_star``: m comes from a ``least``
+    over the plain groupBy of the down-edges, and the (u, u) self row
+    the old union produced is exactly the ``own`` row, so nothing else
+    changes — one union+distinct shuffle per round removed."""
     down = edges.filter(F.col("v") <= F.col("u"))
-    with_self = down.union(
-        down.select(F.col("u"), F.col("u").alias("v"))
-    ).distinct()
-    m = with_self.groupBy("u").agg(F.min("v").alias("m"))
-    pairs = with_self.join(m, "u").select(
+    m = down.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("m")
+    )
+    pairs = down.join(m, "u").select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     own = m.select(F.col("u"), F.col("m").alias("v"))
@@ -560,13 +568,19 @@ def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
 
     sig = signature(edges)
     prev = edges
+    sym = edges  # symmetric view feeding the next large-star
     converged = False
     for _ in range(max_rounds):
         # each star operator works on node neighborhoods, so the edge
         # set is re-symmetrized before each application (the paper's
-        # per-node grouping sees every edge from both endpoints)
+        # per-node grouping sees every edge from both endpoints).  Only
+        # the small-star output is checkpointed: the between-round
+        # resym stays LAZY (its distinct's exchange is planned into the
+        # next round, and Spark's ReuseExchange shares it between the
+        # groupBy and join consumers), which drops one materialized
+        # shuffle + checkpoint per round vs the round-10 shape.
         edges = _small_star(
-            resym(_large_star(edges))
+            resym(_large_star(sym))
         ).localCheckpoint()
         new_sig = signature(edges)
         if new_sig == sig:
@@ -579,7 +593,7 @@ def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                 break
         sig = new_sig
         prev = edges
-        edges = resym(edges).localCheckpoint()
+        sym = resym(edges)
     if not converged:
         raise RuntimeError(
             f"cc_two_phase: no confirmed fixpoint within {max_rounds} "
