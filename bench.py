@@ -86,6 +86,10 @@ HEADLINE = [
     # round-10 flagship (NEW in r10 — subtract when comparing totals to
     # earlier rounds): full zstd entropy decode (FSE/Huffman/sequences)
     "mm_decode_zstd_entropy_stats",
+    # round-11 flagship (NEW in r11 — subtract when comparing totals to
+    # earlier rounds): the composed shard+frame point read via Catalyst
+    # filter pushdown into the zstfile source
+    "mm_zst_shard_pointread_stats",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]

@@ -557,6 +557,12 @@ def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).distinct()
 
+    # materialize the pair source ONCE before symmetrizing: _symmetric's
+    # union consumes `pairs` twice, and when the upstream is expensive
+    # (the PPJoin similarity join) exchange reuse across the two union
+    # branches is not guaranteed — at sf1 the un-checkpointed input made
+    # the whole similarity join run twice (98.6s vs ~52s for the join)
+    pairs = pairs.localCheckpoint()
     edges = _symmetric(pairs).localCheckpoint()
 
     def signature(e: DataFrame) -> tuple:

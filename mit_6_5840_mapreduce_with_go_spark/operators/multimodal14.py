@@ -1874,3 +1874,47 @@ def mm_zst_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_log",
         )
     )
+
+_POINT_SHARD = "shard-003.zst"
+
+_ZST_POINTREAD_ORACLE = (
+    "SELECT * FROM (" + _ZST_SOURCE_ORACLE
+    + f") WHERE file = '{_POINT_SHARD}' AND content_len >= {_PUSH_MIN_BYTES}"
+)
+
+
+@query("mm_zst_shard_pointread_stats", oracle=_ZST_POINTREAD_ORACLE)
+def mm_zst_shard_pointread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED 100 TB point read: ``where(file = S and
+    content_len >= X)`` over the zstfile source pushes BOTH conjuncts —
+    the file equality becomes shard-level PARTITION pruning (shards
+    other than S are never opened; tests/test_zst_pushdown.py plants a
+    corrupt sibling shard to prove it) and the size bound becomes
+    seek-table FRAME pruning inside the surviving shard.  On a
+    1000-executor cluster over petabytes of .zst shards this plan opens
+    one file and decodes only its qualifying frames — I/O proportional
+    to the answer, not the corpus.  Same full-census oracle, filtered
+    by both pushed predicates."""
+    from ..sources.zstfiles import read_zst_source
+
+    import os as _os
+
+    shards = _os.path.join(_seekable_shard_dir(sf_dir), "*.zst")
+    return (
+        read_zst_source(spark, shards)
+        .where(
+            (F.col("file") == _POINT_SHARD)
+            & (F.col("content_len") >= _PUSH_MIN_BYTES)
+        )
+        .select(
+            "file",
+            "frame_index",
+            "n_blocks",
+            "n_sequences",
+            "n_literals",
+            "content_len",
+            "content_sum",
+            "huf_tlog",
+            "window_log",
+        )
+    )

@@ -31,8 +31,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
 )
@@ -83,23 +85,45 @@ class ZstReader(DataSourceReader):
         # #4): same pruning as the option, but the caller just writes
         # .where("content_len >= X") — no option knowledge needed
         self._pushdown_min: int | None = None
+        # file-equality pushdown: SHARD-level partition pruning (the
+        # other half of the 100 TB point read — skip whole files, then
+        # skip frames inside the survivors)
+        self._file_eq: set[str] | None = None
 
     def pushFilters(self, filters):
         """Absorb `content_len >= X` / `content_len > X` conjuncts:
         the seek table's per-frame decompressed size IS content_len, so
         the source's frame pruning implements these filters EXACTLY and
         Spark need not re-evaluate them (they are not yielded back).
-        Everything else stays Spark-side.  Shards without a seek table
-        fall back to walk-then-filter inside read(), which preserves
-        exactness (see read()).  IsNotNull on any column is absorbed as
-        trivially true: every field of every emitted row is populated
-        (so Catalyst's implied null-check doesn't leave a residual
-        Filter node over the scan)."""
+        `file = 'shard'` / `file IN (...)` conjuncts become PARTITION
+        pruning: non-matching shards are never opened (partitions()
+        drops them).  Everything else stays Spark-side.  Shards without
+        a seek table fall back to walk-then-filter inside read(), which
+        preserves exactness (see read()).  IsNotNull on any column is
+        absorbed as trivially true: every field of every emitted row is
+        populated (so Catalyst's implied null-check doesn't leave a
+        residual Filter node over the scan)."""
         for f in filters:
             if isinstance(f, IsNotNull):
                 continue
+            attr = getattr(f, "attribute", None)
+            if attr == ("file",):
+                names = None
+                if isinstance(f, EqualTo) and isinstance(f.value, str):
+                    names = {f.value}
+                elif isinstance(f, In) and all(
+                    isinstance(v, str) for v in f.value
+                ):
+                    names = set(f.value)
+                if names is not None:
+                    self._file_eq = (
+                        names
+                        if self._file_eq is None
+                        else self._file_eq & names
+                    )
+                    continue
             thr = None
-            if getattr(f, "attribute", None) == ("content_len",) and isinstance(
+            if attr == ("content_len",) and isinstance(
                 getattr(f, "value", None), int
             ):
                 if isinstance(f, GreaterThanOrEqual):
@@ -115,9 +139,21 @@ class ZstReader(DataSourceReader):
         files = sorted(_glob.glob(self._path))
         if not files:
             raise FileNotFoundError(f"no files match {self._path!r}")
+        if self._file_eq is not None:
+            # shard-level pruning from the pushed file-equality filter:
+            # an empty survivor set is a legitimate empty result (the
+            # bare-glob no-match above stays a loud error)
+            files = [
+                p for p in files if os.path.basename(p) in self._file_eq
+            ]
         return [InputPartition(p) for p in files]
 
     def read(self, partition: InputPartition):
+        if partition is None:
+            # partitions() pruned every shard (file-equality filter
+            # matched nothing): Spark still issues one read(None) call
+            # for an empty partition list — an empty result, not an error
+            return
         # Executor-side import keeps sources/ -> operators/ acyclic.
         from ..operators.multimodal13 import decode_zstd_frames
         from ..operators.multimodal14 import xxh64

@@ -134,3 +134,71 @@ def test_pushdown_disabled_fails_loudly(spark, tmp_path):
             spark.read.format("zstfile").load(str(p)).collect()
     finally:
         spark.conf.set(conf, old)
+
+
+def test_file_equality_prunes_whole_shards(spark, tmp_path):
+    """file = 'S' pushes down to PARTITION pruning: a corrupt sibling
+    shard in the same glob is never opened, so the filtered read
+    succeeds while the unfiltered read raises."""
+    good_frames, good_contents = zip(
+        *(M14._zstd_entropy_frame_and_content(d) for d in (3, 123))
+    )
+    (tmp_path / "a-good.zst").write_bytes(
+        write_seekable_shard(list(good_frames), list(good_contents))
+    )
+    # the sibling is not even a valid zstd stream — ANY read of it raises
+    (tmp_path / "b-corrupt.zst").write_bytes(b"\x00" * 64)
+    glob = str(tmp_path / "*.zst")
+    got = (
+        read_zst_source(spark, glob)
+        .where(F.col("file") == "a-good.zst")
+        .select("frame_index", "content_len")
+        .collect()
+    )
+    assert {r["frame_index"] for r in got} == {0, 1}
+    with pytest.raises(Exception):
+        read_zst_source(spark, glob).collect()
+    # IN-list pruning takes the same path
+    got_in = (
+        read_zst_source(spark, glob)
+        .where(F.col("file").isin("a-good.zst"))
+        .count()
+    )
+    assert got_in == 2
+
+
+def test_file_pruning_to_empty_is_a_result_not_an_error(spark, tmp_path):
+    p, _ = _planted_shard(tmp_path, corrupt_small=False)
+    got = (
+        read_zst_source(spark, str(p))
+        .where(F.col("file") == "no-such-shard.zst")
+        .count()
+    )
+    assert got == 0
+
+
+def test_composed_point_read_plan_and_rows(spark, sf_dir):
+    """The registered point-read query: both conjuncts absorbed (no
+    Filter operator), rows match the doubly-filtered census."""
+    import re
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal14 import (
+        _POINT_SHARD,
+        mm_zst_pushdown_stats,
+        mm_zst_shard_pointread_stats,
+    )
+
+    df = mm_zst_shard_pointread_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^[\s+:*()\-\d]*Filter\b", ln)
+    ], plan
+    got = {(r["file"], r["frame_index"]) for r in df.collect()}
+    want = {
+        (r["file"], r["frame_index"])
+        for r in mm_zst_pushdown_stats(spark, sf_dir).collect()
+        if r["file"] == _POINT_SHARD
+    }
+    assert got == want and got

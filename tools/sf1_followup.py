@@ -1,6 +1,13 @@
-"""One-off follow-up: measure queries missing from SCALING_CURVE.json's
-sf1 section (e.g. registered after a long main run started) and merge
-their rows in place.  Usage: python tools/sf1_followup.py name [name...]
+"""Quiet-host follow-up: (re-)measure named queries' decade rows and
+merge them into SCALING_CURVE.json in place, stamping per-row
+PROVENANCE (VERDICT r10 #5) so a reader can tell a quiet measurement
+from a shared-host upper bound.  Usage:
+
+    python tools/sf1_followup.py name [name...]
+    python tools/sf1_followup.py --slowest N   # top-N by current sf1 time
+
+Refuses to stamp rows as quiet when the host is not (1-min loadavg
+gate, bounded wait, same policy as bench.py).
 """
 
 from __future__ import annotations
@@ -18,14 +25,48 @@ from mit_6_5840_mapreduce_with_go_spark.session import get_spark
 import __spark_entry__ as entrymod
 from tools import scaling_curve as sc
 
+_LOAD_QUIET = 1.0
+_LOAD_WAIT = 300
+
+
+def _loadavg1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return 0.0
+
 
 def main() -> None:
-    names = sys.argv[1:]
-    if not names:
-        raise SystemExit("usage: sf1_followup.py query [query...]")
+    args = sys.argv[1:]
+    if not args:
+        raise SystemExit("usage: sf1_followup.py name [name...] | --slowest N")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SCALING_CURVE.json")
     report = json.load(open(path))
+    if args[0] == "--slowest":
+        n = int(args[1])
+        names = [
+            q
+            for q, t in sorted(
+                report["sf1"]["queries"].items(),
+                key=lambda kv: -kv[1].get("1", 0.0),
+            )
+        ][:n]
+        print("slowest", n, "sf1 rows:", names)
+    else:
+        names = args
+
+    deadline = time.time() + _LOAD_WAIT
+    load = _loadavg1()
+    while load > _LOAD_QUIET and time.time() < deadline:
+        print(f"host busy (loadavg {load:.1f}), waiting...", file=sys.stderr)
+        time.sleep(20)
+        load = _loadavg1()
+    quiet = load <= _LOAD_QUIET
+    mode = "quiet" if quiet else f"contaminated(loadavg={load:.1f})"
+    print(f"measuring under: {mode}")
+
     spark = get_spark("sf1_followup")
     queries = entrymod.queries()
     dirs = {
@@ -36,6 +77,7 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, dirs["0.01"]).write.format("noop").mode(
         "overwrite"
     ).save()
+    prov = report["sf1"].setdefault("provenance", {})
     for name in names:
         times = {}
         for sf, d in dirs.items():
@@ -48,14 +90,17 @@ def main() -> None:
         exp = round(math.log10(times["1"] / times["0.1"]), 2)
         report["sf1"]["queries"][name] = times
         report["sf1"]["growth_exponent_01_to_1"][name] = exp
+        prov[name] = mode
         sl = report["sf1"]["superlinear_queries"]
         if exp > 1.0 and name not in sl:
             sl.append(name)
         elif exp <= 1.0 and name in sl:
             sl.remove(name)
         print(name, times, "exp", exp)
-    with open(path, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
+        # merge incrementally: a long sweep interrupted mid-way keeps
+        # every completed row
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     print("merged", len(names), "rows into", path)
 
 
