@@ -675,13 +675,34 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifting out of bound therefore fails the driver's hash compare —
     a real cross-engine signal rather than a rows-only waiver."""
     ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    # Two exact count-DISTINCTs inside one aggregate would trigger
+    # RewriteDistinctAggregates' Expand — every event row shuffled 3x,
+    # with the exact-percentile buffers riding along (the slowest sf1
+    # registry row before this split, 109 s).  Instead: one 1x-data
+    # aggregate for the sketches + percentile band, and each exact
+    # distinct as its own two-level (dedup-then-count) aggregation with
+    # map-side partial dedup; the per-type results are tiny and join
+    # broadcast.
+    base = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.countDistinct("event_id").alias("exact_events"),
         F.expr("percentile(value, array(0.45, 0.55))").alias("med_band"),
+    )
+    users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    events = (
+        ev.select("event_type", "event_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_events"))
+    )
+    agg = base.join(F.broadcast(users), "event_type").join(
+        F.broadcast(events), "event_type"
     )
     users_tol = F.greatest(F.lit(2.0), 0.10 * F.col("exact_users"))
     events_tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_events"))
