@@ -1918,3 +1918,42 @@ def mm_zst_shard_pointread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_log",
         )
     )
+
+_ZST_SINK_ORACLE = """
+SELECT CAST(length(text) AS BIGINT) AS content_len,
+       CAST(list_sum(list_transform(split(text, ''), c -> ascii(c)))
+            AS BIGINT) AS content_sum,
+       CAST(greatest(1, ceil(length(text) / 131072.0)) AS BIGINT) AS n_blocks
+FROM documents
+"""
+
+
+@query("mm_zst_sink_roundtrip_stats", oracle=_ZST_SINK_ORACLE)
+def mm_zst_sink_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE leg round trip: every document's text is exported through
+    the ``zstfile`` SINK (one seekable .zst shard per partition, frames
+    of spec-valid raw-block zstd — store mode, decodable by any zstd
+    and byte-exact against libzstd in tests), then read back through
+    the zstfile SOURCE with full decode + XXH64 seek-table checksum
+    verification.  The census compares the read-back frames against the
+    documents table as a MULTISET of (content_len, content_sum,
+    n_blocks) — shard assignment is hash-partitioned and intentionally
+    not pinned; byte content IS pinned (sum + length here, xxh64
+    verification inside the read, byte-exact golden tests in
+    tests/test_zst_sink.py).  At 100 TB this is the training-shard
+    EXPORT: curated corpus out as prunable seekable shards, one task
+    per shard, two-phase commit."""
+    import tempfile
+
+    from ..sources.zstfiles import read_zst_source, write_zst_sink
+
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("text").cast("binary").alias("content")
+    )
+    out = tempfile.mkdtemp(prefix="zst_sink_rt_")
+    write_zst_sink(docs.repartition(4), out)
+    return read_zst_source(spark, _os.path.join(out, "*.zst")).select(
+        "content_len", "content_sum", "n_blocks"
+    )

@@ -47,14 +47,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # each round the window carries (a) every NEW query, (b) every CHANGED
 # query, then (c) fills to 50 with the rows whose hard driver-green
 # evidence is OLDEST in the cumulative CORRECTNESS_r* ledger — so no
-# row's driver evidence ages past ~5 rounds.  The round-11 window: 2
+# row's driver evidence ages past ~5 rounds.  The round-11 window: 3
 # new (zstfile Catalyst filter pushdown; the composed shard+frame
-# point read), 5 changed (the zstd family —
+# point read; the seekable-shard WRITE-path round trip), 5 changed
+# (the zstd family —
 # cumulative no-FCS output cap in the frame walk, the chunk-refilled
 # _BackBits bit reader, the pushdown refactor of the zstfile reader,
 # the seekable shard-dir rename hardening), the 28 rows whose evidence
-# dates to round 4, and the 15 alphabetically-first round-5 rows (the
-# remaining 32 r5 rows head the round-12 backlog).  Everything rotated
+# dates to round 4, and the 14 alphabetically-first round-5 rows (the
+# remaining 33 r5 rows head the round-12 backlog).  Everything rotated
 # out stays mirror-checked by tools/check_correctness.py over all
 # queries at three SFs.
 WINDOW_PRIORITY: list[str] = [
@@ -62,6 +63,7 @@ WINDOW_PRIORITY: list[str] = [
     # New this round (never driver-verified)
     "mm_zst_pushdown_stats",
     "mm_zst_shard_pointread_stats",
+    "mm_zst_sink_roundtrip_stats",
     # Changed this round (re-verification): zstd decode internals and
     # the zstfile source reader
     "mm_decode_zstd_stats",
@@ -115,7 +117,6 @@ WINDOW_PRIORITY: list[str] = [
     "events_markov_transitions",
     "events_ohlc_bars",
     "events_pattern_sessions",
-    "events_rate_anomaly",
 ]
 
 

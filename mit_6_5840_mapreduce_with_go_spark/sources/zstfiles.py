@@ -72,6 +72,13 @@ class ZstDataSource(DataSource):
     def reader(self, schema) -> "ZstReader":
         return ZstReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "ZstWriter":
+        if "content" not in schema.fieldNames():
+            raise ValueError(
+                "zstfile sink requires a 'content' (binary/string) column"
+            )
+        return ZstWriter(self.options, overwrite)
+
 
 class ZstReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
@@ -334,3 +341,104 @@ def read_zst_source_seekable(spark, path_glob: str, min_frame_bytes: int):
         .option("min_frame_bytes", str(min_frame_bytes))
         .load(path_glob)
     )
+
+
+# ---------------------------------------------------------------------------
+# WRITE path: ``df.write.format("zstfile").save(dir)`` — the training-
+# shard EXPORT leg.  One seekable .zst shard per input partition
+# (shard boundaries = partitioning, frame order = row order within the
+# partition, so the caller controls layout with repartition/
+# sortWithinPartitions); every frame is a spec-valid zstd frame of raw
+# blocks (store mode — decodable by ANY zstd, verified byte-exact
+# against libzstd in tests), and every shard ends with the seekable
+# seek table, so shards written here are immediately prunable by the
+# read path's pushdown.  Two-phase commit: tasks write job-scoped
+# .inflight files and the driver renames on commit / unlinks on abort,
+# so failed or speculative tasks never leave partial shards visible.
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _ZstCommit(WriterCommitMessage):
+    def __init__(self, tmp: str | None, final: str | None, n_frames: int):
+        self.tmp = tmp
+        self.final = final
+        self.n_frames = n_frames
+
+
+_WRITE_BLOCK = 1 << 17  # 128 KiB raw blocks inside each frame
+
+
+class ZstWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("zstfile sink requires a directory path")
+        self._dir = path
+        self._overwrite = overwrite
+        import uuid
+
+        self._job = uuid.uuid4().hex[:12]
+
+    def write(self, iterator) -> _ZstCommit:
+        from pyspark import TaskContext
+
+        from ..operators.multimodal13 import encode_zstd_raw
+
+        pid = TaskContext.get().partitionId()
+        frames: list[bytes] = []
+        contents: list[bytes] = []
+        for row in iterator:
+            content = row["content"]
+            if content is None:
+                raise ValueError("zstfile sink: NULL content")
+            if isinstance(content, str):
+                content = content.encode("utf-8")
+            content = bytes(content)
+            blocks = [
+                ("raw", content[i : i + _WRITE_BLOCK])
+                for i in range(0, len(content), _WRITE_BLOCK)
+            ] or [("raw", b"")]
+            frames.append(encode_zstd_raw(blocks))
+            contents.append(content)
+        if not frames:
+            return _ZstCommit(None, None, 0)
+        os.makedirs(self._dir, exist_ok=True)
+        final = os.path.join(self._dir, f"shard-{pid:05d}.zst")
+        tmp = os.path.join(
+            self._dir, f".inflight-{self._job}-shard-{pid:05d}.zst"
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(write_seekable_shard(frames, contents))
+        return _ZstCommit(tmp, final, len(frames))
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            keep = {
+                m.final for m in messages if m is not None and m.final
+            }
+            if os.path.isdir(self._dir):
+                for f in os.listdir(self._dir):
+                    p = os.path.join(self._dir, f)
+                    if (
+                        f.startswith("shard-")
+                        and f.endswith(".zst")
+                        and p not in keep
+                    ):
+                        os.unlink(p)
+        for m in messages:
+            if m is not None and m.tmp:
+                os.replace(m.tmp, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.tmp and os.path.exists(m.tmp):
+                os.unlink(m.tmp)
+
+
+def write_zst_sink(df, directory: str, mode: str = "overwrite") -> None:
+    """Write ``df`` (must carry a ``content`` binary/string column) as
+    seekable .zst shards, one per partition."""
+    df.sparkSession.dataSource.register(ZstDataSource)
+    _enable_pushdown(df.sparkSession)
+    df.write.format("zstfile").mode(mode).save(directory)

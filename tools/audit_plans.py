@@ -21,6 +21,8 @@ Flags per query:
            `_stitch_pid` (P-row per-bucket stats) / `_stitch_dom_`
            (explicitly asserted finite domains).
   - EXCH   exchange count (informational; flagged above threshold)
+  - XDIST  multi-distinct Expand with a percentile/collect buffer riding
+           the replicated stream (split the distincts out — SCALING.md r11)
 
 Known-intentional exceptions are allow-listed with the reason inline.
 
@@ -487,6 +489,19 @@ def audit(name: str, df) -> list[tuple[str, str]]:
     n_exch = len(re.findall(r"Exchange (hash|range|SinglePartition)", plan))
     if n_exch > EXCH_THRESHOLD:
         flags.append(("EXCH", f"{n_exch} exchanges"))
+    # multi-distinct rewrite (Expand) with a heavy per-group buffer
+    # riding the expanded stream: every input row is replicated
+    # N_distinct+1 times AND the buffer builds on the replicas — the
+    # shape behind sketch_distinct_users' 109s->2.4s fix (SCALING.md
+    # r11: split the distincts out when a percentile/collect rides)
+    if re.search(r"\bExpand\b", plan) and re.search(
+        r"\bpercentile\(|\bcollect_list\(|\bcollect_set\(", plan
+    ):
+        flags.append(
+            ("XDIST", "multi-distinct Expand carrying a percentile/collect "
+             "buffer — split the exact distincts into their own "
+             "dedup-then-count aggregations")
+        )
     return flags
 
 
