@@ -103,11 +103,22 @@ HEADLINE = [
 # quiet, and if it never comes, stamp the artifact so a reader can't
 # mistake contamination for a regression.
 _LOAD_QUIET_THRESHOLD = 1.0
+# the 1-min average alone is gameable by a just-finished burst: a run
+# started at 1-min 0.96 / 5-min 4.28 measured 9% above the drained-host
+# floor while stamping itself clean — so the 5-min average must ALSO be
+# below this before a run counts as quiet
+_LOAD_QUIET_5MIN = 2.0
 _LOAD_WAIT_SECONDS = 300
 _LOAD_POLL_SECONDS = 20
 # a query whose samples still disagree by more than this after the
 # retry budget is individually unreliable regardless of start loadavg
 _SPREAD_FLAG = 3.0
+# ...but only when the row is big enough for the spread to mean
+# anything: a 0.15 s row swinging 3x is scheduler/GC jitter bounded by
+# fractions of a second, not host contamination — flagging it would
+# mark the whole artifact contaminated over noise below the jitter
+# floor.  Spreads are still RECORDED for every row.
+_SPREAD_FLAG_MIN_SEC = 0.5
 
 
 def _loadavg() -> list[float]:
@@ -123,10 +134,16 @@ def _wait_for_quiet_host() -> list[float]:
     bounded wait expires; returns the loadavg the run starts under."""
     deadline = time.time() + _LOAD_WAIT_SECONDS
     load = _loadavg()
-    while load and load[0] > _LOAD_QUIET_THRESHOLD and time.time() < deadline:
+    while (
+        load
+        and (
+            load[0] > _LOAD_QUIET_THRESHOLD or load[1] > _LOAD_QUIET_5MIN
+        )
+        and time.time() < deadline
+    ):
         print(
-            f"bench: host busy (loadavg {load[0]:.1f} > "
-            f"{_LOAD_QUIET_THRESHOLD}), waiting for quiet...",
+            f"bench: host busy (loadavg {load[0]:.1f}/{load[1]:.1f} vs "
+            f"{_LOAD_QUIET_THRESHOLD}/{_LOAD_QUIET_5MIN}), waiting...",
             file=sys.stderr,
         )
         time.sleep(_LOAD_POLL_SECONDS)
@@ -297,7 +314,15 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(min(samples), 3)
-        spreads[name] = round(max(samples) / min(samples), 2)
+        # spread over the WARM samples only: the first sample pays
+        # one-time codegen + Python-worker pool spin-up by design (the
+        # reason min-of-N exists), so counting it in the spread flags
+        # warmup as host contamination on every short Arrow/PythonDS
+        # row.  With >=3 samples the cold first one is excluded; the
+        # full max/min including it is still visible in the timings'
+        # retry behavior.
+        warm = samples[1:] if len(samples) >= 3 else samples
+        spreads[name] = round(max(warm) / min(warm), 2)
 
     total = round(sum(timings.values()), 3)
     # structural plan fingerprints (no execution: plan-build only),
@@ -326,13 +351,16 @@ def main() -> None:
     # loadavg still exceeded the threshold after the bounded quiet-wait
     # (the run's own 32 threads inflate the END number legitimately).
     load_end = _loadavg()
-    load_contaminated = (
-        bool(load_start) and load_start[0] > _LOAD_QUIET_THRESHOLD
+    load_contaminated = bool(load_start) and (
+        load_start[0] > _LOAD_QUIET_THRESHOLD
+        or load_start[1] > _LOAD_QUIET_5MIN
     )
     # per-query honesty: queries whose spread stayed above the flag
     # after the retry budget — their min may still be inflated
     spread_flagged = sorted(
-        n for n, s in spreads.items() if s > _SPREAD_FLAG
+        n
+        for n, s in spreads.items()
+        if s > _SPREAD_FLAG and timings[n] >= _SPREAD_FLAG_MIN_SEC
     )
     contaminated = load_contaminated or bool(spread_flagged)
     this_round = _current_round()

@@ -49,13 +49,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # evidence is OLDEST in the cumulative CORRECTNESS_r* ledger — so no
 # row's driver evidence ages past ~5 rounds.  The round-11 window: 3
 # new (zstfile Catalyst filter pushdown; the composed shard+frame
-# point read; the seekable-shard WRITE-path round trip), 5 changed
-# (the zstd family —
-# cumulative no-FCS output cap in the frame walk, the chunk-refilled
-# _BackBits bit reader, the pushdown refactor of the zstfile reader,
-# the seekable shard-dir rename hardening), the 28 rows whose evidence
-# dates to round 4, and the 14 alphabetically-first round-5 rows (the
-# remaining 33 r5 rows head the round-12 backlog).  Everything rotated
+# point read; the seekable-shard WRITE-path round trip), 7 changed
+# (the zstd family — cumulative no-FCS output cap in the frame walk,
+# the chunk-refilled _BackBits bit reader, the pushdown refactor of the
+# zstfile reader, the seekable shard-dir rename hardening — plus the
+# CC-loop diet and the sketch-aggregate Expand split), the 28 rows
+# whose evidence dates to round 4, and the 12 alphabetically-first
+# round-5 rows (the remaining 35 r5 rows head the round-12 backlog).
+# Everything rotated
 # out stays mirror-checked by tools/check_correctness.py over all
 # queries at three SFs.
 WINDOW_PRIORITY: list[str] = [
@@ -64,8 +65,11 @@ WINDOW_PRIORITY: list[str] = [
     "mm_zst_pushdown_stats",
     "mm_zst_shard_pointread_stats",
     "mm_zst_sink_roundtrip_stats",
-    # Changed this round (re-verification): zstd decode internals and
-    # the zstfile source reader
+    # Changed this round (re-verification): zstd decode internals, the
+    # zstfile source reader, the CC loop diet + pairs checkpoint, and
+    # the sketch-aggregate Expand split
+    "dedup_cc_two_phase",
+    "sketch_distinct_users",
     "mm_decode_zstd_stats",
     "mm_decode_zstd_entropy_stats",
     "mm_decode_zstd_dict_stats",
@@ -115,8 +119,6 @@ WINDOW_PRIORITY: list[str] = [
     "events_kaplan_meier",
     "events_leadlag_xcorr",
     "events_markov_transitions",
-    "events_ohlc_bars",
-    "events_pattern_sessions",
 ]
 
 
