@@ -1,0 +1,70 @@
+"""Regression pins for bench.py's run-stable plan fingerprints
+(VERDICT r10 #2).  Each test rebuilds the same logical plan twice in
+one session and asserts the fingerprint reproduces — exercising the
+three real nondeterminism sources diagnosed in round 11:
+
+1. RewriteDistinctAggregates orders rewritten aggregates / gid
+   assignments by exprId-hash iteration (multi-distinct aggregates);
+2. higher-order-function lambda variables carry a session-GLOBAL
+   counter in their NAME (x_21 vs x_44), surviving the exprId strip;
+3. AQE numbers QueryStage/WholeStageCodegen by stage completion order.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _plan_fingerprint  # noqa: E402
+
+
+def _fp_twice(build):
+    return _plan_fingerprint(build()), _plan_fingerprint(build())
+
+
+def test_multi_distinct_aggregate_fingerprint_stable(spark, sf_dir):
+    def build():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return li.groupBy("l_suppkey").agg(
+            F.countDistinct("l_partkey").alias("a"),
+            F.countDistinct("l_orderkey").alias("b"),
+            F.count(F.lit(1)).alias("c"),
+        )
+
+    a, b = _fp_twice(build)
+    assert a == b
+
+
+def test_lambda_variable_counter_fingerprint_stable(spark, sf_dir):
+    def build():
+        em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return em.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("norm2"),
+            F.filter("embedding", lambda v: v > 0).alias("pos"),
+        )
+
+    a, b = _fp_twice(build)
+    assert a == b
+    # burn some lambda counter state between builds, then again
+    spark.range(1).select(
+        F.transform(F.array(F.lit(1)), lambda v: v + 1)
+    ).collect()
+    assert _plan_fingerprint(build()) == a
+
+
+def test_fingerprint_still_detects_real_plan_changes(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = _plan_fingerprint(li.groupBy("l_suppkey").count())
+    b = _plan_fingerprint(li.groupBy("l_partkey").count())
+    c = _plan_fingerprint(
+        li.where(F.col("l_quantity") > 10).groupBy("l_suppkey").count()
+    )
+    assert len({a, b, c}) == 3  # different plans, different fingerprints
