@@ -174,3 +174,59 @@ def test_capped_ppjoin_subset_and_overflow(spark):
     pairs_all, overflow_all = D.ppjoin_pairs_capped(sh, 10**9)
     assert {(r["a"], r["b"]) for r in pairs_all.collect()} == full
     assert overflow_all.count() == 0
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """100 TB evidence for star contraction: a pure CHAIN is label
+    propagation's worst case (O(diameter) rounds); large-star/small-star
+    must converge in O(log n) rounds.  Measures the actual round count
+    on chains of increasing length and asserts logarithmic growth —
+    the registry corpus cannot exercise this (its dup graph is tiny
+    star-shaped clusters)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.dedup2 import (
+        _large_star,
+        _small_star,
+        _symmetric,
+    )
+
+    def resym(e):
+        return e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    def rounds_to_converge(n: int) -> int:
+        pairs = (
+            spark.range(n - 1)
+            .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        )
+        edges = _symmetric(pairs).localCheckpoint()
+        sig = None
+        sym = edges
+        for r in range(1, 64):
+            edges = _small_star(resym(_large_star(sym))).localCheckpoint()
+            row = edges.agg(
+                F.count(F.lit(1)), F.sum("u"), F.sum("v")
+            ).collect()[0]
+            new_sig = tuple(row)
+            if new_sig == sig:
+                # star fixpoint: all nodes point at the component min
+                labels = edges.select("u", "v").distinct()
+                assert labels.select("v").distinct().count() == 1
+                assert labels.count() == n - 1
+                return r
+            sig = new_sig
+            sym = resym(edges)
+        raise AssertionError("no fixpoint in 64 rounds")
+
+    got = {n: rounds_to_converge(n) for n in (64, 512, 4096)}
+    for n, r in got.items():
+        # O(log n) with a small constant; a propagation-style algorithm
+        # would need ~n/2 rounds (32 / 256 / 2048)
+        assert r <= 2 * math.ceil(math.log2(n)) + 4, got
+    # growth is logarithmic, not linear: 64x more nodes may cost only
+    # a few more rounds
+    assert got[4096] - got[64] <= 8, got

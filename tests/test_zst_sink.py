@@ -132,3 +132,52 @@ def test_schema_without_content_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(Exception, match="content"):
         write_zst_sink(df, str(tmp_path / "shards"))
+
+
+def test_streaming_foreachbatch_export_equals_batch(spark, tmp_path):
+    """Streaming corpus EXPORT twin: a file-source stream exported
+    shard-by-shard via foreachBatch(write_zst_sink) must produce the
+    same frame multiset as the one-shot batch export of the same data
+    (append mode — each micro-batch lands its own shards)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [f"streamdoc-{i} " * (i + 1) for i in range(12)]
+    for i, r in enumerate(rows):
+        (src / f"{i:02d}.txt").write_text(r)
+
+    out_stream = str(tmp_path / "stream_shards")
+    out_batch = str(tmp_path / "batch_shards")
+
+    batch_df = (
+        spark.read.format("text")
+        .load(str(src))
+        .select(F.col("value").cast("binary").alias("content"))
+    )
+    write_zst_sink(batch_df.repartition(2), out_batch)
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 5)
+        .load(str(src))
+        .select(F.col("value").cast("binary").alias("content"))
+    )
+
+    def sink_batch(df, epoch_id):
+        write_zst_sink(
+            df.repartition(2), os.path.join(out_stream, f"epoch-{epoch_id}")
+        )
+
+    q = stream.writeStream.foreachBatch(sink_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    got = (
+        read_zst_source(spark, out_stream + "/epoch-*/shard-*.zst")
+        .select("content")
+        .collect()
+    )
+    want = read_zst_source(spark, out_batch + "/*.zst").select("content").collect()
+    as_set = lambda rs: sorted(bytes(r["content"]) for r in rs)  # noqa: E731
+    assert as_set(got) == as_set(want)
+    assert as_set(got) == sorted(r.encode() for r in rows)
