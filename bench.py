@@ -253,16 +253,49 @@ def _previous_plan_fps(sf: float) -> tuple[int, dict[str, str]]:
     return best, fps
 
 
-def _current_round() -> int:
-    """Highest N across BENCH_r{N}/CORRECTNESS_r{N} artifacts + 1 (the
-    round in progress)."""
-    here = os.path.dirname(os.path.abspath(__file__))
+def _current_round(here: str | None = None) -> int:
+    """The round in progress: ``$SPARK_GRAFT_ROUND`` when set, else
+    highest N across BENCH_r{N}.json + 1.  BENCH artifacts ONLY
+    (VERDICT r11 #5): the driver writes CORRECTNESS_r{N}.json BEFORE
+    bench runs, so counting it made BENCH_r11 self-label round 12 —
+    the bench artifact is the last of its own round, so its own series
+    is the correct predecessor."""
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
     best = 0
     for fname in os.listdir(here):
-        m = re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json", fname)
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
         if m:
             best = max(best, int(m.group(1)))
     return best + 1
+
+
+def _update_bench_baseline(
+    here: str, sf: float, record: dict
+) -> None:
+    """Persist clean runs to BENCH_BASELINE.json (VERDICT r11 #4): two
+    rounds running, the driver's own BENCH artifact held no
+    uncontaminated number (r10 truncated, r11 honestly flagged), so the
+    repo keeps a machine-readable quiet record per sf — ``latest_clean``
+    (most recent clean run: what the current code measures on a quiet
+    host) and ``best`` (lowest clean total ever: the drained-host
+    floor, replaced only by a cleaner number)."""
+    path = os.path.join(here, "BENCH_BASELINE.json")
+    try:
+        with open(path) as f:
+            base = json.load(f)
+    except (OSError, ValueError):
+        base = {}
+    entry = base.setdefault("by_sf", {}).setdefault(str(sf), {})
+    entry["latest_clean"] = record
+    best = entry.get("best")
+    if not best or record["value"] < best.get("value", float("inf")):
+        entry["best"] = record
+    with open(path, "w") as f:
+        json.dump(base, f, indent=1)
 
 
 def main() -> None:
@@ -406,6 +439,24 @@ def main() -> None:
         }
         with open(base_path, "w") as f:
             json.dump(base, f, indent=1)
+    # machine-readable quiet record: only runs the machinery itself
+    # certifies clean (start loadavg under both gates, zero spread
+    # flags) are persisted — a contaminated driver run leaves the
+    # committed record untouched
+    if not contaminated:
+        _update_bench_baseline(
+            os.path.dirname(os.path.abspath(__file__)),
+            sf,
+            {
+                "round": this_round,
+                "value": total,
+                "unit": "sec",
+                "loadavg_start": load_start,
+                "n_spread_flagged": 0,
+                "plan_fp_stable": plan_fp_stable,
+                "queries": timings,
+            },
+        )
     # compact timings-only line LAST: guaranteed to fit whole inside the
     # driver's 2000-char tail so the round's perf record survives intact
     for ndig in (2, 1):

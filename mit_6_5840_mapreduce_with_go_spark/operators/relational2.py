@@ -690,19 +690,29 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, array(0.45, 0.55))").alias("med_band"),
     )
     users = (
-        ev.select("event_type", "user_id")
+        ev.select(F.col("event_type").alias("et_u"), "user_id")
         .distinct()
-        .groupBy("event_type")
+        .groupBy("et_u")
         .agg(F.count(F.lit(1)).alias("exact_users"))
     )
     events = (
-        ev.select("event_type", "event_id")
+        ev.select(F.col("event_type").alias("et_e"), "event_id")
         .distinct()
-        .groupBy("event_type")
+        .groupBy("et_e")
         .agg(F.count(F.lit(1)).alias("exact_events"))
     )
-    agg = base.join(F.broadcast(users), "event_type").join(
-        F.broadcast(events), "event_type"
+    # null-safe join keys: groupBy keeps a NULL event_type group, and a
+    # plain equi-join would silently drop it — eqNullSafe preserves the
+    # single-aggregate semantics this split replaced
+    agg = (
+        base.join(
+            F.broadcast(users), F.col("event_type").eqNullSafe(F.col("et_u"))
+        )
+        .drop("et_u")
+        .join(
+            F.broadcast(events), F.col("event_type").eqNullSafe(F.col("et_e"))
+        )
+        .drop("et_e")
     )
     users_tol = F.greatest(F.lit(2.0), 0.10 * F.col("exact_users"))
     events_tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_events"))

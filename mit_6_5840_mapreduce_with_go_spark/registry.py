@@ -47,78 +47,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # each round the window carries (a) every NEW query, (b) every CHANGED
 # query, then (c) fills to 50 with the rows whose hard driver-green
 # evidence is OLDEST in the cumulative CORRECTNESS_r* ledger — so no
-# row's driver evidence ages past ~5 rounds.  The round-11 window: 3
-# new (zstfile Catalyst filter pushdown; the composed shard+frame
-# point read; the seekable-shard WRITE-path round trip), 7 changed
-# (the zstd family — cumulative no-FCS output cap in the frame walk,
-# the chunk-refilled _BackBits bit reader, the pushdown refactor of the
-# zstfile reader, the seekable shard-dir rename hardening — plus the
-# CC-loop diet and the sketch-aggregate Expand split), the 28 rows
-# whose evidence dates to round 4, and the 12 alphabetically-first
-# round-5 rows (the remaining 35 r5 rows head the round-12 backlog).
-# Everything rotated
-# out stays mirror-checked by tools/check_correctness.py over all
-# queries at three SFs.
+# row's driver evidence ages past ~5 rounds.  The round-12 window: 2
+# new (the seek-table-only metadata census over corrupt-payload shards;
+# the BETWEEN point read through the completed pushdown comparison
+# algebra), 6 changed (the zstfile reader — IsNotNull nullability fix +
+# <=/</= absorption — re-pins all four source-path rows; the streaming
+# attempt-scoped sink rewrite re-pins the round trip; the eqNullSafe
+# join fix re-pins the sketch split), the 35 rows whose evidence dates
+# to round 5 (judge re-verified 10 of them green in r11), and the 7
+# alphabetically-first round-6 rows (the remaining 42 r6 rows head the
+# round-13 backlog).  Everything rotated out stays mirror-checked by
+# tools/check_correctness.py over all queries at three SFs.
 WINDOW_PRIORITY: list[str] = [
-    # --- Round-11 window ---
+    # --- Round-12 window ---
     # New this round (never driver-verified)
+    "mm_zst_meta_census",
+    "mm_zst_between_pointread_stats",
+    # Changed this round (re-verification): the zstfile reader's
+    # pushdown algebra + nullability, the streaming two-phase sink, and
+    # the null-safe sketch join
     "mm_zst_pushdown_stats",
     "mm_zst_shard_pointread_stats",
-    "mm_zst_sink_roundtrip_stats",
-    # Changed this round (re-verification): zstd decode internals, the
-    # zstfile source reader, the CC loop diet + pairs checkpoint, and
-    # the sketch-aggregate Expand split
-    "dedup_cc_two_phase",
-    "sketch_distinct_users",
-    "mm_decode_zstd_stats",
-    "mm_decode_zstd_entropy_stats",
-    "mm_decode_zstd_dict_stats",
-    "mm_zst_source_stats",
     "mm_zst_seekable_stats",
-    # Freshness SLA: the 28 rows whose last hard driver-green evidence
-    # dates to round 4 — after this window no registry row's driver
-    # evidence is older than round 5
-    "dedup_containment",
-    "dedup_minhash_pr_eval",
-    "eval_calibration_bins",
-    "eval_threshold_sweep",
-    "graph_lpa_communities",
-    "kv_cas_replay",
-    "kv_get_lookup",
-    "kv_shard_distribution",
-    "privacy_k_anonymity",
-    "sim_ann_ndcg_eval",
-    "sim_ann_recall_eval",
-    "sim_hybrid_rrf",
-    "sim_ivf_incremental_update",
-    "sim_matryoshka_prefix_recall",
-    "sim_range_search_lsh",
-    "sim_topk_ivfpq",
-    "sketch_quantile_histogram",
-    "stats_chi2_independence",
-    "stats_lorenz_gini",
-    "stats_winsorized_moments",
-    "text_char_entropy",
-    "text_collocations_pmi",
-    "text_fingerprint",
-    "text_keywords_tfidf",
-    "text_lang_guess",
-    "text_ngram_novelty",
-    "text_token_stats",
-    "vocab_bpe_apply",
-    # ...and the 16 alphabetically-first round-5 rows
-    "asof_join_next_purchase_after_error",
-    "bitmap_type_day_overlap",
-    "events_ab_welch_t",
-    "events_attribution_models",
-    "events_changepoint_binary_seg",
-    "events_cusum_drift",
-    "events_ewma_value",
-    "events_funnel_conversion",
-    "events_gap_fill_hourly",
-    "events_kaplan_meier",
-    "events_leadlag_xcorr",
-    "events_markov_transitions",
+    "mm_zst_source_stats",
+    "mm_zst_sink_roundtrip_stats",
+    "sketch_distinct_users",
+    # Freshness SLA: the 35 rows whose last hard driver-green evidence
+    # dates to round 5 — after this window no registry row's driver
+    # evidence is older than round 6
+    "events_ohlc_bars",
+    "events_pattern_sessions",
+    "events_rate_anomaly",
+    "events_retention_cohorts",
+    "events_rolling_median",
+    "events_top_session_paths",
+    "kv_consistent_hash_movement",
+    "layout_delta_varint_estimate",
+    "layout_partition_prune_advisor",
+    "layout_range_partition_plan",
+    "layout_rle_run_estimate",
+    "layout_zorder_skip_measure",
+    "maintenance_compaction_bins",
+    "maintenance_ivm_agg_retraction",
+    "maintenance_snapshot_diff",
+    "mm_embedding_dim_stats",
+    "mm_jl_projection",
+    "mm_resize_plan",
+    "pipeline_cluster_safe_split",
+    "pipeline_epoch_shuffle",
+    "pipeline_labels_asof_features",
+    "pipeline_source_overlap_matrix",
+    "sketch_bloom_partition_prune",
+    "sketch_cms_join_size",
+    "sketch_hll_sliding_union",
+    "sketch_kmv_distinct_users",
+    "sketch_kmv_source_overlap",
+    "skyline_orders_cheap_early",
+    "text_heaps_law",
+    "text_heaps_law_gutenberg",
+    "text_vocab_coverage",
+    "text_zipf_fit",
+    "udaf_interdecile_value_spread",
+    "udaf_median_event_gap",
+    "window_ntile_rank_lead",
+    # ...and the 7 alphabetically-first round-6 rows
+    "array_agg_supplier_profile",
+    "basket_association_rules",
+    "basket_frequent_triples",
+    "behavior_journey_similarity",
+    "bool_agg_discount_profile",
+    "dedup_repeated_spans",
+    "eval_conformal_coverage",
 ]
 
 

@@ -37,6 +37,8 @@ from pyspark.sql.datasource import (
     In,
     InputPartition,
     IsNotNull,
+    LessThan,
+    LessThanOrEqual,
 )
 
 # Python Data Source filter pushdown is gated by a session conf and
@@ -54,14 +56,23 @@ def _enable_pushdown(spark) -> None:
 
 class ZstDataSource(DataSource):
     """``format("zstfile")``: one row per zstd frame, one input
-    partition per shard file.  Option: ``path`` (local/shared-FS glob,
-    also settable via ``.load(path)``)."""
+    partition per shard file.  Options: ``path`` (local/shared-FS glob,
+    also settable via ``.load(path)``) and ``mode`` — ``full`` (default:
+    every frame entropy-decoded) or ``meta`` (seek-table-only scan:
+    per-frame sizes/offsets read from the table at the shard's TAIL,
+    content bytes never decoded, I/O proportional to the table — the
+    frame-census path for a 100 TB lake)."""
 
     @classmethod
     def name(cls) -> str:
         return "zstfile"
 
     def schema(self) -> str:
+        if self.options.get("mode", "full") == "meta":
+            return (
+                "file string, frame_index long, content_len long, "
+                "compressed_len long, frame_offset long"
+            )
         return (
             "file string, frame_index long, content binary, "
             "content_len long, content_sum long, n_blocks long, "
@@ -80,40 +91,57 @@ class ZstDataSource(DataSource):
         return ZstWriter(self.options, overwrite)
 
 
+# Every column the source can emit NULL for must yield its IsNotNull
+# back to Spark: window_log is None for single-segment frames
+# (multimodal13.decode_zstd_frames), which libzstd emits by default for
+# small inputs, so absorbing its null-check as trivially true would
+# return NULL rows through a pushed `WHERE window_log IS NOT NULL` with
+# no residual Spark-side filter to catch them.  Everything else — both
+# schemas — is populated on every emitted row.
+_NULLABLE_COLUMNS = {("window_log",)}
+
+
 class ZstReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("zstfile source requires a path glob")
         self._path = path
+        self._meta = options.get("mode", "full") == "meta"
         mfb = options.get("min_frame_bytes")
         self._min_frame_bytes = int(mfb) if mfb is not None else None
-        # threshold learned from Catalyst via pushFilters (VERDICT r10
-        # #4): same pruning as the option, but the caller just writes
-        # .where("content_len >= X") — no option knowledge needed
+        # content_len band learned from Catalyst via pushFilters
+        # (VERDICT r10 #4 / r11 #2): the seek table prunes >=, >, <=,
+        # <, = and therefore BETWEEN — the caller just writes
+        # .where("content_len BETWEEN a AND b"), no option knowledge
         self._pushdown_min: int | None = None
+        self._pushdown_max: int | None = None
         # file-equality pushdown: SHARD-level partition pruning (the
         # other half of the 100 TB point read — skip whole files, then
         # skip frames inside the survivors)
         self._file_eq: set[str] | None = None
 
     def pushFilters(self, filters):
-        """Absorb `content_len >= X` / `content_len > X` conjuncts:
-        the seek table's per-frame decompressed size IS content_len, so
-        the source's frame pruning implements these filters EXACTLY and
-        Spark need not re-evaluate them (they are not yielded back).
-        `file = 'shard'` / `file IN (...)` conjuncts become PARTITION
-        pruning: non-matching shards are never opened (partitions()
-        drops them).  Everything else stays Spark-side.  Shards without
-        a seek table fall back to walk-then-filter inside read(), which
-        preserves exactness (see read()).  IsNotNull on any column is
-        absorbed as trivially true: every field of every emitted row is
-        populated (so Catalyst's implied null-check doesn't leave a
-        residual Filter node over the scan)."""
+        """Absorb content_len comparison conjuncts (`>=`, `>`, `<=`,
+        `<`, `=` — and therefore BETWEEN, which Catalyst hands down as
+        a >=/<= pair): the seek table's per-frame decompressed size IS
+        content_len, so the source's frame pruning implements these
+        filters EXACTLY and Spark need not re-evaluate them (they are
+        not yielded back).  `file = 'shard'` / `file IN (...)`
+        conjuncts become PARTITION pruning: non-matching shards are
+        never opened (partitions() drops them).  Everything else stays
+        Spark-side.  Shards without a seek table fall back to
+        walk-then-filter inside read(), which preserves exactness (see
+        read()).  IsNotNull is absorbed as trivially true only for
+        columns populated on every emitted row; nullable columns
+        (window_log) yield theirs back so a pushed null-check is still
+        evaluated by Spark."""
         for f in filters:
-            if isinstance(f, IsNotNull):
-                continue
             attr = getattr(f, "attribute", None)
+            if isinstance(f, IsNotNull):
+                if attr in _NULLABLE_COLUMNS:
+                    yield f
+                continue
             if attr == ("file",):
                 names = None
                 if isinstance(f, EqualTo) and isinstance(f.value, str):
@@ -129,18 +157,31 @@ class ZstReader(DataSourceReader):
                         else self._file_eq & names
                     )
                     continue
-            thr = None
+            lo = hi = None
             if attr == ("content_len",) and isinstance(
                 getattr(f, "value", None), int
-            ):
+            ) and not isinstance(f.value, bool):
                 if isinstance(f, GreaterThanOrEqual):
-                    thr = f.value
+                    lo = f.value
                 elif isinstance(f, GreaterThan):
-                    thr = f.value + 1
-            if thr is None:
+                    lo = f.value + 1
+                elif isinstance(f, LessThanOrEqual):
+                    hi = f.value
+                elif isinstance(f, LessThan):
+                    hi = f.value - 1
+                elif isinstance(f, EqualTo):
+                    lo = hi = f.value
+            if lo is None and hi is None:
                 yield f
-            else:
-                self._pushdown_min = max(self._pushdown_min or 0, thr)
+                continue
+            if lo is not None:
+                self._pushdown_min = max(self._pushdown_min or 0, lo)
+            if hi is not None:
+                self._pushdown_max = (
+                    hi
+                    if self._pushdown_max is None
+                    else min(self._pushdown_max, hi)
+                )
 
     def partitions(self) -> list[InputPartition]:
         files = sorted(_glob.glob(self._path))
@@ -161,6 +202,9 @@ class ZstReader(DataSourceReader):
             # matched nothing): Spark still issues one read(None) call
             # for an empty partition list — an empty result, not an error
             return
+        if self._meta:
+            yield from self._read_meta(partition.value)
+            return
         # Executor-side import keeps sources/ -> operators/ acyclic.
         from ..operators.multimodal13 import decode_zstd_frames
         from ..operators.multimodal14 import xxh64
@@ -169,14 +213,13 @@ class ZstReader(DataSourceReader):
         with open(p, "rb") as fh:
             payload = fh.read()
         base = os.path.basename(p)
-        threshold = max(
-            self._min_frame_bytes or 0, self._pushdown_min or 0
-        ) or None
-        if threshold is not None:
+        lo = max(self._min_frame_bytes or 0, self._pushdown_min or 0)
+        hi = self._pushdown_max  # None = unbounded above
+        if lo > 0 or hi is not None:
             # PRUNING mode: frames whose seek-table decompressed size
-            # is below the threshold are never decoded (their bytes are
-            # never read past the table) — frame-level skipping inside
-            # the shard
+            # falls outside the [lo, hi] band are never decoded (their
+            # bytes are never read past the table) — frame-level
+            # skipping inside the shard
             entries = parse_seek_table(payload)
             if entries is None:
                 if self._min_frame_bytes is not None:
@@ -186,17 +229,17 @@ class ZstReader(DataSourceReader):
                     raise ValueError(
                         f"{base}: min_frame_bytes pruning needs a seek table"
                     )
-                # pushdown-only threshold: correctness must hold on any
+                # pushdown-only band: correctness must hold on any
                 # shard, so fall back to the full walk and filter here
-                # (the absorbed predicate is still honored exactly)
+                # (the absorbed predicates are still honored exactly)
                 yield from (
                     row
                     for row in self._walk_all(payload, base, decode_zstd_frames)
-                    if row[3] >= threshold
+                    if row[3] >= lo and (hi is None or row[3] <= hi)
                 )
                 return
             for idx, en in enumerate(entries):
-                if en["d_size"] < threshold:
+                if en["d_size"] < lo or (hi is not None and en["d_size"] > hi):
                     continue
                 meta = decode_zstd_frames(
                     payload[en["c_off"] : en["c_off"] + en["c_size"]]
@@ -221,6 +264,29 @@ class ZstReader(DataSourceReader):
                 )
             return
         yield from self._walk_all(payload, base, decode_zstd_frames)
+
+    def _read_meta(self, p: str):
+        """Seek-table-ONLY scan (VERDICT r11 #1): reads the table at
+        the shard's tail via seeks — footer (9 bytes), then exactly the
+        table — so content bytes are neither read nor decoded and I/O
+        is proportional to the frame count, not the corpus.  A frame
+        census over a 100 TB lake reports sizes the tables already
+        state without decompressing a byte (tests prove it by planting
+        corrupt frame PAYLOADS that any decode would reject).  Frame
+        bodies are untouched, so this mode requires a seek table: a
+        metadata request on an unprunable shard is a loud error, never
+        a silent full decode."""
+        base = os.path.basename(p)
+        with open(p, "rb") as fh:
+            entries = read_seek_table_tail(fh)
+        if entries is None:
+            raise ValueError(f"{base}: mode=meta needs a seek table")
+        lo = max(self._min_frame_bytes or 0, self._pushdown_min or 0)
+        hi = self._pushdown_max
+        for idx, en in enumerate(entries):
+            if en["d_size"] < lo or (hi is not None and en["d_size"] > hi):
+                continue
+            yield (base, idx, en["d_size"], en["c_size"], en["c_off"])
 
     @staticmethod
     def _walk_all(payload: bytes, base: str, decode_zstd_frames):
@@ -264,62 +330,85 @@ _SEEK_MAGIC_SKIPPABLE = 0x184D2A5E
 _SEEK_MAGIC_FOOTER = 0x8F92EAB1
 
 
+def seek_table_bytes(
+    entries: list[tuple[int, int, int | None]], *, with_checksum: bool = True
+) -> bytes:
+    """The seek-table skippable frame for ``(c_size, d_size, xxh64)``
+    entries in frame order — the only per-frame state a streaming
+    writer must retain (frame bytes themselves go straight to disk)."""
+    import struct
+
+    entry_size = 12 if with_checksum else 8
+    table = bytearray()
+    for c_size, d_size, cks in entries:
+        table += struct.pack("<II", c_size, d_size)
+        if with_checksum:
+            table += struct.pack("<I", cks & 0xFFFFFFFF)
+    desc = 0x80 if with_checksum else 0x00
+    table += struct.pack("<IBI", len(entries), desc, _SEEK_MAGIC_FOOTER)
+    assert entry_size * len(entries) + 9 == len(table)
+    return struct.pack("<II", _SEEK_MAGIC_SKIPPABLE, len(table)) + bytes(table)
+
+
 def write_seekable_shard(
     frames: list[bytes], contents: list[bytes], *, with_checksum: bool = True
 ) -> bytes:
     """Concatenate zstd frames and append the seek-table skippable
     frame (entries in frame order + footer)."""
-    import struct
-
     if len(frames) != len(contents):
         raise ValueError("frames and contents must align")
-    body = b"".join(frames)
-    entry_size = 12 if with_checksum else 8
-    table = bytearray()
+    entries: list[tuple[int, int, int | None]] = []
     for fr, ct in zip(frames, contents):
-        table += struct.pack("<II", len(fr), len(ct))
+        cks = None
         if with_checksum:
             from ..operators.multimodal14 import xxh64
 
-            table += struct.pack("<I", xxh64(ct) & 0xFFFFFFFF)
-    desc = 0x80 if with_checksum else 0x00
-    table += struct.pack("<IBI", len(frames), desc, _SEEK_MAGIC_FOOTER)
-    out = bytearray(body)
-    out += struct.pack("<II", _SEEK_MAGIC_SKIPPABLE, len(table))
-    out += table
-    assert entry_size * len(frames) + 9 == len(table)
-    return bytes(out)
+            cks = xxh64(ct)
+        entries.append((len(fr), len(ct), cks))
+    return b"".join(frames) + seek_table_bytes(
+        entries, with_checksum=with_checksum
+    )
 
 
-def parse_seek_table(payload: bytes) -> list[dict] | None:
-    """Returns per-frame entries ``{c_off, c_size, d_size, checksum}``
-    if the shard ends with a valid seek table, else None.  Raises
-    ValueError on a table that declares itself but is malformed."""
+def read_seek_table_tail(fh) -> list[dict] | None:
+    """Reads ONLY the seek table from a seekable file object: footer
+    (last 9 bytes), then exactly the table — never the frame area, so
+    metadata scans do I/O proportional to the frame count.  Returns
+    per-frame entries ``{c_off, c_size, d_size, checksum}`` if the
+    shard ends with a valid seek table, else None.  Raises ValueError
+    on a table that declares itself but is malformed."""
     import struct
 
-    if len(payload) < 17 or struct.unpack("<I", payload[-4:])[0] != _SEEK_MAGIC_FOOTER:
+    fh.seek(0, os.SEEK_END)
+    size = fh.tell()
+    if size < 17:
         return None
-    n_frames, desc = struct.unpack("<IB", payload[-9:-4])
+    fh.seek(size - 9)
+    n_frames, desc, magic = struct.unpack("<IBI", fh.read(9))
+    if magic != _SEEK_MAGIC_FOOTER:
+        return None
     if desc & 0x7C:
         raise ValueError("reserved seek-table descriptor bits set")
     with_checksum = bool(desc & 0x80)
     entry_size = 12 if with_checksum else 8
     table_size = entry_size * n_frames + 9
-    frame_start = len(payload) - table_size - 8
+    frame_start = size - table_size - 8
     if frame_start < 0:
         raise ValueError("seek table larger than file")
-    magic, sz = struct.unpack_from("<II", payload, frame_start)
-    if magic != _SEEK_MAGIC_SKIPPABLE or sz != table_size:
+    fh.seek(frame_start)
+    head, sz = struct.unpack("<II", fh.read(8))
+    if head != _SEEK_MAGIC_SKIPPABLE or sz != table_size:
         raise ValueError("seek-table skippable frame header mismatch")
+    body = fh.read(table_size - 9)  # entries only; footer already parsed
     entries = []
-    pos = frame_start + 8
+    pos = 0
     c_off = 0
     for _ in range(n_frames):
-        c_size, d_size = struct.unpack_from("<II", payload, pos)
+        c_size, d_size = struct.unpack_from("<II", body, pos)
         pos += 8
         checksum = None
         if with_checksum:
-            (checksum,) = struct.unpack_from("<I", payload, pos)
+            (checksum,) = struct.unpack_from("<I", body, pos)
             pos += 4
         entries.append(
             {"c_off": c_off, "c_size": c_size, "d_size": d_size, "checksum": checksum}
@@ -328,6 +417,27 @@ def parse_seek_table(payload: bytes) -> list[dict] | None:
     if c_off != frame_start:
         raise ValueError("seek-table sizes do not cover the frame area")
     return entries
+
+
+def parse_seek_table(payload: bytes) -> list[dict] | None:
+    """In-memory twin of ``read_seek_table_tail`` (same validation,
+    same return contract) for callers that already hold the shard."""
+    import io
+
+    return read_seek_table_tail(io.BytesIO(payload))
+
+
+def read_zst_meta(spark, path_glob: str):
+    """Register and read the zstfile source in seek-table-ONLY mode:
+    per-frame (content_len, compressed_len, frame_offset) straight from
+    each shard's seek table, content bytes never read or decoded — the
+    frame-census scan whose I/O is proportional to the table, not the
+    corpus."""
+    spark.dataSource.register(ZstDataSource)
+    _enable_pushdown(spark)
+    return (
+        spark.read.format("zstfile").option("mode", "meta").load(path_glob)
+    )
 
 
 def read_zst_source_seekable(spark, path_glob: str, min_frame_bytes: int):
@@ -352,9 +462,11 @@ def read_zst_source_seekable(spark, path_glob: str, min_frame_bytes: int):
 # blocks (store mode — decodable by ANY zstd, verified byte-exact
 # against libzstd in tests), and every shard ends with the seekable
 # seek table, so shards written here are immediately prunable by the
-# read path's pushdown.  Two-phase commit: tasks write job-scoped
-# .inflight files and the driver renames on commit / unlinks on abort,
-# so failed or speculative tasks never leave partial shards visible.
+# read path's pushdown.  Two-phase commit: tasks write job- and
+# ATTEMPT-scoped .inflight files (so duplicate attempts of a partition
+# never share a tmp file) and the driver renames the winning attempts
+# on commit / unlinks on abort, then sweeps losing attempts' tmp files
+# — failed or speculative tasks never leave partial shards visible.
 
 from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
@@ -384,33 +496,64 @@ class ZstWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         from ..operators.multimodal13 import encode_zstd_raw
+        from ..operators.multimodal14 import xxh64
 
-        pid = TaskContext.get().partitionId()
-        frames: list[bytes] = []
-        contents: list[bytes] = []
-        for row in iterator:
-            content = row["content"]
-            if content is None:
-                raise ValueError("zstfile sink: NULL content")
-            if isinstance(content, str):
-                content = content.encode("utf-8")
-            content = bytes(content)
-            blocks = [
-                ("raw", content[i : i + _WRITE_BLOCK])
-                for i in range(0, len(content), _WRITE_BLOCK)
-            ] or [("raw", b"")]
-            frames.append(encode_zstd_raw(blocks))
-            contents.append(content)
-        if not frames:
-            return _ZstCommit(None, None, 0)
-        os.makedirs(self._dir, exist_ok=True)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # the tmp name must be ATTEMPT-scoped, not just partition-scoped:
+        # a speculative or zombie duplicate attempt of the same partition
+        # would otherwise open the SAME tmp file with 'wb' concurrently
+        # and interleave writes into a corrupt shard that commit() then
+        # renames visible
+        attempt = ctx.taskAttemptId()
+        # STREAM frames to the tmp file as rows arrive — only the
+        # (c_size, d_size, xxh64) seek-table entries are retained in
+        # memory, so executor footprint is O(frame count), never
+        # O(partition bytes): a 100 GB partition exports without
+        # buffering 100 GB (let alone the old frames+contents+joined-
+        # body triple)
+        entries: list[tuple[int, int, int | None]] = []
+        tmp: str | None = None
+        fh = None
+        try:
+            for row in iterator:
+                content = row["content"]
+                if content is None:
+                    raise ValueError("zstfile sink: NULL content")
+                if isinstance(content, str):
+                    content = content.encode("utf-8")
+                content = bytes(content)
+                blocks = [
+                    ("raw", content[i : i + _WRITE_BLOCK])
+                    for i in range(0, len(content), _WRITE_BLOCK)
+                ] or [("raw", b"")]
+                frame = encode_zstd_raw(blocks)
+                if fh is None:
+                    os.makedirs(self._dir, exist_ok=True)
+                    tmp = os.path.join(
+                        self._dir,
+                        f".inflight-{self._job}-shard-{pid:05d}"
+                        f"-attempt-{attempt}.zst",
+                    )
+                    fh = open(tmp, "wb")
+                fh.write(frame)
+                entries.append((len(frame), len(content), xxh64(content)))
+            if fh is None:
+                return _ZstCommit(None, None, 0)
+            fh.write(seek_table_bytes(entries))
+            fh.close()
+            fh = None
+        except BaseException:
+            # a mid-partition failure must not strand a partial tmp
+            # file that no commit message references (abort() only sees
+            # attempts that RETURNED): close and unlink before re-raising
+            if fh is not None:
+                fh.close()
+            if tmp is not None and os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
         final = os.path.join(self._dir, f"shard-{pid:05d}.zst")
-        tmp = os.path.join(
-            self._dir, f".inflight-{self._job}-shard-{pid:05d}.zst"
-        )
-        with open(tmp, "wb") as fh:
-            fh.write(write_seekable_shard(frames, contents))
-        return _ZstCommit(tmp, final, len(frames))
+        return _ZstCommit(tmp, final, len(entries))
 
     def commit(self, messages) -> None:
         if self._overwrite:
@@ -429,6 +572,13 @@ class ZstWriter(DataSourceWriter):
         for m in messages:
             if m is not None and m.tmp:
                 os.replace(m.tmp, m.final)
+        # sweep tmp files from LOSING attempts of this job (speculative
+        # duplicates whose commit message lost the race, or zombies
+        # killed before returning) — only winners were renamed above
+        if os.path.isdir(self._dir):
+            for f in os.listdir(self._dir):
+                if f.startswith(f".inflight-{self._job}-"):
+                    os.unlink(os.path.join(self._dir, f))
 
     def abort(self, messages) -> None:
         for m in messages:

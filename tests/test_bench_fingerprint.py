@@ -68,3 +68,38 @@ def test_fingerprint_still_detects_real_plan_changes(spark, sf_dir):
         li.where(F.col("l_quantity") > 10).groupBy("l_suppkey").count()
     )
     assert len({a, b, c}) == 3  # different plans, different fingerprints
+
+
+def test_current_round_counts_bench_artifacts_only(tmp_path, monkeypatch):
+    """VERDICT r11 #5: the driver writes CORRECTNESS_r{N}.json BEFORE
+    bench runs, so deriving the label from it made BENCH_r11 self-label
+    round 12 — the round label must come from BENCH artifacts (or the
+    env override) only."""
+    import bench
+
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r12.json").write_text("{}")  # must be ignored
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    assert bench._current_round(str(tmp_path)) == 12
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert bench._current_round(str(tmp_path)) == 7
+
+
+def test_bench_baseline_updates_latest_always_best_only_when_cleaner(tmp_path):
+    """BENCH_BASELINE.json (VERDICT r11 #4): latest_clean tracks the
+    most recent clean run; best is replaced only by a lower total."""
+    import json
+
+    import bench
+
+    rec1 = {"round": 11, "value": 90.0, "queries": {"q": 90.0}}
+    bench._update_bench_baseline(str(tmp_path), 0.1, rec1)
+    rec2 = {"round": 12, "value": 95.0, "queries": {"q": 95.0}}
+    bench._update_bench_baseline(str(tmp_path), 0.1, rec2)
+    got = json.load(open(tmp_path / "BENCH_BASELINE.json"))["by_sf"]["0.1"]
+    assert got["latest_clean"]["round"] == 12
+    assert got["best"]["value"] == 90.0
+    rec3 = {"round": 13, "value": 85.0, "queries": {"q": 85.0}}
+    bench._update_bench_baseline(str(tmp_path), 0.1, rec3)
+    got = json.load(open(tmp_path / "BENCH_BASELINE.json"))["by_sf"]["0.1"]
+    assert got["best"]["value"] == 85.0 and got["latest_clean"]["round"] == 13

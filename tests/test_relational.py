@@ -76,6 +76,38 @@ def test_sketch_accuracy_bounds(spark, sf_dir):
         assert r["hll_users_ok"] and r["hll_events_ok"] and r["median_ok"]
 
 
+def test_sketch_distinct_users_null_event_type_group_survives(spark, tmp_path):
+    """The round-11 Expand split joins the exact-distinct legs back on
+    event_type; those joins must be null-safe — a NULL event_type group
+    (which groupBy keeps, and the pre-split single aggregate kept) would
+    be silently dropped by a plain equi-join."""
+    from mit_6_5840_mapreduce_with_go_spark.operators.relational2 import (
+        sketch_distinct_users,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:00:02", 11, "click", 2.0, "{}"),
+        (3, "2024-01-01 00:00:03", 10, None, 3.0, "{}"),
+        (4, "2024-01-01 00:00:04", 12, None, 4.0, "{}"),
+        (5, "2024-01-01 00:00:05", 12, None, 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        [(e, __import__("datetime").datetime.fromisoformat(ts), u, t, v, p)
+         for e, ts, u, t, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r["event_type"]: (r["exact_users"], r["exact_events"])
+        for r in sketch_distinct_users(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": (2, 2), None: (2, 3)}
+
+
 def test_rollup_total_row_equals_table_count(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     total = (

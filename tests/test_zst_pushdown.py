@@ -94,6 +94,102 @@ def test_pushdown_strict_greater_than(spark, tmp_path):
     assert {r["content_len"] for r in got} == {s for s in sizes if s > cut}
 
 
+def test_pushdown_upper_bound_corrupt_large_frame_proof(spark, tmp_path):
+    """content_len <= X prunes ABOVE-band frames at the source: the
+    planted corrupt LARGEST frame would raise if decoded, so the
+    filtered read succeeding proves the upper bound reached the seek
+    table (before round 12 it fell back to a Spark-side filter over
+    fully-decoded frames)."""
+    frames, contents = zip(
+        *(M14._zstd_entropy_frame_and_content(d) for d in (3, 123, 7))
+    )
+    frames, contents = list(frames), list(contents)
+    big = max(range(3), key=lambda i: len(contents[i]))
+    bad = bytearray(frames[big])
+    bad[len(bad) // 2] ^= 0xFF
+    bad[len(bad) // 2 + 1] ^= 0xFF
+    frames[big] = bytes(bad)
+    p = tmp_path / "shard.zst"
+    p.write_bytes(write_seekable_shard(frames, contents))
+    cut = len(contents[big]) - 1
+    got = (
+        read_zst_source(spark, str(p))
+        .where(F.col("content_len") <= cut)
+        .select("frame_index", "content_len")
+        .collect()
+    )
+    assert {r["frame_index"] for r in got} == {
+        i for i in range(3) if len(contents[i]) <= cut
+    } and big not in {r["frame_index"] for r in got}
+    with pytest.raises(Exception):
+        read_zst_source(spark, str(p)).collect()
+    # strict < takes the same path (absorbed as <= X-1)
+    strict = (
+        read_zst_source(spark, str(p))
+        .where(F.col("content_len") < len(contents[big]))
+        .count()
+    )
+    assert strict == len(got)
+
+
+def test_pushdown_between_keeps_only_the_band(spark, tmp_path):
+    """BETWEEN (a >=/<= pair after Catalyst) absorbs BOTH bounds: with
+    the smallest AND largest frames corrupted, only the middle frame's
+    band read succeeds."""
+    frames, contents = zip(
+        *(M14._zstd_entropy_frame_and_content(d) for d in (3, 123, 7))
+    )
+    frames, contents = list(frames), list(contents)
+    order = sorted(range(3), key=lambda i: len(contents[i]))
+    for i in (order[0], order[2]):  # corrupt smallest and largest
+        bad = bytearray(frames[i])
+        bad[len(bad) // 2] ^= 0xFF
+        frames[i] = bytes(bad)
+    p = tmp_path / "shard.zst"
+    p.write_bytes(write_seekable_shard(frames, contents))
+    mid = len(contents[order[1]])
+    got = (
+        read_zst_source(spark, str(p))
+        .where(F.col("content_len").between(mid, mid))
+        .collect()
+    )
+    assert [r["frame_index"] for r in got] == [order[1]]
+    # equality is absorbed as the degenerate band
+    eq = (
+        read_zst_source(spark, str(p))
+        .where(F.col("content_len") == mid)
+        .collect()
+    )
+    assert [r["frame_index"] for r in eq] == [order[1]]
+
+
+def test_is_not_null_on_nullable_window_log_not_absorbed(spark, tmp_path):
+    """window_log is None for single-segment frames, which libzstd
+    emits BY DEFAULT for small inputs — the externally-produced-shard
+    case — so its IsNotNull must be yielded back to Spark: absorbing it
+    as trivially true would return NULL rows through
+    `WHERE window_log IS NOT NULL`."""
+    import ctypes
+
+    lib = ctypes.CDLL("libzstd.so.1")
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    content = b"tiny external payload"
+    bound = lib.ZSTD_compressBound(len(content))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(dst, bound, content, len(content), 3)
+    assert not lib.ZSTD_isError(n)
+    (tmp_path / "ext.zst").write_bytes(
+        write_seekable_shard([dst.raw[:n]], [content])
+    )
+    src = read_zst_source(spark, str(tmp_path / "ext.zst"))
+    rows = src.collect()
+    assert len(rows) == 1 and rows[0]["window_log"] is None, rows
+    assert src.where(F.col("window_log").isNotNull()).count() == 0
+    assert src.where(F.col("window_log").isNull()).count() == 1
+
+
 def test_pushdown_fallback_without_seek_table(spark, tmp_path):
     """A shard with NO seek table cannot prune, but an absorbed filter
     must still be honored exactly (walk-then-filter inside read())."""
@@ -200,5 +296,36 @@ def test_composed_point_read_plan_and_rows(spark, sf_dir):
         (r["file"], r["frame_index"])
         for r in mm_zst_pushdown_stats(spark, sf_dir).collect()
         if r["file"] == _POINT_SHARD
+    }
+    assert got == want and got
+
+
+def test_between_pointread_query_plan_and_rows(spark, sf_dir):
+    """The registered BETWEEN point read: file equality AND both band
+    bounds absorbed (no Filter operator), rows match the band applied
+    to the full census."""
+    import re
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal14 import (
+        _BETWEEN_HI,
+        _BETWEEN_LO,
+        _BETWEEN_SHARD,
+        mm_zst_between_pointread_stats,
+        mm_zst_source_stats,
+    )
+
+    df = mm_zst_between_pointread_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^[\s+:*()\-\d]*Filter\b", ln)
+    ], plan
+    got = {(r["file"], r["frame_index"], r["content_len"]) for r in df.collect()}
+    want = {
+        (r["file"], r["frame_index"], r["content_len"])
+        for r in mm_zst_source_stats(spark, sf_dir).collect()
+        if r["file"] == _BETWEEN_SHARD
+        and _BETWEEN_LO <= r["content_len"] <= _BETWEEN_HI
     }
     assert got == want and got
