@@ -22,11 +22,14 @@ must reproduce it exactly, which proves candidate-set COMPLETENESS —
 a wrong prefix length or a divergent global order drops a pair and
 breaks the row-count/hash match.
 
-Scale shape: shingle df is one aggregate; the candidate join is keyed
-on rare shingles (bounded fan-out by construction); verification
-touches candidate pairs only, each via two shingle-keyed joins.  No
-all-pairs product anywhere — at 100 TB this is the exact-dedup pass
-run after LSH triage, or standalone when exact recall is mandated.
+Scale shape: the exploded element table is consumed ONCE (one s-keyed
+window for document frequency, one doc_id grouping into per-doc sorted
+arrays); the candidate join is keyed on rare prefix shingles (bounded
+fan-out by construction); verification touches candidate pairs only,
+via array_intersect against the per-doc arrays — the element table is
+never re-shuffled.  No all-pairs product anywhere — at 100 TB this is
+the exact-dedup pass run after LSH triage, or standalone when exact
+recall is mandated.
 """
 
 from __future__ import annotations
@@ -89,23 +92,50 @@ def ppjoin_pairs(sh: DataFrame) -> DataFrame:
     = |set|): prefix filtering on the rarest-first global order, then
     the length and positional prunes, then exact integer-Jaccard
     verification.  Returns (a, b, inter, na, nb, jacc_micro) for every
-    pair with Jaccard >= _T_NUM/_T_DEN."""
-    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df_tbl, "s").withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
-        ),
+    pair with Jaccard >= _T_NUM/_T_DEN.
+
+    Dataflow (round-12 restructure, A/B-measured at sf0.1: the
+    exploded-row shape paid two extra full-table exchanges in the
+    verify leg plus a window sort for ranking — 6.2-6.5 s vs 5.7-5.9 s
+    here, and the composed CC row 10.1-10.9 s vs 8.7-9.4 s):
+
+    - the element DF comes from ONE s-keyed window (count over
+      partitionBy(s)) — the agg+join alternative exchanges the
+      exploded table twice for the same answer;
+    - each doc's rarest-first order is materialized ONCE as a sorted
+      array (groupBy + array_sort(collect_list(struct(df, s)))), so
+      the exploded table is consumed a single time end-to-end;
+    - prefixes leave the doc row via posexplode(slice(ord, 1, p)) —
+      only ~(1-t)*n elements per doc are ever exploded again;
+    - verification joins the (small) candidate pair set against the
+      per-doc arrays and counts size(array_intersect(a, b)) JVM-side,
+      instead of re-shuffling the full exploded table twice plus a
+      distinct for sizes."""
+    with_df = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+    ordered = (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ord"),
+            F.first("n_shingles").alias("n"),
+        )
+        .select(
+            "doc_id", "n", F.expr("transform(ord, x -> x.s)").alias("arr")
+        )
+        # p = n - ceil(t*n) + 1; with t = NUM/DEN: ceil = (n*NUM+DEN-1) div DEN
+        .withColumn(
+            "plen",
+            (
+                F.col("n")
+                - ((F.col("n") * _T_NUM + _T_DEN - 1) / _T_DEN).cast("long")
+                + 1
+            ).cast("int"),
+        )
     )
-    # p = n - ceil(t*n) + 1; with t = NUM/DEN: ceil = (n*NUM + DEN - 1) div DEN
-    prefix_len = (
-        F.col("n_shingles")
-        - ((F.col("n_shingles") * _T_NUM + _T_DEN - 1) / _T_DEN).cast("long")
-        + 1
-    )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-        "doc_id", "s", "rn", "n_shingles"
-    )
+    prefix = ordered.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.expr("slice(arr, 1, plen)")).alias("p0", "s"),
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("px"), "s")
     # Candidate generation with PPJoin's two extra pruning levers:
     # - LENGTH filter: J >= t forces t*na <= nb and t*nb <= na;
     # - POSITIONAL filter: a match at prefix positions (px, py) bounds
@@ -115,16 +145,13 @@ def ppjoin_pairs(sh: DataFrame) -> DataFrame:
     # Both are exact (integer cross-multiplication), so completeness
     # is untouched — the brute-force oracle still pins it.
     x = prefix.select(
-        F.col("doc_id").alias("a"),
-        F.col("s"),
-        F.col("rn").alias("px"),
-        F.col("n_shingles").alias("nxa"),
+        F.col("doc_id").alias("a"), "s", "px", F.col("n").alias("nxa")
     )
     y = prefix.select(
         F.col("doc_id").alias("b"),
-        F.col("s"),
-        F.col("rn").alias("py"),
-        F.col("n_shingles").alias("nxb"),
+        "s",
+        F.col("px").alias("py"),
+        F.col("n").alias("nxb"),
     )
     cand = (
         x.join(y, "s")
@@ -148,7 +175,40 @@ def ppjoin_pairs(sh: DataFrame) -> DataFrame:
         )
         .select("a", "b")
     )
-    return _ppjoin_verify(cand, sh)
+    arrs = ordered.select("doc_id", "arr", "n")
+    out = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb"),
+            ),
+            "b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(
+            _T_DEN * F.col("inter")
+            >= _T_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.expr("1000000 * inter div (na + nb - inter)")
+        .cast("long")
+        .alias("jacc_micro"),
+    )
 
 
 def _ppjoin_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:

@@ -50,12 +50,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # row's driver evidence ages past ~5 rounds.  The round-12 window: 2
 # new (the seek-table-only metadata census over corrupt-payload shards;
 # the BETWEEN point read through the completed pushdown comparison
-# algebra), 6 changed (the zstfile reader — IsNotNull nullability fix +
+# algebra), 9 changed (the zstfile reader — IsNotNull nullability fix +
 # <=/</= absorption — re-pins all four source-path rows; the streaming
 # attempt-scoped sink rewrite re-pins the round trip; the eqNullSafe
-# join fix re-pins the sketch split), the 35 rows whose evidence dates
-# to round 5 (judge re-verified 10 of them green in r11), and the 7
-# alphabetically-first round-6 rows (the remaining 42 r6 rows head the
+# join fix re-pins the sketch split; the array-based PPJoin restructure
+# re-pins all three of its consumers), the 35 rows whose evidence dates
+# to round 5 (judge re-verified 10 of them green in r11), and the 4
+# alphabetically-first round-6 rows (the remaining 45 r6 rows head the
 # round-13 backlog).  Everything rotated out stays mirror-checked by
 # tools/check_correctness.py over all queries at three SFs.
 WINDOW_PRIORITY: list[str] = [
@@ -72,6 +73,9 @@ WINDOW_PRIORITY: list[str] = [
     "mm_zst_source_stats",
     "mm_zst_sink_roundtrip_stats",
     "sketch_distinct_users",
+    "dedup_ppjoin_shingles",
+    "dedup_ppjoin_zipf",
+    "dedup_cc_two_phase",
     # Freshness SLA: the 35 rows whose last hard driver-green evidence
     # dates to round 5 — after this window no registry row's driver
     # evidence is older than round 6
@@ -110,14 +114,11 @@ WINDOW_PRIORITY: list[str] = [
     "udaf_interdecile_value_spread",
     "udaf_median_event_gap",
     "window_ntile_rank_lead",
-    # ...and the 7 alphabetically-first round-6 rows
+    # ...and the 4 alphabetically-first round-6 rows
     "array_agg_supplier_profile",
     "basket_association_rules",
     "basket_frequent_triples",
     "behavior_journey_similarity",
-    "bool_agg_discount_profile",
-    "dedup_repeated_spans",
-    "eval_conformal_coverage",
 ]
 
 
