@@ -22,12 +22,13 @@ must reproduce it exactly, which proves candidate-set COMPLETENESS —
 a wrong prefix length or a divergent global order drops a pair and
 breaks the row-count/hash match.
 
-Scale shape: the exploded element table is consumed ONCE (one s-keyed
-window for document frequency, one doc_id grouping into per-doc sorted
-arrays); the candidate join is keyed on rare prefix shingles (bounded
-fan-out by construction); verification touches candidate pairs only,
-via array_intersect against the per-doc arrays — the element table is
-never re-shuffled.  No all-pairs product anywhere — at 100 TB this is
+Scale shape: ordering consumes the exploded element table once (one
+s-keyed window for document frequency, one doc_id grouping into
+per-doc sorted arrays); the candidate join is keyed on rare prefix
+shingles (bounded fan-out by construction); verification touches
+candidate pairs only, via two shingle-keyed joins whose shuffle bytes
+scale with actual intersections (an array_intersect twin lost at sf1 —
+see ppjoin_pairs).  No all-pairs product anywhere — at 100 TB this is
 the exact-dedup pass run after LSH triage, or standalone when exact
 recall is mandated.
 """
@@ -94,23 +95,25 @@ def ppjoin_pairs(sh: DataFrame) -> DataFrame:
     verification.  Returns (a, b, inter, na, nb, jacc_micro) for every
     pair with Jaccard >= _T_NUM/_T_DEN.
 
-    Dataflow (round-12 restructure, A/B-measured at sf0.1: the
-    exploded-row shape paid two extra full-table exchanges in the
-    verify leg plus a window sort for ranking — 6.2-6.5 s vs 5.7-5.9 s
-    here, and the composed CC row 10.1-10.9 s vs 8.7-9.4 s):
+    Dataflow (round-12 restructure, three-way A/B at sf0.1 AND sf1 —
+    tools/profile_ppjoin.py keeps all variants):
 
     - the element DF comes from ONE s-keyed window (count over
       partitionBy(s)) — the agg+join alternative exchanges the
       exploded table twice for the same answer;
     - each doc's rarest-first order is materialized ONCE as a sorted
-      array (groupBy + array_sort(collect_list(struct(df, s)))), so
-      the exploded table is consumed a single time end-to-end;
+      array (groupBy + array_sort(collect_list(struct(df, s)))) — no
+      row_number window sort over exploded rows;
     - prefixes leave the doc row via posexplode(slice(ord, 1, p)) —
       only ~(1-t)*n elements per doc are ever exploded again;
-    - verification joins the (small) candidate pair set against the
-      per-doc arrays and counts size(array_intersect(a, b)) JVM-side,
-      instead of re-shuffling the full exploded table twice plus a
-      distinct for sizes."""
+    - verification stays JOIN-based (_ppjoin_verify): an array-verify
+      twin (join candidates to per-doc shingle arrays, count
+      size(array_intersect)) won at sf0.1 (6.5 vs 7.1 s, few
+      candidates) but LOST at sf1 (57.8-113.6 vs 55.4 s) and went
+      superlinear (exponent 1.11) on the adversarial corpus whose
+      18.7M raw candidates each carried two full arrays across the
+      verify shuffles; join-verification's shuffle bytes scale with
+      actual intersections, not candidates x array size."""
     with_df = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
     ordered = (
         with_df.groupBy("doc_id")
@@ -175,40 +178,7 @@ def ppjoin_pairs(sh: DataFrame) -> DataFrame:
         )
         .select("a", "b")
     )
-    arrs = ordered.select("doc_id", "arr", "n")
-    out = (
-        cand.join(
-            arrs.select(
-                F.col("doc_id").alias("a"),
-                F.col("arr").alias("arr_a"),
-                F.col("n").alias("na"),
-            ),
-            "a",
-        )
-        .join(
-            arrs.select(
-                F.col("doc_id").alias("b"),
-                F.col("arr").alias("arr_b"),
-                F.col("n").alias("nb"),
-            ),
-            "b",
-        )
-        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .filter(
-            _T_DEN * F.col("inter")
-            >= _T_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
-        )
-    )
-    return out.select(
-        "a",
-        "b",
-        F.col("inter").cast("long").alias("inter"),
-        F.col("na").cast("long").alias("na"),
-        F.col("nb").cast("long").alias("nb"),
-        F.expr("1000000 * inter div (na + nb - inter)")
-        .cast("long")
-        .alias("jacc_micro"),
-    )
+    return _ppjoin_verify(cand, sh)
 
 
 def _ppjoin_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:

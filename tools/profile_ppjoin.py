@@ -1,27 +1,31 @@
 """PPJoin profiling + A/B harness (VERDICT r11 #7).
 
-Measures (a) the candidate-count histogram per prefix token — where the
-pair-generation work actually lives — and (b) a timed A/B of the
-pre-round-12 exploded-row PPJoin (kept here as ``ppjoin_pairs_legacy``
-for reproduction) against the adopted array-based restructure
-(``dedup2.ppjoin_pairs``):
+Measures (a) the candidate-count histogram per prefix token — where
+the pair-generation work actually lives — and (b) a timed A/B of three
+pipelines (parity-gated by exceptAll both ways before timing):
 
-- ORDER: per-doc array_sort(collect_list(struct(df, s))) instead of a
-  row_number window over the exploded table;
-- DF: one s-keyed window instead of agg + join (one exchange, not two);
-- PREFIX: posexplode(slice(ordered, 1, p)) — only ~(1-t)*n elements
-  per doc ever leave the doc row;
-- VERIFY: size(array_intersect(arr_a, arr_b)) on the per-doc arrays —
-  the exploded shingle table is never shuffled again (the legacy verify
-  leg re-shuffled it twice and added a distinct for sizes).
+- ``ppjoin_pairs_legacy`` — the pre-round-12 exploded-row shape: df
+  agg + join, row_number window ranking, join-based verification;
+- ``ppjoin_pairs_arrayverify`` — array ordering AND array
+  verification: join candidates to per-doc shingle arrays, count
+  size(array_intersect);
+- ``dedup2.ppjoin_pairs`` — the ADOPTED round-12 shape: array
+  ordering/prefix (one s-keyed window for df, per-doc sorted arrays,
+  posexplode(slice)) with JOIN-based verification.
 
-Measured at sf0.1 (quiet host, two sessions): legacy 6.2-6.5 s vs
-adopted 5.7-5.9 s on the PPJoin row; composed CC row 10.1-10.9 s vs
-8.7-9.4 s.  Candidate histogram at sf0.1: max prefix-token fan-out 8,
-sum C(pf,2) = 122,289 over 11,997 prefix tokens — pair generation is
-NOT the bottleneck; the exploded-table plumbing was.
+Why the adopted shape: measured histograms show pair generation is
+prefix-bounded (sf0.1: max fan-out 8, sum C(pf,2) = 122,289; sf1
+adversarial corpus: max fan-out 86, sum C(pf,2) = 18,738,000 — 150x
+the candidates for 10x the docs).  At sf0.1 array-verify wins
+(6.5 vs 7.1 vs 8.9 s legacy) because candidates are few; at sf1 it
+LOSES (57.8-113.6 s vs 55.4 s adopted vs 61.0 s legacy) and its decade
+exponent crossed 1.0 (1.11): every candidate row carries TWO full
+shingle arrays across the verify shuffles, so shuffle bytes scale with
+candidates x array size, while join-verification's scale with actual
+intersections.  The adopted hybrid is best at sf1 and within ~10% of
+best at sf0.1 — the 100 TB-relevant choice.
 
-Usage: python tools/profile_ppjoin.py [sf_dir] [--hist-only]
+Usage: python tools/profile_ppjoin.py [sf_dir] [--hist-only|--timings-only] [--cc]
 """
 
 from __future__ import annotations
@@ -106,6 +110,98 @@ def ppjoin_pairs_legacy(sh):
     return _ppjoin_verify(cand, sh)
 
 
+def ppjoin_pairs_arrayverify(sh):
+    """Array ordering + ARRAY verification (the variant that lost at
+    sf1): candidates join to the per-doc arrays and verification is
+    size(array_intersect(arr_a, arr_b)) — every candidate row carries
+    two full shingle arrays across the verify shuffles."""
+    with_df = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+    ordered = (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ord"),
+            F.first("n_shingles").alias("n"),
+        )
+        .select("doc_id", "n", F.expr("transform(ord, x -> x.s)").alias("arr"))
+        .withColumn(
+            "plen",
+            (
+                F.col("n")
+                - ((F.col("n") * _T_NUM + _T_DEN - 1) / _T_DEN).cast("long")
+                + 1
+            ).cast("int"),
+        )
+    )
+    prefix = ordered.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.expr("slice(arr, 1, plen)")).alias("p0", "s"),
+    ).select("doc_id", "n", (F.col("p0") + 1).alias("px"), "s")
+    x = prefix.select(
+        F.col("doc_id").alias("a"), "s", "px", F.col("n").alias("nxa")
+    )
+    y = prefix.select(
+        F.col("doc_id").alias("b"),
+        "s",
+        F.col("px").alias("py"),
+        F.col("n").alias("nxb"),
+    )
+    cand = (
+        x.join(y, "s")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (_T_NUM * F.col("nxa") <= _T_DEN * F.col("nxb"))
+            & (_T_NUM * F.col("nxb") <= _T_DEN * F.col("nxa"))
+        )
+        .withColumn(
+            "ub",
+            F.lit(1)
+            + F.least(F.col("nxa") - F.col("px"), F.col("nxb") - F.col("py")),
+        )
+        .groupBy("a", "b", "nxa", "nxb")
+        .agg(F.max("ub").alias("ub"))
+        .filter(
+            (_T_NUM + _T_DEN) * F.col("ub")
+            >= _T_NUM * (F.col("nxa") + F.col("nxb"))
+        )
+        .select("a", "b")
+    )
+    arrs = ordered.select("doc_id", "arr", "n")
+    out = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb"),
+            ),
+            "b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(
+            _T_DEN * F.col("inter")
+            >= _T_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+    )
+    return out.select(
+        "a",
+        "b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.expr("1000000 * inter div (na + nb - inter)")
+        .cast("long")
+        .alias("jacc_micro"),
+    )
+
+
 def histogram(spark, sf_dir):
     sh = exploded_shingles(spark, sf_dir)
     with_df = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
@@ -137,7 +233,7 @@ def histogram(spark, sf_dir):
     print(f"docs with shingles: {n_docs}")
 
 
-def timed(label, build, runs=3):
+def timed(label, build, runs=2):
     ts = []
     for _ in range(runs):
         t0 = time.time()
@@ -152,38 +248,46 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("ppjoin-profile")
     print(f"profiling at {sf_dir}")
-    histogram(spark, sf_dir)
-    if "--hist-only" in sys.argv:
-        return
-    sh = exploded_shingles(spark, sf_dir)
-    # parity gate first: the A/B is meaningless if results differ
-    legacy = ppjoin_pairs_legacy(sh)
-    adopted = ppjoin_pairs(sh)
-    diff = legacy.exceptAll(adopted).union(adopted.exceptAll(legacy)).count()
-    print(f"parity (exceptAll both ways): {diff} rows differ")
-    assert diff == 0
+    if "--timings-only" not in sys.argv:
+        histogram(spark, sf_dir)
+        if "--hist-only" in sys.argv:
+            return
+        sh = exploded_shingles(spark, sf_dir)
+        # parity gate first: the A/B is meaningless if results differ
+        legacy = ppjoin_pairs_legacy(sh)
+        for label, fn in (
+            ("adopted", ppjoin_pairs),
+            ("arrayverify", ppjoin_pairs_arrayverify),
+        ):
+            other = fn(sh)
+            diff = legacy.exceptAll(other).union(other.exceptAll(legacy)).count()
+            print(f"parity {label} vs legacy (exceptAll both ways): {diff} rows differ")
+            assert diff == 0
     timed(
         "legacy exploded-row ppjoin ",
         lambda: ppjoin_pairs_legacy(exploded_shingles(spark, sf_dir)),
     )
     timed(
-        "adopted array ppjoin       ",
+        "adopted registered ppjoin  ",
         lambda: ppjoin_pairs(exploded_shingles(spark, sf_dir)),
     )
     timed(
-        "cc_two_phase over legacy   ",
-        lambda: cc_two_phase(
-            ppjoin_pairs_legacy(exploded_shingles(spark, sf_dir)).select("a", "b")
-        ),
-        runs=2,
+        "array-verify variant       ",
+        lambda: ppjoin_pairs_arrayverify(exploded_shingles(spark, sf_dir)),
     )
-    timed(
-        "cc_two_phase over adopted  ",
-        lambda: cc_two_phase(
-            ppjoin_pairs(exploded_shingles(spark, sf_dir)).select("a", "b")
-        ),
-        runs=2,
-    )
+    if "--cc" in sys.argv:
+        timed(
+            "cc_two_phase over legacy   ",
+            lambda: cc_two_phase(
+                ppjoin_pairs_legacy(exploded_shingles(spark, sf_dir)).select("a", "b")
+            ),
+        )
+        timed(
+            "cc_two_phase over adopted  ",
+            lambda: cc_two_phase(
+                ppjoin_pairs(exploded_shingles(spark, sf_dir)).select("a", "b")
+            ),
+        )
 
 
 if __name__ == "__main__":
