@@ -210,59 +210,71 @@ class ZstReader(DataSourceReader):
         from ..operators.multimodal14 import xxh64
 
         p = partition.value
-        with open(p, "rb") as fh:
-            payload = fh.read()
         base = os.path.basename(p)
         lo = max(self._min_frame_bytes or 0, self._pushdown_min or 0)
         hi = self._pushdown_max  # None = unbounded above
         if lo > 0 or hi is not None:
             # PRUNING mode: frames whose seek-table decompressed size
-            # falls outside the [lo, hi] band are never decoded (their
-            # bytes are never read past the table) — frame-level
-            # skipping inside the shard
-            entries = parse_seek_table(payload)
-            if entries is None:
-                if self._min_frame_bytes is not None:
-                    # the explicit OPTION demands pruning: a shard that
-                    # cannot prune is a loud error, not a silent full
-                    # decode
-                    raise ValueError(
-                        f"{base}: min_frame_bytes pruning needs a seek table"
+            # falls outside the [lo, hi] band are never decoded — and
+            # never even READ: the table comes from tail seeks and each
+            # surviving frame is fetched by (offset, size), so a point
+            # read's file I/O and executor memory are proportional to
+            # the frames it returns, not the shard (round 12; the
+            # previous shape buffered the whole shard before pruning)
+            with open(p, "rb") as fh:
+                entries = read_seek_table_tail(fh)
+                if entries is None:
+                    if self._min_frame_bytes is not None:
+                        # the explicit OPTION demands pruning: a shard
+                        # that cannot prune is a loud error, not a
+                        # silent full decode
+                        raise ValueError(
+                            f"{base}: min_frame_bytes pruning needs a seek table"
+                        )
+                    # pushdown-only band: correctness must hold on any
+                    # shard, so fall back to the full walk and filter
+                    # here (the absorbed predicates are still honored
+                    # exactly)
+                    fh.seek(0)
+                    payload = fh.read()
+                    yield from (
+                        row
+                        for row in self._walk_all(
+                            payload, base, decode_zstd_frames
+                        )
+                        if row[3] >= lo and (hi is None or row[3] <= hi)
                     )
-                # pushdown-only band: correctness must hold on any
-                # shard, so fall back to the full walk and filter here
-                # (the absorbed predicates are still honored exactly)
-                yield from (
-                    row
-                    for row in self._walk_all(payload, base, decode_zstd_frames)
-                    if row[3] >= lo and (hi is None or row[3] <= hi)
-                )
-                return
-            for idx, en in enumerate(entries):
-                if en["d_size"] < lo or (hi is not None and en["d_size"] > hi):
-                    continue
-                meta = decode_zstd_frames(
-                    payload[en["c_off"] : en["c_off"] + en["c_size"]]
-                )
-                fr = meta["frames"][0]
-                body = meta["content"]
-                if en["checksum"] is not None and (
-                    xxh64(bytes(body)) & 0xFFFFFFFF != en["checksum"]
-                ):
-                    raise ValueError(f"{base}: seek-table checksum mismatch")
-                yield (
-                    base,
-                    idx,
-                    body,
-                    fr["content_len"],
-                    sum(body),
-                    fr["n_blocks"],
-                    fr["n_sequences"],
-                    fr["n_literals"],
-                    fr["huf_tlog"],
-                    fr["window_log"],
-                )
+                    return
+                for idx, en in enumerate(entries):
+                    if en["d_size"] < lo or (
+                        hi is not None and en["d_size"] > hi
+                    ):
+                        continue
+                    fh.seek(en["c_off"])
+                    meta = decode_zstd_frames(fh.read(en["c_size"]))
+                    fr = meta["frames"][0]
+                    body = meta["content"]
+                    if en["checksum"] is not None and (
+                        xxh64(bytes(body)) & 0xFFFFFFFF != en["checksum"]
+                    ):
+                        raise ValueError(
+                            f"{base}: seek-table checksum mismatch"
+                        )
+                    yield (
+                        base,
+                        idx,
+                        body,
+                        fr["content_len"],
+                        sum(body),
+                        fr["n_blocks"],
+                        fr["n_sequences"],
+                        fr["n_literals"],
+                        fr["huf_tlog"],
+                        fr["window_log"],
+                    )
             return
+        with open(p, "rb") as fh:
+            payload = fh.read()
         yield from self._walk_all(payload, base, decode_zstd_frames)
 
     def _read_meta(self, p: str):

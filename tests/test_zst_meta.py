@@ -132,6 +132,37 @@ def test_meta_census_fixture_is_undecodable(spark, sf_dir):
         read_zst_source(spark, shards).collect()
 
 
+def test_tail_reader_never_touches_the_frame_area(tmp_path):
+    """I/O proof without Spark: a file object that RAISES on any read
+    below the seek-table region still satisfies read_seek_table_tail —
+    the reader's I/O is footer + table, proportional to the frame
+    count, not the corpus."""
+    import io
+
+    from mit_6_5840_mapreduce_with_go_spark.sources.zstfiles import (
+        read_seek_table_tail,
+    )
+
+    frames, contents = zip(
+        *(M14._zstd_entropy_frame_and_content(d) for d in (3, 123, 7))
+    )
+    payload = write_seekable_shard(list(frames), list(contents))
+    entries = parse_seek_table(payload)
+    frame_area_end = entries[-1]["c_off"] + entries[-1]["c_size"]
+
+    class TailOnly(io.BytesIO):
+        def read(self, n=-1):
+            if self.tell() < frame_area_end:
+                raise AssertionError(
+                    f"read at {self.tell()} inside the frame area "
+                    f"(< {frame_area_end})"
+                )
+            return super().read(n)
+
+    got = read_seek_table_tail(TailOnly(payload))
+    assert got == entries
+
+
 def test_meta_census_matches_oracle(spark, sf_dir, duck):
     from tests.conftest import assert_df_matches_oracle
 
