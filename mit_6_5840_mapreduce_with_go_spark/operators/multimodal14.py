@@ -1919,6 +1919,52 @@ def mm_zst_shard_pointread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+_FRAME_SHARD = "shard-001.zst"
+_FRAME_LO, _FRAME_HI = 2, 6
+
+_ZST_FRAMEREAD_ORACLE = (
+    "SELECT * FROM (" + _ZST_SOURCE_ORACLE
+    + f") WHERE file = '{_FRAME_SHARD}' AND frame_index "
+    + f"BETWEEN {_FRAME_LO} AND {_FRAME_HI}"
+)
+
+
+@query("mm_zst_frame_pointread_stats", oracle=_ZST_FRAMEREAD_ORACLE)
+def mm_zst_frame_pointread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (file, frame_index) point read (round 12): frame_index is
+    the seek table's enumeration order, known before any frame byte is
+    read, so `where(file = S AND frame_index BETWEEN a AND b)` opens
+    one shard and reads exactly the addressed frames' bytes — the
+    record-locator access path a manifest gives you over a 100 TB
+    .zst lake ("document 4 lives at shard S frame k").  Both conjuncts
+    are absorbed by pushFilters (tests prove it with corrupt frames
+    planted OUTSIDE the index band).  Same full-census oracle, filtered
+    by both pushed predicates."""
+    from ..sources.zstfiles import read_zst_source
+
+    import os as _os
+
+    shards = _os.path.join(_seekable_shard_dir(sf_dir), "*.zst")
+    return (
+        read_zst_source(spark, shards)
+        .where(
+            (F.col("file") == _FRAME_SHARD)
+            & F.col("frame_index").between(_FRAME_LO, _FRAME_HI)
+        )
+        .select(
+            "file",
+            "frame_index",
+            "n_blocks",
+            "n_sequences",
+            "n_literals",
+            "content_len",
+            "content_sum",
+            "huf_tlog",
+            "window_log",
+        )
+    )
+
+
 _ZST_SINK_ORACLE = """
 SELECT CAST(length(text) AS BIGINT) AS content_len,
        CAST(list_sum(list_transform(split(text, ''), c -> ascii(c)))
@@ -1956,6 +2002,63 @@ def mm_zst_sink_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_zst_sink(docs.repartition(4), out)
     return read_zst_source(spark, _os.path.join(out, "*.zst")).select(
         "content_len", "content_sum", "n_blocks"
+    )
+
+
+_ZST_SINK_HUF_ORACLE = """
+SELECT CAST(length(text) AS BIGINT) AS content_len,
+       CAST(list_sum(list_transform(split(text, ''), c -> ascii(c)))
+            AS BIGINT) AS content_sum,
+       CAST(greatest(1, ceil(length(text) / 1000.0)) AS BIGINT) AS n_blocks,
+       TRUE AS compressed_smaller
+FROM documents
+"""
+
+
+@query("mm_zst_sink_huffman_stats", oracle=_ZST_SINK_HUF_ORACLE)
+def mm_zst_sink_huffman_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED export round trip (round 12): documents exported
+    through the zstfile sink with ``codec=huffman`` — every frame is
+    entropy-coded literal blocks (1000-byte chunks, per-chunk raw/RLE
+    fallback), spec-valid zstd that system libzstd decodes byte-exact
+    (tests/test_zst_sink.py) — then read back with full entropy decode
+    + checksum verification.  The oracle pins content_len/content_sum
+    (payload integrity), n_blocks = ceil(len/1000) (the chunking rule,
+    fallback-invariant), and ``compressed_smaller``: the META read of
+    the same shards supplies each frame's compressed_len from the seek
+    table, and every document of >= 250 bytes must produce a frame
+    SMALLER than its content (below that, the ~50-byte frame + tree
+    overhead can exceed the entropy savings — measured: every doc >=
+    200 bytes compresses, docs under ~150 don't) — compression is
+    asserted cross-engine per row, not averaged; a store-mode
+    regression would flip every long row to false."""
+    import tempfile
+
+    from ..sources.zstfiles import read_zst_meta, read_zst_source, write_zst_sink
+
+    import os as _os
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("text").cast("binary").alias("content")
+    )
+    # 16 shards: the per-chunk Huffman coding is pure-Python CPU, so
+    # the export leg wants the parallelism (store-mode exports don't)
+    out = tempfile.mkdtemp(prefix="zst_sink_huf_")
+    write_zst_sink(docs.repartition(16), out, codec="huffman")
+    full = read_zst_source(spark, _os.path.join(out, "*.zst")).select(
+        "file", "frame_index", "content_len", "content_sum", "n_blocks"
+    )
+    meta = read_zst_meta(spark, _os.path.join(out, "*.zst")).select(
+        "file", "frame_index", "compressed_len"
+    )
+    return full.join(meta, ["file", "frame_index"]).select(
+        "content_len",
+        "content_sum",
+        "n_blocks",
+        (
+            (F.col("content_len") < 250)
+            | (F.col("compressed_len") < F.col("content_len"))
+        ).alias("compressed_smaller"),
     )
 
 

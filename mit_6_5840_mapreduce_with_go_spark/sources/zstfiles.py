@@ -116,6 +116,13 @@ class ZstReader(DataSourceReader):
         # .where("content_len BETWEEN a AND b"), no option knowledge
         self._pushdown_min: int | None = None
         self._pushdown_max: int | None = None
+        # frame_index constraints (round 12): the index is the seek
+        # table's enumeration order, known before any byte of a frame
+        # is read, so =, IN, and range comparisons prune directly —
+        # a (file, frame_index) point read touches ONE frame's bytes
+        self._idx_min: int | None = None
+        self._idx_max: int | None = None
+        self._idx_in: set[int] | None = None
         # file-equality pushdown: SHARD-level partition pruning (the
         # other half of the 100 TB point read — skip whole files, then
         # skip frames inside the survivors)
@@ -129,7 +136,11 @@ class ZstReader(DataSourceReader):
         filters EXACTLY and Spark need not re-evaluate them (they are
         not yielded back).  `file = 'shard'` / `file IN (...)`
         conjuncts become PARTITION pruning: non-matching shards are
-        never opened (partitions() drops them).  Everything else stays
+        never opened (partitions() drops them).  `frame_index`
+        comparisons (=, IN, ranges) prune by the seek table's
+        enumeration order — known before any frame byte is read — so a
+        (file, frame_index) point read touches one frame's bytes.
+        Everything else stays
         Spark-side.  Shards without a seek table fall back to
         walk-then-filter inside read(), which preserves exactness (see
         read()).  IsNotNull is absorbed as trivially true only for
@@ -157,6 +168,39 @@ class ZstReader(DataSourceReader):
                         else self._file_eq & names
                     )
                     continue
+            if attr == ("frame_index",):
+                if isinstance(f, In) and all(
+                    isinstance(v, int) and not isinstance(v, bool)
+                    for v in f.value
+                ):
+                    vals = set(f.value)
+                    self._idx_in = (
+                        vals if self._idx_in is None else self._idx_in & vals
+                    )
+                    continue
+                v = getattr(f, "value", None)
+                if isinstance(v, int) and not isinstance(v, bool):
+                    ilo = ihi = None
+                    if isinstance(f, EqualTo):
+                        ilo = ihi = v
+                    elif isinstance(f, GreaterThanOrEqual):
+                        ilo = v
+                    elif isinstance(f, GreaterThan):
+                        ilo = v + 1
+                    elif isinstance(f, LessThanOrEqual):
+                        ihi = v
+                    elif isinstance(f, LessThan):
+                        ihi = v - 1
+                    if ilo is not None or ihi is not None:
+                        if ilo is not None:
+                            self._idx_min = max(self._idx_min or 0, ilo)
+                        if ihi is not None:
+                            self._idx_max = (
+                                ihi
+                                if self._idx_max is None
+                                else min(self._idx_max, ihi)
+                            )
+                        continue
             lo = hi = None
             if attr == ("content_len",) and isinstance(
                 getattr(f, "value", None), int
@@ -213,7 +257,7 @@ class ZstReader(DataSourceReader):
         base = os.path.basename(p)
         lo = max(self._min_frame_bytes or 0, self._pushdown_min or 0)
         hi = self._pushdown_max  # None = unbounded above
-        if lo > 0 or hi is not None:
+        if lo > 0 or hi is not None or self._idx_constrained():
             # PRUNING mode: frames whose seek-table decompressed size
             # falls outside the [lo, hi] band are never decoded — and
             # never even READ: the table comes from tail seeks and each
@@ -242,13 +286,17 @@ class ZstReader(DataSourceReader):
                         for row in self._walk_all(
                             payload, base, decode_zstd_frames
                         )
-                        if row[3] >= lo and (hi is None or row[3] <= hi)
+                        if row[3] >= lo
+                        and (hi is None or row[3] <= hi)
+                        and self._idx_ok(row[1])
                     )
                     return
                 for idx, en in enumerate(entries):
                     if en["d_size"] < lo or (
                         hi is not None and en["d_size"] > hi
                     ):
+                        continue
+                    if not self._idx_ok(idx):
                         continue
                     fh.seek(en["c_off"])
                     meta = decode_zstd_frames(fh.read(en["c_size"]))
@@ -298,7 +346,23 @@ class ZstReader(DataSourceReader):
         for idx, en in enumerate(entries):
             if en["d_size"] < lo or (hi is not None and en["d_size"] > hi):
                 continue
+            if not self._idx_ok(idx):
+                continue
             yield (base, idx, en["d_size"], en["c_size"], en["c_off"])
+
+    def _idx_constrained(self) -> bool:
+        return (
+            self._idx_min is not None
+            or self._idx_max is not None
+            or self._idx_in is not None
+        )
+
+    def _idx_ok(self, idx: int) -> bool:
+        if self._idx_min is not None and idx < self._idx_min:
+            return False
+        if self._idx_max is not None and idx > self._idx_max:
+            return False
+        return self._idx_in is None or idx in self._idx_in
 
     @staticmethod
     def _walk_all(payload: bytes, base: str, decode_zstd_frames):
@@ -470,9 +534,11 @@ def read_zst_source_seekable(spark, path_glob: str, min_frame_bytes: int):
 # shard EXPORT leg.  One seekable .zst shard per input partition
 # (shard boundaries = partitioning, frame order = row order within the
 # partition, so the caller controls layout with repartition/
-# sortWithinPartitions); every frame is a spec-valid zstd frame of raw
-# blocks (store mode — decodable by ANY zstd, verified byte-exact
-# against libzstd in tests), and every shard ends with the seekable
+# sortWithinPartitions); every frame is a spec-valid zstd frame —
+# store mode (raw blocks) by default, or Huffman-coded literal blocks
+# via option codec=huffman (real entropy compression for text exports)
+# — decodable by ANY zstd, verified byte-exact
+# against libzstd in tests, and every shard ends with the seekable
 # seek table, so shards written here are immediately prunable by the
 # read path's pushdown.  Two-phase commit: tasks write job- and
 # ATTEMPT-scoped .inflight files (so duplicate attempts of a partition
@@ -491,6 +557,55 @@ class _ZstCommit(WriterCommitMessage):
 
 
 _WRITE_BLOCK = 1 << 17  # 128 KiB raw blocks inside each frame
+# Huffman codec: the entropy encoder's literal path uses the RFC's
+# 10-bit literals size format (regenerated AND compressed sizes < 1024),
+# so content is chunked into <=1000-byte literal-only blocks; a chunk
+# whose Huffman coding would overflow the format (incompressible data)
+# falls back to a raw block of the same chunk, so n_blocks stays
+# ceil(len/1000) either way
+_HUF_CHUNK = 1000
+
+
+def _huffman_frame(content: bytes) -> bytes:
+    """One spec-valid zstd frame of Huffman-coded literal-only blocks
+    (no sequences) — genuine entropy compression for text exports,
+    decodable by any zstd (golden-tested against system libzstd).
+    Per-chunk fallback to raw blocks keeps the frame total."""
+    from ..operators.multimodal14 import (
+        build_compressed_block,
+        encode_compressed_frame,
+    )
+
+    specs: list[dict] = []
+    chunks = [
+        content[i : i + _HUF_CHUNK]
+        for i in range(0, len(content), _HUF_CHUNK)
+    ] or [b""]
+    for ch in chunks:
+        if ch and ch == bytes([ch[0]]) * len(ch):
+            # single-byte run: an RLE block stores it in one byte
+            specs.append({"kind": "rle_block", "byte": ch[0], "size": len(ch)})
+            continue
+        try:
+            # pre-flight on a throwaway state: raises when the chunk's
+            # Huffman coding overflows the 10-bit size format (or a
+            # degenerate alphabet can't build a tree)
+            build_compressed_block(
+                "huf", ch, [], ("predef", "predef", "predef"), {}
+            )
+            specs.append(
+                {
+                    "lits_kind": "huf",
+                    "lits": ch,
+                    "seqs": [],
+                    "modes": ("predef", "predef", "predef"),
+                }
+            )
+        except (ValueError, ZeroDivisionError, IndexError):
+            specs.append({"kind": "raw_block", "data": ch})
+    frame, got = encode_compressed_frame(specs, window_log=17, checksum=True)
+    assert got == content
+    return frame
 
 
 class ZstWriter(DataSourceWriter):
@@ -500,6 +615,12 @@ class ZstWriter(DataSourceWriter):
             raise ValueError("zstfile sink requires a directory path")
         self._dir = path
         self._overwrite = overwrite
+        codec = options.get("codec", "store")
+        if codec not in ("store", "huffman"):
+            raise ValueError(
+                f"zstfile sink codec must be store|huffman, got {codec!r}"
+            )
+        self._codec = codec
         import uuid
 
         self._job = uuid.uuid4().hex[:12]
@@ -535,11 +656,14 @@ class ZstWriter(DataSourceWriter):
                 if isinstance(content, str):
                     content = content.encode("utf-8")
                 content = bytes(content)
-                blocks = [
-                    ("raw", content[i : i + _WRITE_BLOCK])
-                    for i in range(0, len(content), _WRITE_BLOCK)
-                ] or [("raw", b"")]
-                frame = encode_zstd_raw(blocks)
+                if self._codec == "huffman":
+                    frame = _huffman_frame(content)
+                else:
+                    blocks = [
+                        ("raw", content[i : i + _WRITE_BLOCK])
+                        for i in range(0, len(content), _WRITE_BLOCK)
+                    ] or [("raw", b"")]
+                    frame = encode_zstd_raw(blocks)
                 if fh is None:
                     os.makedirs(self._dir, exist_ok=True)
                     tmp = os.path.join(
@@ -598,9 +722,13 @@ class ZstWriter(DataSourceWriter):
                 os.unlink(m.tmp)
 
 
-def write_zst_sink(df, directory: str, mode: str = "overwrite") -> None:
+def write_zst_sink(
+    df, directory: str, mode: str = "overwrite", codec: str = "store"
+) -> None:
     """Write ``df`` (must carry a ``content`` binary/string column) as
-    seekable .zst shards, one per partition."""
+    seekable .zst shards, one per partition.  ``codec``: ``store``
+    (raw blocks) or ``huffman`` (entropy-coded literal blocks — real
+    compression for text exports, still decodable by any zstd)."""
     df.sparkSession.dataSource.register(ZstDataSource)
     _enable_pushdown(df.sparkSession)
-    df.write.format("zstfile").mode(mode).save(directory)
+    df.write.format("zstfile").mode(mode).option("codec", codec).save(directory)

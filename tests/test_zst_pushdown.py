@@ -300,6 +300,107 @@ def test_composed_point_read_plan_and_rows(spark, sf_dir):
     assert got == want and got
 
 
+def test_frame_index_pushdown_corrupt_siblings_proof(spark, tmp_path):
+    """frame_index =/IN/range constraints prune by the seek table's
+    enumeration order BEFORE any frame byte is read: with every frame
+    except index 1 corrupted, the index point read succeeds while any
+    wider read raises."""
+    frames, contents = zip(
+        *(M14._zstd_entropy_frame_and_content(d) for d in (3, 123, 7))
+    )
+    frames = list(frames)
+    for i in (0, 2):
+        bad = bytearray(frames[i])
+        bad[len(bad) // 2] ^= 0xFF
+        frames[i] = bytes(bad)
+    p = tmp_path / "shard.zst"
+    p.write_bytes(write_seekable_shard(frames, list(contents)))
+    got = (
+        read_zst_source(spark, str(p))
+        .where(F.col("frame_index") == 1)
+        .select("frame_index", "content_len")
+        .collect()
+    )
+    assert [(r["frame_index"], r["content_len"]) for r in got] == [
+        (1, len(contents[1]))
+    ]
+    # IN-list takes the same path
+    got_in = (
+        read_zst_source(spark, str(p))
+        .where(F.col("frame_index").isin(1))
+        .count()
+    )
+    assert got_in == 1
+    # a range that includes a corrupt frame must decode it and raise
+    with pytest.raises(Exception):
+        read_zst_source(spark, str(p)).where(
+            F.col("frame_index") <= 1
+        ).collect()
+    # ...but the range that excludes them succeeds and no Filter node
+    # remains over the scan
+    import re
+
+    df = read_zst_source(spark, str(p)).where(
+        F.col("frame_index").between(1, 1)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^[\s+:*()\-\d]*Filter\b", ln)
+    ], plan
+    assert df.count() == 1
+
+
+def test_frame_index_fallback_without_seek_table(spark, tmp_path):
+    """On a table-less shard the index constraint is honored exactly by
+    walk-then-filter."""
+    frames, contents = zip(
+        *(M14._zstd_entropy_frame_and_content(d) for d in (3, 123, 7))
+    )
+    p = tmp_path / "plain.zst"
+    p.write_bytes(b"".join(frames))
+    got = (
+        read_zst_source(spark, str(p))
+        .where(F.col("frame_index") >= 1)
+        .select("frame_index", "content_len")
+        .collect()
+    )
+    assert {(r["frame_index"], r["content_len"]) for r in got} == {
+        (i, len(c)) for i, c in enumerate(contents) if i >= 1
+    }
+
+
+def test_frame_pointread_query_plan_and_rows(spark, sf_dir):
+    """The registered (file, frame_index) point read: both conjuncts
+    absorbed, rows match the index band applied to the full census."""
+    import re
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.multimodal14 import (
+        _FRAME_HI,
+        _FRAME_LO,
+        _FRAME_SHARD,
+        mm_zst_frame_pointread_stats,
+        mm_zst_source_stats,
+    )
+
+    df = mm_zst_frame_pointread_stats(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not [
+        ln
+        for ln in plan.splitlines()
+        if re.match(r"^[\s+:*()\-\d]*Filter\b", ln)
+    ], plan
+    got = {(r["file"], r["frame_index"]) for r in df.collect()}
+    want = {
+        (r["file"], r["frame_index"])
+        for r in mm_zst_source_stats(spark, sf_dir).collect()
+        if r["file"] == _FRAME_SHARD
+        and _FRAME_LO <= r["frame_index"] <= _FRAME_HI
+    }
+    assert got == want and got
+
+
 def test_between_pointread_query_plan_and_rows(spark, sf_dir):
     """The registered BETWEEN point read: file equality AND both band
     bounds absorbed (no Filter operator), rows match the band applied
