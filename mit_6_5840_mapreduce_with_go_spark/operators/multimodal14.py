@@ -1919,6 +1919,49 @@ def mm_zst_shard_pointread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+@query("mm_zst_stream_source_stats", oracle=_ZST_SOURCE_ORACLE)
+def mm_zst_stream_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The .zst shard directory as a STREAM (round 12): the zstfile
+    data source's DataSourceStreamReader treats each shard's position
+    in the sorted listing as the offset, so a continuously-fed crawl
+    directory is decoded exactly once per micro-batch — shards that
+    arrived since the last committed offset, one input partition each,
+    entropy decode executor-side (identical task shape to batch; the
+    epoch/exactly-once/restart proofs live in
+    tests/test_zst_stream_source.py).  This row runs one availableNow
+    pass over the seekable fixtures into a memory sink and returns the
+    same full census as the batch source — stream == batch pinned by
+    the same DuckDB oracle."""
+    import uuid
+
+    from ..sources.zstfiles import read_zst_stream
+
+    import os as _os
+
+    shards = _os.path.join(_seekable_shard_dir(sf_dir), "*.zst")
+    name = f"zst_stream_census_{uuid.uuid4().hex[:10]}"
+    q = (
+        read_zst_stream(spark, shards)
+        .select(
+            "file",
+            "frame_index",
+            "n_blocks",
+            "n_sequences",
+            "n_literals",
+            "content_len",
+            "content_sum",
+            "huf_tlog",
+            "window_log",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 _FRAME_SHARD = "shard-001.zst"
 _FRAME_LO, _FRAME_HI = 2, 6
 

@@ -47,17 +47,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # each round the window carries (a) every NEW query, (b) every CHANGED
 # query, then (c) fills to 50 with the rows whose hard driver-green
 # evidence is OLDEST in the cumulative CORRECTNESS_r* ledger — so no
-# row's driver evidence ages past ~5 rounds.  The round-12 window: 4
+# row's driver evidence ages past ~5 rounds.  The round-12 window: 5
 # new (the seek-table-only metadata census over corrupt-payload shards;
 # the BETWEEN point read through the completed pushdown comparison
 # algebra; the (file, frame_index) point read; the codec=huffman
-# compressed-export round trip), 9 changed (the zstfile reader — IsNotNull nullability fix +
+# compressed-export round trip; the streaming shard source), 9 changed (the zstfile reader — IsNotNull nullability fix +
 # <=/</= absorption — re-pins all four source-path rows; the streaming
 # attempt-scoped sink rewrite re-pins the round trip; the eqNullSafe
 # join fix re-pins the sketch split; the array-based PPJoin restructure
 # re-pins all three of its consumers), the 35 rows whose evidence dates
-# to round 5 (judge re-verified 10 of them green in r11), and the 2
-# alphabetically-first round-6 rows (the remaining 47 r6 rows head the
+# to round 5 (judge re-verified 10 of them green in r11), and the
+# alphabetically-first round-6 row (the remaining 48 r6 rows head the
 # round-13 backlog).  Everything rotated out stays mirror-checked by
 # tools/check_correctness.py over all queries at three SFs.
 WINDOW_PRIORITY: list[str] = [
@@ -67,6 +67,7 @@ WINDOW_PRIORITY: list[str] = [
     "mm_zst_between_pointread_stats",
     "mm_zst_frame_pointread_stats",
     "mm_zst_sink_huffman_stats",
+    "mm_zst_stream_source_stats",
     # Changed this round (re-verification): the zstfile reader's
     # pushdown algebra + nullability, the streaming two-phase sink, and
     # the null-safe sketch join
@@ -117,9 +118,8 @@ WINDOW_PRIORITY: list[str] = [
     "udaf_interdecile_value_spread",
     "udaf_median_event_gap",
     "window_ntile_rank_lead",
-    # ...and the 2 alphabetically-first round-6 rows
+    # ...and the alphabetically-first round-6 row
     "array_agg_supplier_profile",
-    "basket_association_rules",
 ]
 
 

@@ -31,6 +31,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -82,6 +83,9 @@ class ZstDataSource(DataSource):
 
     def reader(self, schema) -> "ZstReader":
         return ZstReader(self.options)
+
+    def streamReader(self, schema) -> "ZstStreamReader":
+        return ZstStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "ZstWriter":
         if "content" not in schema.fieldNames():
@@ -391,6 +395,60 @@ def read_zst_source(spark, path_glob: str):
     spark.dataSource.register(ZstDataSource)
     _enable_pushdown(spark)
     return spark.read.format("zstfile").load(path_glob)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING source: shards arrive continuously (the Common Crawl drop
+# cadence); each micro-batch processes exactly the NEW shard files.
+# The offset is the shard's position in the glob's sorted listing, so
+# exactly-once requires shard names that sort AFTER all previously
+# committed ones (epoch/timestamp-prefixed names — the layout crawl
+# dumps and this module's own sink both produce).  One input partition
+# per new shard, decode executor-side — identical task shape to batch.
+
+
+class ZstStreamReader(DataSourceStreamReader):
+    """DataSourceStreamReader over a .zst shard directory glob."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("zstfile stream source requires a path glob")
+        self._path = path
+        # delegate row production to the batch reader (same decode,
+        # same schema, no pushdown in the stream path)
+        self._reader = ZstReader(options)
+
+    def _listing(self) -> list[str]:
+        return sorted(_glob.glob(self._path))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._listing())}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = self._listing()[start["index"] : end["index"]]
+        return [InputPartition(p) for p in files]
+
+    def read(self, partition: InputPartition):
+        yield from self._reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing external to ack
+
+    def stop(self) -> None:
+        pass
+
+
+def read_zst_stream(spark, path_glob: str):
+    """Register and open the zstfile source as a STREAM: each
+    micro-batch decodes exactly the shard files that appeared since the
+    last committed offset."""
+    spark.dataSource.register(ZstDataSource)
+    _enable_pushdown(spark)
+    return spark.readStream.format("zstfile").load(path_glob)
 
 
 # ---------------------------------------------------------------------------
