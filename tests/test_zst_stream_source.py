@@ -78,6 +78,47 @@ def test_growing_directory_exactly_once(spark, tmp_path):
     assert got3 == []
 
 
+def test_stream_meta_mode_composes(spark, tmp_path):
+    """mode=meta composes with the stream reader: a streaming frame
+    census over corrupt-payload shards succeeds (tables only, no
+    decode) — the streaming twin of the metadata-scan proof."""
+    from mit_6_5840_mapreduce_with_go_spark.sources.zstfiles import (
+        parse_seek_table,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    payload = bytearray(_shard((3, 123, 7)))
+    for en in parse_seek_table(bytes(payload)):
+        payload[en["c_off"] : en["c_off"] + 4] = b"\x00\x00\x00\x00"
+    (src / "s0.zst").write_bytes(bytes(payload))
+    import uuid
+
+    table = f"zst_meta_stream_{uuid.uuid4().hex[:8]}"
+    from mit_6_5840_mapreduce_with_go_spark.sources.zstfiles import (
+        ZstDataSource,
+        _enable_pushdown,
+    )
+
+    spark.dataSource.register(ZstDataSource)
+    _enable_pushdown(spark)
+    q = (
+        spark.readStream.format("zstfile")
+        .option("mode", "meta")
+        .load(str(src / "*.zst"))
+        .writeStream.format("memory")
+        .queryName(table)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(table).collect()
+    want = parse_seek_table(bytes(payload))
+    assert sorted((r["frame_index"], r["content_len"], r["compressed_len"]) for r in rows) == [
+        (i, en["d_size"], en["c_size"]) for i, en in enumerate(want)
+    ]
+
+
 def test_static_directory_stream_equals_batch(spark, sf_dir):
     """Full-decode census via the STREAM path == the batch source over
     the shared seekable fixtures."""
