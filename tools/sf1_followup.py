@@ -26,15 +26,27 @@ import __spark_entry__ as entrymod
 from tools import scaling_curve as sc
 
 _LOAD_QUIET = 1.0
+# the 1-min average alone is gameable by a just-finished burst (same
+# lesson as bench.py); the 5-min average must also be low to stamp quiet
+_LOAD_QUIET_5MIN = 2.5
 _LOAD_WAIT = 300
+# a new sf1 sample more than this factor above the row's previously
+# recorded sf1 time is a contamination suspect: take a third sample
+# (round 12 caught a mid-sweep burst stamping a 0.9 s query at 35 s,
+# exp 1.24 — a phantom superlinear entry)
+_ANOMALY_FACTOR = 3.0
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return [0.0, 0.0, 0.0]
 
 
 def _loadavg1() -> float:
-    try:
-        with open("/proc/loadavg") as f:
-            return float(f.read().split()[0])
-    except OSError:
-        return 0.0
+    return _loadavg()[0]
 
 
 def main() -> None:
@@ -58,13 +70,18 @@ def main() -> None:
         names = args
 
     deadline = time.time() + _LOAD_WAIT
-    load = _loadavg1()
-    while load > _LOAD_QUIET and time.time() < deadline:
-        print(f"host busy (loadavg {load:.1f}), waiting...", file=sys.stderr)
+    load = _loadavg()
+    while (
+        load[0] > _LOAD_QUIET or load[1] > _LOAD_QUIET_5MIN
+    ) and time.time() < deadline:
+        print(
+            f"host busy (loadavg {load[0]:.1f}/{load[1]:.1f}), waiting...",
+            file=sys.stderr,
+        )
         time.sleep(20)
-        load = _loadavg1()
-    quiet = load <= _LOAD_QUIET
-    mode = "quiet" if quiet else f"contaminated(loadavg={load:.1f})"
+        load = _loadavg()
+    quiet = load[0] <= _LOAD_QUIET and load[1] <= _LOAD_QUIET_5MIN
+    mode = "quiet" if quiet else f"contaminated(loadavg={load[0]:.1f}/{load[1]:.1f})"
     print(f"measuring under: {mode}")
 
     spark = get_spark("sf1_followup")
@@ -79,6 +96,18 @@ def main() -> None:
     ).save()
     prov = report["sf1"].setdefault("provenance", {})
     for name in names:
+        # a burst arriving MID-sweep invalidates the start-time quiet
+        # stamp for the rows measured under it: re-check per row and
+        # drop the stamp (never the measurement) when the host is loud
+        row_load = _loadavg()
+        row_mode = mode
+        if row_load[0] > _LOAD_QUIET * 2:
+            row_mode = f"contaminated(loadavg={row_load[0]:.1f} mid-sweep)"
+            print(
+                f"{name}: host went loud mid-sweep "
+                f"(loadavg {row_load[0]:.1f}) — stamping contaminated",
+                file=sys.stderr,
+            )
         times = {}
         for sf, d in dirs.items():
             samples = []
@@ -86,11 +115,31 @@ def main() -> None:
                 t0 = time.time()
                 queries[name](spark, d).write.format("noop").mode("overwrite").save()
                 samples.append(time.time() - t0)
+            prev = report["sf1"]["queries"].get(name, {}).get(sf)
+            if (
+                prev
+                and min(samples) > _ANOMALY_FACTOR * prev
+                and len(samples) < 3
+            ):
+                # contamination suspect: one more try for a clean min
+                t0 = time.time()
+                queries[name](spark, d).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+                if min(samples) > _ANOMALY_FACTOR * prev:
+                    row_mode = (
+                        f"contaminated(>{_ANOMALY_FACTOR}x prior at sf{sf})"
+                    )
+                    print(
+                        f"{name}: sf{sf} min {min(samples):.2f}s is "
+                        f">{_ANOMALY_FACTOR}x the prior record {prev:.2f}s "
+                        "after a retry — stamping contaminated",
+                        file=sys.stderr,
+                    )
             times[sf] = round(min(samples), 3)
         exp = round(math.log10(times["1"] / times["0.1"]), 2)
         report["sf1"]["queries"][name] = times
         report["sf1"]["growth_exponent_01_to_1"][name] = exp
-        prov[name] = mode
+        prov[name] = row_mode
         sl = report["sf1"]["superlinear_queries"]
         if exp > 1.0 and name not in sl:
             sl.append(name)
