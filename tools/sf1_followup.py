@@ -137,15 +137,33 @@ def main() -> None:
                     )
             times[sf] = round(min(samples), 3)
         exp = round(math.log10(times["1"] / times["0.1"]), 2)
-        report["sf1"]["queries"][name] = times
-        report["sf1"]["growth_exponent_01_to_1"][name] = exp
-        prov[name] = row_mode
-        sl = report["sf1"]["superlinear_queries"]
-        if exp > 1.0 and name not in sl:
-            sl.append(name)
-        elif exp <= 1.0 and name in sl:
-            sl.remove(name)
-        print(name, times, "exp", exp)
+        if row_mode.startswith("contaminated") and name in report["sf1"]["queries"]:
+            # ADVICE r12: a sample the guard itself stamped contaminated
+            # must NOT overwrite the canonical record (it would become
+            # the next sweep's anomaly baseline and could append a
+            # phantom superlinear entry — the exact failure the guard
+            # exists to prevent).  Park it under a quarantine key; the
+            # canonical times/exponent/provenance stay as they were.
+            report["sf1"].setdefault("quarantine", {})[name] = {
+                "times": times,
+                "growth_exponent_01_to_1": exp,
+                "provenance": row_mode,
+            }
+            print(
+                f"{name}: contaminated sample quarantined "
+                f"(canonical record kept)", times, "exp", exp,
+            )
+        else:
+            report["sf1"]["queries"][name] = times
+            report["sf1"]["growth_exponent_01_to_1"][name] = exp
+            prov[name] = row_mode
+            report["sf1"].setdefault("quarantine", {}).pop(name, None)
+            sl = report["sf1"]["superlinear_queries"]
+            if exp > 1.0 and name not in sl:
+                sl.append(name)
+            elif exp <= 1.0 and name in sl:
+                sl.remove(name)
+            print(name, times, "exp", exp)
         # merge incrementally: a long sweep interrupted mid-way keeps
         # every completed row
         with open(path, "w") as f:
