@@ -307,10 +307,16 @@ def main() -> None:
     queries = entrymod.queries()
 
     timings: dict[str, float] = {}
-    # warm the JVM/catalog once (session startup excluded from per-query time)
-    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm-up (untimed, VERDICT r12 #7): q1 covers session startup +
+    # JVM/codegen, but the r12 artifact showed q1's TIMED first row
+    # still absorbing session-global spin-up that only surfaces on the
+    # Arrow/Python-worker path (+0.29 s with an identical fingerprint,
+    # masquerading as regression) — so warm both paths before the
+    # sweep: one JVM query and one Arrow/Python-worker query.
+    for wname in ("q1_pricing_summary", "mm_decode_frames"):
+        queries[wname](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # Min-of-2 per query (the first run pays one-time codegen), with two
     # variance guards (r6->r7 showed 1.3-1.7x min-swings on sub-second
