@@ -97,14 +97,24 @@ def main() -> None:
     prov = report["sf1"].setdefault("provenance", {})
     for name in names:
         # a burst arriving MID-sweep invalidates the start-time quiet
-        # stamp for the rows measured under it: re-check per row and
-        # drop the stamp (never the measurement) when the host is loud
+        # stamp for the rows measured under it — but the sweep's OWN
+        # 32-thread execution also drives the 1-min average past the
+        # gate (round 13: a heavy-row chunk self-stamped contaminated
+        # at loadavg 2.5 with zero external load).  Idle-waiting
+        # separates the two cleanly: self-load DECAYS while we sit
+        # idle (1-min time constant), an external burst does not — so
+        # cool down (bounded) before each row and stamp contaminated
+        # only if the host is still loud after the wait.
+        row_deadline = time.time() + 180
         row_load = _loadavg()
+        while row_load[0] > _LOAD_QUIET * 2 and time.time() < row_deadline:
+            time.sleep(15)
+            row_load = _loadavg()
         row_mode = mode
         if row_load[0] > _LOAD_QUIET * 2:
             row_mode = f"contaminated(loadavg={row_load[0]:.1f} mid-sweep)"
             print(
-                f"{name}: host went loud mid-sweep "
+                f"{name}: host still loud after cooldown "
                 f"(loadavg {row_load[0]:.1f}) — stamping contaminated",
                 file=sys.stderr,
             )
