@@ -91,11 +91,26 @@ def main() -> None:
         "0.1": "/root/testdata/sf0.1",
         "1": sc._sf1_dir(),
     }
-    queries["q1_pricing_summary"](spark, dirs["0.01"]).write.format("noop").mode(
-        "overwrite"
-    ).save()
+
+    def _warm() -> None:
+        queries["q1_pricing_summary"](spark, dirs["0.01"]).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    _warm()
     prov = report["sf1"].setdefault("provenance", {})
-    for name in names:
+    for row_idx, name in enumerate(names):
+        # SESSION AGING (round 13, measured): rows late in a shared
+        # session run 2-3x slower than the same rows in a fresh one
+        # (mm_decode_wav_stats 5.35 s aged vs 2.09 s fresh at sf1;
+        # stream_frontier_final_state 9.99 s aged vs 2.53 s fresh at
+        # sf0.01) — enough to poison canonical records UNDER the 3x
+        # anomaly gate while carrying a quiet stamp.  Restart the
+        # session every few rows so no measurement runs on an old one.
+        if row_idx and row_idx % 4 == 0:
+            spark.stop()
+            spark = get_spark("sf1_followup")
+            _warm()
         # a burst arriving MID-sweep invalidates the start-time quiet
         # stamp for the rows measured under it — but the sweep's OWN
         # 32-thread execution also drives the 1-min average past the
