@@ -176,37 +176,40 @@ def ppjoin_pairs(sh: DataFrame) -> DataFrame:
             (_T_NUM + _T_DEN) * F.col("ub")
             >= _T_NUM * (F.col("nxa") + F.col("nxb"))
         )
-        .select("a", "b")
+        # set sizes RIDE the candidate rows into verification (they are
+        # already grouping keys here, functionally dependent on (a, b)):
+        # r13 optimization — the old verify re-derived them via a
+        # distinct over the full element table plus TWO extra joins,
+        # i.e. one corpus-sized exchange and two join stages for values
+        # the candidate generator already held (guide §2.3 "shuffle
+        # keys and metadata instead of re-deriving them").
+        .select("a", "b", F.col("nxa").alias("na"), F.col("nxb").alias("nb"))
     )
     return _ppjoin_verify(cand, sh)
 
 
 def _ppjoin_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact integer-Jaccard verification of candidate pairs: two
-    shingle-keyed joins count the intersection; sizes come from the
-    element table; no float in the decision."""
-    sz = sh.select("doc_id", "n_shingles").distinct()
+    """Exact integer-Jaccard verification of candidate pairs
+    ``cand(a, b, na, nb)``: two shingle-keyed joins count the
+    intersection; no float in the decision.
+
+    Set sizes arrive ON the candidate rows (r13): both candidate
+    generators already hold |A| and |B| (they apply the length filter),
+    and na/nb are functions of (a, b), so carrying them through the
+    intersection groupBy costs nothing — while re-deriving them (the
+    pre-r13 shape) cost a distinct over the full element table plus two
+    join stages."""
     inter = (
         cand.join(
             sh.select(F.col("doc_id").alias("a"), "s"), "a"
         )
         .join(sh.select(F.col("doc_id").alias("b"), "s"), ["b", "s"])
-        .groupBy("a", "b")
+        .groupBy("a", "b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        inter.join(
-            sz.select(F.col("doc_id").alias("a"), F.col("n_shingles").alias("na")),
-            "a",
-        )
-        .join(
-            sz.select(F.col("doc_id").alias("b"), F.col("n_shingles").alias("nb")),
-            "b",
-        )
-        .filter(
-            _T_DEN * F.col("inter")
-            >= _T_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
-        )
+    out = inter.filter(
+        _T_DEN * F.col("inter")
+        >= _T_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
     )
     return out.select(
         "a",
@@ -286,7 +289,9 @@ def ppjoin_pairs_capped(
             (_T_NUM * F.col("nxa") <= _T_DEN * F.col("nxb"))
             & (_T_NUM * F.col("nxb") <= _T_DEN * F.col("nxa"))
         )
-        .select("a", "b")
+        # sizes ride the distinct (functionally dependent on (a, b), so
+        # the distinct's cardinality is unchanged) — see _ppjoin_verify
+        .select("a", "b", F.col("nxa").alias("na"), F.col("nxb").alias("nb"))
         .distinct()
     )
     return _ppjoin_verify(cand, sh), overflow

@@ -506,10 +506,13 @@ def kv_consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly on the engine's own key population.
 
     Ring lookup is formulated without wraparound special-casing: the
-    owner is the point minimizing (point - h) mod 2^32 (forward ring
-    distance), found with the map-side hash-agg argmin, so the only
-    exchange carries one row per key; ring tables are literal broadcast
-    constants.
+    owner of key h is its SUCCESSOR on the ring — the smallest point
+    >= h, wrapping to the globally smallest point — looked up in a
+    sorted literal array per row (r13 optimization, guide §2.3/§2.4:
+    the previous keys x ring crossJoin blew every key up 104x and paid
+    a hash-agg argmin re-exchange for the same answer; the array
+    lookup is pure map-side projection, so the only exchange left is
+    the key distinct).
     """.format(o=_RING_N_OLD, n=_RING_N_NEW, v=_RING_VNODES)
     from ..functions.hashing import fnv32a_col
 
@@ -523,35 +526,34 @@ def kv_consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", fnv32a_col(F.col("key")).alias("h"))
     )
 
-    # ONE pass over the union ring: the old epoch's points are a strict
-    # subset of the new epoch's (shards 0..N_OLD-1 keep their vnodes), so
-    # both owners fall out of a single keys x ring join — min(cand) over
-    # all points = new owner, min over sid < N_OLD = old owner.  Halves
-    # the scored rows vs two separate assignment passes (measured ~2x).
-    # all ring points are distinct (asserted below), so for a fixed key
-    # the forward distance alone identifies the owner — the (dist, point,
-    # sid) struct ordering collapses to min over ONE encoded long,
-    # dist * 256 + sid (dist < 2^32, 256 > n_shards), which makes the
-    # argmin a primitive long min instead of a struct comparison.
+    # The old epoch's points are a strict subset of the new epoch's
+    # (shards 0..N_OLD-1 keep their vnodes), so both owners come from
+    # the same point population filtered two ways.  All ring points
+    # are distinct (asserted below), so for a fixed key the successor
+    # point alone identifies the owner; each point is encoded as
+    # point*256 + sid (sid < 256), which keeps the array a primitive
+    # long array and makes `enc >= h*256` exactly `point >= h`, so one
+    # sorted array serves both the successor search and sid recovery.
     points = _ring_points(_RING_N_NEW)
     assert len({p for _, p in points}) == len(points)
-    ring = spark.createDataFrame(points, "sid int, point long")
-    dist = (F.col("point") - F.col("h") + F.lit(4294967296)) % F.lit(4294967296)
-    enc = dist * 256 + F.col("sid")
-    assigned = (
-        keys.crossJoin(F.broadcast(ring))
-        .select(
-            "key",
-            enc.alias("cand"),
-            F.when(F.col("sid") < _RING_N_OLD, enc).alias("cand_old"),
+
+    def _enc_sorted(pred):
+        return sorted(p * 256 + sid for sid, p in points if pred(sid))
+
+    enc_new = _enc_sorted(lambda s: True)
+    enc_old = _enc_sorted(lambda s: s < _RING_N_OLD)
+
+    def _owner(enc):
+        arr = F.array(*[F.lit(v) for v in enc])
+        succ = F.try_element_at(
+            F.filter(arr, lambda x: x >= F.col("h") * 256), F.lit(1)
         )
-        .groupBy("key")
-        .agg(F.min("cand").alias("bn"), F.min("cand_old").alias("bo"))
-        .select(
-            "key",
-            (F.col("bo") % 256).cast("int").alias("sid_old"),
-            (F.col("bn") % 256).cast("int").alias("sid_new"),
-        )
+        return F.coalesce(succ, F.lit(enc[0])) % 256
+
+    assigned = keys.select(
+        "key",
+        _owner(enc_old).cast("int").alias("sid_old"),
+        _owner(enc_new).cast("int").alias("sid_new"),
     )
     moved = F.sum(F.when(F.col("sid_old") != F.col("sid_new"), 1).otherwise(0))
     ring_stat = assigned.agg(

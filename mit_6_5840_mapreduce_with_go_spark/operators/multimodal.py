@@ -601,14 +601,20 @@ def mm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"gi": gi, "gj": gj, "p": part.reshape(-1)}
             )
 
+    # localCheckpoint, not persist+count (r13 optimization, guide
+    # §3.3/§5): the gram and each iteration's vector appear 2+ times in
+    # the next iteration's plan, and persist does not truncate the
+    # logical plan — the unrolled 3-iteration query optimized a
+    # 13,406-line tree (Catalyst time, not data).  Checkpointing the
+    # d^2-row gram and the d-row vectors collapses each iteration to a
+    # constant-size plan over materialized leaves.
     g = (
         emb.select("embedding")
         .mapInPandas(gram_partials, schema="gi int, gj int, p long")
         .groupBy("gi", "gj")
         .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("g"))
-        .persist()
+        .localCheckpoint()
     )
-    g.count()
 
     v = spark.range(_PCA_DIM).select(
         F.col("id").cast("int").alias("i"),
@@ -634,9 +640,8 @@ def mm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(38,0)")
                 .alias("v"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        v.count()
 
     den = v.agg(F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("d"))
     gv4 = (

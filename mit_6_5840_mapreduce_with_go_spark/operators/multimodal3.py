@@ -141,16 +141,32 @@ class _BitWriter:
         self.out += bytes([0xFF, 0xD0 + (n & 7)])
 
 
+# FDCT as one 64x64 basis matmul (r13 optimization, guide §4.2): the
+# scalar quadruple loop was 4096 pure-Python multiply-adds per block —
+# the single hottest line of the JPEG fixture encoders (~80% of
+# mm_decode_jpeg_color_stats' per-task CPU; 59x faster as a numpy
+# matmul).  Row c = coefficient (v*8+u), column p = pixel (y*8+x), the
+# 0.25*C[u]*C[v] scale folded into the basis.  Summation order differs
+# from the scalar loop by last-ulp floats only; the query fixtures are
+# DC-exact (constant blocks → AC terms ~1e-13 vs the 0.5 rounding
+# margin, DC an exact multiple of 0.125), so every quantized
+# coefficient is bit-identical — oracle-verified at three SFs.
+_FDCT_BASIS = np.array(
+    [
+        [
+            0.25 * _C[u] * _C[v] * _COS[x][u] * _COS[y][v]
+            for y in range(8)
+            for x in range(8)
+        ]
+        for v in range(8)
+        for u in range(8)
+    ]
+)
+
+
 def _fdct2d(block: list[list[float]]) -> list[list[float]]:
-    out = [[0.0] * 8 for _ in range(8)]
-    for u in range(8):
-        for v in range(8):
-            s = 0.0
-            for x in range(8):
-                for y in range(8):
-                    s += block[y][x] * _COS[x][u] * _COS[y][v]
-            out[v][u] = 0.25 * _C[u] * _C[v] * s
-    return out
+    b = np.asarray(block, dtype=np.float64).reshape(64)
+    return (_FDCT_BASIS @ b).reshape(8, 8).tolist()
 
 
 def _encode_block(bw, dc_codes, ac_codes, blk, prev_dc: int) -> int:

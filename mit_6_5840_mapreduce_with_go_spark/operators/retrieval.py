@@ -50,19 +50,22 @@ def _bm25_postings(spark: SparkSession, sf_dir: str):
     (n, avgdl) stats — the three corpus-wide derivations every BM25
     consumer shares.
 
-    The explicit ``doc_id IS NOT NULL`` filter is a reuse lever, not a
-    semantic one (doc_id is never null): inner joins push an isnotnull
-    predicate into SOME consumer legs (join inputs) but not others (the
-    stats aggregate), which de-canonicalizes otherwise-identical
-    subtrees and defeats Spark's ReuseExchange.  With it, every leg
-    hangs off the SAME terms shuffle and the corpus scan/explode
-    executes once per action regardless of how many consumers the plan
-    prints — plan-verified, not narrated: removing this filter adds one
-    Generate (a second corpus explode) and drops one ReusedExchange in
-    sim_bm25_topk's executed final plan, and
-    tests/test_plans3.py::test_bm25_tfidf_exchange_reuse_lever pins
-    exactly that.
-    """
+    The postings table is MATERIALIZED once per query via
+    ``localCheckpoint`` (r13 optimization, guide §3.3/§5).  Before,
+    consumers shared the terms shuffle through ReuseExchange (kept
+    canonical by a uniform isnotnull filter), which already executed
+    the scan/explode once — but the LOGICAL plan still embedded the
+    postings subtree once per consumer leg (5,278 printed lines for
+    sim_bm25_prf_expansion), so Catalyst re-optimized the same subtree
+    many times per action and every broadcast-build job re-planned it
+    again.  Checkpointing is what a production IR stack does anyway
+    (build the postings index once, query it many times): the
+    materialization I/O is the same order as the reused exchange's
+    shuffle files, lineage is the only loss, and each consumer now
+    plans against a leaf.  Measured at sf0.1: sim_bm25_topk ~-25%,
+    sim_bm25_prf_expansion ~-33%, results bit-identical (oracle at
+    three SFs).  The isnotnull filter stays as documented base shape
+    (semantic no-op; doc_id is never null)."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
         F.col("doc_id").isNotNull()
     )
@@ -71,6 +74,7 @@ def _bm25_postings(spark: SparkSession, sf_dir: str):
         .filter(F.col("word").isNotNull() & (F.col("word") != ""))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
@@ -707,14 +711,21 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the active vocabulary, never the corpus vocabulary
     (~10 GB at 100 TB per the repo's Heaps fit).  Corpus postings never
     shuffle on `word` in either pass.  All three corpus-pass consumers
-    hang off the ONE canonical terms shuffle (`_bm25_postings` — its
-    uniform isnotnull filter is what lets Spark reuse the exchange), so
-    the scan/explode/tf aggregation executes once, not per pass.
+    read the ONE materialized postings table (`_bm25_postings`
+    localCheckpoints it — r13), so the scan/explode/tf aggregation
+    executes once and every pass plans against a leaf instead of
+    re-embedding the postings subtree.
     """.format(k=_BM25_TOPK, m=_PRF_M, b=_PRF_BETA)
     terms, dl, stats = _bm25_postings(spark, sf_dir)
     qterms = _bm25_qterms(terms)
     wrank = _bm25_rank_window()
-    scored1 = _bm25_scored(terms, dl, stats, qterms, F.lit(1.0))
+    # pass-1 scores are consumed TWICE (the feedback top-k AND the final
+    # scored1 FULL JOIN exp_scored merge); checkpointing the bounded
+    # (query, candidate-doc) score table makes both consumers plan
+    # against the materialized leaf instead of re-embedding the whole
+    # scoring tree (r13, guide §3.3 "materialise an intermediate to
+    # truncate the plan").
+    scored1 = _bm25_scored(terms, dl, stats, qterms, F.lit(1.0)).localCheckpoint()
     pass1 = (
         scored1.withColumn("rank", F.row_number().over(wrank))
         .filter(F.col("rank") <= _BM25_TOPK)
@@ -739,10 +750,14 @@ def sim_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     wexp = W.partitionBy("query_id").orderBy(
         F.col("fb_tf").desc(), F.col("df").asc(), F.col("word")
     )
+    # <= M words per query: checkpoint the tiny expansion table so the
+    # pass-2 leg (which consumes it twice: vocabulary prune + weighted
+    # join) plans against a leaf instead of the whole mining tree.
     expansion = (
         mined.withColumn("rn", F.row_number().over(wexp))
         .filter(F.col("rn") <= _PRF_M)
         .select("query_id", "word", "df")
+        .localCheckpoint()
     )
     # Pass 2 decomposed: original-term contributions are EXACTLY pass
     # 1's scores (disjoint vocabularies — expansion is anti-joined

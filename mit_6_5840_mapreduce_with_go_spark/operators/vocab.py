@@ -82,22 +82,29 @@ _PAIRS = (
 
 
 def _initial_state(words: DataFrame) -> DataFrame:
-    """(w, cnt, seq): separator-joined char symbols per vocabulary word;
-    persisted and force-materialized (multi-consumer chain)."""
-    st = words.select(
+    """(w, cnt, seq): separator-joined char symbols per vocabulary word.
+
+    ``localCheckpoint`` (eager), not persist+count (r13 optimization,
+    guide §3.3/§5): persist materializes the rows but leaves the full
+    logical plan in place, so each unrolled merge step's plan embedded
+    the whole history and the final 3-step query optimized a
+    14,317-line tree (most of vocab_bpe_merges' wall time was Catalyst,
+    not data).  Checkpointing truncates lineage to the vocabulary-sized
+    materialized state — the per-iteration checkpoint production BPE
+    training would do anyway."""
+    return words.select(
         "w",
         "cnt",
         F.concat(
             F.lit(_SEP), F.regexp_replace("w", "(.)", "$1" + _SEP)
         ).alias("seq"),
-    ).persist()
-    return st
+    ).localCheckpoint()
 
 
 def _apply_merge(state: DataFrame, top: DataFrame) -> DataFrame:
     """Fuse the (broadcast 1-row) top pair in every word's symbol string
-    via leftmost-non-overlapping replace; persisted by the caller's
-    forced count()."""
+    via leftmost-non-overlapping replace; lineage-truncated per step
+    (see _initial_state)."""
     return (
         state.crossJoin(F.broadcast(top))
         .select(
@@ -108,7 +115,7 @@ def _apply_merge(state: DataFrame, top: DataFrame) -> DataFrame:
                 f" concat('{_SEP}', a, b, '{_SEP}'))"
             ).alias("seq"),
         )
-        .persist()
+        .localCheckpoint()
     )
 
 
@@ -125,7 +132,6 @@ def _learn(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     state = _initial_state(words)
-    state.count()
     steps = []
     for _ in range(_BPE_STEPS):
         pairs = (
@@ -135,10 +141,8 @@ def _learn(spark: SparkSession, sf_dir: str):
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").cast("bigint").alias("pc"))
         )
-        top = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).persist()
-        top.count()
+        top = pairs.orderBy(F.desc("pc"), "a", "b").limit(1).localCheckpoint()
         merged = _apply_merge(state, top)
-        merged.count()
         tokens_after = merged.agg(
             F.sum(F.col("cnt") * (F.size(F.split("seq", _SEP)) - F.lit(2)))
             .cast("bigint")
@@ -161,7 +165,8 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     word distribution (vocabulary-sized, not corpus-sized — the classic
     BPE trick). Per step: one pair-count aggregate, a 1-row top-pair
     broadcast, and a JVM ``replace`` rewrite. State between steps is
-    persisted (in production: checkpointed per iteration)."""
+    lineage-truncated via localCheckpoint per iteration (exactly what
+    production would do)."""
     _state, steps = _learn(spark, sf_dir)
     merge_rows = []
     for k, (top, tokens_after) in enumerate(steps, start=1):

@@ -117,63 +117,66 @@ def test_bloom_build_is_partial_aggregable(spark, sf_dir):
 
 
 def test_bm25_tfidf_exchange_reuse_lever(spark, sf_dir):
-    """The ``doc_id IS NOT NULL`` lever on the postings base
-    (retrieval.py::_bm25_postings) exists ONLY so the consumers of the
-    exploded-postings subtree stay byte-identical after join predicate
-    pushdown — joins push an isnotnull(doc_id) into some legs and not
-    others, de-canonicalizing otherwise-equal subtrees so Spark's
-    exchange-reuse rule never fires and the corpus is exploded +
-    shuffled TWICE.  Pins (reuse decisions land at execution time under
-    AQE, so plans are read AFTER an action):
+    """tfidf shares its exploded-postings subtree via ReuseExchange (the
+    uniform isnotnull base shape keeps the subtrees canonical — see
+    sessions.py); bm25 materializes the postings ONCE via
+    localCheckpoint since r13 (retrieval.py::_bm25_postings), so its
+    final plan must contain NO corpus re-derivation at all.  Pins
+    (reuse decisions land at execution time under AQE, so plans are
+    read AFTER an action):
 
-    - both retrieval flagships keep a ReusedExchange in the final plan;
-    - bm25's final plan has at most 13 Generate (explode) nodes and at
-      least 5 ReusedExchange nodes — removing the _bm25_postings
-      isNotNull measures 14 Generate / 4 ReusedExchange (one extra full
-      corpus explode), so this pin FAILS without the lever.
-
-    The twin filter in sessions.py::sim_tfidf_topk is uniformity, not a
-    measured lever (identical plan with or without — see its comment),
-    so tfidf gets the presence pin only."""
+    - tfidf keeps a ReusedExchange in the final plan;
+    - bm25's final plan has ZERO FileScan and ZERO Generate nodes (the
+      one scan/explode ran at postings materialization) and reads the
+      checkpointed postings via Scan ExistingRDD."""
     from mit_6_5840_mapreduce_with_go_spark.operators.sessions import (
         sim_tfidf_topk,
     )
 
-    for fn in (sim_bm25_topk, sim_tfidf_topk):
-        df = fn(spark, sf_dir)
-        df.collect()
-        plan = physical_plan(df)
-        assert "isFinalPlan=true" in plan
-        assert "ReusedExchange" in plan, (
-            f"{fn.__name__}: no ReusedExchange in final plan — the "
-            f"postings subtree is being exploded and shuffled twice"
-        )
-        if fn is sim_bm25_topk:
-            tree = plan.split("\n\n")[0]
-            n_gen = len(re.findall(r"\bGenerate\b", tree))
-            n_reuse = len(re.findall(r"\bReusedExchange\b", tree))
-            assert n_gen <= 13, (
-                f"{n_gen} Generate nodes (want <=13): an extra corpus "
-                f"explode appeared — the isNotNull reuse lever is gone"
-            )
-            assert n_reuse >= 5, f"only {n_reuse} ReusedExchange (want >=5)"
+    df = sim_tfidf_topk(spark, sf_dir)
+    df.collect()
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, (
+        "sim_tfidf_topk: no ReusedExchange in final plan — the "
+        "postings subtree is being exploded and shuffled twice"
+    )
+
+    df = sim_bm25_topk(spark, sf_dir)
+    df.collect()
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Scan ExistingRDD" in tree, (
+        "bm25: checkpointed postings leaf missing from the final plan"
+    )
+    n_scan = len(re.findall(r"FileScan parquet", tree))
+    n_gen = len(re.findall(r"\bGenerate\b", tree))
+    assert n_scan == 0, (
+        f"{n_scan} corpus scans in bm25's final plan (want 0): a "
+        f"consumer stopped reading the materialized postings"
+    )
+    assert n_gen == 0, (
+        f"{n_gen} Generate nodes in bm25's final plan (want 0): a "
+        f"corpus re-explode appeared"
+    )
 
 
 def test_bm25_prf_postings_reuse_and_pass2_decomposition(spark, sf_dir):
     """Round-8 pin for the PRF tail (the round-7 bench's slowest query):
 
-    1. the corpus postings subtree is REUSED across the three corpus
-       consumers (pass-1 scoring, feedback-df mining, expansion-pass
-       scoring) — counted on the EXECUTED final plan (AQE reuse lands at
-       execution time), where ReusedExchange truncates its subtree, so
-       every printed FileScan/Generate is a genuinely distinct executed
-       operator: at most 3 corpus scans / 5 explodes survive (measured
-       3/5 with reuse; an un-reused plan prints one extra per consumer);
-    2. pass 2 is DECOMPOSED: original-term contributions come from
+    1. the corpus postings are MATERIALIZED once (localCheckpoint in
+       _bm25_postings, r13) and every corpus consumer (pass-1 scoring,
+       feedback-df mining, expansion-pass scoring) reads the leaf: the
+       EXECUTED final plan contains ZERO corpus FileScan and ZERO
+       Generate explode nodes;
+    2. pass-1 scores are checkpointed too (consumed by both the
+       feedback top-k and the final merge), so the plan carries
+       multiple Scan ExistingRDD leaves;
+    3. pass 2 is DECOMPOSED: original-term contributions come from
        pass 1's scores (scored1 FULL JOIN exp_scored), so the only
        second corpus scoring pass is over the <=M-per-query expansion
-       vocabulary.  The full-join merge must appear and the plan must
-       keep a healthy ReusedExchange count (>=12 measured 19)."""
+       vocabulary.  The full-join merge must appear."""
     from mit_6_5840_mapreduce_with_go_spark.operators.retrieval import (
         sim_bm25_prf_expansion,
     )
@@ -184,13 +187,16 @@ def test_bm25_prf_postings_reuse_and_pass2_decomposition(spark, sf_dir):
     final = executed.split("== Initial Plan ==")[0]
     n_scan = len(re.findall(r"FileScan parquet", final))
     n_gen = len(re.findall(r"Generate explode", final))
-    n_reuse = len(re.findall(r"ReusedExchange", final))
-    assert n_scan <= 3, (
-        f"{n_scan} corpus scans in the final plan (want <=3): a corpus "
-        f"consumer stopped reusing the postings exchange"
+    n_leaf = len(re.findall(r"Scan ExistingRDD", final))
+    assert n_scan == 0, (
+        f"{n_scan} corpus scans in the final plan (want 0): a corpus "
+        f"consumer stopped reading the materialized postings"
     )
-    assert n_gen <= 5, f"{n_gen} corpus explodes in the final plan (want <=5)"
-    assert n_reuse >= 12, f"only {n_reuse} ReusedExchange (want >=12)"
+    assert n_gen == 0, f"{n_gen} corpus explodes in the final plan (want 0)"
+    assert n_leaf >= 2, (
+        f"only {n_leaf} checkpointed leaves (want >=2: postings + "
+        f"pass-1 scores)"
+    )
     assert re.search(r"SortMergeJoin.*FullOuter|FullOuter.*SortMergeJoin",
                      final) or "FullOuter" in final, (
         "pass-2 decomposition merge (scored1 FULL JOIN exp_scored) "

@@ -105,7 +105,8 @@ def ppjoin_pairs_legacy(sh):
             (_T_NUM + _T_DEN) * F.col("ub")
             >= _T_NUM * (F.col("nxa") + F.col("nxb"))
         )
-        .select("a", "b")
+        # r13: _ppjoin_verify now takes sizes ON the candidate rows
+        .select("a", "b", F.col("nxa").alias("na"), F.col("nxb").alias("nb"))
     )
     return _ppjoin_verify(cand, sh)
 
