@@ -334,11 +334,16 @@ def graph_pagerank_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint, not persist (r13): the unrolled iterations
+    # otherwise re-embed the expensive pair-graph derivation once per
+    # round in the logical plan; the node-sized rank table is also
+    # truncated per round so plan size stays constant (same pattern as
+    # connected_components above).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -356,7 +361,7 @@ def graph_pagerank_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = contrib.groupBy(F.col("dst").alias("node")).agg(
             (F.lit(1 - PR_DAMP) / n + F.lit(PR_DAMP) * F.sum("c")).alias("rank")
-        )
+        ).localCheckpoint()
     return pr.select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank"))
 
 
@@ -727,10 +732,13 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization beyond the (already threshold-pruned) edge list.
     All counts exact integers. Same unrolled-iteration pattern as
     k-means/PageRank (fixed k, no driver loop state)."""
+    # localCheckpoint, not persist (r13): truncate the edge derivation
+    # out of every hop's plan, and the (seed, node, dist) frontier per
+    # hop, so the unrolled supersteps stay constant-size plans.
     e = coactivity_edges(spark, sf_dir)
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint()
     seeds = (
         sym.select(F.col("u").alias("s"))
         .distinct()
@@ -746,6 +754,7 @@ def graph_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.unionByName(nxt)
             .groupBy("s", "node")
             .agg(F.min("d").alias("d"))
+            .localCheckpoint()
         )
     return r.groupBy(F.col("s").alias("seed")).agg(
         F.sum((F.col("d") == 1).cast("long")).cast("bigint").alias("n_hop1"),

@@ -1194,6 +1194,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference has no dedup at all (SURVEY.md §1.4); this composes A3's
     hash-partition idea with the LSH/Jaccard family above."""
+    # the bounded universe feeds FIVE legs (existing x2, batch x3);
+    # checkpoint it so each leg reads the materialized slice instead of
+    # re-scanning + re-hashing (r13; ~30% at sf0.1, result-identical —
+    # in production the arriving batch is exactly such a materialized
+    # small table)
     uni = (
         load_table(spark, sf_dir, "documents", fan_out=True)
         .filter(F.col("doc_id") < _INC_BOUND)
@@ -1204,6 +1209,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
             ).alias("h"),
         )
+        .localCheckpoint()
     )
     existing = uni.filter(F.col("doc_id") % 2 == 0)
     batch = uni.filter(F.col("doc_id") % 2 == 1)

@@ -588,9 +588,18 @@ def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     ``max_rounds`` without a confirmed fixpoint raises instead of
     silently emitting unconverged labels."""
     def resym(e: DataFrame) -> DataFrame:
+        # NO distinct (r13): both star operators emit STRICTLY DESCENDING
+        # edges — large-star rows are (v, m) with m <= u < v, small-star
+        # rows have m = min(Gamma-(u) + {u}) <= v with equality filtered
+        # — and each output is already deduplicated, so e and its
+        # reverse are disjoint by orientation and the union is
+        # duplicate-free.  The old distinct here re-shuffled the edge
+        # set once per round for a no-op (guide §2.4 "a distinct on data
+        # that is already unique").  Fixpoint equality is confirmed by
+        # the exact exceptAll check below either way.
         return e.union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
 
     # materialize the pair source ONCE before symmetrizing: _symmetric's
     # union consumes `pairs` twice, and when the upstream is expensive

@@ -91,7 +91,12 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-edge graphs; rounds would iterate with localCheckpoint
     lineage truncation exactly like connected_components (clusters.py).
     """.format(it=_LPA_ITERS)
-    sym = _coactivity_sym_edges(spark, sf_dir).persist()
+    # localCheckpoint, not persist (r13): persist leaves the full plan
+    # in place, so the unrolled rounds re-embedded the edge derivation
+    # per iteration; checkpointing the edge set once and the node-sized
+    # label table per round keeps every round's plan constant-size
+    # (the lineage truncation the docstring above promises).
+    sym = _coactivity_sym_edges(spark, sf_dir).localCheckpoint()
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
@@ -113,6 +118,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("b")
             )
             .select("node", F.col("b.lab").alias("lab"))
+            .localCheckpoint()
         )
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -530,10 +530,15 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wnd = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("cand_id"))
+    # <= _MMR_CANDS rows per query: checkpoint the bounded candidate
+    # pool so the three unrolled selection rounds (each of which embeds
+    # the previous round's subtree twice — once in the broadcast, once
+    # in the survivor leg) plan against a leaf (r13, guide §3.3).
     cand = (
         scored.withColumn("rn", F.row_number().over(wnd))
         .filter(F.col("rn") <= _MMR_CANDS)
         .select("query_id", "cand_id", "cv", "cn", "rel")
+        .localCheckpoint()
     )
 
     def argmax(df: DataFrame, score: str, id_col: str, keep: list[str]) -> DataFrame:
