@@ -148,10 +148,16 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("text", r"[^\p{L}]+")).alias("word"),
         )
         .filter(F.col("word") != "")
+        # ONE set aggregate serves both outputs (r13): count_distinct
+        # alongside collect_set planned a multi-distinct Expand that
+        # doubled every input row through the aggregation; n_docs is
+        # just the size of the set we already collect (2-3x at sf0.1).
         .groupBy("word")
-        .agg(
-            F.count_distinct(F.col("doc")).alias("n_docs"),
-            F.array_join(F.array_sort(F.collect_set("doc")), ",").alias("docs"),
+        .agg(F.array_sort(F.collect_set("doc")).alias("ds"))
+        .select(
+            "word",
+            F.size("ds").cast("long").alias("n_docs"),
+            F.array_join("ds", ",").alias("docs"),
         )
     )
 

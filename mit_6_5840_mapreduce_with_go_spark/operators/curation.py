@@ -403,7 +403,13 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(_word_ngrams(F.col("l"), _CONTAM_N)).alias("ng"))
         .distinct()
     )
-    grams = gated.filter(F.size("l") >= _CONTAM_N).select(
+    # grams derive from the UNGATED sig (r13): a contaminated doc_id
+    # that fails the repetition gates is simply absent from `gated`, so
+    # the anti-join ignores it — and the expensive per-row gate
+    # expressions (top_frac is O(|distinct| x |tokens|) per doc) then
+    # evaluate once (the clean branch) instead of twice (~15% at sf0.1,
+    # result-identical by the oracle).
+    grams = sig.filter(F.size("l") >= _CONTAM_N).select(
         "doc_id", F.explode(F.array_distinct(_word_ngrams(F.col("l"), _CONTAM_N))).alias("ng")
     )
     contaminated = grams.join(F.broadcast(bench), "ng").select("doc_id").distinct()

@@ -903,7 +903,15 @@ def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"transform(split(text, ' '), t -> {_CHARFOLD_SPARK})").alias("th"),
     ).select("doc_id", F.expr(_SHINGLE_SPARK).alias("hashes"))
-    cands = dedup_minhash_xengine(spark, sf_dir).select("doc_a", "doc_b")
+    # cands and truth each feed TWO consumers (their count aggregate and
+    # the hits join); checkpoint the bounded pair lists so the expensive
+    # candidate/ground-truth legs execute once per invocation instead of
+    # once per consumer (r13, guide §3.3)
+    cands = (
+        dedup_minhash_xengine(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     sizes = h.select("doc_id", F.size("hashes").alias("nsh"))
     ex = h.select("doc_id", F.explode("hashes").alias("hv"))
     inter = (
@@ -928,6 +936,7 @@ def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _PR_TAU
         )
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     hits = cands.join(truth, ["doc_a", "doc_b"])
     m = (

@@ -62,31 +62,24 @@ def main() -> int:
         "name\tsec_min\tsec_first\tjobs\texch\tbexch\treuse\tsmj\tshj\tbhj\tbnl\tpy\taqeread",
         flush=True,
     )
+    def _next_job_id() -> int:
+        v = sc._jsc.sc().dagScheduler().nextJobId()
+        return v if isinstance(v, int) else v.get()
+
     for name in names:
         spark.catalog.clearCache()
-        tracker = sc.statusTracker()
-        jobs_before = len(tracker.getJobIdsForGroup() or [])
         samples = []
-        dfs = []
         t0 = time.time()
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         samples.append(time.time() - t0)
-        jobs_after = len(sc.statusTracker().getJobIdsForGroup() or [])
-        # job count via allJobs ids delta
-        try:
-            all_ids = sc._jsc.sc().statusTracker().getJobIdsForGroup(None)
-            njobs = -1
-        except Exception:
-            njobs = -1
-        # simpler: use the DAGScheduler nextJobId counter delta
+        # job count via the DAGScheduler nextJobId counter delta
         t0 = time.time()
-        jid0 = sc._jsc.sc().dagScheduler().nextJobId().get()
+        jid0 = _next_job_id()
         df2 = queries[name](spark, sf_dir)
         df2.write.format("noop").mode("overwrite").save()
         samples.append(time.time() - t0)
-        jid1 = sc._jsc.sc().dagScheduler().nextJobId().get()
-        njobs = jid1 - jid0
+        njobs = _next_job_id() - jid0
         plan = df2._jdf.queryExecution().executedPlan().toString()
         c = census(plan)
         print(
