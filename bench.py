@@ -213,7 +213,11 @@ def _stable_plan_fingerprint(spark, fn, sf_dir: str) -> str:
     return fps[0]
 
 
-def _previous_plan_fps(sf: float) -> tuple[int, dict[str, str]]:
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _previous_plan_fps(sf: float, cpus: int) -> tuple[int, dict[str, str]]:
     """Latest artifact in the repo root carrying STABLE plan
     fingerprints.  BENCH_r10's fingerprints were cache-contaminated
     (8/48 flipped across identical runs) and carry no stability marker,
@@ -221,11 +225,17 @@ def _previous_plan_fps(sf: float) -> tuple[int, dict[str, str]]:
     own reproducibility via plan_fp_stable — r10-vs-r11 is intentionally
     not diffed (VERDICT r10 #2 re-baseline).  Checks BENCH_r{N}.json and
     the local PLAN_FP_BASELINE.json the bench writes each run (the
-    driver truncates stdout artifacts; the local file is authoritative)."""
+    driver truncates stdout artifacts; the local file is authoritative).
+
+    Baselines are keyed by (sf, cpus), BOTH of which change plans:
+    scale factor moves planner size estimates (join strategy, AQE) and
+    the core count sets spark.sql.shuffle.partitions (session.py), whose
+    partition counts survive fingerprint normalization.  Round 13's
+    8-core scaling run overwrote the then sf-only baseline and would
+    have flagged dozens of spurious plan_changed rows on the next
+    32-core bench (VERDICT r13 #1)."""
     here = os.path.dirname(os.path.abspath(__file__))
     best, fps = -1, {}
-    # only diff same-SF baselines: planner size estimates (join
-    # strategy, AQE) legitimately differ across scale factors
     for fname in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
         if not m:
@@ -240,12 +250,16 @@ def _previous_plan_fps(sf: float) -> tuple[int, dict[str, str]]:
             data.get("plan_fp_stable")
             and data.get("plan_fp")
             and data.get("sf") == sf
+            # artifacts predating the cpus field were all default-core
+            # driver runs (the r13 8-core run went to BENCH_r13_c8.json,
+            # which this regex deliberately does not match)
+            and int(data.get("cpus", 32)) == cpus
             and rnd > best
         ):
             best, fps = rnd, data["plan_fp"]
     try:
         with open(os.path.join(here, "PLAN_FP_BASELINE.json")) as f:
-            entry = json.load(f).get("by_sf", {}).get(str(sf))
+            entry = json.load(f).get("by_sf_cpus", {}).get(f"{sf}@{cpus}")
         if entry and int(entry.get("round", -1)) > best:
             best, fps = int(entry["round"]), entry["plan_fp"]
     except (OSError, ValueError, KeyError, TypeError):
@@ -274,22 +288,24 @@ def _current_round(here: str | None = None) -> int:
 
 
 def _update_bench_baseline(
-    here: str, sf: float, record: dict
+    here: str, sf: float, record: dict, cpus: int = 32
 ) -> None:
     """Persist clean runs to BENCH_BASELINE.json (VERDICT r11 #4): two
     rounds running, the driver's own BENCH artifact held no
     uncontaminated number (r10 truncated, r11 honestly flagged), so the
-    repo keeps a machine-readable quiet record per sf — ``latest_clean``
-    (most recent clean run: what the current code measures on a quiet
-    host) and ``best`` (lowest clean total ever: the drained-host
-    floor, replaced only by a cleaner number)."""
+    repo keeps a machine-readable quiet record per (sf, cpus) —
+    ``latest_clean`` (most recent clean run: what the current code
+    measures on a quiet host) and ``best`` (lowest clean total ever:
+    the drained-host floor, replaced only by a cleaner number).  Keyed
+    by core count too since r14: a clean low-core scaling run must not
+    displace the default-core record (VERDICT r13 #1)."""
     path = os.path.join(here, "BENCH_BASELINE.json")
     try:
         with open(path) as f:
             base = json.load(f)
     except (OSError, ValueError):
         base = {}
-    entry = base.setdefault("by_sf", {}).setdefault(str(sf), {})
+    entry = base.setdefault("by_sf", {}).setdefault(f"{sf}@{cpus}", {})
     entry["latest_clean"] = record
     best = entry.get("best")
     if not best or record["value"] < best.get("value", float("inf")):
@@ -364,10 +380,14 @@ def main() -> None:
         spreads[name] = round(max(warm) / min(warm), 2)
 
     total = round(sum(timings.values()), 3)
-    # structural plan fingerprints (no execution: plan-build only),
-    # each computed twice under a cleared cache and only reported when
-    # the run reproduces it (VERDICT r10 #2), then the diff against the
-    # most recent STABLE baseline
+    # structural plan fingerprints: mostly plan-build only, but queries
+    # that eagerly localCheckpoint bounded intermediates during
+    # construction (BPE/PCA/BM25/CC since r13) DO run those
+    # materialization jobs here — outside the timed window above, so
+    # timings are unaffected; it costs bench wall time only.  Each
+    # fingerprint is computed twice under a cleared cache and only
+    # reported when the run reproduces it (VERDICT r10 #2), then
+    # diffed against the most recent STABLE same-(sf, cpus) baseline.
     plan_fp: dict[str, str] = {}
     for name in HEADLINE:
         try:
@@ -375,7 +395,8 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - fingerprinting is advisory
             plan_fp[name] = f"error:{type(exc).__name__}"
     plan_fp_stable = not any(fp.startswith("unstable:") for fp in plan_fp.values())
-    prev_round, prev_fps = _previous_plan_fps(sf)
+    cpus = _cpus()
+    prev_round, prev_fps = _previous_plan_fps(sf, cpus)
     plan_changed = sorted(
         n for n, fp in plan_fp.items() if prev_fps and prev_fps.get(n) not in (None, fp)
     )
@@ -422,14 +443,16 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "contaminated": contaminated,
         "queries": timings,
         "value": total,
     }
     print(json.dumps(full))
-    # authoritative local fingerprint baseline, keyed by SF (stdout
-    # artifacts are truncated by the driver; next round's diff reads
-    # this file and never mixes scale factors)
+    # authoritative local fingerprint baseline, keyed by (SF, cpus)
+    # (stdout artifacts are truncated by the driver; next round's diff
+    # reads this file and never mixes scale factors or core counts —
+    # shuffle.partitions follows $SPARK_GRAFT_CPUS, so plans differ)
     if plan_fp_stable:
         here = os.path.dirname(os.path.abspath(__file__))
         base_path = os.path.join(here, "PLAN_FP_BASELINE.json")
@@ -438,7 +461,8 @@ def main() -> None:
                 base = json.load(f)
         except (OSError, ValueError):
             base = {}
-        base.setdefault("by_sf", {})[str(sf)] = {
+        base.pop("by_sf", None)  # legacy sf-only entries (pre-r14)
+        base.setdefault("by_sf_cpus", {})[f"{sf}@{cpus}"] = {
             "round": this_round,
             "plan_fp_stable": True,
             "plan_fp": plan_fp,
@@ -462,6 +486,7 @@ def main() -> None:
                 "plan_fp_stable": plan_fp_stable,
                 "queries": timings,
             },
+            cpus,
         )
     # compact timings-only line LAST: guaranteed to fit whole inside the
     # driver's 2000-char tail so the round's perf record survives intact
@@ -471,6 +496,7 @@ def main() -> None:
             "value": round(total, ndig),
             "unit": "sec",
             "sf": sf,
+            "cpus": cpus,
             "round": this_round,
             "contaminated": contaminated,
             "n_spread_flagged": len(spread_flagged),

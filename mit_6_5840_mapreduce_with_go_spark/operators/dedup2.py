@@ -625,10 +625,10 @@ def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         # set is re-symmetrized before each application (the paper's
         # per-node grouping sees every edge from both endpoints).  Only
         # the small-star output is checkpointed: the between-round
-        # resym stays LAZY (its distinct's exchange is planned into the
-        # next round, and Spark's ReuseExchange shares it between the
-        # groupBy and join consumers), which drops one materialized
-        # shuffle + checkpoint per round vs the round-10 shape.
+        # resym stays LAZY — since r13 it is a plain distinct-free
+        # union over the checkpointed edge set (see ``resym`` above),
+        # so materializing it would only copy rows the next round can
+        # read straight off the checkpoint.
         edges = _small_star(
             resym(_large_star(sym))
         ).localCheckpoint()

@@ -536,6 +536,10 @@ def kv_consistent_hash_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted array serves both the successor search and sid recovery.
     points = _ring_points(_RING_N_NEW)
     assert len({p for _, p in points}) == len(points)
+    # the *256 encoding reserves 8 bits for the shard id — a wider
+    # shard count needs a wider encoding (and a larger literal array
+    # would eventually warrant a broadcast lookup table instead)
+    assert _RING_N_NEW < 256, "sid must fit the 8-bit point*256+sid encoding"
 
     def _enc_sorted(pred):
         return sorted(p * 256 + sid for sid, p in points if pred(sid))

@@ -4,6 +4,17 @@ Local mode is a single JVM (driver-only); on a real cluster the same
 configs hold, with AQE doing runtime re-planning (partition coalescing,
 skew-join splitting) — the knobs that matter at 100 TB are set here once
 so every operator inherits them.
+
+localCheckpoint policy (central note, ADVICE r13): iterative and
+multi-consumer operators truncate lineage with ``localCheckpoint()``
+on BOUNDED intermediates.  Checkpointed blocks are executor-local and
+unreplicated, so on a multi-node cluster an executor loss (or dynamic
+deallocation) makes every consumer unrecoverable — acceptable on this
+single-JVM target, where the "executor" dying is the application dying
+anyway.  A cluster deployment would set ``spark.checkpoint.dir`` to
+reliable storage and swap these call sites to ``checkpoint()`` (same
+plan-truncation effect, replicated blocks), or disable dynamic
+allocation for the stage; the per-operator docstrings assume this note.
 """
 
 from __future__ import annotations

@@ -87,7 +87,9 @@ def test_current_round_counts_bench_artifacts_only(tmp_path, monkeypatch):
 
 def test_bench_baseline_updates_latest_always_best_only_when_cleaner(tmp_path):
     """BENCH_BASELINE.json (VERDICT r11 #4): latest_clean tracks the
-    most recent clean run; best is replaced only by a lower total."""
+    most recent clean run; best is replaced only by a lower total.
+    Records are keyed by (sf, cpus) since r14 (VERDICT r13 #1): a clean
+    low-core scaling run lands in its own slot."""
     import json
 
     import bench
@@ -96,10 +98,44 @@ def test_bench_baseline_updates_latest_always_best_only_when_cleaner(tmp_path):
     bench._update_bench_baseline(str(tmp_path), 0.1, rec1)
     rec2 = {"round": 12, "value": 95.0, "queries": {"q": 95.0}}
     bench._update_bench_baseline(str(tmp_path), 0.1, rec2)
-    got = json.load(open(tmp_path / "BENCH_BASELINE.json"))["by_sf"]["0.1"]
+    got = json.load(open(tmp_path / "BENCH_BASELINE.json"))["by_sf"]["0.1@32"]
     assert got["latest_clean"]["round"] == 12
     assert got["best"]["value"] == 90.0
     rec3 = {"round": 13, "value": 85.0, "queries": {"q": 85.0}}
     bench._update_bench_baseline(str(tmp_path), 0.1, rec3)
-    got = json.load(open(tmp_path / "BENCH_BASELINE.json"))["by_sf"]["0.1"]
+    got = json.load(open(tmp_path / "BENCH_BASELINE.json"))["by_sf"]["0.1@32"]
     assert got["best"]["value"] == 85.0 and got["latest_clean"]["round"] == 13
+    # an 8-core record must NOT displace the 32-core one
+    rec4 = {"round": 13, "value": 300.0, "queries": {"q": 300.0}}
+    bench._update_bench_baseline(str(tmp_path), 0.1, rec4, cpus=8)
+    data = json.load(open(tmp_path / "BENCH_BASELINE.json"))["by_sf"]
+    assert data["0.1@32"]["latest_clean"]["round"] == 13
+    assert data["0.1@32"]["best"]["value"] == 85.0
+    assert data["0.1@8"]["latest_clean"]["value"] == 300.0
+
+
+def test_previous_plan_fps_keyed_by_cpus(tmp_path, monkeypatch):
+    """VERDICT r13 #1: the r13 8-core scaling run overwrote the sf-only
+    fingerprint baseline, so the next 32-core bench would have diffed
+    against 8-core plans (shuffle.partitions follows the core count and
+    survives normalization).  The baseline lookup must be (sf, cpus)."""
+    import json
+
+    import bench
+
+    (tmp_path / "PLAN_FP_BASELINE.json").write_text(
+        json.dumps(
+            {
+                "by_sf_cpus": {
+                    "0.1@8": {"round": 13, "plan_fp": {"q": "aaaa"}},
+                    "0.1@32": {"round": 12, "plan_fp": {"q": "bbbb"}},
+                }
+            }
+        )
+    )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _p: str(tmp_path / "bench.py")
+    )
+    assert bench._previous_plan_fps(0.1, 32) == (12, {"q": "bbbb"})
+    assert bench._previous_plan_fps(0.1, 8) == (13, {"q": "aaaa"})
+    assert bench._previous_plan_fps(0.1, 16) == (-1, {})

@@ -342,3 +342,43 @@ def test_jpeg_chroma_layouts_422_440_411():
             M8.encode_jpeg_progressive(W, H, comps, ac_al=1)
         )
         assert prog["planes"] == p["planes"], f"{name} progressive"
+
+
+def test_fdct_matmul_matches_scalar_reference_on_random_blocks():
+    """ADVICE r13: the matmul FDCT differs from the scalar quadruple
+    loop only in float summation order.  Pin that the difference on
+    arbitrary (non-constant) blocks stays orders of magnitude below the
+    0.5 quantization margin, so a future fixture with a coefficient
+    near a .5 boundary cannot silently flip vs the scalar reference."""
+    import math
+    import random
+
+    import numpy as np
+
+    C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    COS = [
+        [math.cos((2 * x + 1) * u * math.pi / 16.0) for u in range(8)]
+        for x in range(8)
+    ]
+
+    def fdct_scalar(block):
+        out = [[0.0] * 8 for _ in range(8)]
+        for v in range(8):
+            for u in range(8):
+                s = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        s += block[y][x] * COS[x][u] * COS[y][v]
+                out[v][u] = 0.25 * C[u] * C[v] * s
+        return out
+
+    rng = random.Random(20260818)
+    worst = 0.0
+    for _ in range(20):
+        block = [[rng.uniform(-128.0, 127.0) for _ in range(8)] for _ in range(8)]
+        got = np.array(M._fdct2d(block))
+        want = np.array(fdct_scalar(block))
+        worst = max(worst, float(np.abs(got - want).max()))
+    # quantization rounds to the nearest integer (0.5 margin); demand
+    # at least 6 orders of magnitude of slack
+    assert worst < 5e-7, worst
