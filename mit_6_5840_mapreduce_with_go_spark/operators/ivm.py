@@ -188,11 +188,16 @@ def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(ms=_FT_MIN_SUPPORT)
     from .market import brand_baskets
 
-    # no persist: the baskets lineage is cheap to recompute and a query
-    # function returns a lazy plan — a persist here would pin cached
-    # blocks for the whole session during full-registry sweeps (230
-    # queries share one SparkSession) with no one to unpersist them.
-    baskets = brand_baskets(spark, sf_dir)
+    # Eager localCheckpoint (r14, guide §3.3/§5): six consumers re-derive
+    # the baskets subtree (n, both pair sides, x/y/z of the counting
+    # join) — 63 Exchange nodes in the pre-r14 executed plan vs 13
+    # after, measured 1.3x at sf0.1 (interleaved min-of-4).  Unlike the
+    # persist() this comment used to warn against, checkpoint blocks
+    # are released by the ContextCleaner when the DataFrame is GC'd —
+    # nothing pins session-wide cache across full-registry sweeps.
+    # Checkpointing freq_pair as well was measured SLOWER (its barrier
+    # serializes stages AQE otherwise overlaps); baskets only.
+    baskets = brand_baskets(spark, sf_dir).localCheckpoint()
     n = baskets.agg(F.countDistinct("okey").alias("n_orders"))
     a = baskets.select(F.col("okey"), F.col("brand").alias("b1"))
     b = baskets.select(F.col("okey"), F.col("brand").alias("b2"))

@@ -262,41 +262,69 @@ def profile_fk_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Containment 1.0 = referential integrity holds; the events→customer
     row is a deliberate negative control.
 
-    Scale: per pair, the child's distinct keys (one map-side-combinable
-    aggregate) LEFT SEMI join the parent's keys — containment never
-    materializes the non-matching side, and counting distinct child
-    values BEFORE the semi join means the join input is already
-    key-sized, not row-sized. The 5 result rows union trivially."""
-    out = None
-    for ct, cc, pt, pc in _FK_PAIRS:
-        child_keys = (
-            load_table(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
-        )
-        parent_keys = (
-            load_table(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
-        )
-        stats = child_keys.agg(F.count(F.lit(1)).alias("child_distinct"))
-        pstats = parent_keys.agg(F.count(F.lit(1)).alias("parent_distinct"))
-        contained = child_keys.join(parent_keys, "k", "left_semi").agg(
-            F.count(F.lit(1)).alias("n_contained")
-        )
-        row = (
-            stats.crossJoin(F.broadcast(pstats))
-            .crossJoin(F.broadcast(contained))
-            .select(
-                F.lit(f"{ct}.{cc}").alias("child"),
-                F.lit(f"{pt}.{pc}").alias("parent"),
-                "child_distinct",
-                "parent_distinct",
-                "n_contained",
-                F.round(
-                    F.col("n_contained") * 1.0 / F.col("child_distinct"), 4
-                ).alias("containment"),
-                (F.col("n_contained") == F.col("child_distinct")).alias("is_fk"),
+    Scale (r14 restructure, guide §2/§2.6): the pre-r14 shape built each
+    verdict row from its own distinct + semi-join + two broadcast
+    crossJoins — 56 sequential driver-materialized jobs, each a full
+    cluster barrier (the worst driver-orchestration anti-pattern in the
+    repo; at 1000 executors the job-submission round trips dominate).
+    Now ONE action: every pair's child and parent keys union into a
+    tall (pair_id, key, is_child, is_parent) table (scans stay
+    column-pruned per leg), a map-side-combinable groupBy(pair_id, key)
+    collapses duplicates BEFORE the exchange and ORs the side flags,
+    and a second |pairs|-row aggregate counts child/parent/contained
+    distincts in one pass — semi-join semantics preserved exactly
+    (contained = key seen on both sides).  Same single-DAG pipelining
+    the guide's §2.6 thread-pool trick approximates from outside, with
+    the scheduler free to overlap every leg."""
+    legs = []
+    for i, (ct, cc, pt, pc) in enumerate(_FK_PAIRS):
+        legs.append(
+            load_table(spark, sf_dir, ct).select(
+                F.lit(i).alias("pair_id"),
+                F.col(cc).cast("long").alias("k"),
+                F.lit(1).alias("c"),
+                F.lit(0).alias("p"),
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        legs.append(
+            load_table(spark, sf_dir, pt).select(
+                F.lit(i).alias("pair_id"),
+                F.col(pc).cast("long").alias("k"),
+                F.lit(0).alias("c"),
+                F.lit(1).alias("p"),
+            )
+        )
+    allk = legs[0]
+    for leg in legs[1:]:
+        allk = allk.unionByName(leg)
+    per_key = allk.groupBy("pair_id", "k").agg(
+        F.max("c").alias("in_c"), F.max("p").alias("in_p")
+    )
+    stats = per_key.groupBy("pair_id").agg(
+        F.sum("in_c").cast("bigint").alias("child_distinct"),
+        F.sum("in_p").cast("bigint").alias("parent_distinct"),
+        F.sum(F.col("in_c") * F.col("in_p")).cast("bigint").alias("n_contained"),
+    )
+    child_lbl = F.lit(None).cast("string")
+    parent_lbl = F.lit(None).cast("string")
+    for i, (ct, cc, pt, pc) in enumerate(_FK_PAIRS):
+        child_lbl = F.when(F.col("pair_id") == i, F.lit(f"{ct}.{cc}")).otherwise(
+            child_lbl
+        )
+        parent_lbl = F.when(F.col("pair_id") == i, F.lit(f"{pt}.{pc}")).otherwise(
+            parent_lbl
+        )
+    return stats.select(
+        child_lbl.alias("child"),
+        parent_lbl.alias("parent"),
+        "child_distinct",
+        "parent_distinct",
+        "n_contained",
+        F.round(F.col("n_contained") * 1.0 / F.col("child_distinct"), 4).alias(
+            "containment"
+        ),
+        (F.col("n_contained") == F.col("child_distinct")).alias("is_fk"),
+    )
 
 
 # --------------------------------------------------------------------------
