@@ -854,7 +854,12 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ground truth on a sampled query set (here vec_id < N_QUERIES;
     at 100 TB a ~1e3 query sample) — the exact ranking is only ever
     computed for the sample, the approximate sides reuse the production
-    index pipelines; the membership joins touch K x queries rows."""
+    index pipelines; the membership joins touch K x queries rows.  The
+    approximate legs are <= N_QUERIES*TOP_K rows BY CONSTRUCTION (top-k
+    per sampled query), so they carry explicit broadcast hints: the
+    planner only sees post-window size estimates too wide to pick
+    BroadcastHashJoin on its own, and without the hints both membership
+    joins sort-merge (r14: 2 SortMergeJoin -> 0, 22 -> 20 exchanges)."""
     bf = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     ivf = sim_topk_ivf(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_ivf")
@@ -862,8 +867,8 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = sim_topk_lsh(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_lsh")
     )
-    joined = bf.join(ivf, ["query_id", "neighbor_id"], "left").join(
-        lsh, ["query_id", "neighbor_id"], "left"
+    joined = bf.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left").join(
+        F.broadcast(lsh), ["query_id", "neighbor_id"], "left"
     )
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),
