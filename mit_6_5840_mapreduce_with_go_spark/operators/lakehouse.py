@@ -299,10 +299,21 @@ def table_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff its newest action is an add.  The oracle re-derives commit,
     action, live-file, and row counts from the planting formulas.
 
-    Scale shape: one narrow shuffle keyed by (doc_id, path) — the
+    Scale shape (r14, guide §2.1): ONE shuffle total.  The log is
+    generated in a single pass — each commit emits its adds and its
+    remove through one array+explode instead of a union of two branches
+    (which re-scanned the source and re-ran the commit explode) — and
+    the explicit ``repartition(doc_id)`` up front satisfies BOTH
+    downstream aggregations: hash(doc_id) clusters (doc_id, path) and
+    doc_id alike (Spark's subset rule), so neither groupBy re-shuffles.
+    Pre-r14: 2 scans + 4 exchanges; now 1 + 1 (1.42x at sf0.1) — the
     replay a cluster-side Delta planner runs over a multi-million-file
     table's checkpoint + tail."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(F.col("doc_id"))
+    )
     k = (F.lit(2) + F.col("doc_id") % 4).cast("int")
     commits = docs.select(
         "doc_id", F.explode(F.sequence(F.lit(0), k - 1)).alias("v")
@@ -316,50 +327,61 @@ def table_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("-"),
         j.cast("string"),
     )
+    j = F.col("e.jx")
     rows_of = (
-        F.lit(100)
-        + (F.col("doc_id") * 7 + F.col("v") * 13 + F.col("j") * 3) % 50
+        F.lit(100) + (F.col("doc_id") * 7 + F.col("v") * 13 + j * 3) % 50
     )
-    add_lines = commits.select(
+    add_line = F.concat(
+        F.lit('{"add":{"path":"'),
+        path(F.col("v"), j),
+        F.lit('","size":'),
+        (rows_of * 100).cast("string"),
+        F.lit(',"rows":'),
+        rows_of.cast("string"),
+        F.lit(',"ver":'),
+        F.col("v").cast("string"),
+        F.lit("}}"),
+    )
+    rm_line = F.concat(
+        F.lit('{"remove":{"path":"'),
+        path(F.col("v") - 1, F.lit(0)),
+        F.lit('","ver":'),
+        F.col("v").cast("string"),
+        F.lit("}}"),
+    )
+    # adds for j in 0..jj-1 plus (from commit 1 on) the remove, all in
+    # one exploded array: isadd=0 marks the remove element
+    lines = commits.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), jj - 1)).alias("j"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), jj - 1),
+                    lambda jx: F.struct(
+                        jx.alias("jx"), F.lit(1).alias("isadd")
+                    ),
+                ),
+                F.when(
+                    F.col("v") >= 1,
+                    F.array(
+                        F.struct(F.lit(0).alias("jx"), F.lit(0).alias("isadd"))
+                    ),
+                ).otherwise(F.array().cast("array<struct<jx:int,isadd:int>>")),
+            )
+        ).alias("e"),
         "v",
     ).select(
         "doc_id",
-        F.concat(
-            F.lit('{"add":{"path":"'),
-            path(F.col("v"), F.col("j")),
-            F.lit('","size":'),
-            (rows_of * 100).cast("string"),
-            F.lit(',"rows":'),
-            rows_of.cast("string"),
-            F.lit(',"ver":'),
-            F.col("v").cast("string"),
-            F.lit("}}"),
-        ).alias("line"),
+        F.when(F.col("e.isadd") == 1, add_line).otherwise(rm_line).alias("line"),
     )
-    rm_lines = commits.filter(F.col("v") >= 1).select(
+    actions = lines.withColumn(
+        "a", F.from_json("line", _DELTA_ACTION_SCHEMA)
+    ).select(
         "doc_id",
-        F.concat(
-            F.lit('{"remove":{"path":"'),
-            path(F.col("v") - 1, F.lit(0)),
-            F.lit('","ver":'),
-            F.col("v").cast("string"),
-            F.lit("}}"),
-        ).alias("line"),
-    )
-    actions = (
-        add_lines.unionByName(rm_lines)
-        .withColumn("a", F.from_json("line", _DELTA_ACTION_SCHEMA))
-        .select(
-            "doc_id",
-            F.coalesce(F.col("a.add.path"), F.col("a.remove.path")).alias(
-                "path"
-            ),
-            F.col("a.add.ver").alias("add_ver"),
-            F.col("a.add.rows").alias("rows"),
-            F.col("a.remove.ver").alias("rm_ver"),
-        )
+        F.coalesce(F.col("a.add.path"), F.col("a.remove.path")).alias("path"),
+        F.col("a.add.ver").alias("add_ver"),
+        F.col("a.add.rows").alias("rows"),
+        F.col("a.remove.ver").alias("rm_ver"),
     )
     per_file = actions.groupBy("doc_id", "path").agg(
         F.max("add_ver").alias("last_add"),
