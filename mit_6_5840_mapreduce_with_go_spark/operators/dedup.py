@@ -899,10 +899,22 @@ def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", fan_out=True).filter(
         F.col("doc_id") < X_MAX_DOC
     )
-    h = docs.select(
-        "doc_id",
-        F.expr(f"transform(split(text, ' '), t -> {_CHARFOLD_SPARK})").alias("th"),
-    ).select("doc_id", F.expr(_SHINGLE_SPARK).alias("hashes"))
+    # checkpoint the hash-set table too (r14): h feeds FOUR legs (both
+    # sides of the inverted-index self-join and both broadcast size
+    # lookups), and the per-character fold inside _CHARFOLD_SPARK makes
+    # it the most expensive expression in the query — re-deriving it
+    # per leg dominated the row (10.7 -> 1.9 s at sf0.1, guide §3.3).
+    # Bounded: one row per doc (< X_MAX_DOC) with its hash array.
+    h = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                f"transform(split(text, ' '), t -> {_CHARFOLD_SPARK})"
+            ).alias("th"),
+        )
+        .select("doc_id", F.expr(_SHINGLE_SPARK).alias("hashes"))
+        .localCheckpoint()
+    )
     # cands and truth each feed TWO consumers (their count aggregate and
     # the hits join); checkpoint the bounded pair lists so the expensive
     # candidate/ground-truth legs execute once per invocation instead of
