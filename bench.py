@@ -90,6 +90,19 @@ HEADLINE = [
     # earlier rounds): the composed shard+frame point read via Catalyst
     # filter pushdown into the zstfile source
     "mm_zst_shard_pointread_stats",
+    # round-14 flagships (NEW in r14 — subtract these five when comparing
+    # totals to earlier rounds): the most expensive REGISTRY queries this
+    # round's full-registry profile surfaced and optimized, previously
+    # invisible to trend tracking (same rationale as the r9 additions) —
+    # minhash precision/recall eval (10.7 -> 1.9 s), the pretraining
+    # curation pipeline (6.7 -> 2.6 s), the FK-candidate profiler
+    # (56 driver jobs -> one DAG), frequent triples (checkpointed
+    # baskets), and the capped PPJoin (window-df)
+    "dedup_minhash_pr_eval",
+    "pipeline_pretrain_corpus",
+    "profile_fk_candidates",
+    "basket_frequent_triples",
+    "dedup_ppjoin_capped",
     # last: its pair-aggregation GC aftermath would otherwise tax the next query
     "sim_tfidf_topk",
 ]

@@ -54,69 +54,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything rotated out stays mirror-checked by
 # tools/check_correctness.py over all queries at three SFs.
 WINDOW_PRIORITY: list[str] = [
-    # --- Round-13 window: 2 new + ALL 48 remaining r6-evidence rows
-    # (after this window no registry row's driver evidence is older
-    # than round 7 — the freshness SLA VERDICT r12 #3 asked for).
-    # New this round (never driver-verified): the streaming
-    # seek-table-only census over corrupt-payload shards, and the
-    # codec=lz dual-export round trip.
-    "mm_zst_stream_meta_census",
-    "mm_zst_sink_lz_stats",
-    # Freshness SLA: the 48 rows whose last hard driver-green
-    # evidence dates to round 6 (the judge re-verified 10 of them in
-    # r12).  The round-13 zstfile changes (name-anchored stream
-    # offsets, stream band options, sink prefix/abort sweep, the lz
-    # codec) are covered by the two NEW rows above plus the
-    # builder-side full-registry sf0.01+sf0.1 mirrors; their
-    # already-registered siblings carry r12 driver evidence.
-    "basket_association_rules",
+    # --- Round-14 window (second optimization round): every query whose
+    # PLAN this round's optimizations changed (results proved identical
+    # against the oracle at 3 SFs builder-side; this window adds the
+    # driver's own hard evidence), then the r13-touched rows the rotating
+    # sample has not yet driver-verified since their r13 plan changes
+    # (VERDICT r13 next-round #8), then fill to 50 with the rows whose
+    # driver-green evidence is oldest (the r7 cohort).
+    # (a) r14 plan changes:
+    "profile_fk_candidates",
     "basket_frequent_triples",
-    "behavior_journey_similarity",
-    "bool_agg_discount_profile",
-    "dedup_repeated_spans",
-    "eval_conformal_coverage",
-    "eval_markov_next_event",
-    "events_trailing_hour_stats",
-    "groupingsets_flag_status",
-    "mm_audio_vad_segments",
-    "mm_decode_gif_stats",
-    "mm_decode_jpeg_color_stats",
-    "mm_decode_jpeg_progressive_stats",
-    "mm_decode_jpeg_stats",
-    "mm_decode_png_stats",
-    "mm_decode_ppm_stats",
-    "mm_decode_qoi_stats",
-    "mm_decode_wav_stats",
-    "mm_dedup_audio_fingerprint",
-    "mm_dedup_image_dhash",
-    "mm_dedup_image_pr_eval",
-    "mm_embedding_drift_psi",
-    "mm_video_frame_sample",
-    "mm_video_keyframes",
-    "mm_video_shot_boundaries",
-    "percentile_prices_by_status",
-    "pii_doc_redaction",
-    "pii_scrub_stats",
-    "pipeline_mixture_weights_exact",
-    "pipeline_padding_waste",
-    "posexplode_doc_tokens",
-    "privacy_dp_noisy_counts",
-    "privacy_l_diversity",
-    "salted_user_event_counts",
-    "sample_hash_orders",
-    "scalar_datetime_breadth",
-    "scalar_string_breadth",
-    "scalar_subquery_near_max",
-    "setop_multiset_lineflags",
-    "sim_ivf_probe_sweep",
-    "stats_price_moments",
-    "text_boilerplate_ngrams",
-    "text_quality_classifier_linear",
-    "text_tokenizer_fertility",
-    "text_unigram_logprob",
-    "unpivot_customer_metrics",
-    "window_dist_rank_breadth",
-    "window_first_last_ignore_nulls",
+    "sim_ann_recall_eval",
+    "eval_ann_sign_test",
+    "table_delta_log_replay",
+    "dedup_cc_two_phase",
+    "dedup_minhash_pr_eval",
+    "pipeline_pretrain_corpus",
+    "text_repetition_quality",
+    "dedup_ppjoin_capped",
+    # (b) r13 plan changes without post-change driver evidence:
+    "vocab_bpe_merges",
+    "vocab_bpe_apply",
+    "vocab_bpe_roundtrip",
+    "mm_pca_power_iteration",
+    "sim_bm25_topk",
+    "sim_bm25_prf_expansion",
+    "sim_mmr_rerank",
+    "graph_lpa_communities",
+    "graph_pagerank_dup_clusters",
+    "graph_khop_reachability",
+    "dedup_incremental_batch",
+    "dedup_ppjoin_shingles",
+    "dedup_ppjoin_zipf",
+    "kv_consistent_hash_movement",
+    "sketch_kmv_source_overlap",
+    "mr_inverted_index",
+    "mm_exif_orientation_stats",
+    "mm_decode_jpeg422_stats",
+    "mm_decode_jpeg_progressive_color_stats",
+    # (c) freshness SLA fill: 21 of the 49 rows whose last hard
+    # driver-green evidence dates to round 7 (alphabetically first;
+    # the rest stay mirror-checked by tools/check_correctness.py over
+    # all queries at three SFs every round).
+    "audit_benford_prices",
+    "audit_data_contracts",
+    "audit_order_lineitem_recon",
+    "dedup_minhash_lsh",
+    "events_holt_smoothing",
+    "events_mad_outliers",
+    "events_seasonal_naive_eval",
+    "events_seasonality_profile",
+    "events_theilsen_daily_trend",
+    "events_value_histogram",
+    "events_value_outliers",
+    "events_value_trend",
+    "mm_decode_bmp_stats",
+    "mm_decode_gzip_stats",
+    "mm_decode_png_palette_stats",
+    "mm_decode_quarantine_stats",
+    "mm_decode_tar_pax_stats",
+    "mm_decode_tar_stats",
+    "mm_decode_warc_stats",
+    "mm_decode_zip_stats",
+    "mm_decode_zip_stream_stats",
 ]
 
 

@@ -147,3 +147,48 @@ def test_pretrain_corpus_pipeline_accounting(spark, sf_dir):
     again = pipeline_pretrain_corpus(spark, sf_dir).collect()
     key = lambda r: (r["split"], r["lang"])
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_gate_expressions_match_reference_forms(spark):
+    """r14: the cheap gate forms (_dup_bigram_frac's struct-pair
+    bigrams, _top_word_frac's sorted-run max) must equal the original
+    string-bigram / per-distinct-word-rescan formulations on randomized
+    token arrays — including duplicates-heavy, single-token, and
+    empty-ish edge shapes."""
+    import random
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.curation import (
+        _dup_bigram_frac,
+        _top_word_frac,
+        _word_ngrams,
+    )
+
+    rng = random.Random(20260818)
+    vocab = ["a", "bb", "ccc", "dd dd", "e"]  # note: tokens never
+    # contain ' ' in production (they come from split(' ')); include a
+    # plain set here and a spacey one is deliberately EXCLUDED to match
+    # the production invariant the struct-pair rewrite relies on
+    vocab = ["a", "bb", "ccc", "dd", "e", "ff", "g"]
+    cases = [[rng.choice(vocab) for _ in range(rng.randint(1, 40))] for _ in range(60)]
+    cases += [["x"], ["x", "x"], ["x", "y"], ["x"] * 30]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, l array<string>")
+
+    bg = _word_ngrams(F.col("l"), 2)
+    dup_ref = F.when(F.size(bg) == 0, F.lit(0.0)).otherwise(
+        1 - F.size(F.array_distinct(bg)) / F.size(bg)
+    )
+    top_ref = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("l")),
+            lambda w: F.size(F.filter(F.col("l"), lambda x: x == w)),
+        )
+    ) / F.size("l")
+    bad = df.select(
+        _dup_bigram_frac(F.col("l")).alias("dn"),
+        dup_ref.alias("dr"),
+        _top_word_frac("l").alias("tn"),
+        top_ref.alias("tr"),
+    ).filter(
+        ~F.col("dn").eqNullSafe(F.col("dr")) | ~F.col("tn").eqNullSafe(F.col("tr"))
+    )
+    assert bad.count() == 0

@@ -230,3 +230,52 @@ def test_cc_chain_converges_in_log_rounds(spark):
     # growth is logarithmic, not linear: 64x more nodes may cost only
     # a few more rounds
     assert got[4096] - got[64] <= 8, got
+
+
+def test_window_star_operators_match_groupby_join_reference(spark):
+    """r14: _large_star/_small_star were rewritten from groupBy+join to
+    a window min per node — pin exact output equality against the old
+    formulation on a randomized edge set (plus the chain/star shapes the
+    other tests cover implicitly)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mit_6_5840_mapreduce_with_go_spark.operators.dedup2 import (
+        _large_star,
+        _small_star,
+    )
+
+    def large_ref(edges):
+        m = edges.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        return (
+            edges.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_ref(edges):
+        down = edges.filter(F.col("v") <= F.col("u"))
+        m = down.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        pairs = down.join(m, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        own = m.select(F.col("u"), F.col("m").alias("v"))
+        return pairs.union(own).filter(F.col("u") != F.col("v")).distinct()
+
+    rng = random.Random(20260818)
+    raw = {(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(120)}
+    rows = [(u, v) for u, v in raw] + [(u, v) for v, u in raw]
+    edges = spark.createDataFrame(rows, "u long, v long").distinct().localCheckpoint()
+
+    def rset(df):
+        return sorted((r.u, r.v) for r in df.collect())
+
+    assert rset(_large_star(edges)) == rset(large_ref(edges))
+    assert rset(_small_star(edges)) == rset(small_ref(edges))
