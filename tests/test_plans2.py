@@ -43,9 +43,16 @@ def test_incremental_dedup_exact_leg_is_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
-def test_fk_profile_uses_semi_joins(spark, sf_dir):
+def test_fk_profile_single_pass_no_joins(spark, sf_dir):
+    """r14: the per-pair loop (distinct + LeftSemi + crossJoins = 56
+    sequential driver jobs) was collapsed into one tall union feeding a
+    two-level aggregate — the plan must contain NO join of any kind and
+    exactly one exchange pair (per-key collapse, then the 5-row
+    per-pair rollup)."""
     plan = physical_plan(profile_fk_candidates(spark, sf_dir))
-    assert "LeftSemi" in plan
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_keywords_broadcasts_df_table(spark, sf_dir):
